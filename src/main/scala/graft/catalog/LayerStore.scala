@@ -1,0 +1,78 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.ZOrderKey.zorder
+
+/** Parquet-backed tile-layer catalog — the engine's spine (SURVEY §1.3).
+  *
+  * Reference model: an HDFS directory catalog with a JSON attribute store
+  * and SFC-indexed layer writer (api/package.scala:62-180). Here:
+  *
+  *  - one parquet dataset partitioned by (layer_name, zoom) → partition
+  *    pruning replaces the attribute-store lookup + index range read;
+  *  - rows sorted by zorder(tile_col, tile_row) within partitions before
+  *    write (ZCurveKeyIndexMethod analog, api/package.scala:143) so
+  *    parquet row-group min/max stats prune point/range reads;
+  *  - per-(layer, zoom) metadata + zoom-0 histogram as a JSON sidecar
+  *    `_attributes` table (Utils.scala:85-89 `histogramData`).
+  */
+class LayerStore(spark: SparkSession, root: String) {
+
+  private def layerPath(name: String, zoom: Int) =
+    s"$root/tiles/layer_name=$name/zoom=$zoom"
+
+  /** K1: delete-then-write with Z-curve ordering (api/package.scala:130-146). */
+  def write(tiles: DataFrame, name: String, zoom: Int): Unit =
+    tiles
+      .repartition(col("tile_col"), col("tile_row"))
+      .sortWithinPartitions(zorder(col("tile_col").cast("int"), col("tile_row").cast("int")))
+      .write.mode(SaveMode.Overwrite).parquet(layerPath(name, zoom))
+
+  /** S3: pruned read of one (layer, zoom). */
+  def read(name: String, zoom: Int): DataFrame =
+    spark.read.parquet(layerPath(name, zoom))
+
+  /** S10: point lookup of a single tile — parquet predicate pushdown +
+    * zorder-sorted row groups replace the reference's indexed
+    * ValueReader (ServeLayerAsMap.scala:33,111). */
+  def readTile(name: String, zoom: Int, tileCol: Int, tileRow: Int): DataFrame =
+    read(name, zoom).where(col("tile_col") === tileCol && col("tile_row") === tileRow)
+
+  /** K2: merge/upsert — read existing, cell-wise incoming-wins merge,
+    * overwrite (api/package.scala:328-385). */
+  def merge(incoming: DataFrame, name: String, zoom: Int): Unit = {
+    val merged =
+      if (exists(name, zoom)) graft.ops.Raster.mergeLayers(read(name, zoom), incoming)
+      else incoming
+    val tmp = merged.cache()
+    tmp.count() // materialize before overwriting the source we read
+    write(tmp, name, zoom)
+    tmp.unpersist()
+  }
+
+  /** S9: catalog listing. */
+  def exists(name: String, zoom: Int): Boolean =
+    new java.io.File(layerPath(name, zoom)).exists()
+
+  def zoomsOf(name: String): Seq[Int] = {
+    val d = new java.io.File(s"$root/tiles/layer_name=$name")
+    if (!d.exists()) Seq.empty
+    else d.listFiles().filter(_.isDirectory).map(_.getName.stripPrefix("zoom=").toInt).sorted.toSeq
+  }
+
+  def maxZoom(name: String): Option[Int] = zoomsOf(name).lastOption
+
+  /** K3: delete one zoom or all zooms of a layer (api/package.scala:67-102). */
+  def delete(name: String, zoom: Option[Int] = None): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val target = zoom match {
+      case Some(z) => new java.io.File(layerPath(name, z))
+      case None => new java.io.File(s"$root/tiles/layer_name=$name")
+    }
+    if (target.exists()) rm(target)
+  }
+}

@@ -1,0 +1,200 @@
+package graft.core
+
+/** Pure cell/tile math over row-major `Array[Double]` tiles.
+  *
+  * Zero Spark dependencies — unit-testable in isolation. NoData is
+  * represented as `Double.NaN`, reproducing the reference's
+  * `DoubleConstantNoDataCellType` semantics (GeoTrellis converts int
+  * sentinel NODATA to double-NaN before arithmetic; reference:
+  * NDVILayerExample.scala:68-69, NDVILayerWithCloudMaskExample.scala:55-60).
+  *
+  * Tiles are row-major: cell (x, y) lives at index `x + y * cols`
+  * (reference: TilePixelingExample.scala:100-105, `arr(x + y*256)`).
+  */
+object TileMath {
+
+  /** Reference tile size (Utils.scala:21). Query fixtures use smaller
+    * grids; every function takes explicit cols/rows. */
+  val DefaultTileSize = 256
+
+  @inline def isData(v: Double): Boolean = !java.lang.Double.isNaN(v)
+
+  def empty(cols: Int, rows: Int): Array[Double] = {
+    val a = new Array[Double](cols * rows)
+    java.util.Arrays.fill(a, Double.NaN)
+    a
+  }
+
+  /** Cell-wise binary combine with NoData propagation: result is NaN
+    * unless both inputs are data (reference `combineDouble`,
+    * NDVILayerExample.scala:70-75). */
+  def combine(a: Array[Double], b: Array[Double])(f: (Double, Double) => Double): Array[Double] = {
+    require(a.length == b.length, s"tile length mismatch ${a.length} != ${b.length}")
+    val out = new Array[Double](a.length)
+    var i = 0
+    while (i < a.length) {
+      out(i) = if (isData(a(i)) && isData(b(i))) f(a(i), b(i)) else Double.NaN
+      i += 1
+    }
+    out
+  }
+
+  /** Cell-wise map skipping NoData (reference `mapDouble`). */
+  def mapCells(a: Array[Double])(f: Double => Double): Array[Double] = {
+    val out = new Array[Double](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = if (isData(a(i))) f(a(i)) else Double.NaN; i += 1 }
+    out
+  }
+
+  /** Pairwise merge: incoming (b) wins where defined, else keep a —
+    * GeoTrellis `merge` semantics used by layer upsert
+    * (api/package.scala:345, RasterizeFeaturesRDD.scala:62-64). */
+  def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    require(a.length == b.length)
+    val out = new Array[Double](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = if (isData(b(i))) b(i) else a(i); i += 1 }
+    out
+  }
+
+  /** NDVI: (nir - red) / (nir + red), NaN-propagating
+    * (NDVILayerExample.scala:70-75). */
+  def ndvi(nir: Double, red: Double): Double =
+    if (isData(nir) && isData(red) && (nir + red) != 0.0) (nir - red) / (nir + red)
+    else Double.NaN
+
+  /** 2x downsample by 2x2 block mean over data cells (pyramid build,
+    * GeotiffToPyramid.scala:58-69). Input tile cols x rows, output
+    * (cols/2) x (rows/2). */
+  def downsample2(a: Array[Double], cols: Int, rows: Int): Array[Double] = {
+    val oc = cols / 2; val or = rows / 2
+    val out = new Array[Double](oc * or)
+    var y = 0
+    while (y < or) {
+      var x = 0
+      while (x < oc) {
+        var sum = 0.0; var n = 0
+        var dy = 0
+        while (dy < 2) {
+          var dx = 0
+          while (dx < 2) {
+            val v = a((2 * x + dx) + (2 * y + dy) * cols)
+            if (isData(v)) { sum += v; n += 1 }
+            dx += 1
+          }
+          dy += 1
+        }
+        out(x + y * oc) = if (n > 0) sum / n else Double.NaN
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Nearest-neighbor upsample of one tile into the (cx, cy) child of a
+    * 2^dz x 2^dz split (zoom resample up, ZoomResampleTEST.scala:65-152,
+    * NearestNeighbor default Utils.scala:23). Child has same cols/rows;
+    * child cell (x,y) reads parent cell ((cx*cols + x)/f, (cy*rows + y)/f)
+    * with f = 2^dz. */
+  def upsampleChildNN(a: Array[Double], cols: Int, rows: Int, cx: Int, cy: Int, dz: Int): Array[Double] = {
+    val f = 1 << dz
+    val out = new Array[Double](cols * rows)
+    var y = 0
+    while (y < rows) {
+      val sy = (cy * rows + y) / f
+      var x = 0
+      while (x < cols) {
+        val sx = (cx * cols + x) / f
+        out(x + y * cols) = a(sx + sy * cols)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Focal mean over a square (2r+1)^2 or circular kernel on a padded
+    * array. `padded` is (cols + 2*pad) x (rows + 2*pad) with halo margins
+    * already attached (bufferTiles, ConvolveLayerExample.scala:69);
+    * output is the cols x rows core. Mean over *data* cells in the
+    * neighborhood; NaN if none. `circle` restricts to dx*dx+dy*dy <= r*r
+    * (Kernel.circle, ConvolveLayerExample.scala:62-66). */
+  def focalMean(padded: Array[Double], cols: Int, rows: Int, pad: Int, r: Int, circle: Boolean): Array[Double] = {
+    val pc = cols + 2 * pad
+    val out = new Array[Double](cols * rows)
+    var y = 0
+    while (y < rows) {
+      var x = 0
+      while (x < cols) {
+        var sum = 0.0; var n = 0
+        var dy = -r
+        while (dy <= r) {
+          var dx = -r
+          while (dx <= r) {
+            if (!circle || dx * dx + dy * dy <= r * r) {
+              val v = padded((x + pad + dx) + (y + pad + dy) * pc)
+              if (isData(v)) { sum += v; n += 1 }
+            }
+            dx += 1
+          }
+          dy += 1
+        }
+        out(x + y * cols) = if (n > 0) sum / n else Double.NaN
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Weighted focal sum (Getis-Ord numerator, SpatialGetisOrd.scala:69-79):
+    * kernel weight 1.0 inside the circle. Returns (sum, count) packed as
+    * two planes so G* standardization can use both. */
+  def focalSumCount(padded: Array[Double], cols: Int, rows: Int, pad: Int, r: Int): (Array[Double], Array[Double]) = {
+    val pc = cols + 2 * pad
+    val sums = new Array[Double](cols * rows)
+    val counts = new Array[Double](cols * rows)
+    var y = 0
+    while (y < rows) {
+      var x = 0
+      while (x < cols) {
+        var sum = 0.0; var n = 0
+        var dy = -r
+        while (dy <= r) {
+          var dx = -r
+          while (dx <= r) {
+            if (dx * dx + dy * dy <= r * r) {
+              val v = padded((x + pad + dx) + (y + pad + dy) * pc)
+              if (isData(v)) { sum += v; n += 1 }
+            }
+            dx += 1
+          }
+          dy += 1
+        }
+        sums(x + y * cols) = if (n > 0) sum else Double.NaN
+        counts(x + y * cols) = n.toDouble
+        x += 1
+      }
+      y += 1
+    }
+    (sums, counts)
+  }
+
+  /** Burn a half-open axis-aligned rectangle [x0,x1)x[y0,y1) (in global
+    * pixel coords) into a tile keyed (tileCol, tileRow); incoming wins
+    * (rasterize merge, RasterizeFeaturesRDD.scala:55-64). Mutates `a`. */
+  def burnRect(a: Array[Double], cols: Int, rows: Int, tileCol: Int, tileRow: Int,
+               x0: Long, y0: Long, x1: Long, y1: Long, value: Double): Unit = {
+    val gx0 = tileCol.toLong * cols; val gy0 = tileRow.toLong * rows
+    val lx0 = math.max(0L, x0 - gx0).toInt; val lx1 = math.min(cols.toLong, x1 - gx0).toInt
+    val ly0 = math.max(0L, y0 - gy0).toInt; val ly1 = math.min(rows.toLong, y1 - gy0).toInt
+    var y = ly0
+    while (y < ly1) {
+      var x = lx0
+      while (x < lx1) { a(x + y * cols) = value; x += 1 }
+      y += 1
+    }
+  }
+}

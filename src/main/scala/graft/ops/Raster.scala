@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import graft.core.TileMath
+
+/** DataFrame-level raster operators over the engine's tile schema:
+  *
+  *   tiles(tile_col INT, tile_row INT, cells ARRAY<DOUBLE>)      -- NaN = NoData
+  *   pixels(tile_col INT, tile_row INT, px INT, py INT, v DOUBLE)
+  *
+  * Declarative wherever Spark's built-ins can express the semantics
+  * (zip_with / transform / posexplode / joins — SURVEY §7.3); typed
+  * Aggregators (TileAggregators) where a mutable tile buffer is the right
+  * physical shape; per-tile Scala kernels only for 2-D convolution, which
+  * has no Catalyst equivalent.
+  */
+object Raster {
+
+  /** Pixel explode (P9, UtilsML.scala:17-36): tile rows → one row per
+    * data cell. posexplode gives the flat index; x = i % cols,
+    * y = i / cols (row-major, TilePixelingExample.scala:100-105). */
+  def pixelize(tiles: DataFrame, cols: Int): DataFrame =
+    tiles.select(col("tile_col"), col("tile_row"), posexplode(col("cells")).as(Seq("i", "v")))
+      .where(not(isnan(col("v"))))
+      .select(col("tile_col"), col("tile_row"),
+        (col("i") % cols).cast("int").as("px"),
+        (col("i") / cols).cast("int").as("py"),
+        col("v"))
+
+  /** Pixel→tile reassembly (A3, TilePixelingExample.scala:97-107) as a
+    * partial-aggregating UDAF — never materializes a 65k-row group. */
+  def assemble(pixels: DataFrame, cols: Int, rows: Int): DataFrame = {
+    val asm = udaf(new TileAggregators.TileAssemble(cols, rows),
+      ExpressionEncoder[TileAggregators.PixelIn]())
+    pixels.groupBy(col("tile_col"), col("tile_row"))
+      .agg(asm(col("px"), col("py"), col("v")).as("cells"))
+  }
+
+  /** NDVI cell algebra (P1, NDVILayerExample.scala:70-75) on two joined
+    * band columns, as a codegen'd higher-order function. */
+  def ndviCells(nir: Column, red: Column): Column =
+    zip_with(nir, red, (n, r) =>
+      when(isnan(n) || isnan(r) || (n + r) === 0d, lit(Double.NaN))
+        .otherwise((n - r) / (n + r)))
+
+  /** Cloud/cirrus QA mask (P2, NDVILayerWithCloudMaskExample.scala:54-60):
+    * NoData where (qa & mask) != 0. */
+  def maskCells(v: Column, qa: Column, mask: Long): Column =
+    zip_with(v, qa, (x, q) =>
+      when(isnan(q) || (q.cast("long").bitwiseAND(lit(mask)) =!= 0L), lit(Double.NaN))
+        .otherwise(x))
+
+  /** Pairwise tile merge (P8): incoming (b) wins where defined. */
+  def mergeCells(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => when(isnan(y), x).otherwise(y))
+
+  /** Layer merge/upsert (K2/J6, api/package.scala:328-385): full-outer
+    * join on the tile key, cell-wise incoming-wins where both exist. */
+  def mergeLayers(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val e = existing.withColumnRenamed("cells", "cells_old")
+    val i = incoming.withColumnRenamed("cells", "cells_new")
+    e.join(i, Seq("tile_col", "tile_row"), "full_outer")
+      .select(col("tile_col"), col("tile_row"),
+        when(col("cells_old").isNull, col("cells_new"))
+          .when(col("cells_new").isNull, col("cells_old"))
+          .otherwise(mergeCells(col("cells_old"), col("cells_new"))).as("cells"))
+  }
+
+  /** Halo exchange (R8, bufferTiles ConvolveLayerExample.scala:69): each
+    * tile is sent to itself and its 8 neighbors (one shuffle), then a
+    * padded array is assembled per target key. Returns
+    * (tile_col, tile_row, padded ARRAY<DOUBLE> of (cols+2p)x(rows+2p)). */
+  def withHalo(tiles: DataFrame, cols: Int, rows: Int, pad: Int): DataFrame = {
+    val offsets = array((for (dr <- -1 to 1; dc <- -1 to 1)
+      yield struct(lit(dc).as("dc"), lit(dr).as("dr"))): _*)
+    val pa = udaf(new TileAggregators.PadAssemble(cols, rows, pad),
+      ExpressionEncoder[TileAggregators.NeighborIn]())
+    tiles
+      .select(col("tile_col"), col("tile_row"), col("cells"), explode(offsets).as("o"))
+      .select(
+        (col("tile_col") + col("o.dc")).as("tile_col"),
+        (col("tile_row") + col("o.dr")).as("tile_row"),
+        (-col("o.dc")).as("dcol"), (-col("o.dr")).as("drow"), col("cells"))
+      // target must itself exist: inner-join back onto the layer's keys
+      .join(tiles.select(col("tile_col"), col("tile_row")).distinct(), Seq("tile_col", "tile_row"))
+      .groupBy(col("tile_col"), col("tile_row"))
+      .agg(pa(col("dcol"), col("drow"), col("cells")).as("padded"))
+  }
+
+  private val focalMeanUdf = udf((padded: Seq[Double], cols: Int, rows: Int, pad: Int, r: Int, circle: Boolean) =>
+    TileMath.focalMean(padded.toArray, cols, rows, pad, r, circle).toSeq)
+
+  /** Focal mean convolution (F1, ConvolveLayerExample.scala:62-73): halo
+    * join then an embarrassingly-parallel per-tile kernel. */
+  def focalMean(tiles: DataFrame, cols: Int, rows: Int, radius: Int, circle: Boolean = true): DataFrame =
+    withHalo(tiles, cols, rows, radius)
+      .select(col("tile_col"), col("tile_row"),
+        focalMeanUdf(col("padded"), lit(cols), lit(rows), lit(radius), lit(radius), lit(circle)).as("cells"))
+
+  case class FocalSC(wsum: Double, wn: Double)
+
+  private val focalSumCountUdf = udf((padded: Seq[Double], cols: Int, rows: Int, pad: Int, r: Int) => {
+    val (s, c) = TileMath.focalSumCount(padded.toArray, cols, rows, pad, r)
+    (0 until cols * rows).map(i => FocalSC(s(i), c(i)))
+  })
+
+  /** Weighted focal sum + neighbor count, circular kernel (the Getis-Ord
+    * numerator, SpatialGetisOrd.scala:69-79), via halo exchange. Returns
+    * one row per cell with >= 1 data neighbor:
+    * (tile_col, tile_row, px, py, wsum, wn). */
+  def focalSumCount(tiles: DataFrame, cols: Int, rows: Int, radius: Int): DataFrame =
+    withHalo(tiles, cols, rows, radius)
+      .select(col("tile_col"), col("tile_row"),
+        posexplode(focalSumCountUdf(col("padded"), lit(cols), lit(rows), lit(radius), lit(radius))).as(Seq("i", "sc")))
+      .where(col("sc.wn") > 0d)
+      .select(col("tile_col"), col("tile_row"),
+        (col("i") % cols).cast("int").as("px"),
+        (col("i") / cols).cast("int").as("py"),
+        col("sc.wsum").as("wsum"), col("sc.wn").as("wn"))
+
+  private val downsampleUdf = udf((cells: Seq[Double], cols: Int, rows: Int) =>
+    TileMath.downsample2(cells.toArray, cols, rows).toSeq)
+
+  /** One pyramid level up (R6/A9, GeotiffToPyramid.scala:58-69): each
+    * tile downsamples 2x locally, then 4 quadrants assemble into the
+    * parent tile — map-side work + one small shuffle per level. */
+  def pyramidUp(tiles: DataFrame, cols: Int, rows: Int): DataFrame = {
+    val qa = udaf(new TileAggregators.QuadAssemble(cols, rows),
+      ExpressionEncoder[TileAggregators.QuadIn]())
+    tiles
+      .select(
+        floor(col("tile_col") / 2).cast("int").as("tile_col"),
+        floor(col("tile_row") / 2).cast("int").as("tile_row"),
+        pmod(col("tile_col"), lit(2)).cast("int").as("qx"),
+        pmod(col("tile_row"), lit(2)).cast("int").as("qy"),
+        downsampleUdf(col("cells"), lit(cols), lit(rows)).as("half"))
+      .groupBy(col("tile_col"), col("tile_row"))
+      .agg(qa(col("qx"), col("qy"), col("half")).as("cells"))
+  }
+
+  private val upsampleUdf = udf((cells: Seq[Double], cols: Int, rows: Int, cx: Int, cy: Int, dz: Int) =>
+    TileMath.upsampleChildNN(cells.toArray, cols, rows, cx, cy, dz).toSeq)
+
+  /** Zoom resample up (R7, ZoomResampleTEST.scala:65-152): each tile
+    * explodes to its 2^dz x 2^dz children, NearestNeighbor resampled.
+    * A WHERE on the computed child key prunes to target bounds
+    * (gridBoundsAtZoom) via Catalyst — no custom rule needed. */
+  def zoomResampleUp(tiles: DataFrame, cols: Int, rows: Int, dz: Int): DataFrame = {
+    val f = 1 << dz
+    val offsets = array((for (cy <- 0 until f; cx <- 0 until f)
+      yield struct(lit(cx).as("cx"), lit(cy).as("cy"))): _*)
+    tiles
+      .select(col("tile_col"), col("tile_row"), col("cells"), explode(offsets).as("o"))
+      .select(
+        (col("tile_col") * f + col("o.cx")).as("tile_col"),
+        (col("tile_row") * f + col("o.cy")).as("tile_row"),
+        upsampleUdf(col("cells"), lit(cols), lit(rows), col("o.cx"), col("o.cy"), lit(dz)).as("cells"))
+  }
+
+  /** Rasterize rectangles (R5 restricted to axis-aligned boxes — the
+    * general scanline burn shares this shape): features explode to the
+    * tile keys they intersect, then RectBurn aggregates with map-side
+    * combine like the reference's combineByKey
+    * (RasterizeFeaturesRDD.scala:24-74).
+    * features: (fid LONG, x0 LONG, y0 LONG, x1 LONG, y1 LONG, value DOUBLE),
+    * half-open global pixel coords. */
+  def rasterizeRects(features: DataFrame, cols: Int, rows: Int): DataFrame = {
+    val rb = udaf(new TileAggregators.RectBurn(cols, rows),
+      ExpressionEncoder[TileAggregators.RectIn]())
+    features
+      .withColumn("tc0", floor(col("x0") / cols).cast("int"))
+      .withColumn("tc1", floor((col("x1") - 1) / cols).cast("int"))
+      .withColumn("tr0", floor(col("y0") / rows).cast("int"))
+      .withColumn("tr1", floor((col("y1") - 1) / rows).cast("int"))
+      .where(col("x1") > col("x0") && col("y1") > col("y0"))
+      .select(col("*"), explode(sequence(col("tc0"), col("tc1"))).as("tile_col"))
+      .select(col("*"), explode(sequence(col("tr0"), col("tr1"))).as("tile_row"))
+      .groupBy(col("tile_col"), col("tile_row"))
+      .agg(rb(col("tile_col"), col("tile_row"), col("x0"), col("y0"),
+        col("x1"), col("y1"), col("value"), col("fid")).as("cells"))
+  }
+
+  /** Global-pixel view: adds gx, gy columns (col*cols + px). */
+  def globalCoords(pixels: DataFrame, cols: Int, rows: Int): DataFrame =
+    pixels
+      .withColumn("gx", col("tile_col") * cols + col("px"))
+      .withColumn("gy", col("tile_row") * rows + col("py"))
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixtures shared by the query suite and its DuckDB
+  * oracles.
+  *
+  * Raster queries need tile layers, but the driver's correctness gate
+  * runs over the TPC-H-ish parquet tables (TESTDATA.md). So we derive
+  * *pixels* from `lineitem` deterministically, run them through the real
+  * tile machinery (assemble → tile op → pixelize) on the Spark side, and
+  * express the same per-pixel result relationally in the oracle SQL.
+  *
+  * Float-determinism rules (so Spark and DuckDB hash-match bit-for-bit):
+  *  - multi-row aggregation only over *integral-valued* doubles (exact in
+  *    IEEE754 regardless of order) or via DECIMAL casts;
+  *  - scalar double math is order-fixed per row, hence safe;
+  *  - floats are cast to double *before* arithmetic.
+  */
+object Fixtures {
+
+  /** Tile size for query fixtures (the engine default is 256;
+    * every operator takes cols/rows explicitly). */
+  val TS = 16
+
+  def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact decimal-summed double: deterministic across engines.
+    * IMPORTANT: feed it decimal-arithmetic expressions built from
+    * [[dec2]]-cast columns, not raw double products — casting a double
+    * *product* to decimal can land exactly on a rounding tie (e.g. a
+    * 6-dp triple product cast at 4 dp) where Spark (HALF_UP on the exact
+    * binary expansion) and DuckDB disagree. Casting the 2-dp source
+    * columns is tie-free, and decimal arithmetic after that is exact.
+    * Scale 6 keeps the summed unscaled value under 2^53 at these
+    * magnitudes, so the final decimal→double cast is exact in both
+    * engines (beyond ~15 significant digits DuckDB's int128/10^s
+    * conversion and Java's BigDecimal rounding can differ by 1 ulp). */
+  def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(24,6)")).cast("double")
+
+  /** SQL twin of [[dsum]]. */
+  def dsumSql(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(24,6))) AS DOUBLE)"
+
+  /** Cast a 2-decimal source column to exact decimal. */
+  def dec2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast("decimal(12,2)")
+
+  def dec2Sql(expr: String): String = s"CAST($expr AS DECIMAL(12,2))"
+
+  /** Discounted revenue as exact decimal arithmetic. */
+  def revenue: org.apache.spark.sql.Column =
+    dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+
+  val revenueSql: String =
+    s"${dec2Sql("l_extendedprice")} * (1 - ${dec2Sql("l_discount")})"
+
+  /** Events with the nanosecond `ts` column read as microseconds (Spark
+    * cannot read TIMESTAMP(NANOS) parquet natively): force an explicit
+    * schema reading ts as LONG nanos, then convert. The oracle twin is
+    * [[eventsCte]] (DuckDB reads TIMESTAMP_NS and truncates via CAST). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    s.read.schema(schema).parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+  }
+
+  val eventsCte: String =
+    """evts AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+      |                event_type, value, props FROM events)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Pixel bands derived from lineitem. Band A = summed quantity
+  // (integral); band B = row count (integral). 4x4 tile grid, 16x16
+  // tiles, partial coverage (py from l_linenumber <= 7) so NoData paths
+  // are exercised.
+  // ---------------------------------------------------------------------
+
+  private def pixelKeys(df: DataFrame): DataFrame =
+    df.groupBy(
+      (col("l_orderkey") % 4).cast("int").as("tile_col"),
+      (col("l_suppkey") % 4).cast("int").as("tile_row"),
+      (col("l_partkey") % TS).cast("int").as("px"),
+      (col("l_linenumber") % TS).cast("int").as("py"))
+      .agg(
+        sum(col("l_quantity")).cast("double").as("va"),
+        count(lit(1)).cast("double").as("vb"))
+
+  def pixelsA(s: SparkSession, dir: String): DataFrame =
+    pixelKeys(table(s, dir, "lineitem")).select(col("tile_col"), col("tile_row"), col("px"), col("py"), col("va").as("v"))
+
+  def pixelsB(s: SparkSession, dir: String): DataFrame =
+    pixelKeys(table(s, dir, "lineitem")).select(col("tile_col"), col("tile_row"), col("px"), col("py"), col("vb").as("v"))
+
+  /** Oracle CTEs: pxa/pxb (tile-local) and pga/pgb (global pixel coords). */
+  val pxCte: String =
+    s"""pxk AS (
+       |  SELECT CAST(l_orderkey % 4 AS INT) AS tile_col,
+       |         CAST(l_suppkey % 4 AS INT) AS tile_row,
+       |         CAST(l_partkey % $TS AS INT) AS px,
+       |         CAST(l_linenumber % $TS AS INT) AS py,
+       |         CAST(SUM(l_quantity) AS DOUBLE) AS va,
+       |         CAST(COUNT(*) AS DOUBLE) AS vb
+       |  FROM lineitem GROUP BY 1, 2, 3, 4),
+       |pxa AS (SELECT tile_col, tile_row, px, py, va AS v FROM pxk),
+       |pxb AS (SELECT tile_col, tile_row, px, py, vb AS v FROM pxk),
+       |pga AS (SELECT tile_col * $TS + px AS gx, tile_row * $TS + py AS gy, v FROM pxa),
+       |pgb AS (SELECT tile_col * $TS + px AS gx, tile_row * $TS + py AS gy, v FROM pxb)""".stripMargin
+
+  /** Assembled tile layers of the two bands. */
+  def tilesA(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Raster.assemble(pixelsA(s, dir), TS, TS)
+
+  def tilesB(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Raster.assemble(pixelsB(s, dir), TS, TS)
+
+  /** Rect features for rasterize, derived from `part`: deterministic
+    * overlapping boxes in a 64x48 global pixel field. */
+  def rectFeatures(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "part").select(
+      col("p_partkey").as("fid"),
+      (col("p_partkey") % 40).as("x0"),
+      (col("p_size") % 30).cast("long").as("y0"),
+      (col("p_partkey") % 40 + col("p_partkey") % 7 + 1).as("x1"),
+      (col("p_size") % 30 + col("p_size") % 5 + 1).cast("long").as("y1"),
+      (col("p_retailprice")).as("value"))
+
+  val rectCte: String =
+    """rects AS (
+      |  SELECT p_partkey AS fid,
+      |         p_partkey % 40 AS x0,
+      |         CAST(p_size % 30 AS BIGINT) AS y0,
+      |         p_partkey % 40 + p_partkey % 7 + 1 AS x1,
+      |         CAST(p_size % 30 + p_size % 5 + 1 AS BIGINT) AS y1,
+      |         p_retailprice AS value
+      |  FROM part)""".stripMargin
+}

@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Raster
+import Fixtures._
+
+/** Raster operator suite: every query runs the real tile machinery
+  * (assemble → tile-level op → pixelize) and the oracle computes the
+  * equivalent per-pixel result relationally in DuckDB. SURVEY §2 ids in
+  * each entry.
+  */
+object RasterQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A3 + P9: pixels → tiles → pixels must be the identity on data cells
+    * (TilePixelingExample.scala:67-107). */
+  val pixelizeRoundtrip: Q = (s, dir) =>
+    Raster.pixelize(tilesA(s, dir), TS)
+
+  val pixelizeRoundtripSql: String =
+    s"""WITH $pxCte
+       |SELECT tile_col, tile_row, px, py, v FROM pxa""".stripMargin
+
+  /** J1 + P1: NDVI = (a-b)/(a+b) over two joined band layers
+    * (NDVILayerExample.scala:64-75). Inner-join semantics: output only
+    * where both bands have tiles — and NaN-propagation drops cells where
+    * either band is NoData. */
+  val ndvi: Q = (s, dir) => {
+    val joined = tilesA(s, dir).withColumnRenamed("cells", "nir")
+      .join(tilesB(s, dir).withColumnRenamed("cells", "red"), Seq("tile_col", "tile_row"))
+      .select(col("tile_col"), col("tile_row"), Raster.ndviCells(col("nir"), col("red")).as("cells"))
+    Raster.pixelize(joined, TS)
+  }
+
+  val ndviSql: String =
+    s"""WITH $pxCte
+       |SELECT tile_col, tile_row, px, py,
+       |       (va - vb) / (va + vb) AS v
+       |FROM pxk WHERE va + vb <> 0""".stripMargin
+
+  /** P2: QA bitmask (NDVILayerWithCloudMaskExample.scala:54-60) — band A
+    * masked where (cast(vb) & 3) != 0, then pixelized. */
+  val cloudMask: Q = (s, dir) => {
+    val joined = tilesA(s, dir).withColumnRenamed("cells", "v")
+      .join(tilesB(s, dir).withColumnRenamed("cells", "qa"), Seq("tile_col", "tile_row"))
+      .select(col("tile_col"), col("tile_row"), Raster.maskCells(col("v"), col("qa"), 3L).as("cells"))
+    Raster.pixelize(joined, TS)
+  }
+
+  val cloudMaskSql: String =
+    s"""WITH $pxCte
+       |SELECT tile_col, tile_row, px, py, va AS v
+       |FROM pxk WHERE (CAST(vb AS BIGINT) & 3) = 0""".stripMargin
+
+  /** A1/A2: layer histogram statistics (rdd.histogram →
+    * mean/stdev/totalCount, SpatialGetisOrd.scala:47-54) from exact
+    * integral sums. */
+  val histogramStats: Q = (s, dir) =>
+    Raster.pixelize(tilesA(s, dir), TS).agg(
+      count(lit(1)).as("n_cells"),
+      min(col("v")).as("min_v"),
+      max(col("v")).as("max_v"),
+      (sum(col("v")) / count(lit(1))).as("mean_v"),
+      sqrt(sum(col("v") * col("v")) / count(lit(1))
+        - (sum(col("v")) / count(lit(1))) * (sum(col("v")) / count(lit(1)))).as("stddev_v"))
+
+  val histogramStatsSql: String =
+    s"""WITH $pxCte
+       |SELECT COUNT(*) AS n_cells, MIN(v) AS min_v, MAX(v) AS max_v,
+       |       SUM(v) / COUNT(*) AS mean_v,
+       |       SQRT(SUM(v * v) / COUNT(*) - (SUM(v) / COUNT(*)) * (SUM(v) / COUNT(*))) AS stddev_v
+       |FROM pxa""".stripMargin
+
+  /** A1: histogram bins + quantile-style breaks input: per-bin counts
+    * (ServeLayerAsMap.scala:90-92 heat-map breaks read a binned
+    * histogram). Bin = floor(v / 8). */
+  val histogramBins: Q = (s, dir) =>
+    Raster.pixelize(tilesA(s, dir), TS)
+      .groupBy(floor(col("v") / 8).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+
+  val histogramBinsSql: String =
+    s"""WITH $pxCte
+       |SELECT CAST(FLOOR(v / 8) AS BIGINT) AS bin, COUNT(*) AS n
+       |FROM pxa GROUP BY 1""".stripMargin
+
+  /** R8 + F1: halo exchange then focal mean, circular kernel radius 1
+    * (ConvolveLayerExample.scala:62-73). Output exists for every cell of
+    * every existing tile that has >= 1 data neighbor. */
+  val focalMean: Q = (s, dir) =>
+    Raster.pixelize(Raster.focalMean(tilesA(s, dir), TS, TS, radius = 1), TS)
+
+  val focalMeanSql: String =
+    s"""WITH $pxCte,
+       |tiles AS (SELECT DISTINCT tile_col, tile_row FROM pxa),
+       |cells AS (
+       |  SELECT t.tile_col, t.tile_row, CAST(cx.x AS INT) AS px, CAST(cy.y AS INT) AS py,
+       |         t.tile_col * $TS + cx.x AS gx, t.tile_row * $TS + cy.y AS gy
+       |  FROM tiles t, range(0, $TS) cx(x), range(0, $TS) cy(y))
+       |SELECT c.tile_col, c.tile_row, c.px, c.py, SUM(p.v) / COUNT(*) AS v
+       |FROM cells c JOIN pga p
+       |  ON (p.gx - c.gx) * (p.gx - c.gx) + (p.gy - c.gy) * (p.gy - c.gy) <= 1
+       |GROUP BY 1, 2, 3, 4""".stripMargin
+
+  /** F2: Getis-Ord G* hotspot (SpatialGetisOrd.scala:66-83): global
+    * mean/stdev aggregated once and broadcast, then halo-based circular
+    * focal sum (radius 2), standardized per cell. */
+  val getisOrd: Q = (s, dir) => {
+    val tiles = tilesA(s, dir)
+    val px = Raster.pixelize(tiles, TS)
+    val stats = px.agg(
+      (sum(col("v")) / count(lit(1))).as("mean_v"),
+      sqrt(sum(col("v") * col("v")) / count(lit(1))
+        - (sum(col("v")) / count(lit(1))) * (sum(col("v")) / count(lit(1)))).as("stddev_v"),
+      count(lit(1)).cast("double").as("n_tot"))
+    Raster.focalSumCount(tiles, TS, TS, radius = 2)
+      .crossJoin(broadcast(stats))
+      .select(col("tile_col"), col("tile_row"), col("px"), col("py"),
+        ((col("wsum") - col("mean_v") * col("wn"))
+          / (col("stddev_v") * sqrt((col("n_tot") * col("wn") - col("wn") * col("wn")) / (col("n_tot") - 1)))).as("gstar"))
+  }
+
+  val getisOrdSql: String =
+    s"""WITH $pxCte,
+       |stats AS (
+       |  SELECT SUM(v) / COUNT(*) AS mean_v,
+       |         SQRT(SUM(v * v) / COUNT(*) - (SUM(v) / COUNT(*)) * (SUM(v) / COUNT(*))) AS stddev_v,
+       |         CAST(COUNT(*) AS DOUBLE) AS n_tot
+       |  FROM pxa),
+       |tiles AS (SELECT DISTINCT tile_col, tile_row FROM pxa),
+       |cells AS (
+       |  SELECT t.tile_col * $TS + cx.x AS gx, t.tile_row * $TS + cy.y AS gy
+       |  FROM tiles t, range(0, $TS) cx(x), range(0, $TS) cy(y)),
+       |focal AS (
+       |  SELECT c.gx, c.gy, SUM(p.v) AS wsum, CAST(COUNT(*) AS DOUBLE) AS wn
+       |  FROM cells c JOIN pga p
+       |    ON (p.gx - c.gx) * (p.gx - c.gx) + (p.gy - c.gy) * (p.gy - c.gy) <= 4
+       |  GROUP BY 1, 2)
+       |SELECT CAST(f.gx // $TS AS INT) AS tile_col, CAST(f.gy // $TS AS INT) AS tile_row,
+       |       CAST(f.gx % $TS AS INT) AS px, CAST(f.gy % $TS AS INT) AS py,
+       |       (f.wsum - s.mean_v * f.wn)
+       |         / (s.stddev_v * SQRT((s.n_tot * f.wn - f.wn * f.wn) / (s.n_tot - 1))) AS gstar
+       |FROM focal f CROSS JOIN stats s""".stripMargin
+
+  /** R6/A9: one pyramid level up — 2x2 block mean over data cells
+    * (GeotiffToPyramid.scala:58-69). */
+  val pyramid: Q = (s, dir) =>
+    Raster.pixelize(Raster.pyramidUp(tilesA(s, dir), TS, TS), TS)
+
+  val pyramidSql: String =
+    s"""WITH $pxCte
+       |SELECT CAST((gx // 2) // $TS AS INT) AS tile_col,
+       |       CAST((gy // 2) // $TS AS INT) AS tile_row,
+       |       CAST((gx // 2) % $TS AS INT) AS px,
+       |       CAST((gy // 2) % $TS AS INT) AS py,
+       |       SUM(v) / COUNT(*) AS v
+       |FROM pga GROUP BY 1, 2, 3, 4""".stripMargin
+
+  /** R7: zoom resample up by one level, NearestNeighbor — every parent
+    * data cell becomes a 2x2 block of children
+    * (ZoomResampleTEST.scala:65-152). */
+  val zoomUp: Q = (s, dir) =>
+    Raster.pixelize(Raster.zoomResampleUp(tilesA(s, dir), TS, TS, dz = 1), TS)
+
+  val zoomUpSql: String =
+    s"""WITH $pxCte
+       |SELECT CAST((2 * gx + dx.i) // $TS AS INT) AS tile_col,
+       |       CAST((2 * gy + dy.j) // $TS AS INT) AS tile_row,
+       |       CAST((2 * gx + dx.i) % $TS AS INT) AS px,
+       |       CAST((2 * gy + dy.j) % $TS AS INT) AS py,
+       |       v
+       |FROM pga, range(0, 2) dx(i), range(0, 2) dy(j)""".stripMargin
+
+  /** K2/J6/P8: layer merge/upsert — full-outer tile join, cell-wise
+    * incoming-wins (api/package.scala:328-385). Incoming = band B
+    * restricted to tile_col < 2 and masked where (band A & 1) != 0, so
+    * the merge exercises tiles-only-in-existing, cells-kept-from-existing
+    * and cells-overwritten-by-incoming. Pixel-level: COALESCE(b, a). */
+  val mergeUpsert: Q = (s, dir) => {
+    val existing = tilesA(s, dir)
+    val incoming = tilesA(s, dir).withColumnRenamed("cells", "qa")
+      .join(tilesB(s, dir), Seq("tile_col", "tile_row"))
+      .where(col("tile_col") < 2)
+      .select(col("tile_col"), col("tile_row"), Raster.maskCells(col("cells"), col("qa"), 1L).as("cells"))
+    Raster.pixelize(Raster.mergeLayers(existing, incoming), TS)
+  }
+
+  val mergeUpsertSql: String =
+    s"""WITH $pxCte
+       |SELECT tile_col, tile_row, px, py,
+       |       CASE WHEN tile_col < 2 AND (CAST(va AS BIGINT) & 1) = 0 THEN vb ELSE va END AS v
+       |FROM pxk""".stripMargin
+
+  /** R5/A5: rasterize rectangles with deterministic last-burn-wins
+    * (RasterizeFeaturesRDD.scala:24-74). */
+  val rasterize: Q = (s, dir) =>
+    Raster.pixelize(Raster.rasterizeRects(rectFeatures(s, dir), TS, TS), TS)
+
+  val rasterizeSql: String =
+    s"""WITH $rectCte,
+       |burn AS (
+       |  SELECT rx.gx, ry.gy, ARG_MAX(r.value, r.fid) AS v
+       |  FROM rects r
+       |  JOIN range(0, 64) rx(gx) ON rx.gx >= r.x0 AND rx.gx < r.x1
+       |  JOIN range(0, 64) ry(gy) ON ry.gy >= r.y0 AND ry.gy < r.y1
+       |  GROUP BY 1, 2)
+       |SELECT CAST(gx // $TS AS INT) AS tile_col, CAST(gy // $TS AS INT) AS tile_row,
+       |       CAST(gx % $TS AS INT) AS px, CAST(gy % $TS AS INT) AS py, v
+       |FROM burn""".stripMargin
+
+  /** P4: per-band min-max normalize to [0,1] (UtilsSVM.scala:316-359):
+    * global min/max aggregated then broadcast into a transform. */
+  val normalize: Q = (s, dir) => {
+    val tiles = tilesA(s, dir)
+    val mm = Raster.pixelize(tiles, TS).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val norm = tiles.crossJoin(broadcast(mm))
+      .select(col("tile_col"), col("tile_row"),
+        transform(col("cells"), c => (c - col("mn")) / (col("mx") - col("mn"))).as("cells"))
+    Raster.pixelize(norm, TS)
+  }
+
+  val normalizeSql: String =
+    s"""WITH $pxCte,
+       |mm AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM pxa)
+       |SELECT p.tile_col, p.tile_row, p.px, p.py, (p.v - m.mn) / (m.mx - m.mn) AS v
+       |FROM pxa p CROSS JOIN mm m""".stripMargin
+
+  val all: Map[String, (Q, Option[String])] = Map(
+    "r_pixelize_roundtrip" -> (pixelizeRoundtrip, Some(pixelizeRoundtripSql)),
+    "r_ndvi_join" -> (ndvi, Some(ndviSql)),
+    "r_cloud_mask" -> (cloudMask, Some(cloudMaskSql)),
+    "r_histogram_stats" -> (histogramStats, Some(histogramStatsSql)),
+    "r_histogram_bins" -> (histogramBins, Some(histogramBinsSql)),
+    "r_focal_mean" -> (focalMean, Some(focalMeanSql)),
+    "r_getis_ord" -> (getisOrd, Some(getisOrdSql)),
+    "r_pyramid_up" -> (pyramid, Some(pyramidSql)),
+    "r_zoom_resample_up" -> (zoomUp, Some(zoomUpSql)),
+    "r_merge_upsert" -> (mergeUpsert, Some(mergeUpsertSql)),
+    "r_rasterize" -> (rasterize, Some(rasterizeSql)),
+    "r_normalize" -> (normalize, Some(normalizeSql)),
+  )
+}

@@ -1,0 +1,11 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** All query suites, keyed by query name. Each entry: (query fn,
+  * optional DuckDB oracle SQL). */
+object Registry {
+  def suites: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
+    RelationalQueries.all ++
+      RasterQueries.all
+}

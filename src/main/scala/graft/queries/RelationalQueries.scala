@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Fixtures._
+
+/** Relational operator suite over the TPC-H-ish tables: join shapes
+  * (SURVEY §2.5), aggregations (§2.6), sorts/limits and set ops (§2.7),
+  * SQL windows and the batch-equivalents of the streaming surface (§2.8).
+  * Money aggregates go through DECIMAL so Spark and DuckDB agree
+  * bit-for-bit (see Fixtures scaladoc).
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A6-style grouped aggregation: TPC-H Q1 pricing summary. */
+  val pricingSummary: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        dsum(dec2(col("l_extendedprice"))).as("sum_base_price"),
+        dsum(revenue).as("sum_disc_price"),
+        dsum(revenue * (lit(1) + dec2(col("l_tax")))).as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  val pricingSummarySql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+       |       ${dsumSql(dec2Sql("l_extendedprice"))} AS sum_base_price,
+       |       ${dsumSql(revenueSql)} AS sum_disc_price,
+       |       ${dsumSql(s"($revenueSql) * (1 + ${dec2Sql("l_tax")})")} AS sum_charge,
+       |       SUM(l_quantity) / COUNT(*) AS avg_qty,
+       |       COUNT(*) AS count_order
+       |FROM lineitem GROUP BY 1, 2""".stripMargin
+
+  /** J2-analog 3-way equi-join: revenue by market segment. Dimension
+    * sides are broadcast (SURVEY §4: broadcast small dims). */
+  val revenueBySegment: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(table(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(dsum(revenue).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val revenueBySegmentSql: String =
+    s"""SELECT c_mktsegment,
+       |       ${dsumSql(revenueSql)} AS revenue,
+       |       COUNT(*) AS n_items
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |GROUP BY 1""".stripMargin
+
+  /** J4-analog star join fold: revenue rolled up through
+    * supplier → nation → region, all dims broadcast. */
+  val revenueByRegion: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .join(broadcast(table(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(table(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(dsum(revenue).as("revenue"))
+
+  val revenueByRegionSql: String =
+    s"""SELECT r_name, ${dsumSql(revenueSql)} AS revenue
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY 1""".stripMargin
+
+  /** Semi/anti join pair: every customer flagged by order existence. */
+  val semiAntiJoin: Q = (s, dir) => {
+    val c = table(s, dir, "customer")
+    val o = table(s, dir, "orders")
+    val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit(1L).as("has_orders"))
+    val noO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit(0L).as("has_orders"))
+    withO.unionByName(noO)
+  }
+
+  val semiAntiJoinSql: String =
+    s"""SELECT c_custkey, CAST(1 AS BIGINT) AS has_orders FROM customer c
+       |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       |UNION ALL
+       |SELECT c_custkey, CAST(0 AS BIGINT) AS has_orders FROM customer c
+       |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin
+
+  /** Left-outer join + null handling: order counts per customer incl.
+    * customers without orders (J6 relational shape). */
+  val outerOrderCounts: Q = (s, dir) =>
+    table(s, dir, "customer")
+      .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(dec2(col("o_totalprice"))), lit(0d)).as("total_spend"))
+
+  val outerOrderCountsSql: String =
+    s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+       |       COALESCE(${dsumSql(dec2Sql("o_totalprice"))}, 0.0) AS total_spend
+       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |GROUP BY 1""".stripMargin
+
+  /** Sorts/limits (§2.7): top-10 suppliers by revenue, deterministic
+    * tie-break on the key. */
+  val topSuppliers: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(revenue).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_suppkey"))
+      .limit(10)
+
+  val topSuppliersSql: String =
+    s"""SELECT l_suppkey, ${dsumSql(revenueSql)} AS revenue
+       |FROM lineitem GROUP BY 1
+       |ORDER BY revenue DESC, l_suppkey LIMIT 10""".stripMargin
+
+  /** P6 distinct + set ops: parts that ship but were never ordered above
+    * qty 45 (EXCEPT), via dropDuplicates. */
+  val setOps: Q = (s, dir) => {
+    val li = table(s, dir, "lineitem")
+    li.select(col("l_partkey")).distinct()
+      .except(li.where(col("l_quantity") > 45).select(col("l_partkey")).distinct())
+  }
+
+  val setOpsSql: String =
+    """SELECT DISTINCT l_partkey FROM lineitem
+      |EXCEPT
+      |SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity > 45""".stripMargin
+
+  /** SQL window functions (free from Catalyst, SURVEY §2.7): per-user
+    * event sequence number and running decimal-exact value sum. */
+  val eventWindows: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        row_number().over(w).as("seq"),
+        sum(col("value").cast("decimal(18,4)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_value"))
+  }
+
+  val eventWindowsSql: String =
+    s"""WITH $eventsCte
+      |SELECT event_id, user_id,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS seq,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+      |         PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+      |FROM evts""".stripMargin
+
+  /** §2.8 batch-equivalent of the tumbling event-time window:
+    * 5-minute windows per event_type (same grouping a Structured
+    * Streaming job would run; see graft.streaming). */
+  val tumblingWindow: Q = (s, dir) =>
+    events(s, dir)
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(dec2(col("value"))).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("event_type"), col("n"), col("sum_value"))
+
+  val tumblingWindowSql: String =
+    s"""WITH $eventsCte
+       |SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS win_start, event_type,
+       |       COUNT(*) AS n, ${dsumSql(dec2Sql("value"))} AS sum_value
+       |FROM evts GROUP BY 1, 2""".stripMargin
+
+  /** §2.8 session windows (gap 10 min) per user — batch equivalent of
+    * session_window; oracle is the classic gaps-and-islands rewrite. */
+  val sessionWindows: Q = (s, dir) =>
+    events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), dsum(dec2(col("value"))).as("sum_value"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("sess_start"), col("n_events"), col("sum_value"))
+
+  val sessionWindowsSql: String =
+    s"""WITH $eventsCte,
+       |flagged AS (
+       |  SELECT user_id, ts, value,
+       |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |                   >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_sess
+       |  FROM evts),
+       |islands AS (
+       |  SELECT user_id, ts, value,
+       |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+       |  FROM flagged)
+       |SELECT user_id, CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS sess_start,
+       |       COUNT(*) AS n_events, ${dsumSql(dec2Sql("value"))} AS sum_value
+       |FROM islands GROUP BY user_id, sess_id""".stripMargin
+
+  /** JSON path extraction (P11-adjacent utility surface): pull props.k. */
+  val jsonExtract: Q = (s, dir) =>
+    events(s, dir)
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+
+  val jsonExtractSql: String =
+    s"""WITH $eventsCte
+      |SELECT event_id, CAST(json_extract_string(props, '$$.k') AS INT) AS k
+      |FROM evts""".stripMargin
+
+  /** P12/A6: word count over documents (WordCount.scala:22-26). */
+  val wordCount: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  val wordCountSql: String =
+    """SELECT w.word, COUNT(*) AS n
+      |FROM documents, unnest(string_split(text, ' ')) AS w(word)
+      |WHERE w.word <> '' GROUP BY 1""".stripMargin
+
+  /** A8: extent union — envelope fold over the rect features
+    * (UtilsShape.scala:108-118). */
+  val extentUnion: Q = (s, dir) =>
+    rectFeatures(s, dir).agg(
+      min(col("x0")).as("xmin"), min(col("y0")).as("ymin"),
+      max(col("x1")).as("xmax"), max(col("y1")).as("ymax"))
+
+  val extentUnionSql: String =
+    s"""WITH $rectCte
+       |SELECT MIN(x0) AS xmin, MIN(y0) AS ymin, MAX(x1) AS xmax, MAX(y1) AS ymax
+       |FROM rects""".stripMargin
+
+  /** A7: numClasses = max(label) (SVMMultiClass.scala:95). */
+  val numClasses: Q = (s, dir) =>
+    table(s, dir, "embeddings").agg((max(col("label")) + 1).as("num_classes"))
+
+  val numClassesSql: String =
+    "SELECT MAX(label) + 1 AS num_classes FROM embeddings"
+
+  /** K1's storage index: the zorder key of each fixture tile, computed by
+    * the native ZOrderKey expression; oracle re-derives the interleave
+    * with bit arithmetic. */
+  val zorderKeys: Q = (s, dir) =>
+    tilesA(s, dir).select(col("tile_col"), col("tile_row"),
+      graft.functions.ZOrderKey.zorder(col("tile_col"), col("tile_row")).as("zkey"))
+
+  val zorderKeysSql: String = {
+    val terms = (0 until 16).flatMap(b => Seq(
+      s"(((CAST(tile_col AS BIGINT) >> $b) & 1) << ${2 * b})",
+      s"(((CAST(tile_row AS BIGINT) >> $b) & 1) << ${2 * b + 1})"))
+    s"""WITH $pxCte
+       |SELECT tile_col, tile_row,
+       |       ${terms.mkString(" + ")} AS zkey
+       |FROM (SELECT DISTINCT tile_col, tile_row FROM pxa)""".stripMargin
+  }
+
+  val all: Map[String, (Q, Option[String])] = Map(
+    "q_pricing_summary" -> (pricingSummary, Some(pricingSummarySql)),
+    "q_revenue_by_segment" -> (revenueBySegment, Some(revenueBySegmentSql)),
+    "q_revenue_by_region" -> (revenueByRegion, Some(revenueByRegionSql)),
+    "q_semi_anti_join" -> (semiAntiJoin, Some(semiAntiJoinSql)),
+    "q_outer_order_counts" -> (outerOrderCounts, Some(outerOrderCountsSql)),
+    "q_top_suppliers" -> (topSuppliers, Some(topSuppliersSql)),
+    "q_set_ops" -> (setOps, Some(setOpsSql)),
+    "q_event_windows" -> (eventWindows, Some(eventWindowsSql)),
+    "q_tumbling_window" -> (tumblingWindow, Some(tumblingWindowSql)),
+    "q_session_windows" -> (sessionWindows, Some(sessionWindowsSql)),
+    "q_json_extract" -> (jsonExtract, Some(jsonExtractSql)),
+    "q_word_count" -> (wordCount, Some(wordCountSql)),
+    "q_extent_union" -> (extentUnion, Some(extentUnionSql)),
+    "q_num_classes" -> (numClasses, Some(numClassesSql)),
+    "q_zorder_keys" -> (zorderKeys, Some(zorderKeysSql)),
+  )
+}

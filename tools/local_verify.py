@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/local_verify.py [sfDir] [outDir] [--skip-run] [query...]
+
+1. sbt runMain graft.Verify <sfDir> <outDir>   (unless --skip-run)
+2. for each query result parquet + its oracle SQL: run the oracle in
+   DuckDB over the same tables, sort columns by name and rows by all
+   columns, compare exactly (bitwise on floats).
+"""
+import json, math, subprocess, sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    skip_run = "--skip-run" in sys.argv
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    out_dir = args[1] if len(args) > 1 else "/tmp/graft_verify"
+    only = set(args[2:])
+
+    if not skip_run:
+        r = subprocess.run(
+            ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}'],
+            cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+        if "[success]" not in r.stdout:
+            print(r.stdout[-4000:]); print(r.stderr[-4000:])
+            sys.exit("Verify run failed")
+        for line in r.stdout.splitlines():
+            if "[verify]" in line:
+                print(line)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        rp = f"{out_dir}/{name}"
+        if not Path(rp).exists():
+            results[name] = "SPARK-FAILED"; continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{rp}/*.parquet')").fetch_df()
+            want = con.execute(sql).fetch_df()
+        except Exception as e:
+            results[name] = f"ORACLE-ERROR: {e}"; continue
+        results[name] = compare(got, want)
+
+    # queries without oracle: row-count > 0 check only
+    for d in sorted(Path(out_dir).iterdir()):
+        if d.is_dir() and d.name not in oracle and (not only or d.name in only):
+            try:
+                n = con.execute(
+                    f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
+                results[d.name] = "OK(rows-only)" if n > 0 else "EMPTY"
+            except Exception as e:
+                results[d.name] = f"READ-ERROR: {e}"
+
+    ok = sum(1 for v in results.values() if str(v).startswith("OK"))
+    for name, v in sorted(results.items()):
+        print(f"{'PASS' if str(v).startswith('OK') else 'FAIL':4} {name}: {v}")
+    print(f"\n{ok}/{len(results)} pass")
+    sys.exit(0 if ok == len(results) else 1)
+
+
+def compare(got, want):
+    gc, wc = sorted(got.columns), sorted(want.columns)
+    if gc != wc:
+        return f"SCHEMA: spark={gc} oracle={wc}"
+    if len(got) != len(want):
+        return f"ROWS: spark={len(got)} oracle={len(want)}"
+    g = got[gc].sort_values(by=gc, ignore_index=True)
+    w = want[wc].sort_values(by=wc, ignore_index=True)
+    for c in gc:
+        gv, wv = g[c].tolist(), w[c].tolist()
+        for i, (a, b) in enumerate(zip(gv, wv)):
+            if a != b and not same(a, b):
+                return f"VALUE col={c} row={i}: spark={a!r} oracle={b!r}"
+    return "OK"
+
+
+def same(a, b):
+    try:
+        if isinstance(a, float) and isinstance(b, float):
+            if math.isnan(a) and math.isnan(b):
+                return True
+            return a == b  # exact: determinism strategy demands bitwise match
+    except Exception:
+        pass
+    return str(a) == str(b)
+
+
+if __name__ == "__main__":
+    main()
