@@ -7,5 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Registry {
   def suites: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     RelationalQueries.all ++
-      RasterQueries.all
+      RasterQueries.all ++
+      TextQueries.all ++
+      SimQueries.all
 }

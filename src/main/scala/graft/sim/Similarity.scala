@@ -1,0 +1,65 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`ARRAY<FLOAT>`):
+  * brute-force cosine top-k as the exact baseline, and a sign-LSH
+  * bucketed variant as the scale path (SURVEY §7.1 step 8).
+  *
+  * Determinism: elements are cast float→double *before* arithmetic
+  * (exact), and dot/norm folds run left-to-right over the array
+  * (`aggregate` HOF) so any engine that folds sequentially reproduces
+  * the bits.
+  */
+object Similarity {
+
+  /** Left-fold sum of an array of doubles. */
+  private def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product of two float-array columns in double precision. */
+  def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  def norm2(a: Column): Column =
+    foldSum(transform(a, x => x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Brute-force cosine top-k: broadcast the (small) query set against
+    * every candidate — one pass over the corpus, no shuffle of the
+    * corpus itself; the per-query top-k is a windowed rank over
+    * query-id (k * |queries| rows survive the exchange). */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = candidates.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as(("cos")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Sign-LSH bucket code: one bit per leading dimension's sign. At
+    * scale this prunes the candidate set to same-bucket vectors
+    * (recall/cost trade chosen by nBits). */
+  def signBucket(e: Column, nBits: Int): Column =
+    (0 until nBits).map(i =>
+      when(element_at(e, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** LSH-bucketed cosine top-k: join restricted to equal bucket codes. */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int, nBits: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      signBucket(col("embedding"), nBits).as("bucket"))
+    val c = candidates.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      signBucket(col("embedding"), nBits).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}
