@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.core.TileMath
+
+/** Sink surface (SURVEY §2.2): tiled export (K4), driver-side stitch
+  * (K5/R9), LibSVM export (K6), flat + keyed CSV with metadata sidecar
+  * (K7/K8), PNG tile render (K11).
+  */
+object Export {
+
+  /** K4: one file per tile, written executor-side from foreachPartition
+    * (the reference ships a SerializableConfiguration and writes from
+    * executors, LayerToGeotiff.scala:96-127 — same shape; offline build
+    * writes a portable text raster instead of GeoTiff). */
+  def exportTiled(tiles: DataFrame, dir: String, cols: Int, rows: Int): Unit = {
+    new java.io.File(dir).mkdirs()
+    tiles.select(col("tile_col"), col("tile_row"), col("cells")).foreachPartition {
+      (rows_it: Iterator[Row]) =>
+        rows_it.foreach { r =>
+          val tc = r.getInt(0); val tr = r.getInt(1)
+          val cells = r.getSeq[Double](2)
+          val f = new java.io.PrintWriter(s"$dir/tile_${tc}_$tr.pgm.txt")
+          try {
+            f.println(s"P2-ish $cols $rows")
+            f.println(cells.map(v => if (TileMath.isData(v)) f"$v%.6f" else "NaN").mkString(" "))
+          } finally f.close()
+        }
+    }
+  }
+
+  /** K5/R9: stitch all tiles into one raster **on the driver** —
+    * explicitly bounded use only (the reference itself warns of OOM,
+    * LayerToGeotiff.scala:74). Returns (width, height, row-major cells). */
+  def stitch(tiles: DataFrame, cols: Int, rows: Int): (Int, Int, Array[Double]) = {
+    val collected = tiles.select(col("tile_col"), col("tile_row"), col("cells"))
+      .dropDuplicates("tile_col", "tile_row").collect()
+    require(collected.nonEmpty, "stitch of empty layer")
+    val minC = collected.map(_.getInt(0)).min; val maxC = collected.map(_.getInt(0)).max
+    val minR = collected.map(_.getInt(1)).min; val maxR = collected.map(_.getInt(1)).max
+    val w = (maxC - minC + 1) * cols; val h = (maxR - minR + 1) * rows
+    val out = TileMath.empty(w, h)
+    collected.foreach { r =>
+      val ox = (r.getInt(0) - minC) * cols; val oy = (r.getInt(1) - minR) * rows
+      val cells = r.getSeq[Double](2)
+      var y = 0
+      while (y < rows) {
+        var x = 0
+        while (x < cols) { out((ox + x) + (oy + y) * w) = cells(x + y * cols); x += 1 }
+        y += 1
+      }
+    }
+    (w, h, out)
+  }
+
+  /** K6: LibSVM text export with the reference's optional zero-label
+    * filter (UtilsML.scala:79-112); single-file via coalesce(1). */
+  def exportLibsvm(pixels: DataFrame, path: String, filterZeroLabel: Boolean = true,
+                   singleFile: Boolean = true): Unit = {
+    val base = if (filterZeroLabel) pixels.where(col("label") > 0) else pixels
+    val lines = base.select(
+      concat_ws(" ", col("label").cast("string"),
+        concat_ws(" ", transform(col("features"),
+          (f, i) => concat((i + 1).cast("string"), lit(":"), f.cast("string"))))).as("value"))
+    (if (singleFile) lines.coalesce(1) else lines).write.mode("overwrite").text(path)
+  }
+
+  /** K7/K8: keyed-CSV export in the reference wire format plus the JSON
+    * metadata sidecar {extent, layout, bounds, cellType, crs}
+    * (UtilsSVM.scala:196-256). */
+  def exportKeyedCsv(pixels: DataFrame, path: String, metaJson: String): Unit = {
+    pixels.select(graft.streaming.PixelStream.encodeWire(
+        col("label"), col("features"), col("tile_col"), col("tile_row"),
+        col("px"), col("py")).as("value"))
+      .coalesce(1).write.mode("overwrite").text(path)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path + ".meta.json"), metaJson)
+  }
+
+  /** K11: render one tile to PNG with a heat-map color ramp over the
+    * given quantile breaks (ServeLayerAsMap.scala:88-94: colorMap from
+    * the stored histogram's quantileBreaks(10)). Pure JDK ImageIO. */
+  def renderPng(cells: Seq[Double], cols: Int, rows: Int, breaks: Seq[Double],
+                outFile: String): Unit = {
+    val img = new java.awt.image.BufferedImage(cols, rows, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    val nb = breaks.length
+    var y = 0
+    while (y < rows) {
+      var x = 0
+      while (x < cols) {
+        val v = cells(x + y * cols)
+        val argb =
+          if (!TileMath.isData(v)) 0x00000000 // NoData transparent
+          else {
+            val bin = breaks.indexWhere(v <= _) match { case -1 => nb - 1; case i => i }
+            val t = if (nb <= 1) 0f else bin.toFloat / (nb - 1)
+            val r = (255 * t).toInt; val b = (255 * (1 - t)).toInt
+            0xFF000000 | (r << 16) | (64 << 8) | b
+          }
+        img.setRGB(x, y, argb)
+        x += 1
+      }
+      y += 1
+    }
+    javax.imageio.ImageIO.write(img, "png", new java.io.File(outFile))
+  }
+}

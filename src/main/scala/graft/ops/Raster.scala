@@ -182,6 +182,27 @@ object Raster {
         col("x1"), col("y1"), col("value"), col("fid")).as("cells"))
   }
 
+  /** Rasterize polygons (R5 general form): explode each feature to the
+    * tile keys its bbox intersects, then scanline-burn per tile with the
+    * PolyBurn aggregator (map-side combine preserved).
+    * features: (fid LONG, xs ARRAY<DOUBLE>, ys ARRAY<DOUBLE>,
+    *            ring_offsets ARRAY<INT>, value DOUBLE) in global pixel
+    * coordinates. */
+  def rasterizePolygons(features: DataFrame, cols: Int, rows: Int): DataFrame = {
+    val pb = udaf(new PolyBurnAggregator.PolyBurn(cols, rows),
+      ExpressionEncoder[PolyBurnAggregator.PolyIn]())
+    features
+      .withColumn("tc0", floor(array_min(col("xs")) / cols).cast("int"))
+      .withColumn("tc1", floor(array_max(col("xs")) / cols).cast("int"))
+      .withColumn("tr0", floor(array_min(col("ys")) / rows).cast("int"))
+      .withColumn("tr1", floor(array_max(col("ys")) / rows).cast("int"))
+      .select(col("*"), explode(sequence(col("tc0"), col("tc1"))).as("tile_col"))
+      .select(col("*"), explode(sequence(col("tr0"), col("tr1"))).as("tile_row"))
+      .groupBy(col("tile_col"), col("tile_row"))
+      .agg(pb(col("tile_col"), col("tile_row"), col("xs"), col("ys"),
+        col("ring_offsets"), col("value"), col("fid")).as("cells"))
+  }
+
   /** Global-pixel view: adds gx, gy columns (col*cols + px). */
   def globalCoords(pixels: DataFrame, cols: Int, rows: Int): DataFrame =
     pixels

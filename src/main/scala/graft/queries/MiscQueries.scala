@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Fixtures._
+
+/** Catalog lifecycle, multimodal plumbing and ML queries. */
+object MiscQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tmpCatalog(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_catalog_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+
+  /** K1 + S3: write the band-A layer through the catalog (zorder-sorted,
+    * partitioned parquet), read it back pruned, pixelize. Round-trip
+    * must be the identity — exercises the storage spine inside the
+    * correctness gate. */
+  val catalogRoundtrip: Q = (s, dir) => {
+    val store = new graft.catalog.LayerStore(s, tmpCatalog(dir))
+    store.write(tilesA(s, dir), "band_a", 10)
+    graft.ops.Raster.pixelize(store.read("band_a", 10), TS)
+  }
+
+  val catalogRoundtripSql: String =
+    s"""WITH $pxCte
+       |SELECT tile_col, tile_row, px, py, v FROM pxa""".stripMargin
+
+  /** S10: point read of one tile after a catalog write (the tile-server
+    * path, ServeLayerAsMap.scala:33,111). */
+  val pointRead: Q = (s, dir) => {
+    val store = new graft.catalog.LayerStore(s, tmpCatalog(dir) + "_pt")
+    store.write(tilesA(s, dir), "band_a", 10)
+    graft.ops.Raster.pixelize(store.readTile("band_a", 10, 1, 2), TS)
+  }
+
+  val pointReadSql: String =
+    s"""WITH $pxCte
+       |SELECT tile_col, tile_row, px, py, v FROM pxa
+       |WHERE tile_col = 1 AND tile_row = 2""".stripMargin
+
+  /** Multimodal plumbing: binary payloads → per-partition batched stub
+    * decode (graft.multimodal.Media) → exploded feature rows. The
+    * oracle replays the stub's byte arithmetic (ASCII corpus ⇒ byte i ==
+    * char i+1). */
+  val mediaFeatures: Q = (s, dir) => {
+    import s.implicits._
+    val media = graft.multimodal.Media
+      .mediaFromDocuments(table(s, dir, "documents"))
+      .as[graft.multimodal.Media.MediaRow]
+    graft.multimodal.Media.extractFeatures(media)
+      .select(col("doc_id"), col("byte_len"), posexplode(col("features")).as(Seq("j", "f")))
+  }
+
+  val mediaFeaturesSql: String =
+    s"""SELECT doc_id, CAST(length(text) AS INT) AS byte_len, CAST(r.j AS INT) AS j,
+       |       CAST(ascii(substr(text, CAST((r.j * 37) % length(text) AS INT) + 1, 1)) / 256.0 AS REAL) AS f
+       |FROM documents, range(0, ${graft.multimodal.Media.FeatureDim}) r(j)""".stripMargin
+
+  /** M1-M4: OVA LinearSVC train/predict on embeddings → confusion
+    * counts. No oracle (SGD boundary predictions are float-order
+    * sensitive); gated rows-only + unit-tested accuracy floor. */
+  val mlConfusion: Q = (s, dir) =>
+    graft.ml.Classify.trainPredictCounts(table(s, dir, "embeddings"))
+
+  val all: Map[String, (Q, Option[String])] = Map(
+    "c_catalog_roundtrip" -> (catalogRoundtrip, Some(catalogRoundtripSql)),
+    "c_point_read" -> (pointRead, Some(pointReadSql)),
+    "m_media_features" -> (mediaFeatures, Some(mediaFeaturesSql)),
+    "m_ml_confusion" -> (mlConfusion, None),
+  )
+}

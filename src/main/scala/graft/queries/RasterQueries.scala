@@ -209,6 +209,43 @@ object RasterQueries {
        |       CAST(gx % $TS AS INT) AS px, CAST(gy % $TS AS INT) AS py, v
        |FROM burn""".stripMargin
 
+  /** R5 general form: scanline polygon rasterization. Diamond polygons
+    * (centers offset by 0.25/0.125 so no pixel-center taxicab distance
+    * can ever equal r) make
+    * even-odd containment exactly |dx|+|dy| < r — which the oracle
+    * states directly, while Spark runs the real scanline burn. */
+  val rasterizePoly: Q = (s, dir) => {
+    val feats = table(s, dir, "part").select(
+      col("p_partkey").as("fid"),
+      ((col("p_partkey") % 40) + 8.25).as("cx"),
+      ((col("p_size") % 30) + 8.125).as("cy"),
+      ((col("p_partkey") % 5) + 1.5).as("r"),
+      col("p_retailprice").as("value"))
+      .select(col("fid"), col("value"),
+        array(col("cx") - col("r"), col("cx"), col("cx") + col("r"), col("cx")).as("xs"),
+        array(col("cy"), col("cy") - col("r"), col("cy"), col("cy") + col("r")).as("ys"),
+        array(lit(0)).as("ring_offsets"))
+    Raster.pixelize(Raster.rasterizePolygons(feats, TS, TS), TS)
+  }
+
+  val rasterizePolySql: String =
+    s"""WITH polys AS (
+       |  SELECT p_partkey AS fid,
+       |         (p_partkey % 40) + 8.25 AS cx,
+       |         (p_size % 30) + 8.125 AS cy,
+       |         (p_partkey % 5) + 1.5 AS r,
+       |         p_retailprice AS value
+       |  FROM part),
+       |burn AS (
+       |  SELECT rx.gx, ry.gy, ARG_MAX(p.value, p.fid) AS v
+       |  FROM polys p
+       |  JOIN range(0, 64) rx(gx) ON ABS(rx.gx + 0.5 - p.cx) < p.r
+       |  JOIN range(0, 64) ry(gy) ON ABS(rx.gx + 0.5 - p.cx) + ABS(ry.gy + 0.5 - p.cy) < p.r
+       |  GROUP BY 1, 2)
+       |SELECT CAST(gx // $TS AS INT) AS tile_col, CAST(gy // $TS AS INT) AS tile_row,
+       |       CAST(gx % $TS AS INT) AS px, CAST(gy % $TS AS INT) AS py, v
+       |FROM burn""".stripMargin
+
   /** P4: per-band min-max normalize to [0,1] (UtilsSVM.scala:316-359):
     * global min/max aggregated then broadcast into a transform. */
   val normalize: Q = (s, dir) => {
@@ -238,6 +275,7 @@ object RasterQueries {
     "r_zoom_resample_up" -> (zoomUp, Some(zoomUpSql)),
     "r_merge_upsert" -> (mergeUpsert, Some(mergeUpsertSql)),
     "r_rasterize" -> (rasterize, Some(rasterizeSql)),
+    "r_rasterize_poly" -> (rasterizePoly, Some(rasterizePolySql)),
     "r_normalize" -> (normalize, Some(normalizeSql)),
   )
 }

@@ -9,5 +9,6 @@ object Registry {
     RelationalQueries.all ++
       RasterQueries.all ++
       TextQueries.all ++
-      SimQueries.all
+      SimQueries.all ++
+      MiscQueries.all
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase.spark
+
+class MiscSpec extends AnyFunSuite {
+  import spark.implicits._
+  val sf = "/root/testdata/sf0.001"
+
+  test("multimodal: stub decode is deterministic with fixed feature dim") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(20)
+    val media = graft.multimodal.Media.mediaFromDocuments(docs)
+      .as[graft.multimodal.Media.MediaRow]
+    val f1 = graft.multimodal.Media.extractFeatures(media).collect().sortBy(_.doc_id)
+    val f2 = graft.multimodal.Media.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(f1.length == 20)
+    assert(f1.forall(_.features.length == graft.multimodal.Media.FeatureDim))
+    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+    assert(f1.forall(_.features.forall(v => v >= 0f && v < 1f)))
+  }
+
+  test("multimodal: frame sampling splits payload into n_frames chunks") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(5)
+    val media = graft.multimodal.Media.mediaFromDocuments(docs)
+      .as[graft.multimodal.Media.MediaRow]
+    val frames = graft.multimodal.Media.sampleFrames(media, everyK = 2)
+    val byDoc = frames.groupBy($"doc_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = media.collect().map(r => r.doc_id -> ((r.n_frames + 1) / 2).toLong).toMap
+    assert(byDoc == expected)
+  }
+
+  test("ml: OVA LinearSVC fits the training set beyond majority baseline") {
+    // The synthetic labels carry no generalizable signal (test acc ==
+    // chance for every model family), so the meaningful check is that
+    // the optimizer actually learns: train accuracy >> majority class.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val data = graft.ml.Classify.toFeatures(emb, "embedding")
+    val (tr, _) = graft.ml.Classify.split(data)
+    val model = graft.ml.Classify.train(tr)
+    val (_, acc) = graft.ml.Classify.evaluate(model, tr)
+    val majority = tr.groupBy($"label").count().agg(max($"count")).head().getLong(0).toDouble /
+      tr.count()
+    assert(acc > majority * 2, s"train accuracy $acc should far exceed majority baseline $majority")
+  }
+
+  test("ml: model save/load round-trip predicts identically") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(100)
+    val data = graft.ml.Classify.toFeatures(emb, "embedding")
+    val model = graft.ml.Classify.train(data)
+    val path = java.nio.file.Files.createTempDirectory("graft_model").toString + "/m"
+    graft.ml.Classify.save(model, path)
+    val loaded = graft.ml.Classify.load(path)
+    val p1 = model.transform(data).select($"prediction").as[Double].collect().toSeq
+    val p2 = loaded.transform(data).select($"prediction").as[Double].collect().toSeq
+    assert(p1 == p2)
+  }
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has unique name and every oracle has a query") {
+    val q = SparkEntry.queries
+    assert(SparkEntry.oracleSql.keySet.subsetOf(q.keySet))
+    assert(q.nonEmpty)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.catalog
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase.spark
+import graft.ops.Raster
+
+class LayerStoreSpec extends AnyFunSuite {
+  import spark.implicits._
+  val TS = 4
+
+  def freshStore() = {
+    val root = java.nio.file.Files.createTempDirectory("graft_store").toString
+    new LayerStore(spark, root)
+  }
+
+  def tiles(vOff: Double) = Raster.assemble(
+    (for (tc <- 0 to 1; tr <- 0 to 1; px <- 0 until TS; py <- 0 until TS)
+      yield (tc, tr, px, py, vOff + px + py)).toDF("tile_col", "tile_row", "px", "py", "v"),
+    TS, TS)
+
+  test("write/read round-trip with partition pruning") {
+    val store = freshStore()
+    store.write(tiles(0), "layer_x", 5)
+    val back = store.read("layer_x", 5)
+    assert(back.count() == 4)
+    assert(Raster.pixelize(back, TS).count() == 4 * TS * TS)
+  }
+
+  test("point read returns exactly one tile") {
+    val store = freshStore()
+    store.write(tiles(0), "l", 3)
+    val t = store.readTile("l", 3, 1, 0)
+    assert(t.count() == 1)
+    val cells = t.select($"cells").as[Seq[Double]].head()
+    assert(cells(1 + 2 * TS) == 3.0) // px=1, py=2
+  }
+
+  test("merge upserts cell-wise incoming-wins") {
+    val store = freshStore()
+    store.write(tiles(0), "m", 1)
+    store.merge(tiles(100), "m", 1)
+    val cells = store.readTile("m", 1, 0, 0).select($"cells").as[Seq[Double]].head()
+    assert(cells(0) == 100.0)
+  }
+
+  test("zooms listing, exists, delete") {
+    val store = freshStore()
+    store.write(tiles(0), "z", 1)
+    store.write(tiles(0), "z", 2)
+    assert(store.zoomsOf("z") == Seq(1, 2))
+    assert(store.maxZoom("z").contains(2))
+    store.delete("z", Some(1))
+    assert(store.zoomsOf("z") == Seq(2))
+    store.delete("z")
+    assert(!store.exists("z", 2))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TileMathSpec extends AnyFunSuite {
+  import TileMath._
+  val NaN = Double.NaN
+
+  test("combine propagates NoData from either side") {
+    val out = combine(Array(1.0, NaN, 3.0, 4.0), Array(2.0, 2.0, NaN, 4.0))(_ + _)
+    assert(out(0) == 3.0 && out(1).isNaN && out(2).isNaN && out(3) == 8.0)
+  }
+
+  test("merge: incoming wins where defined") {
+    val out = merge(Array(1.0, 2.0, NaN), Array(9.0, NaN, 7.0))
+    assert(out.toSeq.take(2) == Seq(9.0, 2.0) && out(2) == 7.0)
+  }
+
+  test("ndvi formula and guards") {
+    assert(ndvi(5, 3) == 0.25)
+    assert(ndvi(NaN, 3).isNaN && ndvi(1, -1).isNaN)
+  }
+
+  test("downsample2 averages data cells of each 2x2 block") {
+    // 4x4 tile: top-left block = {1,2,3,4} -> 2.5; block with NaN hole -> mean of rest
+    val t = Array[Double](1, 2, 10, NaN, 3, 4, 20, 30, 5, NaN, NaN, NaN, NaN, NaN, NaN, NaN)
+    val out = downsample2(t, 4, 4)
+    assert(out(0) == 2.5 && out(1) == 20.0 && out(2) == 5.0 && out(3).isNaN)
+  }
+
+  test("upsampleChildNN: children read floor-div parent cells") {
+    val t = Array[Double](1, 2, 3, 4) // 2x2
+    val c00 = upsampleChildNN(t, 2, 2, 0, 0, 1)
+    assert(c00.toSeq == Seq(1.0, 1.0, 1.0, 1.0))
+    val c11 = upsampleChildNN(t, 2, 2, 1, 1, 1)
+    assert(c11.toSeq == Seq(4.0, 4.0, 4.0, 4.0))
+  }
+
+  test("focalMean radius 1 circle matches hand computation incl NoData") {
+    // 3x3 tile, pad 1 of NaN (layer edge); center cell neighborhood = cross
+    val pad = 1; val pc = 5
+    val padded = TileMath.empty(pc, pc)
+    val vals = Array[Double](1, 2, 3, 4, NaN, 6, 7, 8, 9)
+    for (y <- 0 until 3; x <- 0 until 3) padded((x + 1) + (y + 1) * pc) = vals(x + y * 3)
+    val out = focalMean(padded, 3, 3, pad, 1, circle = true)
+    assert(out(0 + 0 * 3) == (1.0 + 2 + 4) / 3) // corner: cross minus edges, center=1
+    assert(out(1 + 1 * 3) == (2.0 + 4 + 6 + 8) / 4) // center NaN not counted
+  }
+
+  test("burnRect clips to tile and burns half-open rect") {
+    val a = TileMath.empty(4, 4)
+    burnRect(a, 4, 4, 1, 1, 5, 5, 7, 7, 9.0) // tile (1,1) covers global 4..8
+    assert(a(1 + 1 * 4) == 9.0 && a(2 + 2 * 4) == 9.0 && a(3 + 3 * 4).isNaN && a(0).isNaN)
+  }
+
+  test("zorder interleave/deinterleave bijection (seeded sweep)") {
+    val rnd = new scala.util.Random(42)
+    (0 until 10000).foreach { _ =>
+      val c = rnd.nextInt() & 0xFFFF; val r = rnd.nextInt() & 0xFFFF
+      assert(ZOrder.deinterleave(ZOrder.interleave(c, r)) == ((c, r)))
+    }
+  }
+
+  test("zorder orders locally: adjacent cells near in key space") {
+    assert(ZOrder.interleave(0, 0) == 0L)
+    assert(ZOrder.interleave(1, 0) == 1L)
+    assert(ZOrder.interleave(0, 1) == 2L)
+    assert(ZOrder.interleave(1, 1) == 3L)
+    assert(ZOrder.interleave(2, 0) == 4L)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase.spark
+import graft.core.TileMath
+
+/** Golden-fixture tests of the DataFrame-level tile machinery (SURVEY
+  * §5: tiny deterministic rasters, hand-computable). */
+class RasterOpsSpec extends AnyFunSuite {
+  import spark.implicits._
+  val TS = 4
+
+  /** 2x2 tile grid of 4x4 tiles; value = 100*tc + 10*tr + (px + py). */
+  def pixels = (for {
+    tc <- 0 to 1; tr <- 0 to 1; px <- 0 until TS; py <- 0 until TS
+    if (px + py) % 3 != 0 // holes => NoData paths exercised
+  } yield (tc, tr, px, py, (100.0 * tc + 10 * tr + px + py)))
+    .toDF("tile_col", "tile_row", "px", "py", "v")
+
+  test("assemble -> pixelize is the identity on data cells") {
+    val back = Raster.pixelize(Raster.assemble(pixels, TS, TS), TS)
+    val want = pixels.collect().map(_.toSeq).toSet
+    assert(back.collect().map(_.toSeq).toSet == want)
+  }
+
+  test("assemble places values row-major") {
+    val t = Raster.assemble(pixels, TS, TS)
+      .where($"tile_col" === 0 && $"tile_row" === 0)
+      .select($"cells").as[Seq[Double]].head()
+    assert(t(1 + 0 * TS) == 1.0) // (px=1, py=0) -> index 1
+    assert(t(0 + 1 * TS) == 1.0)
+    assert(t(0).isNaN) // hole: px+py divisible by 3
+  }
+
+  test("mergeLayers: incoming wins per cell, outer tiles kept") {
+    val a = Raster.assemble(pixels, TS, TS)
+    val b = Raster.assemble(
+      Seq((0, 0, 1, 0, 999.0), (5, 5, 2, 2, 7.0)).toDF("tile_col", "tile_row", "px", "py", "v"), TS, TS)
+    val m = Raster.pixelize(Raster.mergeLayers(a, b), TS).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) -> r.getDouble(4)).toMap
+    assert(m((0, 0, 1, 0)) == 999.0) // overwritten
+    assert(m((0, 0, 2, 0)) == 2.0) // kept from existing
+    assert(m((5, 5, 2, 2)) == 7.0) // tile only in incoming
+  }
+
+  test("withHalo pads neighbor margins correctly") {
+    val tiles = Raster.assemble(pixels, TS, TS)
+    val padded = Raster.withHalo(tiles, TS, TS, 1)
+      .where($"tile_col" === 1 && $"tile_row" === 0)
+      .select($"padded").as[Seq[Double]].head()
+    val pc = TS + 2
+    // left margin of tile (1,0) = rightmost column of tile (0,0):
+    // (px=3, py=1) of tile (0,0) => value 4.0 at padded (0, 2)
+    // ((px=3, py=0) is a hole: 3+0 divisible by 3)
+    assert(padded(0 + 2 * pc) == 4.0)
+    assert(padded(0 + 1 * pc).isNaN)
+    // core cell (px=1,py=0) of tile (1,0) => 100+1 at padded (2,1)
+    assert(padded(2 + 1 * pc) == 101.0)
+    // top margin: tile (1,-1) doesn't exist => NaN
+    assert(padded(1 + 0 * pc).isNaN)
+  }
+
+  test("pyramidUp groups 4 children into parent with 2x2 mean") {
+    val tiles = Raster.assemble(pixels, TS, TS)
+    val up = Raster.pixelize(Raster.pyramidUp(tiles, TS, TS), TS).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) -> r.getDouble(4)).toMap
+    // parent (0,0) cell (0,0) <- tile(0,0) cells (0..1,0..1): data at
+    // (1,0)=1,(0,1)=1,(1,1)=2; (0,0) is a hole -> mean = 4/3
+    assert(up((0, 0, 0, 0)) == 4.0 / 3)
+    assert(up.keys.forall { case (tc, tr, _, _) => tc == 0 && tr == 0 })
+  }
+
+  test("zoomResampleUp NN: children replicate parent cells") {
+    val tiles = Raster.assemble(pixels, TS, TS)
+    val down = Raster.pixelize(Raster.zoomResampleUp(tiles, TS, TS, 1), TS)
+    // child global (gx,gy) reads parent (gx/2, gy/2); parent (1,0)=1.0
+    val m = Raster.globalCoords(down, TS, TS).collect()
+      .map(r => (r.getAs[Int]("gx"), r.getAs[Int]("gy")) -> r.getAs[Double]("v")).toMap
+    assert(m((2, 0)) == 1.0 && m((3, 0)) == 1.0 && m((2, 1)) == 1.0 && m((3, 1)) == 1.0)
+    assert(!m.contains((0, 0))) // parent hole stays hole
+  }
+
+  test("rasterizeRects burns last-wins by fid deterministically") {
+    val feats = Seq(
+      (1L, 0L, 0L, 4L, 4L, 10.0), // covers tile(0,0) fully
+      (2L, 2L, 2L, 6L, 6L, 20.0)) // overlaps lower-right + 3 neighbors
+      .toDF("fid", "x0", "y0", "x1", "y1", "value")
+    val burned = Raster.pixelize(Raster.rasterizeRects(feats, TS, TS), TS)
+    val m = Raster.globalCoords(burned, TS, TS).collect()
+      .map(r => (r.getAs[Int]("gx"), r.getAs[Int]("gy")) -> r.getAs[Double]("v")).toMap
+    assert(m((0, 0)) == 10.0)
+    assert(m((2, 2)) == 20.0) // overlap: higher fid wins
+    assert(m((5, 5)) == 20.0)
+    assert(m.size == 16 + 16 - 4) // union of both rects
+  }
+
+  test("focalMean radius1 equals TileMath kernel on assembled layer") {
+    val tiles = Raster.assemble(pixels, TS, TS)
+    val got = Raster.pixelize(Raster.focalMean(tiles, TS, TS, 1), TS).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) -> r.getDouble(4)).toMap
+    // cross at (1,1): center (1,1)=2, left (0,1)=1, up (1,0)=1;
+    // right (2,1) and down (1,2) are holes (px+py divisible by 3)
+    assert(got((0, 0, 1, 1)) == (2.0 + 1 + 1) / 3)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase.spark
+import graft.streaming.PixelStream._
+
+class PixelStreamSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("wire codec round-trips keyed labeled pixels") {
+    val df = Seq(
+      (1.0, Seq(0.5, 2.25, -3.0), 3, 7, 12, 200),
+      (0.0, Seq(9.0), 0, 0, 0, 0))
+      .toDF("label", "features", "tile_col", "tile_row", "px", "py")
+    val encoded = df.select(encodeWire($"label", $"features", $"tile_col", $"tile_row", $"px", $"py").as("value"))
+    val wire = encoded.as[String].collect()
+    assert(wire(0) == "1.0;0.5;2.25;-3.0;SpatialKey(3,7);12;200")
+    val back = encoded.select(decodeWire($"value").as("d")).select($"d.*")
+    val r = back.where($"tile_col" === 3).head()
+    assert(r.getAs[Double]("label") == 1.0)
+    assert(r.getAs[scala.collection.Seq[Double]]("features").toSeq == Seq(0.5, 2.25, -3.0))
+    assert(r.getAs[Int]("px") == 12 && r.getAs[Int]("py") == 200)
+  }
+
+  test("streaming reassembly emits complete tiles (memory source)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ts = 2
+    val input = MemoryStream[PixelEvent]
+    val out = reassemble(input.toDS(), ts, ts, timeoutMs = 0)
+    val q = out.writeStream.format("memory").queryName("tiles_out")
+      .outputMode("append").start()
+    try {
+      // tile (0,0): all 4 pixels over two batches; tile (9,9): 1 pixel only
+      input.addData(PixelEvent(0, 0, 0, 0, 1.0), PixelEvent(0, 0, 1, 0, 2.0),
+        PixelEvent(9, 9, 0, 0, 42.0))
+      q.processAllAvailable()
+      input.addData(PixelEvent(0, 0, 0, 1, 3.0), PixelEvent(0, 0, 1, 1, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("tiles_out").collect()
+      assert(rows.length == 1) // only the complete tile emitted; (9,9) still pending
+      val r = rows.head
+      assert(r.getAs[Int]("tile_col") == 0 && r.getAs[Boolean]("complete"))
+      assert(r.getAs[scala.collection.Seq[Double]]("cells").toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+    } finally q.stop()
+  }
+
+  test("windowed counts with watermark run on a streamed events table") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDS().toDF("ts", "event_type", "value")
+    val q = windowedCounts(events).writeStream
+      .format("memory").queryName("win_out").outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        (t("2024-01-01 00:01:00"), "click", 1.5),
+        (t("2024-01-01 00:02:00"), "click", 2.5),
+        (t("2024-01-01 00:07:00"), "view", 1.0))
+      q.processAllAvailable()
+      // advance event time far enough to close the first windows
+      input.addData((t("2024-01-01 01:00:00"), "click", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select($"event_type", $"n", $"sum_value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains(("click", 2L, 4.0)))
+      assert(rows.contains(("view", 1L, 1.0)))
+    } finally q.stop()
+  }
+}

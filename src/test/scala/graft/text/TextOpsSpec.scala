@@ -1,0 +1,54 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase.spark
+
+class TextOpsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("JVM hash60 equals the h60 Column (portability invariant)") {
+    val words = Seq("abc", "hash join", "0:the quick fox", "ümlaut")
+    val fromCol = words.toDF("w").select(TextOps.h60($"w")).as[Long].collect().toSeq
+    assert(fromCol == words.map(TextOps.hash60))
+  }
+
+  test("shingles3 produces overlapping word trigrams") {
+    val sh = Seq("a b c d e").toDF("t")
+      .select(TextOps.shingles3(TextOps.tokens($"t")))
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d", "c d e"))
+  }
+
+  test("minhash signature: equal sets => equal signatures; disjoint differ") {
+    val df = Seq("x y z w q r s t", "x y z w q r s t", "aa bb cc dd ee ff gg hh")
+      .toDF("t")
+      .select(TextOps.minhashSignature(TextOps.shingles3(TextOps.tokens($"t")), 8).as("sig"))
+    val sigs = df.as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+    assert(sigs(0).length == 8)
+  }
+
+  test("simhash: near-identical docs have close hamming distance") {
+    val d1 = ("the quick brown fox jumps over the lazy dog " * 5).trim
+    val d2 = d1.replace("lazy", "sleepy")
+    val d3 = "completely different words entirely unrelated content here now"
+    val hs = Seq(d1, d2, d3).toDF("t")
+      .select(TextOps.simhash64(TextOps.tokens($"t"))).as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(0), hs(1)) < ham(hs(0), hs(2)))
+  }
+
+  test("langId picks marker-word argmax with deterministic fallback") {
+    val preds = Seq("the cat and the dog", "der hund ist und das", "xyzzy qwerty")
+      .toDF("t").select(TextOps.langId(TextOps.tokens($"t"))).as[String].collect()
+    assert(preds.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("fingerprint is position-sensitive") {
+    val fps = Seq("a b", "b a").toDF("t")
+      .select(TextOps.fingerprint(TextOps.tokens($"t"))).as[Long].collect()
+    assert(fps(0) != fps(1))
+  }
+}
