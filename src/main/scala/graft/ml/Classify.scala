@@ -26,10 +26,15 @@ object Classify {
     (train, test)
   }
 
-  /** M2: train OVA linear SVM. */
+  /** M2: train OVA linear SVM. The per-class submodels are independent
+    * (reference trains them in a sequential loop,
+    * SVMMultiClass.scala:88-111) — parallelism 8 trains them
+    * concurrently without changing any result. */
   def train(train: DataFrame): OneVsRestModel = {
     val svc = new LinearSVC().setMaxIter(100).setRegParam(0.01)
-    new OneVsRest().setClassifier(svc).fit(train)
+    val cached = train.cache()
+    try new OneVsRest().setClassifier(svc).setParallelism(8).fit(cached)
+    finally cached.unpersist()
   }
 
   /** M3/M4: predict + accuracy. */

@@ -166,14 +166,12 @@ object TextQueries {
         TextOps.minhashSignature(array_distinct(TextOps.shingles3(col("toks"))), K).as("sig"))
       .select(col("doc_id"), posexplode(col("sig")).as(Seq("j", "mh")))
 
-  private val sigSqlExpr =
-    s"""list_transform(range(0, $K), j -> list_min(list_transform(shingles,
-       |    s -> ${TextOps.h60Sql("CAST(j AS VARCHAR) || ':' || s")})))""".stripMargin
-
   private val sigsCte =
     s"""sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM docs),
-       |sigs AS (SELECT doc_id, $sigSqlExpr AS sig FROM sh)""".stripMargin
+       |shh AS (SELECT doc_id, list_transform(shingles,
+       |    s -> ${TextOps.h60Sql("s")} & ${TextOps.MinhashMask30}) AS hs FROM sh),
+       |sigs AS (SELECT doc_id, ${TextOps.minhashSigSqlExpr(K)} AS sig FROM shh)""".stripMargin
 
   val minhashSigSql: String =
     s"""WITH $docsCte,

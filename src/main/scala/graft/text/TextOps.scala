@@ -30,18 +30,54 @@ object TextOps {
   def h60Sql(expr: String): String =
     s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
 
-  /** Word n-gram shingles (n=3): the standard near-dup unit. */
-  def shingles3(toks: Column): Column =
-    transform(sequence(lit(0), size(toks) - 3),
-      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))
+  /** Word n-gram shingles (n=3): the standard near-dup unit. JVM kernel
+    * rather than transform/concat_ws — Spark runs HOF lambdas
+    * interpreted, which dominates the runtime at corpus scale. */
+  def shingles3(toks: Column): Column = {
+    val f = udf((ts: Seq[String]) =>
+      if (ts.length < 3) Seq.empty[String]
+      else (0 to ts.length - 3).map(i => s"${ts(i)} ${ts(i + 1)} ${ts(i + 2)}"))
+    f(toks)
+  }
 
-  /** MinHash signature of k seeded hash functions over the shingle set
-    * — computed per-row with higher-order functions (no shuffle, no UDF;
-    * the classic explode+groupBy(min) formulation shuffles |shingles|*k
-    * rows and is strictly worse). h_j(s) = h60(j || ':' || s). */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingles, s => h60(concat(j.cast("string"), lit(":"), s)))))
+  /** Modulus/multiplier constants of the universal seed-hash family:
+    * h_j(s) = ((2j+1) * (h60(s) & MASK30) + j * MIX) % P30. One md5 per
+    * shingle; the per-seed variants are integer arithmetic — k times
+    * cheaper than k independent md5 passes, and exactly reproducible in
+    * any engine with 64-bit integer ops. */
+  val MinhashMask30 = 0x3FFFFFFFL
+  val MinhashMix = 2654435761L
+  val MinhashP30 = 1073741789L
+
+  /** MinHash signature of k seeded hash functions over the shingle set.
+    * Physical choice: a JVM kernel (UDF), not higher-order functions —
+    * Spark evaluates HOF lambdas interpreted (no codegen), which makes
+    * an md5-per-shingle pipeline ~100x slower than compiled code; the
+    * kernel is still map-side/shuffle-free and embarrassingly parallel.
+    * Math is exactly the documented family, so SQL oracles reproduce
+    * it with list functions. */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val f = udf((sh: Seq[String]) => {
+      val mins = Array.fill(k)(Long.MaxValue)
+      sh.foreach { s =>
+        val h = hash60(s) & MinhashMask30
+        var j = 0
+        while (j < k) {
+          val v = ((2L * j + 1) * h + j * MinhashMix) % MinhashP30
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      mins.toSeq
+    })
+    f(shingles)
+  }
+
+  /** SQL twin of [[minhashSignature]] (DuckDB): expects a column `hs` =
+    * list of (h60(shingle) & MASK30). */
+  def minhashSigSqlExpr(k: Int): String =
+    s"""list_transform(range(0, $k), j -> list_min(list_transform(hs,
+       |    h -> ((2*j+1) * h + j * $MinhashMix) % $MinhashP30)))""".stripMargin
 
   /** LSH band key: rows-per-band consecutive signature entries joined to
     * one string; equal key in a band => candidate pair. */
@@ -69,22 +105,35 @@ object TextOps {
     (c: Column) => f(c)
   }
 
-  /** JVM twin of [[h60]] for use inside kernels. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue() = java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** JVM twin of [[h60]] for use inside kernels: value of the first 15
+    * hex chars of md5 = top 60 bits of the first 8 digest bytes. */
   def hash60(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val hex = d.take(8).map(b => f"$b%02x").mkString.take(15)
-    java.lang.Long.parseLong(hex, 16)
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v >>> 4 // drop the 16th hex digit
   }
 
   /** Position-weighted document fingerprint (rolling-hash style):
     * sum_i (h60(tok_i) & 0xFFFFFFF) * (i+1). 28-bit masked terms keep
-    * the int64 sum exact for documents up to ~2^25 tokens. */
-  def fingerprint(toks: Column): Column =
-    aggregate(
-      transform(sequence(lit(0), size(toks) - 1),
-        i => h60(element_at(toks, i + 1)).bitwiseAND(lit(0xFFFFFFFL)) * (i + lit(1)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    * the int64 sum exact for documents up to ~2^25 tokens. JVM kernel
+    * for the same reason as [[minhashSignature]]. */
+  def fingerprint(toks: Column): Column = {
+    val f = udf((ts: Seq[String]) => {
+      var acc = 0L
+      var i = 0
+      ts.foreach { t => acc += (hash60(t) & 0xFFFFFFFL) * (i + 1); i += 1 }
+      acc
+    })
+    f(toks)
+  }
 
   /** Marker-word profiles for the language-ID heuristic. */
   val langProfiles: Seq[(String, Seq[String])] = Seq(
