@@ -1,0 +1,93 @@
+package graft.grid
+
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import graft.core.TileMath
+
+/** R4/R2: reproject + regrid a tile layer onto a new layout, as one
+  * shuffle (the reference's `reproject` under ZoomedLayoutScheme,
+  * GeotiffTilingExample.scala:56-60, and `tileToLayout`,
+  * :52-54 — both are "cells move to new tile keys" shapes).
+  *
+  * Dataflow: each source tile projects its extent forward, explodes to
+  * the covered target keys, then one aggregation per target tile
+  * NN-samples every target cell center through the inverse transform —
+  * partials merge cell-wise, so the shuffle carries tiles, not pixels,
+  * and the kernel is embarrassingly parallel (SURVEY §7.4 hard part 1:
+  * seams are exact because every cell samples through the same global
+  * math regardless of which source tile contributed it).
+  */
+object Reproject {
+
+  case class SrcTileIn(dstCol: Int, dstRow: Int, srcCol: Int, srcRow: Int, cells: Seq[Double])
+
+  class ResampleAgg(src: LayoutDefinition, dst: LayoutDefinition, t: CrsTransform)
+      extends Aggregator[SrcTileIn, Array[Double], Seq[Double]] {
+    def zero: Array[Double] = TileMath.empty(dst.tileCols, dst.tileRows)
+    def reduce(b: Array[Double], in: SrcTileIn): Array[Double] = {
+      var py = 0
+      while (py < dst.tileRows) {
+        var px = 0
+        while (px < dst.tileCols) {
+          if (!TileMath.isData(b(px + py * dst.tileCols))) {
+            val (dx, dy) = dst.cellCenter(in.dstCol, in.dstRow, px, py)
+            val (sx, sy) = t.inverse(dx, dy)
+            val (gx, gy) = src.mapToCell(sx, sy)
+            val sc = in.srcCol.toLong; val sr = in.srcRow.toLong
+            val lx = gx - sc * src.tileCols
+            val ly = gy - sr * src.tileRows
+            if (lx >= 0 && lx < src.tileCols && ly >= 0 && ly < src.tileRows) {
+              b(px + py * dst.tileCols) = in.cells((lx + ly * src.tileCols).toInt)
+            }
+          }
+          px += 1
+        }
+        py += 1
+      }
+      b
+    }
+    def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < a.length) { if (!TileMath.isData(a(i)) && TileMath.isData(b(i))) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Double]): Seq[Double] = b.toSeq
+    def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+  }
+
+  /** Reproject tiles (tile_col, tile_row, cells) from src layout/CRS to
+    * dst layout/CRS with NearestNeighbor sampling (reference default,
+    * Utils.scala:23). */
+  def apply(tiles: DataFrame, src: LayoutDefinition, dst: LayoutDefinition,
+            transform: CrsTransform): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val agg = udaf(new ResampleAgg(src, dst, transform), ExpressionEncoder[SrcTileIn]())
+
+    // source key -> covered destination keys (corner-projected bbox)
+    val coveredKeys = udf((tc: Int, tr: Int) => {
+      val e = src.keyToExtent(tc, tr)
+      val corners = Seq((e.xmin, e.ymin), (e.xmin, e.ymax), (e.xmax, e.ymin), (e.xmax, e.ymax),
+        ((e.xmin + e.xmax) / 2, e.ymin), ((e.xmin + e.xmax) / 2, e.ymax))
+        .map { case (x, y) => transform.forward(x, y) }
+      val xs = corners.map(_._1); val ys = corners.map(_._2)
+      val (c0, r1) = dst.mapToKey(xs.min, ys.min)
+      val (c1, r0) = dst.mapToKey(xs.max, ys.max)
+      for {
+        c <- math.max(0, c0) to math.min(dst.layoutCols - 1, c1)
+        r <- math.max(0, r0) to math.min(dst.layoutRows - 1, r1)
+      } yield (c, r)
+    })
+
+    tiles
+      .select(col("tile_col").as("srcCol"), col("tile_row").as("srcRow"), col("cells"),
+        explode(coveredKeys(col("tile_col"), col("tile_row"))).as("dk"))
+      .select(col("dk._1").as("tile_col"), col("dk._2").as("tile_row"),
+        col("srcCol"), col("srcRow"), col("cells"))
+      .groupBy(col("tile_col"), col("tile_row"))
+      .agg(agg(col("tile_col"), col("tile_row"), col("srcCol"), col("srcRow"), col("cells")).as("cells"))
+  }
+}

@@ -182,6 +182,38 @@ object Raster {
         col("x1"), col("y1"), col("value"), col("fid")).as("cells"))
   }
 
+  /** Band stack (J3/J4/R11, ManyLayersToMultibandLayer.scala:193-260):
+    * multiband = a `band` column (SURVEY §1.2: uniform row size, band
+    * selection becomes projection/partition pruning). Stacking N layers
+    * is a union, not a join — no shuffle at all until a consumer needs
+    * co-located bands. */
+  def stackBands(layers: Seq[DataFrame]): DataFrame =
+    layers.zipWithIndex.map { case (df, b) =>
+      df.select(lit(b).as("band"), col("tile_col"), col("tile_row"), col("cells"))
+    }.reduce(_ unionByName _)
+
+  /** P3: band selection is a plain filter+projection (the reference
+    * reads all bands then selects in a map, api/package.scala:210-216 —
+    * Catalyst instead pushes this to the scan). */
+  def selectBand(multiband: DataFrame, band: Int): DataFrame =
+    multiband.where(col("band") === band).drop("band")
+
+  /** Per-pixel feature assembly from a band stack (the SVM feature shape
+    * P9/UtilsML.scala:17-36): one row per pixel with features =
+    * [band0..bandN] — a single shuffle on the tile key. */
+  def pixelFeatures(multiband: DataFrame, cols: Int, nBands: Int): DataFrame = {
+    val px = multiband
+      .select(col("band"), col("tile_col"), col("tile_row"), posexplode(col("cells")).as(Seq("i", "v")))
+      .where(not(isnan(col("v"))))
+    px.groupBy(col("tile_col"), col("tile_row"), col("i"))
+      .pivot("band", 0 until nBands)
+      .agg(first(col("v")))
+      .select(col("tile_col"), col("tile_row"),
+        (col("i") % cols).cast("int").as("px"),
+        (col("i") / cols).cast("int").as("py"),
+        array((0 until nBands).map(b => col(b.toString)): _*).as("features"))
+  }
+
   /** Rasterize polygons (R5 general form): explode each feature to the
     * tile keys its bbox intersects, then scanline-burn per tile with the
     * PolyBurn aggregator (map-side combine preserved).

@@ -263,7 +263,35 @@ object RasterQueries {
        |SELECT p.tile_col, p.tile_row, p.px, p.py, (p.v - m.mn) / (m.mx - m.mn) AS v
        |FROM pxa p CROSS JOIN mm m""".stripMargin
 
+  /** J3/J4/P3/R11: stack bands A+B into a multiband layer (union, no
+    * shuffle), then per-pixel feature assembly — the
+    * ManyLayersToMultibandLayer → TilePixeling chain
+    * (WorkflowExample.scala:131-158). Oracle: pxk holds both band values
+    * per pixel already. */
+  val bandStack: Q = (s, dir) => {
+    val stacked = Raster.stackBands(Seq(tilesA(s, dir), tilesB(s, dir)))
+    Raster.pixelFeatures(stacked, TS, 2)
+      .select(col("tile_col"), col("tile_row"), col("px"), col("py"),
+        element_at(col("features"), 1).as("f0"),
+        element_at(col("features"), 2).as("f1"))
+  }
+
+  val bandStackSql: String =
+    s"""WITH $pxCte
+       |SELECT tile_col, tile_row, px, py, va AS f0, vb AS f1 FROM pxk""".stripMargin
+
+  /** P3 alone: band selection from the stack is a filter+projection. */
+  val bandSelect: Q = (s, dir) =>
+    Raster.pixelize(
+      Raster.selectBand(Raster.stackBands(Seq(tilesA(s, dir), tilesB(s, dir))), 1), TS)
+
+  val bandSelectSql: String =
+    s"""WITH $pxCte
+       |SELECT tile_col, tile_row, px, py, vb AS v FROM pxk""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "r_band_stack" -> (bandStack, Some(bandStackSql)),
+    "r_band_select" -> (bandSelect, Some(bandSelectSql)),
     "r_pixelize_roundtrip" -> (pixelizeRoundtrip, Some(pixelizeRoundtripSql)),
     "r_ndvi_join" -> (ndvi, Some(ndviSql)),
     "r_cloud_mask" -> (cloudMask, Some(cloudMaskSql)),

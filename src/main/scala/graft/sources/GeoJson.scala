@@ -28,8 +28,8 @@ object GeoJson {
         flatten(col("f.geometry.coordinates")).as("rings"),
         col(s"f.properties.$attribute").cast("double").as("value"))
       .select(col("fid"), col("crs"), col("value"),
-        transform(flatten(col("rings")), p => element_at(p, 1)).as("xs"),
-        transform(flatten(col("rings")), p => element_at(p, 2)).as("ys"),
+        transform(flatten(col("rings")), p => element_at(p, 1)).cast("array<double>").as("xs"),
+        transform(flatten(col("rings")), p => element_at(p, 2)).cast("array<double>").as("ys"),
         ringOffsets(col("rings")).as("ring_offsets"))
   }
 
