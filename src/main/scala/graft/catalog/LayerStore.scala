@@ -29,6 +29,22 @@ class LayerStore(spark: SparkSession, root: String) {
       .sortWithinPartitions(zorder(col("tile_col").cast("int"), col("tile_row").cast("int")))
       .write.mode(SaveMode.Overwrite).parquet(layerPath(name, zoom))
 
+  /** K1 space-time variant: SpaceTimeKey layers sort by Hilbert distance
+    * within each time bucket (HilbertKeyIndexMethod,
+    * api/package.scala:148-152) and partition additionally by time. */
+  def writeSpaceTime(tiles: DataFrame, name: String, zoom: Int): Unit =
+    tiles
+      .repartition(col("time"), col("tile_col"), col("tile_row"))
+      .sortWithinPartitions(col("time"),
+        graft.functions.HilbertKey.hilbert(col("tile_col").cast("int"), col("tile_row").cast("int")))
+      .write.mode(SaveMode.Overwrite).partitionBy("time")
+      .parquet(layerPath(name, zoom))
+
+  def readSpaceTime(name: String, zoom: Int, time: Option[String] = None): DataFrame = {
+    val df = spark.read.parquet(layerPath(name, zoom))
+    time.fold(df)(t => df.where(col("time") === t))
+  }
+
   /** S3: pruned read of one (layer, zoom). */
   def read(name: String, zoom: Int): DataFrame =
     spark.read.parquet(layerPath(name, zoom))

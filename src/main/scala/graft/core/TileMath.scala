@@ -115,6 +115,36 @@ object TileMath {
     out
   }
 
+  /** Bilinear sample of a tile at fractional cell coordinates (F3:
+    * Bilinear selectable besides NearestNeighbor, Utils.scala:23,
+    * GeotiffToPyramid.scala:43). (fx, fy) are in cell units relative to
+    * this tile's origin; cell centers sit at k + 0.5. NaN neighbors
+    * degrade gracefully to the weighted mean of the data neighbors. */
+  def sampleBilinear(a: Array[Double], cols: Int, rows: Int, fx: Double, fy: Double): Double = {
+    val x0 = math.floor(fx - 0.5).toInt
+    val y0 = math.floor(fy - 0.5).toInt
+    val wx = (fx - 0.5) - x0
+    val wy = (fy - 0.5) - y0
+    var num = 0.0; var den = 0.0
+    var dy = 0
+    while (dy < 2) {
+      var dx = 0
+      while (dx < 2) {
+        val x = x0 + dx; val y = y0 + dy
+        if (x >= 0 && x < cols && y >= 0 && y < rows) {
+          val v = a(x + y * cols)
+          if (isData(v)) {
+            val w = (if (dx == 0) 1 - wx else wx) * (if (dy == 0) 1 - wy else wy)
+            num += w * v; den += w
+          }
+        }
+        dx += 1
+      }
+      dy += 1
+    }
+    if (den > 0) num / den else Double.NaN
+  }
+
   /** Focal mean over a square (2r+1)^2 or circular kernel on a padded
     * array. `padded` is (cols + 2*pad) x (rows + 2*pad) with halo margins
     * already attached (bufferTiles, ConvolveLayerExample.scala:69);

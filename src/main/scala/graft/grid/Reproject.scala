@@ -23,7 +23,12 @@ object Reproject {
 
   case class SrcTileIn(dstCol: Int, dstRow: Int, srcCol: Int, srcRow: Int, cells: Seq[Double])
 
-  class ResampleAgg(src: LayoutDefinition, dst: LayoutDefinition, t: CrsTransform)
+  sealed trait Kernel extends Serializable
+  case object NearestNeighbor extends Kernel
+  case object Bilinear extends Kernel
+
+  class ResampleAgg(src: LayoutDefinition, dst: LayoutDefinition, t: CrsTransform,
+                    kernel: Kernel = NearestNeighbor)
       extends Aggregator[SrcTileIn, Array[Double], Seq[Double]] {
     def zero: Array[Double] = TileMath.empty(dst.tileCols, dst.tileRows)
     def reduce(b: Array[Double], in: SrcTileIn): Array[Double] = {
@@ -39,7 +44,14 @@ object Reproject {
             val lx = gx - sc * src.tileCols
             val ly = gy - sr * src.tileRows
             if (lx >= 0 && lx < src.tileCols && ly >= 0 && ly < src.tileRows) {
-              b(px + py * dst.tileCols) = in.cells((lx + ly * src.tileCols).toInt)
+              b(px + py * dst.tileCols) = kernel match {
+                case NearestNeighbor => in.cells((lx + ly * src.tileCols).toInt)
+                case Bilinear =>
+                  // fractional source-cell coords of the target center
+                  val fcx = (sx - src.extent.xmin) / src.cellWidth - sc * src.tileCols
+                  val fcy = (src.extent.ymax - sy) / src.cellHeight - sr * src.tileRows
+                  TileMath.sampleBilinear(in.cells.toArray, src.tileCols, src.tileRows, fcx, fcy)
+              }
             }
           }
           px += 1
@@ -62,10 +74,10 @@ object Reproject {
     * dst layout/CRS with NearestNeighbor sampling (reference default,
     * Utils.scala:23). */
   def apply(tiles: DataFrame, src: LayoutDefinition, dst: LayoutDefinition,
-            transform: CrsTransform): DataFrame = {
+            transform: CrsTransform, kernel: Kernel = NearestNeighbor): DataFrame = {
     val spark = tiles.sparkSession
     import spark.implicits._
-    val agg = udaf(new ResampleAgg(src, dst, transform), ExpressionEncoder[SrcTileIn]())
+    val agg = udaf(new ResampleAgg(src, dst, transform, kernel), ExpressionEncoder[SrcTileIn]())
 
     // source key -> covered destination keys (corner-projected bbox)
     val coveredKeys = udf((tc: Int, tr: Int) => {

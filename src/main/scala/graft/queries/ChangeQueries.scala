@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Raster
+import Fixtures._
+
+/** The reference's core mission — land-use *update detection*: compare
+  * a layer across two epochs and surface changed cells (the K2 upsert +
+  * NDVI-delta workflow, WorkflowExample.scala:26-175, SpaceTimeKey time
+  * axis §1.1). Epochs here = lineitem split by ship date. */
+object ChangeQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Cutoff that splits lineitem roughly in half (seed-42 data spans
+    * 1992-1998). */
+  private val cutoff = "1995-06-01"
+
+  private def epochPixels(s: SparkSession, dir: String, before: Boolean): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    val f = if (before) col("l_shipdate") < lit(cutoff).cast("timestamp")
+    else col("l_shipdate") >= lit(cutoff).cast("timestamp")
+    li.where(f).groupBy(
+      (col("l_orderkey") % 4).cast("int").as("tile_col"),
+      (col("l_suppkey") % 4).cast("int").as("tile_row"),
+      (col("l_partkey") % TS).cast("int").as("px"),
+      (col("l_linenumber") % TS).cast("int").as("py"))
+      .agg(sum(col("l_quantity")).cast("double").as("v"))
+  }
+
+  private def epochCteSql(alias: String, op: String): String =
+    s"""$alias AS (
+       |  SELECT CAST(l_orderkey % 4 AS INT) AS tile_col,
+       |         CAST(l_suppkey % 4 AS INT) AS tile_row,
+       |         CAST(l_partkey % $TS AS INT) AS px,
+       |         CAST(l_linenumber % $TS AS INT) AS py,
+       |         CAST(SUM(l_quantity) AS DOUBLE) AS v
+       |  FROM lineitem WHERE l_shipdate $op TIMESTAMP '$cutoff 00:00:00'
+       |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  /** Change detection: per-cell delta between epochs over the full-outer
+    * cell space; change classes: appeared / disappeared / changed /
+    * stable. This is J6 (merge join) + P8 cell algebra with real
+    * temporal semantics. */
+  val changeDetect: Q = (s, dir) => {
+    val t1 = Raster.assemble(epochPixels(s, dir, before = true), TS, TS)
+    val t2 = Raster.assemble(epochPixels(s, dir, before = false), TS, TS)
+    val joined = t1.withColumnRenamed("cells", "c1")
+      .join(t2.withColumnRenamed("cells", "c2"), Seq("tile_col", "tile_row"), "full_outer")
+    val delta = joined.select(col("tile_col"), col("tile_row"),
+      zip_with(
+        coalesce(col("c1"), array_repeat(lit(Double.NaN), TS * TS)),
+        coalesce(col("c2"), array_repeat(lit(Double.NaN), TS * TS)),
+        (a, b) => struct(a.as("v1"), b.as("v2"))).as("pairs"))
+    delta
+      .select(col("tile_col"), col("tile_row"), posexplode(col("pairs")).as(Seq("i", "p")))
+      .select(col("tile_col"), col("tile_row"),
+        (col("i") % TS).cast("int").as("px"),
+        (col("i") / TS).cast("int").as("py"),
+        col("p.v1"), col("p.v2"))
+      .where(not(isnan(col("v1")) && isnan(col("v2"))))
+      .select(col("tile_col"), col("tile_row"), col("px"), col("py"),
+        when(isnan(col("v1")), lit("appeared"))
+          .when(isnan(col("v2")), lit("disappeared"))
+          .when(col("v1") === col("v2"), lit("stable"))
+          .otherwise(lit("changed")).as("change"),
+        when(isnan(col("v1")) || isnan(col("v2")), lit(0.0))
+          .otherwise(col("v2") - col("v1")).as("delta"))
+  }
+
+  val changeDetectSql: String =
+    s"""WITH ${epochCteSql("e1", "<")},
+       |${epochCteSql("e2", ">=")}
+       |SELECT COALESCE(e1.tile_col, e2.tile_col) AS tile_col,
+       |       COALESCE(e1.tile_row, e2.tile_row) AS tile_row,
+       |       COALESCE(e1.px, e2.px) AS px,
+       |       COALESCE(e1.py, e2.py) AS py,
+       |       CASE WHEN e1.v IS NULL THEN 'appeared'
+       |            WHEN e2.v IS NULL THEN 'disappeared'
+       |            WHEN e1.v = e2.v THEN 'stable'
+       |            ELSE 'changed' END AS change,
+       |       CASE WHEN e1.v IS NULL OR e2.v IS NULL THEN 0.0
+       |            ELSE e2.v - e1.v END AS delta
+       |FROM e1 FULL OUTER JOIN e2
+       |  ON e1.tile_col = e2.tile_col AND e1.tile_row = e2.tile_row
+       | AND e1.px = e2.px AND e1.py = e2.py""".stripMargin
+
+  /** Space-time layer (SpaceTimeKey §1.1): tiles keyed additionally by
+    * month; per-key cell count + exact sums — the temporal axis the
+    * reference indexes with Hilbert curves but never aggregates over
+    * (WorkflowExample.scala:27 TODO). We do: per-month layer statistics. */
+  val spaceTimeStats: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .groupBy(
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        (col("l_orderkey") % 4).cast("int").as("tile_col"),
+        (col("l_suppkey") % 4).cast("int").as("tile_row"))
+      .agg(count(lit(1)).as("n_px"), sum(col("l_quantity")).cast("double").as("sum_v"))
+
+  val spaceTimeStatsSql: String =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+      |       CAST(l_orderkey % 4 AS INT) AS tile_col,
+      |       CAST(l_suppkey % 4 AS INT) AS tile_row,
+      |       COUNT(*) AS n_px, CAST(SUM(l_quantity) AS DOUBLE) AS sum_v
+      |FROM lineitem GROUP BY 1, 2, 3""".stripMargin
+
+  val all: Map[String, (Q, Option[String])] = Map(
+    "x_change_detect" -> (changeDetect, Some(changeDetectSql)),
+    "x_spacetime_stats" -> (spaceTimeStats, Some(spaceTimeStatsSql)),
+  )
+}

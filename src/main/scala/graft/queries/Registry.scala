@@ -10,5 +10,7 @@ object Registry {
       RasterQueries.all ++
       TextQueries.all ++
       SimQueries.all ++
-      MiscQueries.all
+      MiscQueries.all ++
+      ChangeQueries.all ++
+      AdvancedQueries.all
 }

@@ -86,9 +86,20 @@ object SimQueries {
        |       ${dsumSql("CAST(embedding[1] AS DOUBLE)")} AS sum_dim0
        |FROM embeddings GROUP BY 1""".stripMargin
 
+  /** IVF ANN (scale path): k-means coarse quantizer, nprobe=2 of 8
+    * lists. No oracle — k-means centroids are float-order sensitive;
+    * gated rows-only + recall-tested against brute force in
+    * SimilaritySpec. */
+  val annIvf: Q = (s, dir) => {
+    val e = table(s, dir, "embeddings")
+    Similarity.ivfTopK(e.where(col("vec_id") < NQ), e, K, nlist = 8, nprobe = 2)
+      .select(col("qid"), col("cid"), col("cos"), col("rank"))
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
     "s_ann_brute" -> (annBrute, Some(annBruteSql)),
     "s_ann_lsh" -> (annLsh, Some(annLshSql)),
+    "s_ann_ivf" -> (annIvf, None),
     "s_embed_stats" -> (vecDedup, Some(vecDedupSql)),
   )
 }

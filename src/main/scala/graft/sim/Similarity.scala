@@ -42,6 +42,39 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer — each vector is
+    * assigned to its nearest of `nlist` centroids; a query probes the
+    * `nprobe` closest centroid lists only. The classic
+    * FAISS-IVF structure on Spark: the corpus is hash-partitioned by
+    * cluster id, so a probe touches nprobe/nlist of the data. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              nlist: Int, nprobe: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val feat = candidates.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(feat)
+    val assigned = km.transform(feat)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("prediction").as("cluster"))
+    val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+    val cdf = queries.sparkSession.createDataFrame(centroids.toSeq).toDF("cluster", "centroid")
+    // query -> nprobe nearest centroids (tiny cross join; centroids broadcast)
+    val qprobe = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .join(broadcast(cdf),
+        org.apache.spark.sql.functions.lit(true))
+      .withColumn("cdist", -cosine(col("qe"), col("centroid")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cdist"), col("cluster"))))
+      .where(col("pr") <= nprobe)
+      .select(col("qid"), col("qe"), col("cluster"))
+    val scored = qprobe.join(assigned, Seq("cluster"))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Sign-LSH bucket code: one bit per leading dimension's sign. At
     * scale this prunes the candidate set to same-bucket vectors
     * (recall/cost trade chosen by nBits). */

@@ -116,7 +116,7 @@ object PixelStream {
     * catalog layer. */
   def upsertSink(tiles: DataFrame, store: graft.catalog.LayerStore,
                  layer: String, zoom: Int): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    tiles.writeStream.outputMode("update").foreachBatch {
+    tiles.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
         store.merge(batch.select(col("tile_col"), col("tile_row"), col("cells")), layer, zoom)
     }

@@ -53,6 +53,19 @@ class TileMathSpec extends AnyFunSuite {
     assert(a(1 + 1 * 4) == 9.0 && a(2 + 2 * 4) == 9.0 && a(3 + 3 * 4).isNaN && a(0).isNaN)
   }
 
+  test("bilinear sample: interpolates, honors NaN, hits centers exactly") {
+    val t = Array[Double](0, 10, 20, 30) // 2x2
+    // dead center between all four: mean
+    assert(sampleBilinear(t, 2, 2, 1.0, 1.0) == 15.0)
+    // exactly on cell (0,0) center
+    assert(sampleBilinear(t, 2, 2, 0.5, 0.5) == 0.0)
+    // halfway horizontally on top row
+    assert(sampleBilinear(t, 2, 2, 1.0, 0.5) == 5.0)
+    // NaN neighbor renormalizes
+    val tn = Array[Double](0, Double.NaN, 20, 30)
+    assert(sampleBilinear(tn, 2, 2, 1.0, 1.0) == (0.0 + 20 + 30) / 3)
+  }
+
   test("zorder interleave/deinterleave bijection (seeded sweep)") {
     val rnd = new scala.util.Random(42)
     (0 until 10000).foreach { _ =>

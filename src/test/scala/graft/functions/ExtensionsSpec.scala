@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase.spark
+import graft.core.{Hilbert, ZOrder}
+
+class ExtensionsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("hilbert xy2d/d2xy bijection and unit-step locality") {
+    val n = 6
+    val side = 1 << n
+    val seen = new Array[Boolean](side * side)
+    var prev: Option[(Int, Int)] = None
+    (0L until (side.toLong * side)).foreach { d =>
+      val (x, y) = Hilbert.d2xy(n, d)
+      assert(Hilbert.xy2d(n, x, y) == d)
+      assert(!seen(x + y * side)); seen(x + y * side) = true
+      prev.foreach { case (px, py) =>
+        assert(math.abs(x - px) + math.abs(y - py) == 1) // Hilbert steps are unit moves
+      }
+      prev = Some((x, y))
+    }
+  }
+
+  test("zorder/hilbert Column functions evaluate via codegen") {
+    val df = Seq((3, 5), (0, 0), (65535, 65535)).toDF("c", "r")
+    val got = df.select(
+      ZOrderKey.zorder($"c", $"r").as("z"),
+      HilbertKey.hilbert($"c", $"r").as("h")).collect()
+    assert(got(0).getLong(0) == ZOrder.interleave(3, 5))
+    assert(got(0).getLong(1) == Hilbert.xy2d(16, 3, 5))
+    assert(got(2).getLong(0) == ZOrder.interleave(65535, 65535))
+  }
+
+  test("SQL frontend plans the native expressions (function registry)") {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("zorder", exprs => ZOrderKey(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("hilbert", exprs => HilbertKey(exprs(0), exprs(1)), "scala_udf")
+    val r = spark.sql(
+      "SELECT zorder(CAST(3 AS INT), CAST(5 AS INT)) AS z, hilbert(CAST(3 AS INT), CAST(5 AS INT)) AS h")
+      .head()
+    assert(r.getLong(0) == ZOrder.interleave(3, 5))
+    assert(r.getLong(1) == Hilbert.xy2d(16, 3, 5))
+  }
+}
