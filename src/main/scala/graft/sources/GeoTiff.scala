@@ -1,0 +1,247 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S1/S2: minimal GeoTiff reader (SURVEY §2.1: "binary-file read +
+  * minimal TIFF decode" — GeoTrellis's `hadoopGeoTiffRDD` is not
+  * available offline). Supports the subset the reference's own sample
+  * data needs: II/MM byte order, strip or tile organization,
+  * uncompressed / LZW / Deflate, 1 sample per pixel, uint8-64 /
+  * int8-64 / float32/64, optional ModelPixelScale+Tiepoint geo
+  * transform and GDAL_NODATA.
+  *
+  * Parse is driver-side (the reference's Shapefile/GeoJSON reads are
+  * driver-side too); the scale path for many scenes is
+  * spark.read.format("binaryFile") + this decoder per file in a map —
+  * same code, executor-side.
+  */
+object GeoTiff {
+
+  case class Meta(width: Int, height: Int, bits: Int, sampleFormat: Int,
+                  samplesPerPixel: Int, noData: Option[Double],
+                  originX: Double, originY: Double, cellW: Double, cellH: Double)
+
+  case class Raster(meta: Meta, cells: Array[Double]) // row-major, NaN = NoData
+
+  def read(path: String): Raster = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val le = bytes(0) == 'I'
+    def u16(o: Int): Int =
+      if (le) (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+      else ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+    def u32(o: Int): Long = {
+      val b = (0 to 3).map(i => bytes(o + i) & 0xFFL)
+      if (le) b(0) | (b(1) << 8) | (b(2) << 16) | (b(3) << 24)
+      else (b(0) << 24) | (b(1) << 16) | (b(2) << 8) | b(3)
+    }
+    def f64(o: Int): Double = {
+      var v = 0L
+      if (le) { var i = 7; while (i >= 0) { v = (v << 8) | (bytes(o + i) & 0xFFL); i -= 1 } }
+      else { var i = 0; while (i < 8) { v = (v << 8) | (bytes(o + i) & 0xFFL); i += 1 } }
+      java.lang.Double.longBitsToDouble(v)
+    }
+
+    val ifd = u32(4).toInt
+    val n = u16(ifd)
+    var width = 0; var height = 0; var bits = 0; var compression = 1
+    var sampleFormat = 1; var spp = 1; var rowsPerStrip = Int.MaxValue
+    var stripOffsets: Array[Long] = Array.empty
+    var stripCounts: Array[Long] = Array.empty
+    var tileW = 0; var tileH = 0
+    var tileOffsets: Array[Long] = Array.empty
+    var tileCounts: Array[Long] = Array.empty
+    var noData: Option[Double] = None
+    var pixScale: Option[(Double, Double)] = None
+    var tiePoint: Option[(Double, Double)] = None
+
+    def values(o: Int, typ: Int, cnt: Int): Array[Long] = {
+      val size = typ match { case 3 => 2; case 4 => 4; case _ => 1 }
+      val inline = size * cnt <= 4
+      val base = if (inline) o + 8 else u32(o + 8).toInt
+      (0 until cnt).map { i =>
+        typ match {
+          case 3 => u16(base + 2 * i).toLong
+          case 4 => u32(base + 4 * i)
+          case _ => (bytes(base + i) & 0xFF).toLong
+        }
+      }.toArray
+    }
+
+    var i = 0
+    while (i < n) {
+      val o = ifd + 2 + i * 12
+      val tag = u16(o); val typ = u16(o + 2); val cnt = u32(o + 4).toInt
+      tag match {
+        case 256 => width = values(o, typ, cnt)(0).toInt
+        case 257 => height = values(o, typ, cnt)(0).toInt
+        case 258 => bits = values(o, typ, cnt)(0).toInt
+        case 259 => compression = values(o, typ, cnt)(0).toInt
+        case 277 => spp = values(o, typ, cnt)(0).toInt
+        case 278 => rowsPerStrip = values(o, typ, cnt)(0).toInt
+        case 273 => stripOffsets = values(o, typ, cnt)
+        case 279 => stripCounts = values(o, typ, cnt)
+        case 322 => tileW = values(o, typ, cnt)(0).toInt
+        case 323 => tileH = values(o, typ, cnt)(0).toInt
+        case 324 => tileOffsets = values(o, typ, cnt)
+        case 325 => tileCounts = values(o, typ, cnt)
+        case 339 => sampleFormat = values(o, typ, cnt)(0).toInt
+        case 33550 => val b = u32(o + 8).toInt; pixScale = Some((f64(b), f64(b + 8)))
+        case 33922 => val b = u32(o + 8).toInt; tiePoint = Some((f64(b + 24), f64(b + 32)))
+        case 42113 =>
+          val b = u32(o + 8).toInt
+          val s = new String(bytes, b, cnt).takeWhile(_ != 0).trim
+          noData = scala.util.Try(s.toDouble).toOption
+        case _ => ()
+      }
+      i += 1
+    }
+    require(spp == 1, s"only single-band supported, got $spp samples/pixel")
+
+    val bytesPerSample = bits / 8
+    val out = new Array[Double](width * height)
+
+    def decode(data: Array[Byte]): Array[Byte] = compression match {
+      case 1 => data
+      case 5 => lzwDecode(data)
+      case 8 | 32946 =>
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(data)
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val k = inf.inflate(tmp)
+          if (k == 0 && inf.needsInput()) throw new IllegalStateException("truncated deflate")
+          buf.write(tmp, 0, k)
+        }
+        buf.toByteArray
+      case c => throw new UnsupportedOperationException(s"TIFF compression $c")
+    }
+
+    def sample(d: Array[Byte], idx: Int): Double = {
+      val o = idx * bytesPerSample
+      var v = 0L
+      if (le) { var k = bytesPerSample - 1; while (k >= 0) { v = (v << 8) | (d(o + k) & 0xFFL); k -= 1 } }
+      else { var k = 0; while (k < bytesPerSample) { v = (v << 8) | (d(o + k) & 0xFFL); k += 1 } }
+      sampleFormat match {
+        case 3 => if (bits == 64) java.lang.Double.longBitsToDouble(v)
+                  else java.lang.Float.intBitsToFloat(v.toInt).toDouble
+        case 2 => bits match { // signed
+          case 8 => v.toByte.toDouble
+          case 16 => v.toShort.toDouble
+          case 32 => v.toInt.toDouble
+          case _ => v.toDouble
+        }
+        case _ => v.toDouble // unsigned
+      }
+    }
+
+    if (stripOffsets.nonEmpty) {
+      var strip = 0
+      while (strip < stripOffsets.length) {
+        val d = decode(java.util.Arrays.copyOfRange(bytes,
+          stripOffsets(strip).toInt, (stripOffsets(strip) + stripCounts(strip)).toInt))
+        val y0 = strip * rowsPerStrip
+        val nRows = math.min(rowsPerStrip, height - y0)
+        var r = 0
+        while (r < nRows) {
+          var x = 0
+          while (x < width) {
+            out(x + (y0 + r) * width) = sample(d, x + r * width)
+            x += 1
+          }
+          r += 1
+        }
+        strip += 1
+      }
+    } else {
+      val tilesAcross = (width + tileW - 1) / tileW
+      var t = 0
+      while (t < tileOffsets.length) {
+        val d = decode(java.util.Arrays.copyOfRange(bytes,
+          tileOffsets(t).toInt, (tileOffsets(t) + tileCounts(t)).toInt))
+        val tx = (t % tilesAcross) * tileW
+        val ty = (t / tilesAcross) * tileH
+        var r = 0
+        while (r < tileH && ty + r < height) {
+          var x = 0
+          while (x < tileW && tx + x < width) {
+            out((tx + x) + (ty + r) * width) = sample(d, x + r * tileW)
+            x += 1
+          }
+          r += 1
+        }
+        t += 1
+      }
+    }
+
+    noData.foreach { nd =>
+      var k = 0
+      while (k < out.length) { if (out(k) == nd) out(k) = Double.NaN; k += 1 }
+    }
+    val (cw, ch) = pixScale.getOrElse((1.0, 1.0))
+    val (ox, oy) = tiePoint.getOrElse((0.0, 0.0))
+    Raster(Meta(width, height, bits, sampleFormat, spp, noData, ox, oy, cw, ch), out)
+  }
+
+  /** TIFF-variant LZW (MSB-first codes, 9->12 bits with early change,
+    * Clear=256, EOI=257). */
+  private[sources] def lzwDecode(in: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(in.length * 4)
+    val dict = new Array[Array[Byte]](4096)
+    var dictSize = 258
+    var codeWidth = 9
+    var bitPos = 0
+    var prev: Array[Byte] = null
+    def initDict(): Unit = {
+      var i = 0
+      while (i < 256) { dict(i) = Array(i.toByte); i += 1 }
+      dictSize = 258; codeWidth = 9; prev = null
+    }
+    initDict()
+    val totalBits = in.length * 8
+    var done = false
+    while (!done && bitPos + codeWidth <= totalBits) {
+      var code = 0
+      var k = 0
+      while (k < codeWidth) {
+        val b = bitPos + k
+        code = (code << 1) | ((in(b >> 3) >> (7 - (b & 7))) & 1)
+        k += 1
+      }
+      bitPos += codeWidth
+      if (code == 257) done = true
+      else if (code == 256) initDict()
+      else {
+        val entry: Array[Byte] =
+          if (code < dictSize && dict(code) != null) dict(code)
+          else if (prev != null) prev :+ prev(0)
+          else throw new IllegalStateException(s"bad LZW code $code")
+        out.write(entry)
+        if (prev != null && dictSize < 4096) {
+          dict(dictSize) = prev :+ entry(0)
+          dictSize += 1
+        }
+        // TIFF early change: widen one code before the table is full
+        if (dictSize == (1 << codeWidth) - 1 && codeWidth < 12) codeWidth += 1
+        prev = entry
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Raster -> pixel DataFrame in the engine's tile schema, gridded by a
+    * FloatingLayout at native resolution (R1+R2 = the
+    * GeotiffTilingExample ingest path). */
+  def toPixels(spark: SparkSession, raster: Raster, tileSize: Int): DataFrame = {
+    import spark.implicits._
+    val w = raster.meta.width
+    val rows = (0 until raster.meta.height).flatMap { y =>
+      (0 until w).flatMap { x =>
+        val v = raster.cells(x + y * w)
+        if (java.lang.Double.isNaN(v)) None
+        else Some((x / tileSize, y / tileSize, x % tileSize, y % tileSize, v))
+      }
+    }
+    rows.toDF("tile_col", "tile_row", "px", "py", "v")
+  }
+}
