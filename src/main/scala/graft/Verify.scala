@@ -17,8 +17,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // Deterministic row order (sorted by all columns, by name) so the
+      // compare is stable however the driver hashes.
+      try {
+        val df = fn(spark, sfDir)
+        val ordered = df.orderBy(df.columns.sorted.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+        ordered.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -108,8 +108,11 @@ object TextQueries {
     * shared-shingle join (never all-pairs), exact Jaccard on int
     * set sizes. */
   val ngramJaccard: Q = (s, dir) => {
+    // join on the 60-bit shingle hash, not the string: 8-byte shuffle
+    // keys instead of ~20-byte strings (same oracle family)
     val sh = docs(s, dir).select(col("doc_id"),
-      explode(array_distinct(TextOps.shingles3(col("toks")))).as("sh"))
+      explode(array_distinct(TextOps.shingles3(col("toks")))).as("shs"))
+      .select(col("doc_id"), TextOps.h60(col("shs")).as("sh"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.select(col("doc_id").as("a"), col("sh"))
       .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
@@ -126,9 +129,9 @@ object TextQueries {
   val ngramJaccardSql: String =
     s"""WITH $docsCte,
        |sh AS (
-       |  SELECT DISTINCT doc_id, g.sh
+       |  SELECT DISTINCT doc_id, ${TextOps.h60Sql("g.shs")} AS sh
        |  FROM docs, unnest(list_transform(range(1, len(toks) - 1),
-       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) g(sh)),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) g(shs)),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
        |pairs AS (
        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
