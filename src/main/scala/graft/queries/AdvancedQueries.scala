@@ -119,7 +119,34 @@ object AdvancedQueries {
        |  COALESCE(${dsumSql(s"CASE WHEN l_returnflag = 'R' THEN $revenueSql END")}, 0.0) AS R
        |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** As-of join (an operator Spark lacks natively; graft.ops.AsOfJoin
+    * is union + last-over-window — one shuffle, no range blowup): every
+    * click event picks up the latest view at-or-before it per user.
+    * Oracle: DuckDB's native ASOF LEFT JOIN. */
+  val asofJoin: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value").as("click_value"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value").as("view_value"))
+    graft.ops.AsOfJoin.asof(clicks, views, "user_id", "ts")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("click_value"), col("view_value"))
+  }
+
+  val asofJoinSql: String =
+    s"""WITH $eventsCte,
+       |clicks AS (SELECT user_id, ts, event_id, value AS click_value
+       |           FROM evts WHERE event_type = 'click'),
+       |views AS (SELECT user_id, ts, value AS view_value
+       |          FROM evts WHERE event_type = 'view')
+       |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+       |       c.click_value, v.view_value
+       |FROM clicks c ASOF LEFT JOIN views v
+       |  ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_asof_join" -> (asofJoin, Some(asofJoinSql)),
     "a_rollup" -> (rollup, Some(rollupSql)),
     "a_cube" -> (cube, Some(cubeSql)),
     "a_exists_agg" -> (correlatedExists, Some(correlatedExistsSql)),

@@ -69,7 +69,9 @@ object Fixtures {
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     s.read.schema(schema).parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+      // integer division: epoch-ns exceeds double's 2^53 mantissa, so
+      // floor(ns / 1000.0) would be off by ±1 us
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   val eventsCte: String =
