@@ -8,8 +8,12 @@ import Fixtures._
 object MiscQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  private val pid = ProcessHandle.current().pid()
+
+  /** Per-process path: Bench and Verify must not race on the same
+    * scratch catalog. */
   private def tmpCatalog(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_catalog_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    s"${System.getProperty("java.io.tmpdir")}/graft_catalog_${pid}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
 
   /** K1 + S3: write the band-A layer through the catalog (zorder-sorted,
     * partitioned parquet), read it back pruned, pixelize. Round-trip
