@@ -34,7 +34,12 @@ object Classify {
     // Reference caps at 100 iterations (TestClassifierSVM.scala:46);
     // tol 1e-4 stops earlier once converged — same cap, less wasted work.
     val svc = new LinearSVC().setMaxIter(100).setRegParam(0.01).setTol(1e-4)
-    val cached = train.cache()
+    // Iterative optimizers pay one treeAggregate round per iteration;
+    // with small-per-executor data the round cost is per-partition job
+    // overhead, so size partitions to the data (AQE doesn't reach
+    // ml's internal RDD aggregations).
+    val parts = math.max(2, math.min(train.rdd.getNumPartitions, 8))
+    val cached = train.coalesce(parts).cache()
     try new OneVsRest().setClassifier(svc).setParallelism(8).fit(cached)
     finally cached.unpersist()
   }
