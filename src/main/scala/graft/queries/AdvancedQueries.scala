@@ -145,7 +145,72 @@ object AdvancedQueries {
        |FROM clicks c ASOF LEFT JOIN views v
        |  ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin
 
+  /** TPC-H Q3 shape: selective join + group + deterministic top-10. */
+  val shippingPriority: Q = (s, dir) =>
+    table(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate"))
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(revenue).as("revenue"), min(col("o_orderdate")).cast("date").as("o_date"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  val shippingPrioritySql: String =
+    s"""SELECT l_orderkey, ${dsumSql(revenueSql)} AS revenue,
+       |       CAST(MIN(o_orderdate) AS DATE) AS o_date
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
+       |GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** Dimension self-join (TPC-H Q7 shape): supplier-nation x
+    * customer-nation trade pairs. */
+  val nationPairs: Q = (s, dir) => {
+    val n1 = table(s, dir, "nation").select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val n2 = table(s, dir, "nation").select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+    table(s, dir, "lineitem")
+      .join(table(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sk"))
+      .join(broadcast(n2), col("c_nationkey") === col("ck"))
+      .where(col("supp_nation") < col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"))
+      .agg(dsum(revenue).as("revenue"), count(lit(1)).as("n"))
+  }
+
+  val nationPairsSql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |       ${dsumSql(revenueSql)} AS revenue, COUNT(*) AS n
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE n1.n_name < n2.n_name
+       |GROUP BY 1, 2""".stripMargin
+
+  /** HAVING + exact distinct count: parts ordered in >= 8 distinct
+    * orders. */
+  val havingDistinct: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(col("l_quantity")).cast("double").as("total_qty"))
+      .where(col("n_orders") >= 8)
+
+  val havingDistinctSql: String =
+    """SELECT l_partkey, COUNT(DISTINCT l_orderkey) AS n_orders,
+      |       CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+      |FROM lineitem GROUP BY 1 HAVING COUNT(DISTINCT l_orderkey) >= 8""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_shipping_priority" -> (shippingPriority, Some(shippingPrioritySql)),
+    "a_nation_pairs" -> (nationPairs, Some(nationPairsSql)),
+    "a_having_distinct" -> (havingDistinct, Some(havingDistinctSql)),
     "a_asof_join" -> (asofJoin, Some(asofJoinSql)),
     "a_rollup" -> (rollup, Some(rollupSql)),
     "a_cube" -> (cube, Some(cubeSql)),
