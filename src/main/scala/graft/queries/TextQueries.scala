@@ -215,7 +215,21 @@ object TextQueries {
        |       CAST(len(list_filter(range(1, $K + 1), i -> sa[i] = sb[i])) AS DOUBLE) / $K AS est_jaccard
        |FROM cand""".stripMargin
 
+  /** BPE-ish token counting (whitespace tokens vs pre-tokenizer units —
+    * the budget numbers an LLM data pipeline tracks per document). */
+  val bpeCount: Q = (s, dir) =>
+    docs(s, dir).select(col("doc_id"),
+      size(col("toks")).as("n_ws_tokens"),
+      size(TextOps.bpeTokens(col("text"))).as("n_bpe_tokens"))
+
+  val bpeCountSql: String =
+    s"""WITH $docsCte
+       |SELECT doc_id, CAST(len(toks) AS INT) AS n_ws_tokens,
+       |       CAST(len(regexp_extract_all(text, '${TextOps.BpePattern}')) AS INT) AS n_bpe_tokens
+       |FROM docs""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "t_bpe_tokens" -> (bpeCount, Some(bpeCountSql)),
     "t_text_stats" -> (textStats, Some(textStatsSql)),
     "t_quality_score" -> (quality, Some(qualitySql)),
     "t_lang_id" -> (langId, Some(langIdSql)),

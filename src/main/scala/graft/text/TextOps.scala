@@ -135,6 +135,15 @@ object TextOps {
     f(toks)
   }
 
+  /** BPE-ish pre-tokenization (the GPT-2 pattern family reduced to its
+    * ASCII core): letter runs, digit runs, punctuation runs — the unit
+    * count LLM pipelines budget by before byte-pair merges. Same regex
+    * semantics in Java and RE2, so oracle-safe. */
+  val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
   /** Marker-word profiles for the language-ID heuristic. */
   val langProfiles: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "das", "ist"),

@@ -1,0 +1,30 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase.spark
+
+class SamplingSpec extends AnyFunSuite {
+  import spark.implicits._
+  lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("seeded sampling is reproducible and roughly sized") {
+    val a = Sampling.uniform(emb, 0.3, seed = 7).select($"vec_id").as[Long].collect().toSet
+    val b = Sampling.uniform(emb, 0.3, seed = 7).select($"vec_id").as[Long].collect().toSet
+    assert(a == b)
+    assert(math.abs(a.size - 150) < 60) // 30% of 500, loose Bernoulli bound
+  }
+
+  test("stratified sampling honors per-class fractions") {
+    val s = Sampling.stratified(emb, "label", Map(0 -> 1.0, 1 -> 0.0), seed = 7)
+    val labels = s.select($"label").distinct().as[Int].collect().toSet
+    assert(labels.contains(0) && !labels.contains(1))
+  }
+
+  test("balanceClasses caps every class near the minority size") {
+    val bal = Sampling.balanceClasses(emb, "label", seed = 7)
+    val counts = bal.groupBy($"label").count().select($"count").as[Long].collect()
+    val minOrig = emb.groupBy($"label").count().agg(min($"count")).head().getLong(0)
+    assert(counts.forall(_ <= minOrig * 2)) // loose Bernoulli bound
+  }
+}
