@@ -105,7 +105,8 @@ object RasterQueries {
 
   /** F2: Getis-Ord G* hotspot (SpatialGetisOrd.scala:66-83): global
     * mean/stdev aggregated once and broadcast, then halo-based circular
-    * focal sum (radius 2), standardized per cell. */
+    * focal sum with the reference's kernel (circle radius 7,
+    * SpatialGetisOrd.scala:27), standardized per cell. */
   val getisOrd: Q = (s, dir) => {
     val tiles = tilesA(s, dir)
     val px = Raster.pixelize(tiles, TS)
@@ -114,7 +115,7 @@ object RasterQueries {
       sqrt(sum(col("v") * col("v")) / count(lit(1))
         - (sum(col("v")) / count(lit(1))) * (sum(col("v")) / count(lit(1)))).as("stddev_v"),
       count(lit(1)).cast("double").as("n_tot"))
-    Raster.focalSumCount(tiles, TS, TS, radius = 2)
+    Raster.focalSumCount(tiles, TS, TS, radius = 7)
       .crossJoin(broadcast(stats))
       .select(col("tile_col"), col("tile_row"), col("px"), col("py"),
         ((col("wsum") - col("mean_v") * col("wn"))
@@ -135,7 +136,7 @@ object RasterQueries {
        |focal AS (
        |  SELECT c.gx, c.gy, SUM(p.v) AS wsum, CAST(COUNT(*) AS DOUBLE) AS wn
        |  FROM cells c JOIN pga p
-       |    ON (p.gx - c.gx) * (p.gx - c.gx) + (p.gy - c.gy) * (p.gy - c.gy) <= 4
+       |    ON (p.gx - c.gx) * (p.gx - c.gx) + (p.gy - c.gy) * (p.gy - c.gy) <= 49
        |  GROUP BY 1, 2)
        |SELECT CAST(f.gx // $TS AS INT) AS tile_col, CAST(f.gy // $TS AS INT) AS tile_row,
        |       CAST(f.gx % $TS AS INT) AS px, CAST(f.gy % $TS AS INT) AS py,
