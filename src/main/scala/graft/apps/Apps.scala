@@ -38,12 +38,15 @@ object Apps {
   * tiled layer in the catalog. args: pixelParquet catalogDir layerName zoom */
 object IngestLayer {
   def main(args: Array[String]): Unit = {
-    val Array(input, catalog, layer, zoom) = args.take(4)
     val spark = Apps.session("IngestLayer")
+    try run(spark, args) finally spark.stop()
+  }
+
+  def run(spark: org.apache.spark.sql.SparkSession, args: Array[String]): Unit = {
+    val Array(input, catalog, layer, zoom) = args.take(4)
     val ts = Apps.tileSize
     val tiles = Raster.assemble(Apps.readPixels(spark, input), ts, ts)
     new LayerStore(spark, catalog).write(tiles, layer, zoom.toInt)
-    spark.stop()
   }
 }
 
@@ -52,8 +55,12 @@ object IngestLayer {
   * args: catalogDir nirLayer redLayer outLayer zoom */
 object NdviLayer {
   def main(args: Array[String]): Unit = {
-    val Array(catalog, nir, red, out, zoom) = args.take(5)
     val spark = Apps.session("NdviLayer")
+    try run(spark, args) finally spark.stop()
+  }
+
+  def run(spark: org.apache.spark.sql.SparkSession, args: Array[String]): Unit = {
+    val Array(catalog, nir, red, out, zoom) = args.take(5)
     val ts = Apps.tileSize
     val store = new LayerStore(spark, catalog)
     val ndvi = store.read(nir, zoom.toInt).withColumnRenamed("cells", "nir")
@@ -64,7 +71,6 @@ object NdviLayer {
     store.delete(out, Some(zoom.toInt))
     store.write(ndvi, out, zoom.toInt)
     Histograms.statistics(store.read(out, zoom.toInt), ts).show()
-    spark.stop()
   }
 }
 
@@ -72,13 +78,16 @@ object NdviLayer {
   * circular kernel. args: catalogDir layer outLayer zoom radius */
 object ConvolveLayer {
   def main(args: Array[String]): Unit = {
-    val Array(catalog, layer, out, zoom, radius) = args.take(5)
     val spark = Apps.session("ConvolveLayer")
+    try run(spark, args) finally spark.stop()
+  }
+
+  def run(spark: org.apache.spark.sql.SparkSession, args: Array[String]): Unit = {
+    val Array(catalog, layer, out, zoom, radius) = args.take(5)
     val ts = Apps.tileSize
     val store = new LayerStore(spark, catalog)
     store.write(Raster.focalMean(store.read(layer, zoom.toInt), ts, ts, radius.toInt),
       out, zoom.toInt)
-    spark.stop()
   }
 }
 
@@ -86,8 +95,12 @@ object ConvolveLayer {
   * down to 0. args: catalogDir layer maxZoom */
 object PyramidLayer {
   def main(args: Array[String]): Unit = {
-    val Array(catalog, layer, maxZoom) = args.take(3)
     val spark = Apps.session("PyramidLayer")
+    try run(spark, args) finally spark.stop()
+  }
+
+  def run(spark: org.apache.spark.sql.SparkSession, args: Array[String]): Unit = {
+    val Array(catalog, layer, maxZoom) = args.take(3)
     val ts = Apps.tileSize
     val store = new LayerStore(spark, catalog)
     var z = maxZoom.toInt
@@ -95,7 +108,6 @@ object PyramidLayer {
       store.write(Raster.pyramidUp(store.read(layer, z), ts, ts), layer, z - 1)
       z -= 1
     }
-    spark.stop()
   }
 }
 
@@ -103,12 +115,15 @@ object PyramidLayer {
   * args: catalogDir sourcePixels layer zoom */
 object UpdateLayer {
   def main(args: Array[String]): Unit = {
-    val Array(catalog, input, layer, zoom) = args.take(4)
     val spark = Apps.session("UpdateLayer")
+    try run(spark, args) finally spark.stop()
+  }
+
+  def run(spark: org.apache.spark.sql.SparkSession, args: Array[String]): Unit = {
+    val Array(catalog, input, layer, zoom) = args.take(4)
     val ts = Apps.tileSize
     val store = new LayerStore(spark, catalog)
     store.merge(Raster.assemble(Apps.readPixels(spark, input), ts, ts), layer, zoom.toInt)
-    spark.stop()
   }
 }
 
@@ -116,8 +131,12 @@ object UpdateLayer {
   * args: catalogDir layer zoom outCsvPath */
 object PixelizeLayer {
   def main(args: Array[String]): Unit = {
-    val Array(catalog, layer, zoom, out) = args.take(4)
     val spark = Apps.session("PixelizeLayer")
+    try run(spark, args) finally spark.stop()
+  }
+
+  def run(spark: org.apache.spark.sql.SparkSession, args: Array[String]): Unit = {
+    val Array(catalog, layer, zoom, out) = args.take(4)
     val ts = Apps.tileSize
     val store = new LayerStore(spark, catalog)
     val px = Raster.pixelize(store.read(layer, zoom.toInt), ts)
@@ -125,7 +144,6 @@ object PixelizeLayer {
         col("v").as("label"), array(col("v")).as("features"))
     Export.exportKeyedCsv(px, out,
       s"""{"layer":"$layer","zoom":$zoom,"tileSize":$ts,"cellType":"float64"}""")
-    spark.stop()
   }
 }
 
@@ -133,9 +151,13 @@ object PixelizeLayer {
   * args: catalogDir layer zoom outDir [stitched] */
 object ExportLayer {
   def main(args: Array[String]): Unit = {
+    val spark = Apps.session("ExportLayer")
+    try run(spark, args) finally spark.stop()
+  }
+
+  def run(spark: org.apache.spark.sql.SparkSession, args: Array[String]): Unit = {
     val Array(catalog, layer, zoom, out) = args.take(4)
     val stitched = args.length > 4 && args(4) == "stitched"
-    val spark = Apps.session("ExportLayer")
     val ts = Apps.tileSize
     val tiles = new LayerStore(spark, catalog).read(layer, zoom.toInt)
     if (stitched) {
@@ -143,7 +165,6 @@ object ExportLayer {
       val f = new java.io.PrintWriter(s"$out/stitched.pgm.txt")
       try { f.println(s"P2-ish $w $h"); f.println(cells.mkString(" ")) } finally f.close()
     } else Export.exportTiled(tiles, out, ts, ts)
-    spark.stop()
   }
 }
 
@@ -152,29 +173,35 @@ object ExportLayer {
   * args: catalogDir layer zoom tileCol tileRow outPng */
 object RenderTile {
   def main(args: Array[String]): Unit = {
-    val Array(catalog, layer, zoom, tc, tr, out) = args.take(6)
     val spark = Apps.session("RenderTile")
+    try run(spark, args) finally spark.stop()
+  }
+
+  def run(spark: org.apache.spark.sql.SparkSession, args: Array[String]): Unit = {
+    val Array(catalog, layer, zoom, tc, tr, out) = args.take(6)
     val ts = Apps.tileSize
     val store = new LayerStore(spark, catalog)
     val breaks = Histograms.quantileBreaks(store.read(layer, zoom.toInt), ts, 10)
     val tile = store.readTile(layer, zoom.toInt, tc.toInt, tr.toInt)
       .select(col("cells")).head().getSeq[Double](0)
     Export.renderPng(tile, ts, ts, breaks, out)
-    spark.stop()
   }
 }
 
 /** WordCount (WordCount.scala:17-27 parity). args: inTextFile outDir */
 object WordCountApp {
   def main(args: Array[String]): Unit = {
+    val spark = Apps.session("WordCountApp")
+    try run(spark, args) finally spark.stop()
+  }
+
+  def run(spark: org.apache.spark.sql.SparkSession, args: Array[String]): Unit = {
     val Array(in, out) = args.take(2)
-    val spark = Apps.session("WordCount")
     spark.read.text(in)
       .select(explode(split(col("value"), " ")).as("word"))
       .where(col("word") =!= "")
       .groupBy(col("word")).count()
       .select(concat_ws(",", col("word"), col("count")))
       .write.mode("overwrite").text(out)
-    spark.stop()
   }
 }
