@@ -17,17 +17,20 @@ import graft.functions.ZOrderKey.zorder
   *  - per-(layer, zoom) metadata + zoom-0 histogram as a JSON sidecar
   *    `_attributes` table (Utils.scala:85-89 `histogramData`).
   */
-class LayerStore(spark: SparkSession, root: String) {
+class LayerStore(spark: SparkSession, val root: String) {
 
   private def layerPath(name: String, zoom: Int) =
     s"$root/tiles/layer_name=$name/zoom=$zoom"
 
   /** K1: delete-then-write with Z-curve ordering (api/package.scala:130-146). */
   def write(tiles: DataFrame, name: String, zoom: Int): Unit =
+    writeTo(tiles, layerPath(name, zoom))
+
+  private def writeTo(tiles: DataFrame, path: String): Unit =
     tiles
       .repartition(col("tile_col"), col("tile_row"))
       .sortWithinPartitions(zorder(col("tile_col").cast("int"), col("tile_row").cast("int")))
-      .write.mode(SaveMode.Overwrite).parquet(layerPath(name, zoom))
+      .write.mode(SaveMode.Overwrite).parquet(path)
 
   /** K1 space-time variant: SpaceTimeKey layers sort by Hilbert distance
     * within each time bucket (HilbertKeyIndexMethod,
@@ -56,15 +59,29 @@ class LayerStore(spark: SparkSession, root: String) {
     read(name, zoom).where(col("tile_col") === tileCol && col("tile_row") === tileRow)
 
   /** K2: merge/upsert — read existing, cell-wise incoming-wins merge,
-    * overwrite (api/package.scala:328-385). */
+    * overwrite (api/package.scala:328-385).
+    *
+    * Durability: the merged output is fully written to a staging dir
+    * *before* the live dir is touched, then swapped in by rename. The
+    * old cache-then-overwrite approach could silently corrupt — Spark's
+    * cache is not durable, and a partition evicted after the overwrite
+    * deletes the source files forces a lineage recompute against the
+    * destroyed input. With stage-then-swap the merge plan's source files
+    * stay intact until the new data is durably on disk, so recompute is
+    * always safe and a crash leaves either the old layer or the new one,
+    * never a mix. */
   def merge(incoming: DataFrame, name: String, zoom: Int): Unit = {
-    val merged =
-      if (exists(name, zoom)) graft.ops.Raster.mergeLayers(read(name, zoom), incoming)
-      else incoming
-    val tmp = merged.cache()
-    tmp.count() // materialize before overwriting the source we read
-    write(tmp, name, zoom)
-    tmp.unpersist()
+    if (!exists(name, zoom)) { write(incoming, name, zoom); return }
+    val merged = graft.ops.Raster.mergeLayers(read(name, zoom), incoming)
+    val live = layerPath(name, zoom)
+    val staging = s"$root/.staging/layer_name=$name/zoom=$zoom"
+    writeTo(merged, staging) // live files untouched; lineage can still recompute
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val retired = Paths.get(staging + ".retired")
+    rmTree(retired.toFile)
+    Files.move(Paths.get(live), retired, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(staging), Paths.get(live), StandardCopyOption.ATOMIC_MOVE)
+    rmTree(retired.toFile)
   }
 
   /** S9: catalog listing. */
@@ -81,14 +98,15 @@ class LayerStore(spark: SparkSession, root: String) {
 
   /** K3: delete one zoom or all zooms of a layer (api/package.scala:67-102). */
   def delete(name: String, zoom: Option[Int] = None): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
     val target = zoom match {
       case Some(z) => new java.io.File(layerPath(name, z))
       case None => new java.io.File(s"$root/tiles/layer_name=$name")
     }
-    if (target.exists()) rm(target)
+    rmTree(target)
+  }
+
+  private def rmTree(f: java.io.File): Unit = if (f.exists()) {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(): Unit
   }
 }

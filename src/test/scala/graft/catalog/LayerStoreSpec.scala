@@ -44,6 +44,27 @@ class LayerStoreSpec extends AnyFunSuite {
     assert(cells(0) == 100.0)
   }
 
+  test("merge is durable: no cache dependence, lineage on the live layer survives the swap") {
+    val store = freshStore()
+    store.write(tiles(0), "d", 2)
+    // incoming derives lazily from the live layer itself — under the old
+    // cache-then-overwrite merge, an evicted cache partition would force a
+    // recompute against the files the overwrite had just deleted. With
+    // stage-then-swap the plan's source files stay intact until the merged
+    // output is durably written, so an unpersisted/evicted plan is safe.
+    val incoming = store.read("d", 2)
+      .where($"tile_col" === 0 && $"tile_row" === 0)
+      .select($"tile_col", $"tile_row", transform($"cells", c => c + 1000.0).as("cells"))
+    spark.sharedState.cacheManager.clearCache() // nothing cached may rescue the merge
+    store.merge(incoming, "d", 2)
+    val cells = store.readTile("d", 2, 0, 0).select($"cells").as[Seq[Double]].head()
+    assert(cells(0) == 1000.0 && cells.last == 1000.0 + 2 * (TS - 1))
+    assert(store.read("d", 2).count() == 4) // untouched tiles survive
+    // staging + retired dirs are cleaned up after the swap
+    val staged = new java.io.File(store.root + "/.staging/layer_name=d")
+    assert(!staged.exists() || staged.listFiles().isEmpty)
+  }
+
   test("zooms listing, exists, delete") {
     val store = freshStore()
     store.write(tiles(0), "z", 1)
