@@ -19,6 +19,31 @@ object TileMath {
 
   @inline def isData(v: Double): Boolean = !java.lang.Double.isNaN(v)
 
+  /** Halo geometry: for a contributor tile at offset (dcol, drow) relative
+    * to the target, the contributor-local [xlo, xhi) x [ylo, yhi) cell
+    * range the target's pad-wide apron needs. (0,0) → the whole tile;
+    * edges → a pad-wide strip; corners → a pad x pad square. Shared by
+    * the margin slicer (ship side) and PadAssemble (assembly side). */
+  def haloBounds(dcol: Int, drow: Int, cols: Int, rows: Int, pad: Int): (Int, Int, Int, Int) = {
+    val xlo = math.max(0, -pad - dcol * cols)
+    val xhi = math.min(cols, cols + pad - dcol * cols)
+    val ylo = math.max(0, -pad - drow * rows)
+    val yhi = math.min(rows, rows + pad - drow * rows)
+    (xlo, xhi, ylo, yhi)
+  }
+
+  /** Row-major copy of the sub-rectangle [xlo, xhi) x [ylo, yhi). */
+  def sliceRect(cells: Array[Double], cols: Int, xlo: Int, xhi: Int, ylo: Int, yhi: Int): Array[Double] = {
+    val w = xhi - xlo
+    val out = new Array[Double]((yhi - ylo) * w)
+    var y = ylo
+    while (y < yhi) {
+      System.arraycopy(cells, xlo + y * cols, out, (y - ylo) * w, w)
+      y += 1
+    }
+    out
+  }
+
   def empty(cols: Int, rows: Int): Array[Double] = {
     val a = new Array[Double](cols * rows)
     java.util.Arrays.fill(a, Double.NaN)

@@ -68,23 +68,49 @@ object Raster {
           .otherwise(mergeCells(col("cells_old"), col("cells_new"))).as("cells"))
   }
 
+  case class HaloContribution(dc: Int, dr: Int, cells: Seq[Double])
+
+  /** Margin slicer (ship side of the halo exchange): a tile contributes
+    * its whole self to (0,0) and only a pad-wide strip / pad x pad corner
+    * to each of its 8 neighbors — GeoTrellis `bufferTiles` ships exactly
+    * these margins. */
+  private val marginsUdf = udf((cells: Seq[Double], cols: Int, rows: Int, pad: Int) => {
+    val arr = cells.toArray
+    (for (dr <- -1 to 1; dc <- -1 to 1) yield {
+      if (dc == 0 && dr == 0) HaloContribution(0, 0, cells)
+      else {
+        // contribution to target (tc+dc, tr+dr): contributor offset
+        // relative to that target is (-dc, -dr)
+        val (xlo, xhi, ylo, yhi) = TileMath.haloBounds(-dc, -dr, cols, rows, pad)
+        HaloContribution(dc, dr, TileMath.sliceRect(arr, cols, xlo, xhi, ylo, yhi).toSeq)
+      }
+    }).toSeq
+  })
+
   /** Halo exchange (R8, bufferTiles ConvolveLayerExample.scala:69): each
-    * tile is sent to itself and its 8 neighbors (one shuffle), then a
-    * padded array is assembled per target key. Returns
+    * tile ships itself plus 8 *margin slices* (one shuffle carrying
+    * ~(1 + 2*pad*(cols+rows)/(cols*rows))x the layer — ~1.1x at 256/7,
+    * not 9x), then a padded array is assembled per target key. Returns
     * (tile_col, tile_row, padded ARRAY<DOUBLE> of (cols+2p)x(rows+2p)). */
   def withHalo(tiles: DataFrame, cols: Int, rows: Int, pad: Int): DataFrame = {
-    val offsets = array((for (dr <- -1 to 1; dc <- -1 to 1)
-      yield struct(lit(dc).as("dc"), lit(dr).as("dr"))): _*)
+    require(pad <= cols && pad <= rows, s"pad $pad exceeds tile size ${cols}x$rows")
     val pa = udaf(new TileAggregators.PadAssemble(cols, rows, pad),
       ExpressionEncoder[TileAggregators.NeighborIn]())
     tiles
-      .select(col("tile_col"), col("tile_row"), col("cells"), explode(offsets).as("o"))
+      .select(col("tile_col"), col("tile_row"),
+        explode(marginsUdf(col("cells"), lit(cols), lit(rows), lit(pad))).as("m"))
       .select(
-        (col("tile_col") + col("o.dc")).as("tile_col"),
-        (col("tile_row") + col("o.dr")).as("tile_row"),
-        (-col("o.dc")).as("dcol"), (-col("o.dr")).as("drow"), col("cells"))
+        (col("tile_col") + col("m.dc")).as("tile_col"),
+        (col("tile_row") + col("m.dr")).as("tile_row"),
+        (-col("m.dc")).as("dcol"), (-col("m.dr")).as("drow"), col("m.cells").as("cells"))
       // target must itself exist: inner-join back onto the layer's keys
       .join(tiles.select(col("tile_col"), col("tile_row")).distinct(), Seq("tile_col", "tile_row"))
+      // shuffle the *raw margin rows*, not partial-agg buffers: PadAssemble's
+      // buffer is the dense padded array, so letting the aggregation's own
+      // exchange run partial-first would ship up to 9 dense buffers per
+      // target key — pre-partitioning on the group key satisfies the agg's
+      // distribution requirement and keeps the wire volume at ~1.1x.
+      .repartition(col("tile_col"), col("tile_row"))
       .groupBy(col("tile_col"), col("tile_row"))
       .agg(pa(col("dcol"), col("drow"), col("cells")).as("padded"))
   }

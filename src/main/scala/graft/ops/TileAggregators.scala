@@ -45,28 +45,29 @@ object TileAggregators {
 
   case class NeighborIn(dcol: Int, drow: Int, cells: Seq[Double])
 
-  /** Halo exchange assembly: the target tile plus margins of its 8
-    * neighbors → one padded (cols+2*pad) x (rows+2*pad) array. Input rows
-    * carry the *offset of the contributing tile relative to the target*
-    * (dcol, drow in -1..1). Replaces GeoTrellis `bufferTiles`. */
+  /** Halo exchange assembly: the target tile plus pad-wide margins of its
+    * 8 neighbors → one padded (cols+2*pad) x (rows+2*pad) array. Input
+    * rows carry the *offset of the contributing tile relative to the
+    * target* (dcol, drow in -1..1) and ONLY the slice of the contributor
+    * the target needs (TileMath.haloBounds — whole tile for self, strip /
+    * corner for neighbors), so the shuffle carries ~1.1x the layer, not
+    * 9x. Replaces GeoTrellis `bufferTiles`. */
   class PadAssemble(cols: Int, rows: Int, pad: Int) extends Aggregator[NeighborIn, Array[Double], Seq[Double]] {
     private val pc = cols + 2 * pad
     private val pr = rows + 2 * pad
     def zero: Array[Double] = TileMath.empty(pc, pr)
     def reduce(b: Array[Double], n: NeighborIn): Array[Double] = {
-      val cells = n.cells
-      // neighbor-local (xn, yn) sits at target-local (dcol*cols + xn, drow*rows + yn)
-      val xlo = math.max(0, -pad - n.dcol * cols)
-      val xhi = math.min(cols, cols + pad - n.dcol * cols)
-      val ylo = math.max(0, -pad - n.drow * rows)
-      val yhi = math.min(rows, rows + pad - n.drow * rows)
+      // slice covers contributor-local [xlo,xhi)x[ylo,yhi); cell (xn, yn)
+      // sits at target-local (dcol*cols + xn, drow*rows + yn)
+      val (xlo, xhi, ylo, yhi) = TileMath.haloBounds(n.dcol, n.drow, cols, rows, pad)
+      val w = xhi - xlo
       var yn = ylo
       while (yn < yhi) {
         val ty = n.drow * rows + yn + pad
         var xn = xlo
         while (xn < xhi) {
           val tx = n.dcol * cols + xn + pad
-          b(tx + ty * pc) = cells(xn + yn * cols)
+          b(tx + ty * pc) = n.cells((xn - xlo) + (yn - ylo) * w)
           xn += 1
         }
         yn += 1

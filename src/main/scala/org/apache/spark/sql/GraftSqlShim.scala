@@ -9,4 +9,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Block until all queued listener events are delivered — lets tests
+    * read SparkListener-collected metrics deterministically. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

@@ -95,6 +95,33 @@ class RasterOpsSpec extends AnyFunSuite {
     assert(m.size == 16 + 16 - 4) // union of both rects
   }
 
+  test("halo exchange ships margins, not 9x whole tiles") {
+    val ts = 32
+    val grid = 6
+    val full = (for (tc <- 0 until grid; tr <- 0 until grid) yield (tc, tr))
+      .toDF("tile_col", "tile_row")
+      .withColumn("cells", expr(s"transform(sequence(0, ${ts * ts - 1}), i -> cast(i as double))"))
+      .cache()
+    full.count() // materialize so the measured job is only the halo exchange
+    val layerBytes = grid.toLong * grid * ts * ts * 8
+    var shuffleWrite = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleWrite += s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(Raster.withHalo(full, ts, ts, 2).count() == grid * grid)
+      org.apache.spark.sql.GraftSqlShim.drainListenerBus(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    full.unpersist()
+    // margins at pad=2/ts=32 are ~1.26x the layer; whole-tile 9-way explode
+    // (or partial-agg buffers on the wire) would be ~9x. Allow 3x for
+    // serialization overhead and the broadcast-join side.
+    assert(shuffleWrite < 3 * layerBytes,
+      s"halo shuffled $shuffleWrite bytes for a $layerBytes-byte layer (>3x)")
+  }
+
   test("focalMean radius1 equals TileMath kernel on assembled layer") {
     val tiles = Raster.assemble(pixels, TS, TS)
     val got = Raster.pixelize(Raster.focalMean(tiles, TS, TS, 1), TS).collect()
