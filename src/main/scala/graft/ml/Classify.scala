@@ -26,6 +26,17 @@ object Classify {
     (train, test)
   }
 
+  /** Partition count sized to the data volume: ~16 MiB of vector rows
+    * per partition (min 2, capped at 10k for treeAggregate sanity).
+    * Iterative optimizers pay one treeAggregate round per iteration, so
+    * partition count is the per-iteration task overhead — a constant cap
+    * would either waste rounds on tiny data or strangle a 100x training
+    * set; sizing by bytes scales both ways. */
+  def sizedPartitions(rows: Long, bytesPerRow: Long, targetBytes: Long = 16L << 20): Int = {
+    val rowsPerPart = math.max(1L, targetBytes / math.max(1L, bytesPerRow))
+    math.max(1L, math.min(10000L, (rows + rowsPerPart - 1) / rowsPerPart)).toInt
+  }
+
   /** M2: train OVA linear SVM. The per-class submodels are independent
     * (reference trains them in a sequential loop,
     * SVMMultiClass.scala:88-111) — parallelism 8 trains them
@@ -34,12 +45,19 @@ object Classify {
     // Reference caps at 100 iterations (TestClassifierSVM.scala:46);
     // tol 1e-4 stops earlier once converged — same cap, less wasted work.
     val svc = new LinearSVC().setMaxIter(100).setRegParam(0.01).setTol(1e-4)
-    // Iterative optimizers pay one treeAggregate round per iteration;
-    // with small-per-executor data the round cost is per-partition job
-    // overhead, so size partitions to the data (AQE doesn't reach
-    // ml's internal RDD aggregations).
-    val parts = math.max(2, math.min(train.rdd.getNumPartitions, 8))
-    val cached = train.coalesce(parts).cache()
+    // one sizing job: <1% of a 100-iteration fit, and AQE doesn't reach
+    // ml's internal RDD aggregations so we must size explicitly. Each
+    // treeAggregate round pays a barrier per partition, so tiny data
+    // trains fastest on ONE partition (measured: 1 part 8.6s vs 8 parts
+    // 22.8s at sf0.1) while a 100x training set gets 16 MiB partitions.
+    val sz = train.agg(count(lit(1)), first(col("features"))).head()
+    val rows = sz.getLong(0)
+    val dim = sz.getAs[org.apache.spark.ml.linalg.Vector](1).size
+    val parts = sizedPartitions(rows, 8L * dim + 32)
+    val sized = if (parts < train.rdd.getNumPartitions) train.coalesce(parts)
+                else if (parts == train.rdd.getNumPartitions) train
+                else train.repartition(parts)
+    val cached = sized.cache()
     try new OneVsRest().setClassifier(svc).setParallelism(8).fit(cached)
     finally cached.unpersist()
   }

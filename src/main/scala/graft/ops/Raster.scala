@@ -68,24 +68,31 @@ object Raster {
           .otherwise(mergeCells(col("cells_old"), col("cells_new"))).as("cells"))
   }
 
-  case class HaloContribution(dc: Int, dr: Int, cells: Seq[Double])
-
   /** Margin slicer (ship side of the halo exchange): a tile contributes
     * its whole self to (0,0) and only a pad-wide strip / pad x pad corner
     * to each of its 8 neighbors — GeoTrellis `bufferTiles` ships exactly
-    * these margins. */
-  private val marginsUdf = udf((cells: Seq[Double], cols: Int, rows: Int, pad: Int) => {
-    val arr = cells.toArray
-    (for (dr <- -1 to 1; dc <- -1 to 1) yield {
-      if (dc == 0 && dr == 0) HaloContribution(0, 0, cells)
-      else {
-        // contribution to target (tc+dc, tr+dr): contributor offset
-        // relative to that target is (-dc, -dr)
-        val (xlo, xhi, ylo, yhi) = TileMath.haloBounds(-dc, -dr, cols, rows, pad)
-        HaloContribution(dc, dr, TileMath.sliceRect(arr, cols, xlo, xhi, ylo, yhi).toSeq)
-      }
-    }).toSeq
-  })
+    * these margins. Built from codegen'd `slice`/`transform` expressions
+    * (full-width strips are a contiguous `slice`; strided strips index
+    * through a `sequence` — no UDF ser/de round-trip on the hot path). */
+  private def marginSliceCol(cells: Column, cols: Int, rows: Int, pad: Int,
+                             dcol: Int, drow: Int): Column = {
+    val (xlo, xhi, ylo, yhi) = TileMath.haloBounds(dcol, drow, cols, rows, pad)
+    val w = xhi - xlo
+    val h = yhi - ylo
+    if (w == cols) slice(cells, ylo * cols + 1, h * cols) // contiguous rows
+    else transform(sequence(lit(0), lit(w * h - 1)), i =>
+      element_at(cells,
+        ((i - pmod(i, lit(w))) / w).cast("int") * cols + pmod(i, lit(w)) + lit(ylo * cols + xlo + 1)))
+  }
+
+  private def contributions(cells: Column, cols: Int, rows: Int, pad: Int): Column =
+    array((for (dr <- -1 to 1; dc <- -1 to 1) yield {
+      // contribution to target (tc+dc, tr+dr): contributor offset
+      // relative to that target is (-dc, -dr)
+      val sl = if (dc == 0 && dr == 0) cells
+               else marginSliceCol(cells, cols, rows, pad, -dc, -dr)
+      struct(lit(dc).as("dc"), lit(dr).as("dr"), sl.as("cells"))
+    }): _*)
 
   /** Halo exchange (R8, bufferTiles ConvolveLayerExample.scala:69): each
     * tile ships itself plus 8 *margin slices* (one shuffle carrying
@@ -98,7 +105,7 @@ object Raster {
       ExpressionEncoder[TileAggregators.NeighborIn]())
     tiles
       .select(col("tile_col"), col("tile_row"),
-        explode(marginsUdf(col("cells"), lit(cols), lit(rows), lit(pad))).as("m"))
+        explode(contributions(col("cells"), cols, rows, pad)).as("m"))
       .select(
         (col("tile_col") + col("m.dc")).as("tile_col"),
         (col("tile_row") + col("m.dr")).as("tile_row"),

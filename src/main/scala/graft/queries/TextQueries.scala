@@ -104,20 +104,41 @@ object TextQueries {
     """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
-  /** n-gram Jaccard near-dup: 3-gram shingle sets, candidate pairs via
-    * shared-shingle join (never all-pairs), exact Jaccard on int
-    * set sizes. */
+  /** Hot-shingle document-frequency cap: a shingle occurring in f docs
+    * emits f^2 candidate-pair rows on ONE join key, so stop-phrase
+    * shingles ("of the and") produce quadratic blowup + maximal skew on
+    * exactly the keys a real corpus has most of. Dropping shingles with
+    * df > cap before the self-join bounds every join key at cap^2 rows;
+    * the Jaccard is then computed over the filtered (discriminative)
+    * shingle universe on both sides, so the oracle stays exact. */
+  private val MaxShingleDf = 64
+
+  /** n-gram Jaccard near-dup via capped posting lists: ONE shuffle of
+    * (doc, shingle-hash) rows groups each shingle's doc list (size-capped
+    * — a hot stop-phrase shingle costs O(cap) memory and is dropped, not
+    * f^2 join rows on one key); candidate pairs explode from lists of
+    * <= cap docs (never all-pairs, never a self-join); exact Jaccard on
+    * int set sizes over the capped shingle universe. */
   val ngramJaccard: Q = (s, dir) => {
-    // join on the 60-bit shingle hash, not the string: 8-byte shuffle
+    // group on the 60-bit shingle hash, not the string: 8-byte shuffle
     // keys instead of ~20-byte strings (same oracle family)
-    val sh = docs(s, dir).select(col("doc_id"),
+    val shAll = docs(s, dir).select(col("doc_id"),
       explode(array_distinct(TextOps.shingles3(col("toks")))).as("shs"))
       .select(col("doc_id"), TextOps.h60(col("shs")).as("sh"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.select(col("doc_id").as("a"), col("sh"))
-      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
-      .where(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    val post = udaf(new TextOps.CappedPostingList(MaxShingleDf),
+      org.apache.spark.sql.Encoders.scalaLong)
+    // both consumers below share this aggregation's exchange (ReusedExchange)
+    val lists = shAll.groupBy(col("sh")).agg(post(col("doc_id")).as("ds"))
+      .where(size(col("ds")) <= MaxShingleDf)
+    val sizes = lists.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // ds is sorted -> (ds(i), ds(j)) for i<j gives a<b directly
+    val combos = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
+        struct(x.as("a"), y.as("b")))))
+    val pairs = lists.where(size(col("ds")) >= 2)
+      .select(explode(combos).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(count(lit(1)).as("inter"))
     pairs
       .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
       .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
@@ -128,10 +149,12 @@ object TextQueries {
 
   val ngramJaccardSql: String =
     s"""WITH $docsCte,
-       |sh AS (
+       |sh_all AS (
        |  SELECT DISTINCT doc_id, ${TextOps.h60Sql("g.shs")} AS sh
        |  FROM docs, unnest(list_transform(range(1, len(toks) - 1),
        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) g(shs)),
+       |hot AS (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) > $MaxShingleDf),
+       |sh AS (SELECT * FROM sh_all WHERE sh NOT IN (SELECT sh FROM hot)),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
        |pairs AS (
        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter

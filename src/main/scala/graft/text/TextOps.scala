@@ -16,6 +16,28 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Size-capped distinct posting list: collects up to cap+1 doc ids per
+    * key, so a hot key (a stop-phrase shingle in millions of docs) costs
+    * O(cap) memory instead of an unbounded collect_list — the consumer
+    * drops keys that overflowed (size > cap). Sorted + deduped on finish
+    * for deterministic pair emission. */
+  class CappedPostingList(cap: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Seq[Long]] {
+    private val keep = cap + 1 // one extra marks overflow
+    def zero: Array[Long] = Array.empty[Long]
+    def reduce(b: Array[Long], v: Long): Array[Long] =
+      if (b.length >= keep) b else b :+ v
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val m = a ++ b
+      if (m.length > keep) m.take(keep) else m
+    }
+    def finish(b: Array[Long]): Seq[Long] = b.distinct.sorted.toSeq
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** Whitespace tokenization: split on single spaces, drop empties. */
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")

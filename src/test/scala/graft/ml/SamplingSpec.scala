@@ -8,6 +8,16 @@ class SamplingSpec extends AnyFunSuite {
   import spark.implicits._
   lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
 
+  test("training partitions scale with data volume, not a constant cap") {
+    val perRow = 8L * 64 + 32 // 64-dim vectors
+    val small = Classify.sizedPartitions(2000, perRow)
+    assert(small == 1) // tiny data -> one partition (no treeAggregate barrier waste)
+    val big = Classify.sizedPartitions(2000L * 1000, perRow)
+    assert(big > small, s"10^3x rows should raise partitions, got $big")
+    assert(Classify.sizedPartitions(2000L * 10000, perRow) > big) // keeps scaling
+    assert(Classify.sizedPartitions(Long.MaxValue / perRow, perRow) == 10000) // sane cap
+  }
+
   test("seeded sampling is reproducible and roughly sized") {
     val a = Sampling.uniform(emb, 0.3, seed = 7).select($"vec_id").as[Long].collect().toSet
     val b = Sampling.uniform(emb, 0.3, seed = 7).select($"vec_id").as[Long].collect().toSet
