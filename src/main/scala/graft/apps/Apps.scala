@@ -181,7 +181,10 @@ object RenderTile {
     val Array(catalog, layer, zoom, tc, tr, out) = args.take(6)
     val ts = Apps.tileSize
     val store = new LayerStore(spark, catalog)
-    val breaks = Histograms.quantileBreaks(store.read(layer, zoom.toInt), ts, 10)
+    // breaks come from the persisted _attributes histogram (zero jobs,
+    // ServeLayerAsMap.scala:90-92 parity); only the point read runs a job
+    val breaks = store.readAttributes(layer, zoom.toInt).map(_.quantileBreaks(10))
+      .getOrElse(Histograms.quantileBreaks(store.read(layer, zoom.toInt), ts, 10))
     val tile = store.readTile(layer, zoom.toInt, tc.toInt, tr.toInt)
       .select(col("cells")).head().getSeq[Double](0)
     Export.renderPng(tile, ts, ts, breaks, out)

@@ -22,15 +22,70 @@ class LayerStore(spark: SparkSession, val root: String) {
   private def layerPath(name: String, zoom: Int) =
     s"$root/tiles/layer_name=$name/zoom=$zoom"
 
-  /** K1: delete-then-write with Z-curve ordering (api/package.scala:130-146). */
-  def write(tiles: DataFrame, name: String, zoom: Int): Unit =
+  /** K1: delete-then-write with Z-curve ordering (api/package.scala:130-146),
+    * then the `_attributes.json` sidecar (metadata + exact binned
+    * histogram — Utils.scala:85-89 persists `histogramData` so the tile
+    * server never re-aggregates the layer). The sidecar lives INSIDE the
+    * layer dir: underscore-prefixed files are invisible to Spark's
+    * parquet scan, and the merge swap moves data + attributes atomically. */
+  def write(tiles: DataFrame, name: String, zoom: Int,
+            tileSize: Int = graft.core.TileMath.DefaultTileSize,
+            crs: String = "EPSG:4326", binWidth: Double = 1.0,
+            withAttributes: Boolean = true): Unit = {
     writeTo(tiles, layerPath(name, zoom))
+    if (withAttributes) writeAttrs(layerPath(name, zoom), tileSize, crs, binWidth)
+  }
 
   private def writeTo(tiles: DataFrame, path: String): Unit =
     tiles
       .repartition(col("tile_col"), col("tile_row"))
       .sortWithinPartitions(zorder(col("tile_col").cast("int"), col("tile_row").cast("int")))
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Compute + persist the sidecar from the just-written parquet (reading
+    * back prunes to exactly the needed columns; the input lineage might
+    * be arbitrarily expensive to re-evaluate). Two bounded jobs: a
+    * key-column scan for bounds, one pixel pass for the histogram. */
+  private def writeAttrs(path: String, tileSize: Int, crs: String, binWidth: Double): Unit = {
+    val tiles = spark.read.parquet(path)
+    val schemaJson = tiles.schema.json // read() supplies it -> no footer-inference job
+    val b = tiles.agg(
+      min(col("tile_col")).as("c0"), max(col("tile_col")).as("c1"),
+      min(col("tile_row")).as("r0"), max(col("tile_row")).as("r1"),
+      count(lit(1)).as("n")).head()
+    val hist = graft.ops.Raster.pixelize(tiles, tileSize)
+      .groupBy(floor(col("v") / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect() // bounded by the value range / binWidth, not layer size
+    val attrs = LayerAttributes(
+      cellType = "float64", crs = crs, tileCols = tileSize, tileRows = tileSize,
+      minCol = if (b.isNullAt(0)) 0 else b.getInt(0),
+      maxCol = if (b.isNullAt(1)) -1 else b.getInt(1),
+      minRow = if (b.isNullAt(2)) 0 else b.getInt(2),
+      maxRow = if (b.isNullAt(3)) -1 else b.getInt(3),
+      nTiles = b.getLong(4),
+      nCells = hist.map(_.getLong(1)).sum,
+      minV = if (hist.isEmpty) Double.NaN else hist.map(_.getDouble(2)).min,
+      maxV = if (hist.isEmpty) Double.NaN else hist.map(_.getDouble(3)).max,
+      binWidth = binWidth,
+      bins = hist.map(_.getLong(0)).toSeq.sorted,
+      counts = hist.sortBy(_.getLong(0)).map(_.getLong(1)).toSeq,
+      extent =
+        if (b.isNullAt(0)) Seq.empty
+        else Seq(b.getInt(0).toDouble * tileSize, b.getInt(2).toDouble * tileSize,
+                 (b.getInt(1) + 1).toDouble * tileSize, (b.getInt(3) + 1).toDouble * tileSize),
+      schemaJson = Some(schemaJson))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/_attributes.json"),
+      LayerAttributes.toJson(attrs).getBytes("UTF-8")): Unit
+  }
+
+  /** S9: read the attribute sidecar (None for pre-sidecar layers). */
+  def readAttributes(name: String, zoom: Int): Option[LayerAttributes] = {
+    val f = java.nio.file.Paths.get(s"${layerPath(name, zoom)}/_attributes.json")
+    if (java.nio.file.Files.exists(f))
+      Some(LayerAttributes.fromJson(new String(java.nio.file.Files.readAllBytes(f), "UTF-8")))
+    else None
+  }
 
   /** K1 space-time variant: SpaceTimeKey layers sort by Hilbert distance
     * within each time bucket (HilbertKeyIndexMethod,
@@ -48,9 +103,16 @@ class LayerStore(spark: SparkSession, val root: String) {
     time.fold(df)(t => df.where(col("time") === t))
   }
 
-  /** S3: pruned read of one (layer, zoom). */
-  def read(name: String, zoom: Int): DataFrame =
-    spark.read.parquet(layerPath(name, zoom))
+  /** S3: pruned read of one (layer, zoom). The sidecar's persisted schema
+    * skips parquet footer inference (one fewer job per read — the
+    * attribute store playing the reference's Metadata role,
+    * api/package.scala:62-65). */
+  def read(name: String, zoom: Int): DataFrame = {
+    val schema = readAttributes(name, zoom).flatMap(_.schemaJson)
+      .map(js => org.apache.spark.sql.types.DataType.fromJson(js)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    schema.fold(spark.read)(s => spark.read.schema(s)).parquet(layerPath(name, zoom))
+  }
 
   /** S10: point lookup of a single tile — parquet predicate pushdown +
     * zorder-sorted row groups replace the reference's indexed
@@ -70,12 +132,16 @@ class LayerStore(spark: SparkSession, val root: String) {
     * stay intact until the new data is durably on disk, so recompute is
     * always safe and a crash leaves either the old layer or the new one,
     * never a mix. */
-  def merge(incoming: DataFrame, name: String, zoom: Int): Unit = {
-    if (!exists(name, zoom)) { write(incoming, name, zoom); return }
+  def merge(incoming: DataFrame, name: String, zoom: Int,
+            tileSize: Int = graft.core.TileMath.DefaultTileSize,
+            crs: String = "EPSG:4326", binWidth: Double = 1.0,
+            withAttributes: Boolean = true): Unit = {
+    if (!exists(name, zoom)) { write(incoming, name, zoom, tileSize, crs, binWidth, withAttributes); return }
     val merged = graft.ops.Raster.mergeLayers(read(name, zoom), incoming)
     val live = layerPath(name, zoom)
     val staging = s"$root/.staging/layer_name=$name/zoom=$zoom"
     writeTo(merged, staging) // live files untouched; lineage can still recompute
+    if (withAttributes) writeAttrs(staging, tileSize, crs, binWidth) // swapped in with the data
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val retired = Paths.get(staging + ".retired")
     rmTree(retired.toFile)

@@ -42,6 +42,34 @@ object MiscQueries {
        |SELECT tile_col, tile_row, px, py, v FROM pxa
        |WHERE tile_col = 1 AND tile_row = 2""".stripMargin
 
+  /** S9/K1: attribute-store round-trip — write the band-A layer, then
+    * surface the PERSISTED `_attributes` sidecar histogram (not a live
+    * aggregation) as rows. The oracle recomputes the same fixed-width
+    * bins relationally, so a hash match proves the sidecar holds the
+    * exact cell distribution the tile server renders through
+    * (Utils.scala:85-89 / ServeLayerAsMap.scala:90-92). */
+  val attributes: Q = (s, dir) => {
+    import s.implicits._
+    val store = new graft.catalog.LayerStore(s, tmpCatalog(dir) + "_attr")
+    store.write(tilesA(s, dir), "band_a", 10, tileSize = TS, binWidth = 8.0)
+    val a = store.readAttributes("band_a", 10).get
+    a.bins.zip(a.counts).toDF("bin", "n")
+      .select(col("bin"), col("n"),
+        lit(a.nTiles).as("n_tiles"), lit(a.minCol).as("min_col"), lit(a.maxCol).as("max_col"),
+        lit(a.minRow).as("min_row"), lit(a.maxRow).as("max_row"))
+  }
+
+  val attributesSql: String =
+    s"""WITH $pxCte,
+       |b AS (SELECT CAST(FLOOR(v / 8) AS BIGINT) AS bin, COUNT(*) AS n FROM pxa GROUP BY 1),
+       |t AS (SELECT COUNT(DISTINCT (tile_col, tile_row)) AS n_tiles,
+       |             MIN(tile_col) AS min_col, MAX(tile_col) AS max_col,
+       |             MIN(tile_row) AS min_row, MAX(tile_row) AS max_row FROM pxa)
+       |SELECT b.bin, b.n, CAST(t.n_tiles AS BIGINT) AS n_tiles,
+       |       CAST(t.min_col AS INT) AS min_col, CAST(t.max_col AS INT) AS max_col,
+       |       CAST(t.min_row AS INT) AS min_row, CAST(t.max_row AS INT) AS max_row
+       |FROM b, t""".stripMargin
+
   /** Multimodal plumbing: binary payloads → per-partition batched stub
     * decode (graft.multimodal.Media) → exploded feature rows. The
     * oracle replays the stub's byte arithmetic (ASCII corpus ⇒ byte i ==
@@ -69,6 +97,7 @@ object MiscQueries {
   val all: Map[String, (Q, Option[String])] = Map(
     "c_catalog_roundtrip" -> (catalogRoundtrip, Some(catalogRoundtripSql)),
     "c_point_read" -> (pointRead, Some(pointReadSql)),
+    "c_attributes" -> (attributes, Some(attributesSql)),
     "m_media_features" -> (mediaFeatures, Some(mediaFeaturesSql)),
     "m_ml_confusion" -> (mlConfusion, None),
   )

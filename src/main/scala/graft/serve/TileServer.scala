@@ -25,9 +25,14 @@ class TileServer(spark: SparkSession, catalogRoot: String, layer: String,
         size() > 256
     })
 
+  /** Color breaks from the persisted `_attributes` histogram — zero Spark
+    * jobs, like the reference reading `histogramData` back
+    * (ServeLayerAsMap.scala:90-92). Falls back to a live quantile
+    * aggregation only for pre-sidecar layers. */
   private def breaks(zoom: Int): Seq[Double] =
     breaksCache.getOrElseUpdate(zoom,
-      Histograms.quantileBreaks(store.read(layer, zoom), tileSize, 10))
+      store.readAttributes(layer, zoom).map(_.quantileBreaks(10)).getOrElse(
+        Histograms.quantileBreaks(store.read(layer, zoom), tileSize, 10)))
 
   private def tile(zoom: Int, x: Int, y: Int): Option[Seq[Double]] = {
     val k = (zoom, x, y)

@@ -56,7 +56,18 @@ class AppsSpec extends AnyFunSuite {
     val header = scala.io.Source.fromFile(s"$dir/stitch/stitched.pgm.txt").getLines().next()
     assert(header == s"P2-ish ${2 * ts} $ts")
 
-    RenderTile.run(spark, Array(catalog, "nir", "5", "0", "0", s"$dir/tile.png"))
+    // RenderTile must take its color breaks from the _attributes sidecar:
+    // the only Spark job allowed is the single-tile point read.
+    var jobs = 0
+    val jl = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(jl)
+    try {
+      RenderTile.run(spark, Array(catalog, "nir", "5", "0", "0", s"$dir/tile.png"))
+      org.apache.spark.sql.GraftSqlShim.drainListenerBus(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(jl)
+    assert(jobs <= 1, s"RenderTile ran $jobs jobs; breaks must come from the _attributes sidecar")
     val img = javax.imageio.ImageIO.read(new java.io.File(s"$dir/tile.png"))
     assert(img.getWidth == ts && img.getHeight == ts)
   }

@@ -65,6 +65,25 @@ class LayerStoreSpec extends AnyFunSuite {
     assert(!staged.exists() || staged.listFiles().isEmpty)
   }
 
+  test("attribute sidecar: persisted histogram + bounds, refreshed by merge") {
+    val store = freshStore()
+    store.write(tiles(0), "a", 3, tileSize = TS, binWidth = 2.0)
+    val a = store.readAttributes("a", 3).get
+    assert(a.nTiles == 4 && a.minCol == 0 && a.maxCol == 1 && a.minRow == 0 && a.maxRow == 1)
+    assert(a.tileCols == TS && a.cellType == "float64")
+    // values are px+py in 0..6 over 4 tiles; bin = floor(v/2): v=0 x4, v=1 x8, ...
+    // per tile: px+py=s has multiplicity 1,2,3,4,3,2,1 for s=0..6
+    assert(a.bins.zip(a.counts).toMap == Map(0L -> 12L, 1L -> 28L, 2L -> 20L, 3L -> 4L))
+    assert(a.nCells == 64 && a.minV == 0.0 && a.maxV == 6.0)
+    assert(a.extent == Seq(0.0, 0.0, 2.0 * TS, 2.0 * TS))
+    // quantile breaks derive from the sidecar alone (upper bin edges)
+    assert(a.quantileBreaks(2) == Seq(4.0, 8.0))
+    // merge refreshes the sidecar atomically with the data
+    store.merge(tiles(100), "a", 3, tileSize = TS, binWidth = 2.0)
+    val m = store.readAttributes("a", 3).get
+    assert(m.minV == 100.0 && m.bins.head == 50L)
+  }
+
   test("zooms listing, exists, delete") {
     val store = freshStore()
     store.write(tiles(0), "z", 1)
