@@ -170,6 +170,45 @@ object TileMath {
     if (den > 0) num / den else Double.NaN
   }
 
+  /** Cubic-convolution sample (F3: the reference's third resample option,
+    * Utils.scala:23) at fractional cell coordinates, cell centers at
+    * k + 0.5. Keys (1981) kernel with a = -0.5 — the classic 4x4
+    * interpolator GDAL/GeoTrellis use. Weights form a partition of unity
+    * on a full neighborhood (identity at cell centers); NaN/out-of-tile
+    * neighbors renormalize over the remaining weights like
+    * [[sampleBilinear]]. */
+  def sampleCubic(a: Array[Double], cols: Int, rows: Int, fx: Double, fy: Double): Double = {
+    val A = -0.5
+    def h(x: Double): Double = {
+      val ax = math.abs(x)
+      if (ax <= 1) (A + 2) * ax * ax * ax - (A + 3) * ax * ax + 1
+      else if (ax < 2) A * ax * ax * ax - 5 * A * ax * ax + 8 * A * ax - 4 * A
+      else 0.0
+    }
+    val x0 = math.floor(fx - 0.5).toInt
+    val y0 = math.floor(fy - 0.5).toInt
+    val u = (fx - 0.5) - x0
+    val w = (fy - 0.5) - y0
+    var num = 0.0; var den = 0.0
+    var dy = -1
+    while (dy <= 2) {
+      var dx = -1
+      while (dx <= 2) {
+        val x = x0 + dx; val y = y0 + dy
+        if (x >= 0 && x < cols && y >= 0 && y < rows) {
+          val v = a(x + y * cols)
+          if (isData(v)) {
+            val wt = h(dx - u) * h(dy - w)
+            num += wt * v; den += wt
+          }
+        }
+        dx += 1
+      }
+      dy += 1
+    }
+    if (math.abs(den) > 1e-9) num / den else Double.NaN
+  }
+
   /** Focal mean over a square (2r+1)^2 or circular kernel on a padded
     * array. `padded` is (cols + 2*pad) x (rows + 2*pad) with halo margins
     * already attached (bufferTiles, ConvolveLayerExample.scala:69);

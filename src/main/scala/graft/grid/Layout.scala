@@ -99,6 +99,77 @@ object FloatingLayout {
   }
 }
 
+/** WGS84 Universal Transverse Mercator, zones 1-60 N/S — the general-CRS
+  * leg the reference gets from proj4 when stacking cross-CRS layers
+  * (ManyLayersToMultibandLayer.scala:244-248). Snyder's transverse
+  * Mercator series (USGS PP 1395, eq. 8-9..8-17 / 8-18..8-25 — public
+  * formulas; proj4 itself is not resolvable offline). Sub-mm accuracy
+  * within a zone's normal extent. */
+final case class Utm(zone: Int, north: Boolean) {
+  require(zone >= 1 && zone <= 60, s"UTM zone $zone out of range")
+  import math._
+  private val a = 6378137.0                  // WGS84 semi-major
+  private val f = 1.0 / 298.257223563
+  private val e2 = f * (2 - f)
+  private val e4 = e2 * e2
+  private val e6 = e4 * e2
+  private val ep2 = e2 / (1 - e2)            // e'^2
+  private val k0 = 0.9996
+  private val falseE = 500000.0
+  private val falseN = if (north) 0.0 else 10000000.0
+  val lon0: Double = -183.0 + 6.0 * zone     // central meridian, degrees
+  private val lam0 = toRadians(lon0)
+  private val m0 = 1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256
+  private val m2 = 3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024
+  private val m4 = 15 * e4 / 256 + 45 * e6 / 1024
+  private val m6 = 35 * e6 / 3072
+  private val sqrt1me2 = sqrt(1 - e2)
+  private val e1 = (1 - sqrt1me2) / (1 + sqrt1me2)
+
+  /** Meridian arc length from the equator (Snyder 3-21). */
+  def meridianArc(phi: Double): Double =
+    a * (m0 * phi - m2 * sin(2 * phi) + m4 * sin(4 * phi) - m6 * sin(6 * phi))
+
+  /** (lon, lat) degrees -> (easting, northing) meters. */
+  def fromLatLng(lon: Double, lat: Double): (Double, Double) = {
+    val phi = toRadians(lat)
+    val sinP = sin(phi); val cosP = cos(phi); val tanP = tan(phi)
+    val nu = a / sqrt(1 - e2 * sinP * sinP)
+    val t = tanP * tanP
+    val c = ep2 * cosP * cosP
+    val aa = cosP * (toRadians(lon) - lam0)
+    val m = meridianArc(phi)
+    val x = k0 * nu * (aa + (1 - t + c) * pow(aa, 3) / 6 +
+      (5 - 18 * t + t * t + 72 * c - 58 * ep2) * pow(aa, 5) / 120) + falseE
+    val y = k0 * (m + nu * tanP * (aa * aa / 2 +
+      (5 - t + 9 * c + 4 * c * c) * pow(aa, 4) / 24 +
+      (61 - 58 * t + t * t + 600 * c - 330 * ep2) * pow(aa, 6) / 720)) + falseN
+    (x, y)
+  }
+
+  /** (easting, northing) meters -> (lon, lat) degrees. */
+  def toLatLng(x: Double, y: Double): (Double, Double) = {
+    val m = (y - falseN) / k0
+    val mu = m / (a * m0)
+    val phi1 = mu + (3 * e1 / 2 - 27 * pow(e1, 3) / 32) * sin(2 * mu) +
+      (21 * e1 * e1 / 16 - 55 * pow(e1, 4) / 32) * sin(4 * mu) +
+      (151 * pow(e1, 3) / 96) * sin(6 * mu) +
+      (1097 * pow(e1, 4) / 512) * sin(8 * mu)
+    val sinP = sin(phi1); val cosP = cos(phi1); val tanP = tan(phi1)
+    val c1 = ep2 * cosP * cosP
+    val t1 = tanP * tanP
+    val n1 = a / sqrt(1 - e2 * sinP * sinP)
+    val r1 = a * (1 - e2) / pow(1 - e2 * sinP * sinP, 1.5)
+    val d = (x - falseE) / (n1 * k0)
+    val phi = phi1 - (n1 * tanP / r1) * (d * d / 2 -
+      (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * ep2) * pow(d, 4) / 24 +
+      (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * ep2 - 3 * c1 * c1) * pow(d, 6) / 720)
+    val lam = lam0 + (d - (1 + 2 * t1 + c1) * pow(d, 3) / 6 +
+      (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * ep2 + 24 * t1 * t1) * pow(d, 5) / 120) / cosP
+    (toDegrees(lam), toDegrees(phi))
+  }
+}
+
 /** CRS transforms available offline. Serializable (used inside
   * aggregator kernels on executors). */
 sealed trait CrsTransform extends Serializable {
@@ -115,4 +186,50 @@ case object IdentityTransform extends CrsTransform {
 case object LatLngToWebMercator extends CrsTransform {
   def forward(x: Double, y: Double): (Double, Double) = WebMercator.fromLatLng(x, y)
   def inverse(x: Double, y: Double): (Double, Double) = WebMercator.toLatLng(x, y)
+}
+/** EPSG:4326 (lon/lat degrees) -> EPSG:326xx/327xx (UTM meters). */
+final case class LatLngToUtm(zone: Int, north: Boolean) extends CrsTransform {
+  private val utm = Utm(zone, north)
+  def forward(x: Double, y: Double): (Double, Double) = utm.fromLatLng(x, y)
+  def inverse(x: Double, y: Double): (Double, Double) = utm.toLatLng(x, y)
+}
+/** Flip a transform's direction. */
+final case class Inverted(t: CrsTransform) extends CrsTransform {
+  def forward(x: Double, y: Double): (Double, Double) = t.inverse(x, y)
+  def inverse(x: Double, y: Double): (Double, Double) = t.forward(x, y)
+}
+/** a then b (forward); b then a (inverse). */
+final case class Composed(a: CrsTransform, b: CrsTransform) extends CrsTransform {
+  def forward(x: Double, y: Double): (Double, Double) = {
+    val (u, v) = a.forward(x, y); b.forward(u, v)
+  }
+  def inverse(x: Double, y: Double): (Double, Double) = {
+    val (u, v) = b.inverse(x, y); a.inverse(u, v)
+  }
+}
+
+/** EPSG-code CRS registry: builds an arbitrary src->dst transform by
+  * composing through the lon/lat hub — the role proj4's CRS factory
+  * plays in ManyLayersToMultibandLayer.scala:244-248. Supported offline:
+  * EPSG:4326, EPSG:3857, EPSG:32601-32660 (UTM N), EPSG:32701-32760
+  * (UTM S). */
+object Crs {
+  /** transform whose forward goes lon/lat -> the named CRS;
+    * IdentityTransform for EPSG:4326 itself. */
+  private def fromLatLngTo(code: String): CrsTransform = code.toUpperCase match {
+    case "EPSG:4326" => IdentityTransform
+    case "EPSG:3857" => LatLngToWebMercator
+    case c if c.startsWith("EPSG:326") && c.length == 10 =>
+      LatLngToUtm(c.drop(8).toInt, north = true)
+    case c if c.startsWith("EPSG:327") && c.length == 10 =>
+      LatLngToUtm(c.drop(8).toInt, north = false)
+    case other => throw new IllegalArgumentException(s"unsupported CRS $other (offline registry)")
+  }
+
+  def transform(from: String, to: String): CrsTransform =
+    (fromLatLngTo(from), fromLatLngTo(to)) match {
+      case (IdentityTransform, t) => t
+      case (s, IdentityTransform) => Inverted(s)
+      case (s, t) => Composed(Inverted(s), t)
+    }
 }

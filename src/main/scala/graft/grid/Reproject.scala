@@ -26,6 +26,7 @@ object Reproject {
   sealed trait Kernel extends Serializable
   case object NearestNeighbor extends Kernel
   case object Bilinear extends Kernel
+  case object CubicConvolution extends Kernel
 
   class ResampleAgg(src: LayoutDefinition, dst: LayoutDefinition, t: CrsTransform,
                     kernel: Kernel = NearestNeighbor)
@@ -51,6 +52,10 @@ object Reproject {
                   val fcx = (sx - src.extent.xmin) / src.cellWidth - sc * src.tileCols
                   val fcy = (src.extent.ymax - sy) / src.cellHeight - sr * src.tileRows
                   TileMath.sampleBilinear(in.cells.toArray, src.tileCols, src.tileRows, fcx, fcy)
+                case CubicConvolution =>
+                  val fcx = (sx - src.extent.xmin) / src.cellWidth - sc * src.tileCols
+                  val fcy = (src.extent.ymax - sy) / src.cellHeight - sr * src.tileRows
+                  TileMath.sampleCubic(in.cells.toArray, src.tileCols, src.tileRows, fcx, fcy)
               }
             }
           }

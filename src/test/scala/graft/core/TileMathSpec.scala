@@ -66,6 +66,42 @@ class TileMathSpec extends AnyFunSuite {
     assert(sampleBilinear(tn, 2, 2, 1.0, 1.0) == (0.0 + 20 + 30) / 3)
   }
 
+  test("cubic convolution sample: Keys a=-0.5 goldens, identity at centers, renormalizes") {
+    // 4x4 tile, value varies only in x: each row = [0, 1, 2, 4]
+    val t = Array.tabulate(16)(i => Array(0.0, 1.0, 2.0, 4.0)(i % 4))
+    // exactly on a cell center -> identity (partition of unity)
+    assert(TileMath.sampleCubic(t, 4, 4, 1.5, 1.5) == 1.0)
+    assert(TileMath.sampleCubic(t, 4, 4, 2.5, 2.5) == 2.0)
+    // midpoint between cells 1 and 2: Keys midpoint weights
+    // (-1/16, 9/16, 9/16, -1/16) . (0, 1, 2, 4) = 1.4375
+    assert(math.abs(TileMath.sampleCubic(t, 4, 4, 2.0, 1.5) - 1.4375) < 1e-12)
+    // NaN neighbor renormalizes over remaining weights
+    val tn = t.clone(); tn(0 + 1 * 4) = Double.NaN // row y=1, x=0 (weight -1/16)
+    val expect = (9.0 / 16 * 1 + 9.0 / 16 * 2 - 1.0 / 16 * 4) / (1.0 + 1.0 / 16)
+    assert(math.abs(TileMath.sampleCubic(tn, 4, 4, 2.0, 1.5) - expect) < 1e-12)
+    // all-NaN neighborhood -> NaN
+    assert(TileMath.sampleCubic(Array.fill(16)(Double.NaN), 4, 4, 2.0, 2.0).isNaN)
+  }
+
+  test("cubic convolution is selectable in Reproject") {
+    import org.apache.spark.sql.functions._
+    import graft.SparkTestBase.spark
+    import spark.implicits._
+    val ts = 8
+    val layout = graft.grid.LayoutDefinition(graft.grid.Extent(0, 0, 16, 16), ts, ts, 2, 2)
+    val pixels = (for (tc <- 0 to 1; tr <- 0 to 1; px <- 0 until ts; py <- 0 until ts)
+      yield (tc, tr, px, py, (tc * ts + px).toDouble))
+      .toDF("tile_col", "tile_row", "px", "py", "v")
+    val tiles = graft.ops.Raster.assemble(pixels, ts, ts)
+    // identity layout: every target center hits a source center -> lossless
+    val re = graft.grid.Reproject(tiles, layout, layout,
+      graft.grid.IdentityTransform, graft.grid.Reproject.CubicConvolution)
+    val got = graft.ops.Raster.pixelize(re, ts).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) -> r.getDouble(4)).toMap
+    assert(got.size == 4 * ts * ts)
+    assert(got((1, 0, 3, 2)) == (ts + 3).toDouble)
+  }
+
   test("zorder interleave/deinterleave bijection (seeded sweep)") {
     val rnd = new scala.util.Random(42)
     (0 until 10000).foreach { _ =>

@@ -40,6 +40,108 @@ class LayoutSpec extends AnyFunSuite {
     assert(z == 2)
   }
 
+  test("UTM golden values: anchors, independent meridian-arc integral, round-trip") {
+    val z32 = Utm(32, north = true)
+    assert(z32.lon0 == 9.0)
+    // central-meridian anchor: equator at lon0 -> (500000, 0)
+    val (e0, n0) = z32.fromLatLng(9.0, 0.0)
+    assert(math.abs(e0 - 500000.0) < 1e-6 && math.abs(n0) < 1e-6)
+    // on the central meridian, northing = k0 * meridian arc. Check the
+    // series against an INDEPENDENT numerical integration of the
+    // meridian-arc integral a(1-e2)/(1-e2 sin^2 t)^1.5.
+    val a = 6378137.0; val f = 1.0 / 298.257223563; val e2 = f * (2 - f)
+    def arcNumeric(latDeg: Double): Double = {
+      val phi = math.toRadians(latDeg); val n = 20000
+      val h = phi / n
+      (0 to n).map { i =>
+        val t = i * h
+        val w = if (i == 0 || i == n) 1.0 else if (i % 2 == 1) 4.0 else 2.0
+        w * a * (1 - e2) / math.pow(1 - e2 * math.sin(t) * math.sin(t), 1.5)
+      }.sum * h / 3
+    }
+    for (lat <- Seq(10.0, 45.0, 60.0)) {
+      val (_, n) = z32.fromLatLng(9.0, lat)
+      assert(math.abs(n - 0.9996 * arcNumeric(lat)) < 1e-3, s"lat $lat")
+    }
+    // public anchor (Eiffel Tower, zone 31N) to a few meters
+    val (ee, en) = Utm(31, north = true).fromLatLng(2.2945, 48.8582)
+    assert(math.abs(ee - 448252) < 20 && math.abs(en - 5411935) < 20)
+    // southern hemisphere false northing
+    val (_, sn) = Utm(33, north = false).fromLatLng(15.0, -30.0)
+    assert(sn > 6000000 && sn < 10000000)
+    // round-trip over the zone
+    for (i <- 0 to 4; j <- 0 to 20) {
+      val lon = 6.0 + 1.5 * i
+      val lat = -80.0 + 8.0 * j
+      val (x, y) = Utm(32, north = lat >= 0).fromLatLng(lon, lat)
+      val (lon2, lat2) = Utm(32, north = lat >= 0).toLatLng(x, y)
+      assert(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7, s"($lon,$lat)")
+    }
+  }
+
+  test("Crs registry composes arbitrary EPSG pairs through lon/lat") {
+    val t = Crs.transform("EPSG:32632", "EPSG:3857")
+    val (lon, lat) = (9.5, 48.0)
+    val (ux, uy) = Utm(32, north = true).fromLatLng(lon, lat)
+    val (wx, wy) = t.forward(ux, uy)
+    val (ex, ey) = WebMercator.fromLatLng(lon, lat)
+    assert(math.abs(wx - ex) < 1e-3 && math.abs(wy - ey) < 1e-3) // <= 1 mm
+    val (bx, by) = t.inverse(wx, wy)
+    assert(math.abs(bx - ux) < 1e-3 && math.abs(by - uy) < 1e-3)
+    assert(Crs.transform("EPSG:4326", "EPSG:32701").isInstanceOf[LatLngToUtm])
+    intercept[IllegalArgumentException](Crs.transform("EPSG:4326", "EPSG:9999"))
+  }
+
+  test("cross-CRS stack: UTM layer reprojected to WebMercator hash-matches the native stack") {
+    import spark.implicits._
+    val ts = 16
+    // a WebMercator layout over a patch of zone-32 UTM coverage
+    val zoom = 7
+    val wm = WebMercator.layoutForZoom(zoom, ts)
+    val (cwx, cwy) = WebMercator.fromLatLng(9.0, 48.0)
+    val (kc, kr) = wm.mapToKey(cwx, cwy)
+    // native layer: value = deterministic function of the WM tile key/cell
+    val pixels = (for (tc <- kc to kc + 1; tr <- kr to kr + 1; px <- 0 until ts; py <- 0 until ts)
+      yield (tc, tr, px, py, (tc * 7 + tr * 3 + (px / 4) + (py / 4)).toDouble))
+      .toDF("tile_col", "tile_row", "px", "py", "v")
+    val native = graft.ops.Raster.assemble(pixels, ts, ts)
+    // UTM-native layer over the same area, ~3x finer cells, sampled from
+    // the same field through the CRS math
+    val utm = Utm(32, north = true)
+    val wmToUtm = Crs.transform("EPSG:3857", "EPSG:32632")
+    val e = wm.keyToExtent(kc, kr).combine(wm.keyToExtent(kc + 1, kr + 1))
+    val (uxmin, uymin) = wmToUtm.forward(e.xmin, e.ymin)
+    val (uxmax, uymax) = wmToUtm.forward(e.xmax, e.ymax)
+    val cell = (uxmax - uxmin) / (2.0 * ts) / 3.2 // ~3x finer than the WM grid
+    val utmLayout = FloatingLayout.fit(
+      Extent(uxmin - 10 * cell, uymin - 10 * cell, uxmax + 10 * cell, uymax + 10 * cell), cell, cell, ts)
+    val utmPixels = (for {
+      tc <- 0 until utmLayout.layoutCols; tr <- 0 until utmLayout.layoutRows
+      px <- 0 until ts; py <- 0 until ts
+    } yield {
+      val (ux, uy) = utmLayout.cellCenter(tc, tr, px, py)
+      val (wx, wy) = wmToUtm.inverse(ux, uy)
+      val (wtc, wtr) = wm.mapToKey(wx, wy)
+      val gx = ((wx - wm.extent.xmin) / wm.cellWidth).toLong
+      val gy = ((wm.extent.ymax - wy) / wm.cellHeight).toLong
+      val wpx = (gx - wtc.toLong * ts).toInt
+      val wpy = (gy - wtr.toLong * ts).toInt
+      (tc, tr, px, py, (wtc * 7 + wtr * 3 + (wpx / 4) + (wpy / 4)).toDouble)
+    }).toDF("tile_col", "tile_row", "px", "py", "v")
+    val utmTiles = graft.ops.Raster.assemble(utmPixels, ts, ts)
+    // reproject the UTM layer onto the WM layout, stack with native, and
+    // compare band-by-band against the same-CRS (native, native) stack
+    val reproj = Reproject(utmTiles, utmLayout, wm, Inverted(wmToUtm))
+      .where($"tile_col".between(kc, kc + 1) && $"tile_row".between(kr, kr + 1))
+    val cross = graft.ops.Raster.stackBands(Seq(native, reproj))
+    val same = graft.ops.Raster.stackBands(Seq(native, native))
+    def bandMap(stack: org.apache.spark.sql.DataFrame, b: Int) =
+      graft.ops.Raster.pixelize(graft.ops.Raster.selectBand(stack, b), ts)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) -> r.getDouble(4)).toMap
+    assert(bandMap(cross, 0) == bandMap(same, 0))
+    assert(bandMap(cross, 1) == bandMap(same, 1))
+  }
+
   test("identity reproject onto the same layout is lossless") {
     import spark.implicits._
     val ts = 8
