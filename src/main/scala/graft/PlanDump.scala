@@ -1,0 +1,45 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan snapshots for cross-round regression diffs: one
+  * normalized `plans/<query>.txt` per SparkEntry query (expression IDs,
+  * plan IDs and paths stripped, so `git diff` shows only structural
+  * changes — a new Exchange, a lost PushedFilters, a narrowed
+  * WholeStageCodegen span). Run: `sbt "runMain graft.PlanDump [sfDir]"`.
+  * The `plans/` dir is committed; each round's diff is the plan story. */
+object PlanDump {
+  def normalize(plan: String): String =
+    plan
+      .replaceAll("#\\d+[L]?", "#N") // expression ids
+      .replaceAll("plan_id=\\d+", "plan_id=N")
+      .replaceAll("Location: [^\\n]*", "Location: <path>")
+      .replaceAll("file:[^\\s,\\]\\)]*", "<file>")
+      .replaceAll("graft_[a-z_]*\\d+[^\\s,\\]\\)]*", "<tmp>")
+      .replaceAll("(?m) +$", "")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val outDir = java.nio.file.Paths.get("plans")
+    java.nio.file.Files.createDirectories(outDir)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        val txt = normalize(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        java.nio.file.Files.write(outDir.resolve(s"$name.txt"), txt.getBytes("UTF-8"))
+      } catch {
+        case e: Throwable => System.err.println(s"[plandump] $name failed: ${e.getMessage}")
+      }
+    }
+    println(s"PLANDUMP_DONE ${SparkEntry.queries.size}")
+    spark.stop()
+  }
+}

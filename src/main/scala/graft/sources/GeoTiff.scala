@@ -10,10 +10,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * int8-64 / float32/64, optional ModelPixelScale+Tiepoint geo
   * transform and GDAL_NODATA.
   *
-  * Parse is driver-side (the reference's Shapefile/GeoJSON reads are
-  * driver-side too); the scale path for many scenes is
-  * spark.read.format("binaryFile") + this decoder per file in a map —
-  * same code, executor-side.
+  * `decode` is a pure bytes→raster function: `read` applies it to one
+  * local file on the driver (the reference's Shapefile/GeoJSON reads are
+  * driver-side too); [[readDistributed]] is the many-scenes scale path —
+  * a `binaryFile` scan ships each scene's bytes to a task and the same
+  * decoder runs executor-side (the hadoopGeoTiffRDD role,
+  * GeotiffTilingExample.scala:49).
   */
 object GeoTiff {
 
@@ -23,8 +25,10 @@ object GeoTiff {
 
   case class Raster(meta: Meta, cells: Array[Double]) // row-major, NaN = NoData
 
-  def read(path: String): Raster = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+  def read(path: String): Raster =
+    decode(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+
+  def decode(bytes: Array[Byte]): Raster = {
     val le = bytes(0) == 'I'
     def u16(o: Int): Int =
       if (le) (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
@@ -227,6 +231,43 @@ object GeoTiff {
       }
     }
     out.toByteArray
+  }
+
+  case class ScenePixel(tile_col: Int, tile_row: Int, px: Int, py: Int, v: Double)
+
+  /** S1/S2 at scale: distributed multi-scene ingest. A `binaryFile` scan
+    * ships whole-scene bytes into tasks; [[decode]] + the pixel explode
+    * run executor-side, one task per scene — no driver bottleneck, no
+    * scene-count limit. Scenes are placed on a shared global pixel grid
+    * via their ModelTiepoint/PixelScale geo-transform (grid-aligned
+    * mosaics, the GeotiffTilingExample.scala:49-54 shape); tile keys are
+    * floorDiv of global pixel coords. Feed the result to
+    * `Raster.assemble(df, ts, ts)` to build the layer. */
+  def readDistributed(spark: SparkSession, pattern: String, tileSize: Int): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pattern)
+      .select(org.apache.spark.sql.functions.col("content"))
+      .as[Array[Byte]]
+      .flatMap { bytes =>
+        val r = decode(bytes)
+        val w = r.meta.width
+        // grid-aligned global pixel origin of this scene
+        val gx0 = math.round(r.meta.originX / r.meta.cellW)
+        val gy0 = math.round(-r.meta.originY / r.meta.cellH)
+        for {
+          y <- (0 until r.meta.height).iterator
+          x <- (0 until w).iterator
+          v = r.cells(x + y * w)
+          if !java.lang.Double.isNaN(v)
+        } yield {
+          val gx = gx0 + x
+          val gy = gy0 + y
+          ScenePixel(
+            Math.floorDiv(gx, tileSize.toLong).toInt, Math.floorDiv(gy, tileSize.toLong).toInt,
+            Math.floorMod(gx, tileSize.toLong).toInt, Math.floorMod(gy, tileSize.toLong).toInt, v)
+        }
+      }
+      .toDF()
   }
 
   /** Raster -> pixel DataFrame in the engine's tile schema, gridded by a

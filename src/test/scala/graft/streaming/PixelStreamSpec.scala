@@ -69,4 +69,31 @@ class PixelStreamSpec extends AnyFunSuite {
       assert(rows.contains(("view", 1L, 1.0)))
     } finally q.stop()
   }
+
+  test("reassemble emits the partial tile with NaN holes after a wall-clock timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PixelEvent]
+    val tiles = reassemble(input.toDS(), 2, 2, timeoutMs = 500).toDF()
+    val q = tiles.writeStream.format("memory").queryName("timeout_tiles")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      // 3 of 4 cells: the tile can never complete, only time out
+      input.addData(PixelEvent(0, 0, 0, 0, 1.0), PixelEvent(0, 0, 1, 0, 2.0),
+        PixelEvent(0, 0, 0, 1, 3.0))
+      var rows = Array.empty[org.apache.spark.sql.Row]
+      val deadline = System.currentTimeMillis + 60000
+      while (rows.isEmpty && System.currentTimeMillis < deadline) {
+        Thread.sleep(200)
+        rows = spark.sql("SELECT * FROM timeout_tiles").collect()
+      }
+      assert(rows.nonEmpty, "partial tile was not emitted after the processing-time timeout")
+      val r = rows.head
+      assert(r.getAs[Int]("tile_col") == 0 && r.getAs[Int]("tile_row") == 0)
+      assert(!r.getAs[Boolean]("complete"))
+      val cells = r.getSeq[Double](2)
+      assert(cells(0) == 1.0 && cells(1) == 2.0 && cells(2) == 3.0 && cells(3).isNaN)
+    } finally q.stop()
+  }
 }
