@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Distributed global ranking without a single-partition Window.
+  *
+  * `Window.orderBy(...)` with no partition key moves the whole input
+  * through ONE task (Spark warns exactly this) — fine for a demo, fatal
+  * at 100x. This operator computes the same rank / dense_rank / ntile /
+  * lag / lead semantics with the classic two-phase shape every external
+  * sort uses:
+  *
+  *   1. `repartitionByRange` on the sort key (contiguous, ordered runs
+  *      per partition) + `sortWithinPartitions`;
+  *   2. one tiny per-partition summary pass (counts, boundary keys,
+  *      boundary values) collected to the driver — P rows, not data;
+  *   3. a map-side pass that offsets each partition's local ranks by the
+  *      summaries, stitches tie groups that straddle range boundaries,
+  *      and fills lag/lead at partition edges from the neighbor summary.
+  *
+  * Total cost: one range shuffle + two local passes; no stage sees more
+  * than one partition of data. Ties are handled exactly like SQL
+  * rank/dense_rank, including runs that the range partitioner splits
+  * across adjacent partitions.
+  */
+object Ranking {
+
+  private case class Summary(pid: Int, nRows: Long, nGroups: Long, trailTies: Long,
+                             firstKey: Seq[Any], lastKey: Seq[Any],
+                             firstVal: Any, lastVal: Any)
+
+  /** Adds rnk, drnk, ntile (1..ntileN), prev_/next_<neighborCol> columns
+    * under a global ordering by `sortExprs`. `keyCols` are the columns
+    * that define rank ties (the ORDER BY expressions by name). */
+  def withGlobalRanks(df: DataFrame, sortExprs: Seq[Column], keyCols: Seq[String],
+                      neighborCol: String, ntileN: Int): DataFrame = {
+    val spark = df.sparkSession
+    // both passes call .rdd on the SAME Dataset (lazy val) -> the second
+    // job reuses the first's shuffle map output; no cache needed
+    val parted = df.repartitionByRange(sortExprs: _*).sortWithinPartitions(sortExprs: _*)
+    val schema = df.schema
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    val nbIdx = schema.fieldIndex(neighborCol)
+    def key(r: Row): Seq[Any] = keyIdx.map(r.get)
+
+    val summaries = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; var groups = 0L; var trail = 0L
+      var first: Row = null; var last: Row = null; var lastKey: Seq[Any] = null
+      while (it.hasNext) {
+        val r = it.next()
+        if (first == null) first = r
+        val k = key(r)
+        if (lastKey == null || k != lastKey) { groups += 1; trail = 0L; lastKey = k }
+        trail += 1; n += 1; last = r
+      }
+      if (n == 0) Iterator.empty
+      else Iterator.single(Summary(pid, n, groups, trail, key(first), key(last),
+        first.get(nbIdx), last.get(nbIdx)))
+    }.collect().sortBy(_.pid)
+
+    val total = summaries.map(_.nRows).sum
+    // per-partition bases, stitching tie runs across range boundaries
+    case class Base(rowBase: Long, denseBase: Long, firstGroupRank: Long,
+                    prevVal: Any, nextVal: Any)
+    val bases = scala.collection.mutable.Map.empty[Int, Base]
+    var cumRows = 0L; var cumGroups = 0L; var cumMerged = 0L; var carry = 0L
+    var prev: Summary = null
+    for ((s, i) <- summaries.zipWithIndex) {
+      val merged = prev != null && s.firstKey == prev.lastKey
+      if (merged) {
+        carry = prev.trailTies + (if (prev.firstKey == prev.lastKey) carry else 0L)
+        cumMerged += 1
+      } else carry = 0L
+      val nextVal = if (i + 1 < summaries.length) summaries(i + 1).firstVal else null
+      bases(s.pid) = Base(
+        rowBase = cumRows,
+        denseBase = cumGroups - cumMerged,
+        firstGroupRank = cumRows - carry + 1,
+        prevVal = if (prev != null) prev.lastVal else null,
+        nextVal = nextVal)
+      cumRows += s.nRows; cumGroups += s.nGroups
+      prev = s
+    }
+    val basesB = spark.sparkContext.broadcast(bases.toMap)
+    val totalB = total
+
+    // SQL NTILE: first (total % n) tiles get one extra row
+    def ntileOf(rn: Long): Int = {
+      val q = totalB / ntileN; val rem = totalB % ntileN
+      val cut = (q + 1) * rem
+      if (rn <= cut) (((rn - 1) / (q + 1)) + 1).toInt
+      else ((rem + (rn - cut - 1) / math.max(1L, q)) + 1).toInt
+    }
+
+    val outSchema = StructType(schema.fields ++ Array(
+      StructField("rnk", IntegerType, nullable = false),
+      StructField("drnk", IntegerType, nullable = false),
+      StructField("ntile", IntegerType, nullable = false),
+      StructField("prev_nb", schema(nbIdx).dataType, nullable = true),
+      StructField("next_nb", schema(nbIdx).dataType, nullable = true)))
+
+    val rows = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      basesB.value.get(pid) match {
+        case None => Iterator.empty
+        case Some(b) =>
+          new Iterator[Row] {
+            private val buf = it.buffered
+            private var localRow = 0L
+            private var localDense = 0L
+            private var groupStartRank = 0L // global rank of current tie group
+            private var curKey: Seq[Any] = null
+            private var prevVal: Any = b.prevVal
+            def hasNext: Boolean = buf.hasNext
+            def next(): Row = {
+              val r = buf.next()
+              localRow += 1
+              val k = key(r)
+              if (curKey == null || k != curKey) {
+                val firstGroup = curKey == null
+                // denseBase already subtracts the boundary-straddling
+                // group once (cumMerged includes this partition), so the
+                // local counter always increments — a merged head group
+                // lands exactly on the previous partition's last dense.
+                localDense += 1
+                groupStartRank =
+                  if (firstGroup) b.firstGroupRank else b.rowBase + localRow
+                curKey = k
+              }
+              val rn = b.rowBase + localRow
+              val nextVal = if (buf.hasNext) buf.head.get(nbIdx) else b.nextVal
+              val out = Row.fromSeq(r.toSeq ++ Seq(
+                groupStartRank.toInt,
+                (b.denseBase + localDense).toInt,
+                ntileOf(rn), prevVal, nextVal))
+              prevVal = r.get(nbIdx)
+              out
+            }
+          }
+      }
+    }
+    val res = spark.createDataFrame(rows, outSchema)
+    res
+  }
+}

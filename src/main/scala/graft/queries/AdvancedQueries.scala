@@ -81,13 +81,15 @@ object AdvancedQueries {
     val rev = table(s, dir, "lineitem")
       .groupBy(col("l_suppkey"))
       .agg(dsum(revenue).as("revenue"))
-    val w = Window.orderBy(col("revenue").desc, col("l_suppkey"))
-    rev.select(col("l_suppkey"), col("revenue"),
-      rank().over(w).as("rnk"),
-      dense_rank().over(w).as("drnk"),
-      ntile(4).over(w).as("quartile"),
-      coalesce(lag(col("l_suppkey"), 1).over(w), lit(-1L)).as("prev_supp"),
-      coalesce(lead(col("l_suppkey"), 1).over(w), lit(-1L)).as("next_supp"))
+    // a bare Window.orderBy would single-partition the whole input;
+    // Ranking.withGlobalRanks is the range-partitioned two-phase shape
+    graft.ops.Ranking.withGlobalRanks(rev,
+        Seq(col("revenue").desc, col("l_suppkey")), Seq("revenue", "l_suppkey"),
+        neighborCol = "l_suppkey", ntileN = 4)
+      .select(col("l_suppkey"), col("revenue"), col("rnk"), col("drnk"),
+        col("ntile").as("quartile"),
+        coalesce(col("prev_nb"), lit(-1L)).as("prev_supp"),
+        coalesce(col("next_nb"), lit(-1L)).as("next_supp"))
   }
 
   val rankingWindowsSql: String =
