@@ -43,16 +43,31 @@ object SimQueries {
        |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= $K""".stripMargin
 
   private val NBITS = 6
+  private val DIM = 64
+
+  /** One shared seeded hyperplane matrix: the Spark expression and the
+    * oracle SQL both embed these literal +-1 weights, so the bucket codes
+    * agree bit-for-bit. */
+  private val Planes = Similarity.hyperplanes(NBITS, DIM)
+
+  private def projSql(w: Array[Double]): String = {
+    val pos = w.zipWithIndex.filter(_._1 > 0).map(_._2 + 1)
+    val cond = if (pos.isEmpty) "FALSE" else pos.mkString("i IN (", ",", ")")
+    s"""list_reduce(list_transform(range(1, ${DIM + 1}),
+       |    i -> CAST(embedding[i] AS DOUBLE) * (CASE WHEN $cond THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y)""".stripMargin
+  }
 
   private val bucketSql: String =
-    (0 until NBITS).map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
-      .mkString(" + ")
+    Planes.zipWithIndex.map { case (w, b) =>
+      s"(CASE WHEN ${projSql(w)} > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("\n       |  + ").stripMargin
 
   /** Sign-LSH bucketed cosine top-k: candidates pruned to the query's
-    * hyperplane-sign bucket. */
+    * random-hyperplane bucket (leading-dim signs degrade on correlated
+    * dims; Rademacher planes mix every dimension into each bit). */
   val annLsh: Q = (s, dir) => {
     val e = table(s, dir, "embeddings")
-    Similarity.lshTopK(e.where(col("vec_id") < NQ), e, K, NBITS)
+    Similarity.lshTopK(e.where(col("vec_id") < NQ), e, K, Planes)
       .select(col("qid"), col("cid"), col("cos"), col("rank"))
   }
 
@@ -68,6 +83,25 @@ object SimQueries {
        |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
        |  FROM scored)
        |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= $K""".stripMargin
+
+  // The synthetic embeddings carry no true near-duplicates (max same-
+  // bucket cosine ~0.43 at sf0.01), so the gate threshold selects the
+  // top-percentile similar pairs; real corpora would run ~0.9+.
+  private val DupThreshold = 0.3
+
+  /** Embedding-cosine near-dup pairs: LSH-bucketed candidates, exact
+    * cosine >= threshold (the vector-side dedup mode next to
+    * MinHash/SimHash on text). */
+  val cosineDedup: Q = (s, dir) =>
+    Similarity.cosineNearDupPairs(table(s, dir, "embeddings"), Planes, DupThreshold)
+
+  val cosineDedupSql: String =
+    s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+       |pairs AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |         ${cosSql("x.embedding", "y.embedding")} AS cos
+       |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+       |SELECT a, b, cos FROM pairs WHERE cos >= $DupThreshold""".stripMargin
 
   /** Exact duplicate vectors by full-precision content hash (dedup for
     * embedding tables): md5 over the comma-joined float renderings would
@@ -99,6 +133,7 @@ object SimQueries {
   val all: Map[String, (Q, Option[String])] = Map(
     "s_ann_brute" -> (annBrute, Some(annBruteSql)),
     "s_ann_lsh" -> (annLsh, Some(annLshSql)),
+    "s_cosine_dedup" -> (cosineDedup, Some(cosineDedupSql)),
     "s_ann_ivf" -> (annIvf, None),
     "s_embed_stats" -> (vecDedup, Some(vecDedupSql)),
   )

@@ -83,16 +83,52 @@ object Similarity {
       when(element_at(e, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
 
-  /** LSH-bucketed cosine top-k: join restricted to equal bucket codes. */
-  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int, nBits: Int): DataFrame = {
+  /** Seeded Rademacher (+-1) hyperplanes for sign-LSH. Leading-dim signs
+    * degrade to unbalanced buckets when dimensions are correlated; random
+    * hyperplanes mix all dimensions into every bit (classic SimHash-for-
+    * cosine). Deterministic given (nBits, dim, seed), so an oracle can
+    * embed the identical literal weights. */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Bucket code from hyperplane projection signs: bit b = sign of the
+    * left-to-right fold of w_b . e (exact double arithmetic both
+    * engines). */
+  def hyperplaneBucket(e: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (w, b) =>
+      val proj = foldSum(zip_with(e, typedLit(w.toSeq), (x, wi) => x.cast("double") * wi))
+      when(proj > 0d, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed cosine top-k: join restricted to equal bucket codes
+    * under random-hyperplane signs. */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              planes: Array[Array[Double]]): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-      signBucket(col("embedding"), nBits).as("bucket"))
+      hyperplaneBucket(col("embedding"), planes).as("bucket"))
     val c = candidates.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      signBucket(col("embedding"), nBits).as("bucket"))
+      hyperplaneBucket(col("embedding"), planes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (the vector analog of
+    * MinHash-LSH dedup): candidates share an LSH bucket — the self-join
+    * shuffles 8-byte bucket codes, never all-pairs — then the exact
+    * cosine filters at `threshold`. Pairs are (a < b) once. */
+  def cosineNearDupPairs(vectors: DataFrame, planes: Array[Array[Double]],
+                         threshold: Double): DataFrame = {
+    val b = vectors.select(col("vec_id"), col("embedding"),
+      hyperplaneBucket(col("embedding"), planes).as("bucket"))
+    b.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
+      .join(b.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb")), Seq("bucket"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), cosine(col("ea"), col("eb")).as("cos"))
+      .where(col("cos") >= threshold)
   }
 }

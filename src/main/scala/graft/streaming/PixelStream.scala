@@ -112,6 +112,36 @@ object PixelStream {
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
 
+  // -------------------------------------------------------------------
+  // Kafka topology (K9)
+  // -------------------------------------------------------------------
+
+  /** K9 source: the reference's Kafka pixel topic (UtilsKafka.scala:18-34,
+    * WorkflowExample.scala:153-162) as a readStream. Uses the string-based
+    * DataSource API, so this compiles with no Kafka jars on the classpath;
+    * resolution happens at `load()` — run with
+    * `--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>` online. */
+  def kafkaPixelSource(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(decodeWire(col("value").cast("string")).as("d"))
+      .select(col("d.*"))
+
+  /** K9 sink: wire-encoded labeled pixels to a Kafka topic (the
+    * producer's `send(topic, msg)` role). `df` must carry the wire
+    * columns (label, features, tile_col, tile_row, px, py). */
+  def kafkaPixelSink(df: DataFrame, bootstrap: String, topic: String,
+                     checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.select(encodeWire(col("label"), col("features"),
+        col("tile_col"), col("tile_row"), col("px"), col("py")).as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
   /** Upsert sink (K2 streaming): each micro-batch merges into the
     * catalog layer. */
   def upsertSink(tiles: DataFrame, store: graft.catalog.LayerStore,

@@ -36,4 +36,40 @@ class SimilaritySpec extends AnyFunSuite {
       .agg(min($"b"), max($"b")).head()
     assert(b.getLong(0) >= 0 && b.getLong(1) < 64)
   }
+
+  test("hyperplane buckets mix dimensions: better spread than leading-dim signs") {
+    val planes = Similarity.hyperplanes(6, 64)
+    assert(planes.length == 6 && planes(0).length == 64)
+    assert(planes.flatten.forall(w => w == 1.0 || w == -1.0))
+    // deterministic across calls (the oracle embeds the same literals)
+    assert(Similarity.hyperplanes(6, 64).flatten.toSeq == planes.flatten.toSeq)
+    val n = emb.count().toDouble
+    def maxShare(bucketCol: org.apache.spark.sql.Column): Double =
+      emb.select(bucketCol.as("b")).groupBy($"b").count()
+        .agg(max($"count")).head().getLong(0) / n
+    val hyper = maxShare(Similarity.hyperplaneBucket($"embedding", planes))
+    assert(hyper < 0.5, s"largest hyperplane bucket holds $hyper of all vectors")
+  }
+
+  test("cosine near-dup pairs: bucketed candidates agree with brute force inside buckets") {
+    val planes = Similarity.hyperplanes(6, 64)
+    val t = 0.2 // synthetic embeddings have no true near-dups; pick a live band
+    val pairs = Similarity.cosineNearDupPairs(emb, planes, t).cache()
+    assert(pairs.count() > 0, "threshold selects no pairs - test would be vacuous")
+    // each reported pair really is above threshold and a < b exactly once
+    assert(pairs.where($"cos" < t).count() == 0)
+    assert(pairs.where($"a" >= $"b").count() == 0)
+    assert(pairs.groupBy($"a", $"b").count().where($"count" > 1).count() == 0)
+    // against brute force restricted to same-bucket pairs: identical sets
+    val b = emb.select($"vec_id", $"embedding",
+      Similarity.hyperplaneBucket($"embedding", planes).as("bk"))
+    val brute = b.as("x").join(b.as("y"),
+        $"x.bk" === $"y.bk" && $"x.vec_id" < $"y.vec_id")
+      .select($"x.vec_id".as("a"), $"y.vec_id".as("b"),
+        Similarity.cosine($"x.embedding", $"y.embedding").as("cos"))
+      .where($"cos" >= t)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val got = pairs.select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(got == brute)
+  }
 }
