@@ -168,6 +168,25 @@ object RelationalQueries {
        |       COUNT(*) AS n, ${dsumSql(dec2Sql("value"))} AS sum_value
        |FROM evts GROUP BY 1, 2""".stripMargin
 
+  /** §2.8 sliding event-time windows (10 min length, 5 min slide): each
+    * event lands in two windows — the streaming `window(ts, len, slide)`
+    * shape run batch; oracle unnests the two candidate starts. */
+  val slidingWindow: Q = (s, dir) =>
+    events(s, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(dec2(col("value"))).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("event_type"), col("n"), col("sum_value"))
+
+  val slidingWindowSql: String =
+    s"""WITH $eventsCte,
+       |cand AS (
+       |  SELECT CAST(FLOOR(epoch(ts) / 300) * 300 - g.k * 300 AS BIGINT) AS win_start,
+       |         event_type, value, epoch(ts) AS es
+       |  FROM evts, unnest([0, 1]) g(k)),
+       |hits AS (SELECT * FROM cand WHERE es >= win_start AND es < win_start + 600)
+       |SELECT win_start, event_type, COUNT(*) AS n, ${dsumSql(dec2Sql("value"))} AS sum_value
+       |FROM hits GROUP BY 1, 2""".stripMargin
+
   /** §2.8 session windows (gap 10 min) per user — batch equivalent of
     * session_window; oracle is the classic gaps-and-islands rewrite. */
   val sessionWindows: Q = (s, dir) =>
@@ -260,6 +279,7 @@ object RelationalQueries {
     "q_set_ops" -> (setOps, Some(setOpsSql)),
     "q_event_windows" -> (eventWindows, Some(eventWindowsSql)),
     "q_tumbling_window" -> (tumblingWindow, Some(tumblingWindowSql)),
+    "q_sliding_window" -> (slidingWindow, Some(slidingWindowSql)),
     "q_session_windows" -> (sessionWindows, Some(sessionWindowsSql)),
     "q_json_extract" -> (jsonExtract, Some(jsonExtractSql)),
     "q_word_count" -> (wordCount, Some(wordCountSql)),

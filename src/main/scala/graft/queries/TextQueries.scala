@@ -251,7 +251,27 @@ object TextQueries {
        |       CAST(len(regexp_extract_all(text, '${TextOps.BpePattern}')) AS INT) AS n_bpe_tokens
        |FROM docs""".stripMargin
 
+  /** Corpus-wide top-k n-grams by document frequency (the vocabulary /
+    * contamination probes a training-data pipeline runs): distinct
+    * 3-gram per doc, global count, deterministic top-20. The plan is a
+    * TakeOrderedAndProject — partial top-k per partition, never a full
+    * global sort. */
+  val topNgrams: Q = (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"), explode(array_distinct(TextOps.shingles3(col("toks")))).as("ng"))
+      .groupBy(col("ng")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("ng")).limit(20)
+
+  val topNgramsSql: String =
+    s"""WITH $docsCte,
+       |ng AS (SELECT DISTINCT doc_id, g.shs AS ng
+       |  FROM docs, unnest(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) g(shs))
+       |SELECT ng, COUNT(*) AS df FROM ng GROUP BY 1
+       |ORDER BY df DESC, ng LIMIT 20""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "t_top_ngrams" -> (topNgrams, Some(topNgramsSql)),
     "t_bpe_tokens" -> (bpeCount, Some(bpeCountSql)),
     "t_text_stats" -> (textStats, Some(textStatsSql)),
     "t_quality_score" -> (quality, Some(qualitySql)),
