@@ -117,6 +117,64 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Persisted IVF index (the FAISS practice of building once, probing
+    * many times): assignments land as parquet PARTITIONED BY cluster —
+    * a probe's cluster filter becomes static partition pruning, so each
+    * query batch reads ~nprobe/nlist of the corpus from disk — and the
+    * nlist-bounded centroids sit in a JSON sidecar, so repeated probes
+    * skip the k-means fit entirely. */
+  def buildIvfIndex(vectors: DataFrame, path: String, nlist: Int, seed: Long = 42L): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = vectors.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(feat)
+    km.transform(feat)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/assignments")
+    val json = km.clusterCenters.zipWithIndex
+      .map { case (c, i) => s"""{"cluster":$i,"centroid":[${c.toArray.mkString(",")}]}""" }
+      .mkString("[\n", ",\n", "\n]")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/_centroids.json"),
+      json.getBytes("UTF-8")): Unit
+  }
+
+  /** Probe a persisted IVF index: rank centroids driver-side
+    * (nlist-bounded), prune the assignment scan to the probed clusters
+    * (static partition pruning), exact cosine + top-k within. */
+  def ivfProbe(queries: DataFrame, indexPath: String, k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$indexPath/_centroids.json")), "UTF-8")
+    val centroids: Seq[(Int, Seq[Double])] = {
+      implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+      org.json4s.jackson.JsonMethods.parse(raw).extract[Seq[Map[String, Any]]].map { m =>
+        (m("cluster").toString.toDouble.toInt,
+          m("centroid").asInstanceOf[Seq[Any]].map(_.toString.toDouble))
+      }
+    }
+    val cdf = spark.createDataFrame(centroids).toDF("cluster", "centroid")
+    val qprobe = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .join(broadcast(cdf), lit(true))
+      .withColumn("cdist", -cosine(col("qe"), col("centroid")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cdist"), col("cluster"))))
+      .where(col("pr") <= nprobe)
+      .select(col("qid"), col("qe"), col("cluster"))
+    // the probed cluster set is (nq * nprobe)-bounded: collect it so the
+    // scan prunes statically to those partition directories
+    val probed = qprobe.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val assigned = spark.read.parquet(s"$indexPath/assignments")
+      .where(col("cluster").isin(probed: _*))
+      .select(col("cluster"), col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scored = qprobe.join(assigned, Seq("cluster"))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (the vector analog of
     * MinHash-LSH dedup): candidates share an LSH bucket — the self-join
     * shuffles 8-byte bucket codes, never all-pairs — then the exact

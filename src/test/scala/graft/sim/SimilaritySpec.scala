@@ -37,6 +37,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b.getLong(0) >= 0 && b.getLong(1) < 64)
   }
 
+  test("persisted IVF index: probe equals in-memory ivfTopK and prunes the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.buildIvfIndex(emb, dir, nlist = 4)
+    // same seed + same data -> same centroids -> identical results
+    val queries = emb.where($"vec_id" < 10)
+    val fromIndex = Similarity.ivfProbe(queries, dir, k = 3, nprobe = 2)
+      .select($"qid", $"cid", $"rank").as[(Long, Long, Int)].collect().toSet
+    val inMemory = Similarity.ivfTopK(queries, emb, 3, nlist = 4, nprobe = 2)
+      .select($"qid", $"cid", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(fromIndex == inMemory)
+    // the probe scan is partition-pruned to the probed clusters
+    val plan = Similarity.ivfProbe(queries, dir, 3, 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      "probe must prune assignment partitions by cluster")
+  }
+
   test("hyperplane buckets mix dimensions: better spread than leading-dim signs") {
     val planes = Similarity.hyperplanes(6, 64)
     assert(planes.length == 6 && planes(0).length == 64)
