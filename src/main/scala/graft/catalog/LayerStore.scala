@@ -46,17 +46,28 @@ class LayerStore(spark: SparkSession, val root: String) {
     * back prunes to exactly the needed columns; the input lineage might
     * be arbitrarily expensive to re-evaluate). Two bounded jobs: a
     * key-column scan for bounds, one pixel pass for the histogram. */
+  /** Driver-side histogram rows are bounded by value-range / binWidth,
+    * not layer size — but an adversarial range (e.g. raw timestamps at
+    * binWidth 1) would still blow the driver. Cap the bin count; the
+    * effective width widens to keep the sidecar O(MaxBins). */
+  private val MaxBins = 65536
+
   private def writeAttrs(path: String, tileSize: Int, crs: String, binWidth: Double): Unit = {
     val tiles = spark.read.parquet(path)
     val schemaJson = tiles.schema.json // read() supplies it -> no footer-inference job
+    val dataCells = filter(col("cells"), x => not(isnan(x)))
     val b = tiles.agg(
       min(col("tile_col")).as("c0"), max(col("tile_col")).as("c1"),
       min(col("tile_row")).as("r0"), max(col("tile_row")).as("r1"),
-      count(lit(1)).as("n")).head()
+      count(lit(1)).as("n"),
+      min(array_min(dataCells)).as("vmin"), max(array_max(dataCells)).as("vmax")).head()
+    val effWidth =
+      if (b.isNullAt(5) || b.isNullAt(6)) binWidth
+      else math.max(binWidth, (b.getDouble(6) - b.getDouble(5)) / MaxBins)
     val hist = graft.ops.Raster.pixelize(tiles, tileSize)
-      .groupBy(floor(col("v") / binWidth).cast("long").as("bin"))
+      .groupBy(floor(col("v") / effWidth).cast("long").as("bin"))
       .agg(count(lit(1)).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"))
-      .collect() // bounded by the value range / binWidth, not layer size
+      .collect() // <= MaxBins + 1 rows by construction
     val attrs = LayerAttributes(
       cellType = "float64", crs = crs, tileCols = tileSize, tileRows = tileSize,
       minCol = if (b.isNullAt(0)) 0 else b.getInt(0),
@@ -67,7 +78,7 @@ class LayerStore(spark: SparkSession, val root: String) {
       nCells = hist.map(_.getLong(1)).sum,
       minV = if (hist.isEmpty) Double.NaN else hist.map(_.getDouble(2)).min,
       maxV = if (hist.isEmpty) Double.NaN else hist.map(_.getDouble(3)).max,
-      binWidth = binWidth,
+      binWidth = effWidth,
       bins = hist.map(_.getLong(0)).toSeq.sorted,
       counts = hist.sortBy(_.getLong(0)).map(_.getLong(1)).toSeq,
       extent =

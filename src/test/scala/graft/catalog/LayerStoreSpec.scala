@@ -84,6 +84,20 @@ class LayerStoreSpec extends AnyFunSuite {
     assert(m.minV == 100.0 && m.bins.head == 50L)
   }
 
+  test("attribute histogram caps bin count: adversarial range widens the bins") {
+    val store = freshStore()
+    // values spread over ~4e9: binWidth 1.0 would mean 4 billion bins
+    val wide = Raster.assemble(
+      (for (px <- 0 until TS; py <- 0 until TS)
+        yield (0, 0, px, py, (px + py * TS) * 2.6e8)).toDF("tile_col", "tile_row", "px", "py", "v"),
+      TS, TS)
+    store.write(wide, "w", 1, tileSize = TS, binWidth = 1.0)
+    val a = store.readAttributes("w", 1).get
+    assert(a.bins.length <= 65537)
+    assert(a.binWidth > 1.0) // widened from the requested width
+    assert(a.counts.sum == TS * TS)
+  }
+
   test("zooms listing, exists, delete") {
     val store = freshStore()
     store.write(tiles(0), "z", 1)
