@@ -112,6 +112,28 @@ object PixelStream {
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding event-time windows (streaming twin of
+    * RelationalQueries.slidingWindow): each event lands in
+    * length/slide windows; state is watermark-bounded. */
+  def slidingCounts(events: DataFrame, watermark: String = "10 minutes",
+                    window: String = "10 minutes", slide: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Session windows per user (streaming twin of
+    * RelationalQueries.sessionWindows): gap-based session_window state,
+    * closed and emitted once the watermark passes the gap. */
+  def sessionCounts(events: DataFrame, watermark: String = "10 minutes",
+                    gap: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"), col("n_events"))
+
   // -------------------------------------------------------------------
   // Kafka topology (K9)
   // -------------------------------------------------------------------

@@ -70,6 +70,47 @@ class PixelStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows stream: one event lands in two windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDS().toDF("ts", "event_type", "value")
+    val q = slidingCounts(events).writeStream
+      .format("memory").queryName("slide_out").outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((t("2024-01-01 00:07:00"), "click", 1.0))
+      q.processAllAvailable()
+      input.addData((t("2024-01-01 01:00:00"), "click", 9.0)) // advance watermark
+      q.processAllAvailable()
+      val wins = spark.table("slide_out").where($"event_type" === "click" && $"n" === 1)
+        .select($"win_start").collect().map(_.getTimestamp(0).toString).toSet
+      // 00:07 falls in [00:00,00:10) and [00:05,00:15)
+      assert(wins == Set("2024-01-01 00:00:00.0", "2024-01-01 00:05:00.0"))
+    } finally q.stop()
+  }
+
+  test("session windows stream: gap closes a session at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = input.toDS().toDF("ts", "user_id", "value")
+    val q = sessionCounts(events).writeStream
+      .format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        (t("2024-01-01 00:01:00"), 7L, 1.0),
+        (t("2024-01-01 00:05:00"), 7L, 1.0), // same session (gap 10m)
+        (t("2024-01-01 00:30:00"), 7L, 1.0)) // new session
+      q.processAllAvailable()
+      input.addData((t("2024-01-01 02:00:00"), 8L, 1.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").where($"user_id" === 7L)
+        .select($"sess_start", $"n_events").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet
+      assert(rows == Set(("2024-01-01 00:01:00.0", 2L), ("2024-01-01 00:30:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("reassemble emits the partial tile with NaN holes after a wall-clock timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[PixelEvent]
