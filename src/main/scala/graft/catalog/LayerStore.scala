@@ -146,19 +146,55 @@ class LayerStore(spark: SparkSession, val root: String) {
   def merge(incoming: DataFrame, name: String, zoom: Int,
             tileSize: Int = graft.core.TileMath.DefaultTileSize,
             crs: String = "EPSG:4326", binWidth: Double = 1.0,
-            withAttributes: Boolean = true): Unit = {
-    if (!exists(name, zoom)) { write(incoming, name, zoom, tileSize, crs, binWidth, withAttributes); return }
-    val merged = graft.ops.Raster.mergeLayers(read(name, zoom), incoming)
-    val live = layerPath(name, zoom)
-    val staging = s"$root/.staging/layer_name=$name/zoom=$zoom"
-    writeTo(merged, staging) // live files untouched; lineage can still recompute
-    if (withAttributes) writeAttrs(staging, tileSize, crs, binWidth) // swapped in with the data
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val retired = Paths.get(staging + ".retired")
-    rmTree(retired.toFile)
-    Files.move(Paths.get(live), retired, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(staging), Paths.get(live), StandardCopyOption.ATOMIC_MOVE)
-    rmTree(retired.toFile)
+            withAttributes: Boolean = true): Unit = withLayerLock(name, zoom) {
+    if (!exists(name, zoom)) { write(incoming, name, zoom, tileSize, crs, binWidth, withAttributes) }
+    else {
+      val merged = graft.ops.Raster.mergeLayers(read(name, zoom), incoming)
+      val live = layerPath(name, zoom)
+      val staging = s"$root/.staging/layer_name=$name/zoom=$zoom"
+      writeTo(merged, staging) // live files untouched; lineage can still recompute
+      if (withAttributes) writeAttrs(staging, tileSize, crs, binWidth) // swapped in with the data
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val retired = Paths.get(staging + ".retired")
+      rmTree(retired.toFile)
+      Files.move(Paths.get(live), retired, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(Paths.get(staging), Paths.get(live), StandardCopyOption.ATOMIC_MOVE)
+      rmTree(retired.toFile)
+    }
+  }
+
+  /** Writer serialization for merge's read-modify-write: concurrent
+    * upserts into one (layer, zoom) would each read the same base and
+    * the last swap would silently drop the other's tiles. An atomically
+    * created lock file (CREATE_NEW is atomic on POSIX and HDFS-style
+    * stores expose the same create-if-absent primitive) serializes
+    * writers; locks older than [[StaleLockMs]] are considered crashed
+    * and broken. */
+  private val StaleLockMs = 300000L
+  private val LockWaitMs = 120000L
+
+  private def withLayerLock[T](name: String, zoom: Int)(f: => T): T = {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val lock = Paths.get(s"$root/.locks/layer_name=$name-zoom=$zoom.lock")
+    Files.createDirectories(lock.getParent)
+    val deadline = System.currentTimeMillis + LockWaitMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        Files.write(lock, ProcessHandle.current().pid().toString.getBytes("UTF-8"),
+          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+        acquired = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age = try System.currentTimeMillis - Files.getLastModifiedTime(lock).toMillis
+                    catch { case _: java.nio.file.NoSuchFileException => Long.MaxValue }
+          if (age > StaleLockMs) Files.deleteIfExists(lock): Unit
+          else if (System.currentTimeMillis > deadline)
+            throw new IllegalStateException(s"timed out waiting for writer lock on ($name, $zoom)")
+          else Thread.sleep(100)
+      }
+    }
+    try f finally Files.deleteIfExists(lock)
   }
 
   /** S9: catalog listing. */

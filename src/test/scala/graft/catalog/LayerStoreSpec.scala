@@ -84,6 +84,34 @@ class LayerStoreSpec extends AnyFunSuite {
     assert(m.minV == 100.0 && m.bins.head == 50L)
   }
 
+  test("concurrent merges serialize: no upsert is lost") {
+    val store = freshStore()
+    store.write(tiles(0), "c", 2)
+    // 4 writers merge disjoint new tiles concurrently; without the writer
+    // lock each would read the same base and the last swap wins, silently
+    // dropping the others' tiles
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val futures = (10 to 13).map { tc =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val extra = Raster.assemble(
+            (for (px <- 0 until TS; py <- 0 until TS)
+              yield (tc, 0, px, py, tc * 1.0)).toDF("tile_col", "tile_row", "px", "py", "v"),
+            TS, TS)
+          store.merge(extra, "c", 2)
+        }
+      })
+    }
+    futures.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    val keys = store.read("c", 2).select($"tile_col", $"tile_row")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert((10 to 13).forall(tc => keys.contains((tc, 0))), s"lost an upsert: $keys")
+    assert(keys.size == 4 + 4) // the 4 original tiles survived too
+    // lock released
+    assert(new java.io.File(store.root + "/.locks").listFiles().forall(!_.getName.endsWith(".lock")))
+  }
+
   test("attribute histogram caps bin count: adversarial range widens the bins") {
     val store = freshStore()
     // values spread over ~4e9: binWidth 1.0 would mean 4 billion bins
