@@ -231,21 +231,38 @@ object Raster {
   def selectBand(multiband: DataFrame, band: Int): DataFrame =
     multiband.where(col("band") === band).drop("band")
 
+  /** Per-tile feature-zip kernel: band arrays in, one (px, py, features)
+    * row per cell with >= 1 data band out; missing bands are null (the
+    * pivot contract). */
+  private def featKernel(nBands: Int) =
+    udf((bands: Seq[(Int, Seq[Double])], cols: Int) => {
+      val byBand = new Array[Seq[Double]](nBands)
+      bands.foreach { case (b, cells) => if (b >= 0 && b < nBands) byBand(b) = cells }
+      val n = bands.headOption.map(_._2.length).getOrElse(0)
+      (0 until n).flatMap { i =>
+        var any = false
+        val feats = (0 until nBands).map { b =>
+          val v = if (byBand(b) == null || i >= byBand(b).length) Double.NaN else byBand(b)(i)
+          if (java.lang.Double.isNaN(v)) None else { any = true; Some(v) }
+        }
+        if (any) Some((i % cols, i / cols, feats)) else None
+      }
+    })
+
   /** Per-pixel feature assembly from a band stack (the SVM feature shape
-    * P9/UtilsML.scala:17-36): one row per pixel with features =
-    * [band0..bandN] — a single shuffle on the tile key. */
-  def pixelFeatures(multiband: DataFrame, cols: Int, nBands: Int): DataFrame = {
-    val px = multiband
-      .select(col("band"), col("tile_col"), col("tile_row"), posexplode(col("cells")).as(Seq("i", "v")))
-      .where(not(isnan(col("v"))))
-    px.groupBy(col("tile_col"), col("tile_row"), col("i"))
-      .pivot("band", 0 until nBands)
-      .agg(first(col("v")))
+    * P9/UtilsML.scala:17-36): one shuffle of TILE rows (N band arrays per
+    * key), then a per-tile zip kernel explodes pixel features. The
+    * obvious pivot formulation explodes pixels BEFORE its shuffle — one
+    * ~30-byte row per pixel per band on the wire vs ~8 bytes per cell
+    * here, plus per-pixel-group aggregation machinery. */
+  def pixelFeatures(multiband: DataFrame, cols: Int, nBands: Int): DataFrame =
+    multiband
+      .groupBy(col("tile_col"), col("tile_row"))
+      .agg(collect_list(struct(col("band").cast("int"), col("cells"))).as("bands"))
       .select(col("tile_col"), col("tile_row"),
-        (col("i") % cols).cast("int").as("px"),
-        (col("i") / cols).cast("int").as("py"),
-        array((0 until nBands).map(b => col(b.toString)): _*).as("features"))
-  }
+        explode(featKernel(nBands)(col("bands"), lit(cols))).as("pf"))
+      .select(col("tile_col"), col("tile_row"),
+        col("pf._1").as("px"), col("pf._2").as("py"), col("pf._3").as("features"))
 
   /** Rasterize polygons (R5 general form): explode each feature to the
     * tile keys its bbox intersects, then scanline-burn per tile with the

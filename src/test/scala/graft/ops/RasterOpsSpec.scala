@@ -122,6 +122,29 @@ class RasterOpsSpec extends AnyFunSuite {
       s"halo shuffled $shuffleWrite bytes for a $layerBytes-byte layer (>3x)")
   }
 
+  test("pixelFeatures equals the pivot formulation, including band holes") {
+    val a = Raster.assemble(pixels, TS, TS) // holes where (px+py)%3==0
+    val b = Raster.assemble(pixels.where($"px" =!= 1), TS, TS) // extra holes
+    val stacked = Raster.stackBands(Seq(a, b))
+    val got = Raster.pixelFeatures(stacked, TS, 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) -> r.getSeq[Any](4)).toMap
+    // reference: the pixel-exploded pivot shape
+    val px = stacked
+      .select($"band", $"tile_col", $"tile_row", posexplode($"cells").as(Seq("i", "v")))
+      .where(not(isnan($"v")))
+    val want = px.groupBy($"tile_col", $"tile_row", $"i").pivot("band", 0 until 2)
+      .agg(first($"v"))
+      .select($"tile_col", $"tile_row",
+        ($"i" % TS).cast("int").as("px"), ($"i" / TS).cast("int").as("py"),
+        array($"0", $"1").as("features"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) -> r.getSeq[Any](4)).toMap
+    assert(got == want)
+    // a cell present only in band 0 carries a null for band 1
+    val hole = got.collect { case (_, f) if f(0) != null && f(1) == null => 1 }
+    assert(hole.nonEmpty)
+  }
+
   test("focalMean radius1 equals TileMath kernel on assembled layer") {
     val tiles = Raster.assemble(pixels, TS, TS)
     val got = Raster.pixelize(Raster.focalMean(tiles, TS, TS, 1), TS).collect()
