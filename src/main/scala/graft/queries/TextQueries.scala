@@ -270,8 +270,62 @@ object TextQueries {
        |SELECT ng, COUNT(*) AS df FROM ng GROUP BY 1
        |ORDER BY df DESC, ng LIMIT 20""".stripMargin
 
+  /** Benchmark decontamination: drop training docs that share a MinHash
+    * band key with any holdout doc (the standard "remove eval-set
+    * near-matches from the training corpus" pass). Holdout here =
+    * doc_id % 50 == 0; the anti-join runs on band keys, never on text. */
+  val decontaminate: Q = (s, dir) => {
+    val sigs = docs(s, dir)
+      .select(col("doc_id"),
+        TextOps.minhashSignature(array_distinct(TextOps.shingles3(col("toks"))), K).as("sig"))
+    val bands = sigs.select(col("doc_id"),
+      posexplode(TextOps.bandKeys(col("sig"), 4, 4)).as(Seq("band", "key")))
+    val holdoutBands = bands.where(col("doc_id") % 50 === 0)
+      .select(col("band"), col("key")).distinct()
+    val contaminated = bands.where(col("doc_id") % 50 =!= 0)
+      .join(holdoutBands, Seq("band", "key"))
+      .select(col("doc_id")).distinct()
+    docs(s, dir).where(col("doc_id") % 50 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), length(col("text")).as("n_chars"))
+  }
+
+  val decontaminateSql: String =
+    s"""WITH $docsCte,
+       |$sigsCte,
+       |bands AS (
+       |  SELECT doc_id, b.b AS band,
+       |         CAST(sig[b.b * 4 + 1] AS VARCHAR) || ',' || CAST(sig[b.b * 4 + 2] AS VARCHAR)
+       |           || ',' || CAST(sig[b.b * 4 + 3] AS VARCHAR) || ',' || CAST(sig[b.b * 4 + 4] AS VARCHAR) AS key
+       |  FROM sigs, range(0, 4) b(b)),
+       |hold AS (SELECT DISTINCT band, key FROM bands WHERE doc_id % 50 = 0),
+       |bad AS (
+       |  SELECT DISTINCT t.doc_id FROM bands t JOIN hold h
+       |  ON t.band = h.band AND t.key = h.key WHERE t.doc_id % 50 <> 0)
+       |SELECT d.doc_id, CAST(length(d.text) AS INT) AS n_chars
+       |FROM docs d
+       |WHERE d.doc_id % 50 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
+
+  /** Pattern scan (the PII / markup census a quality pipeline runs):
+    * per-doc counts of email-ish, URL-ish and digit-run matches — all
+    * map-side regexp counting. */
+  val patternScan: Q = (s, dir) =>
+    table(s, dir, "documents").select(col("doc_id"),
+      size(filter(split(col("text"), " "), t => t.rlike("^[A-Za-z0-9.]+@[A-Za-z0-9.]+$"))).as("n_email"),
+      size(filter(split(col("text"), " "), t => t.rlike("^https?://"))).as("n_url"),
+      size(filter(split(col("text"), " "), t => t.rlike("^[0-9]{4,}$"))).as("n_digit_runs"))
+
+  val patternScanSql: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '^[A-Za-z0-9.]+@[A-Za-z0-9.]+$'))) AS INT) AS n_email,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '^https?://'))) AS INT) AS n_url,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '^[0-9]{4,}$'))) AS INT) AS n_digit_runs
+      |FROM documents""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
     "t_top_ngrams" -> (topNgrams, Some(topNgramsSql)),
+    "t_decontaminate" -> (decontaminate, Some(decontaminateSql)),
+    "t_pattern_scan" -> (patternScan, Some(patternScanSql)),
     "t_bpe_tokens" -> (bpeCount, Some(bpeCountSql)),
     "t_text_stats" -> (textStats, Some(textStatsSql)),
     "t_quality_score" -> (quality, Some(qualitySql)),
