@@ -82,7 +82,9 @@ object Classify {
     val data = toFeatures(df, "embedding")
     val (tr, te) = split(data)
     val model = train(tr)
-    val (pred, _) = evaluate(model, te)
-    pred.groupBy(col("label"), col("prediction")).agg(count(lit(1)).as("n"))
+    // transform only — the evaluator's accuracy pass is a separate full
+    // aggregation job and this query's consumers never read it
+    model.transform(te)
+      .groupBy(col("label"), col("prediction")).agg(count(lit(1)).as("n"))
   }
 }
