@@ -290,7 +290,42 @@ object RasterQueries {
     s"""WITH $pxCte
        |SELECT tile_col, tile_row, px, py, vb AS v FROM pxk""".stripMargin
 
+  /** Zonal statistics (the land-use mission's core question — "what are
+    * the values inside each zone"): rasterize zone ids from features
+    * (last-wins by fid = MAX over covering rects), join the zone raster
+    * with band A per pixel, aggregate per zone. Both rasters share the
+    * tile grid, so the join key is (tile, px, py) — co-partitioned by
+    * the same hash, no skew. */
+  val zonalStats: Q = (s, dir) => {
+    val zones = Raster.rasterizeRects(
+      rectFeatures(s, dir).withColumn("value", col("fid").cast("double")), TS, TS)
+    val zpix = Raster.pixelize(zones, TS)
+      .select(col("tile_col"), col("tile_row"), col("px"), col("py"),
+        col("v").cast("long").as("zone"))
+    val vpix = Raster.pixelize(tilesA(s, dir), TS)
+    zpix.join(vpix, Seq("tile_col", "tile_row", "px", "py"))
+      .groupBy(col("zone"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("v")).cast("double").as("sum_v"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+  }
+
+  val zonalStatsSql: String =
+    s"""WITH $pxCte,
+       |$rectCte,
+       |zones AS (
+       |  SELECT g.gx, g.gy, MAX(r.fid) AS zone
+       |  FROM pga g JOIN rects r
+       |    ON g.gx >= r.x0 AND g.gx < r.x1 AND g.gy >= r.y0 AND g.gy < r.y1
+       |  GROUP BY 1, 2)
+       |SELECT z.zone, COUNT(*) AS n_cells,
+       |       CAST(SUM(g.v) AS DOUBLE) AS sum_v,
+       |       MIN(g.v) AS min_v, MAX(g.v) AS max_v
+       |FROM zones z JOIN pga g ON g.gx = z.gx AND g.gy = z.gy
+       |GROUP BY 1""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "r_zonal_stats" -> (zonalStats, Some(zonalStatsSql)),
     "r_band_stack" -> (bandStack, Some(bandStackSql)),
     "r_band_select" -> (bandSelect, Some(bandSelectSql)),
     "r_pixelize_roundtrip" -> (pixelizeRoundtrip, Some(pixelizeRoundtripSql)),
