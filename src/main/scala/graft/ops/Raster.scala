@@ -210,6 +210,7 @@ object Raster {
       .where(col("x1") > col("x0") && col("y1") > col("y0"))
       .select(col("*"), explode(sequence(col("tc0"), col("tc1"))).as("tile_col"))
       .select(col("*"), explode(sequence(col("tr0"), col("tr1"))).as("tile_row"))
+      .repartition(col("tile_col"), col("tile_row"))
       .groupBy(col("tile_col"), col("tile_row"))
       .agg(rb(col("tile_col"), col("tile_row"), col("x0"), col("y0"),
         col("x1"), col("y1"), col("value"), col("fid")).as("cells"))
@@ -280,6 +281,7 @@ object Raster {
       .withColumn("tr1", floor(array_max(col("ys")) / rows).cast("int"))
       .select(col("*"), explode(sequence(col("tc0"), col("tc1"))).as("tile_col"))
       .select(col("*"), explode(sequence(col("tr0"), col("tr1"))).as("tile_row"))
+      .repartition(col("tile_col"), col("tile_row"))
       .groupBy(col("tile_col"), col("tile_row"))
       .agg(pb(col("tile_col"), col("tile_row"), col("xs"), col("ys"),
         col("ring_offsets"), col("value"), col("fid")).as("cells"))
