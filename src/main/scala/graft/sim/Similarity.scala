@@ -26,8 +26,16 @@ object Similarity {
   def norm2(a: Column): Column =
     foldSum(transform(a, x => x.cast("double") * x.cast("double")))
 
-  def cosine(a: Column, b: Column): Column =
+  /** Cosine as the HOF fold — kept as the readable reference form and
+    * the differential-test twin of the codegen'd expression. */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Cosine via the native codegen'd expression (same left-fold bits,
+    * no interpreted-lambda dispatch per element — see
+    * graft.functions.CosineSimilarity). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosine(a, b)
 
   /** Brute-force cosine top-k: broadcast the (small) query set against
     * every candidate — one pass over the corpus, no shuffle of the

@@ -31,6 +31,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall@3 too low: $recall")
   }
 
+  test("codegen cosine is bit-identical to the HOF fold (float and double arrays)") {
+    // float x float (embedding vs embedding)
+    val ff = emb.as("x").crossJoin(emb.as("y")).limit(500)
+      .select(Similarity.cosine($"x.embedding", $"y.embedding").as("c1"),
+        Similarity.cosineHof($"x.embedding", $"y.embedding").as("c2"))
+      .where($"c1" =!= $"c2" || ($"c1".isNull =!= $"c2".isNull))
+    assert(ff.count() == 0)
+    // float x double (query vs centroid shape)
+    val d = emb.limit(20)
+      .withColumn("ed", org.apache.spark.sql.functions.transform($"embedding", x => x.cast("double")))
+    val fd = d.as("x").crossJoin(d.as("y")).limit(200)
+      .select(Similarity.cosine($"x.embedding", $"y.ed").as("c1"),
+        Similarity.cosineHof($"x.embedding", $"y.ed").as("c2"))
+      .where($"c1" =!= $"c2")
+    assert(fd.count() == 0)
+  }
+
   test("sign-LSH bucket code is stable and bounded") {
     val b = emb.select(Similarity.signBucket($"embedding", 6).as("b"))
       .agg(min($"b"), max($"b")).head()
