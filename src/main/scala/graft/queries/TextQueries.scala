@@ -213,14 +213,19 @@ object TextQueries {
         TextOps.minhashSignature(array_distinct(TextOps.shingles3(col("toks"))), K).as("sig"))
     val bands = sigs.select(col("doc_id"), col("sig"),
       posexplode(TextOps.bandKeys(col("sig"), 4, 4)).as(Seq("band", "key")))
-    val cand = bands.select(col("band"), col("key"), col("doc_id").as("a"), col("sig").as("sa"))
+    // compute the estimate BEFORE dedup: a pair colliding in several
+    // bands dedups on 24-byte (a, b, est) rows instead of shipping two
+    // full signatures per collision through the distinct's exchange
+    // (est is functionally determined by (a, b), so the result set is
+    // identical)
+    bands.select(col("band"), col("key"), col("doc_id").as("a"), col("sig").as("sa"))
       .join(bands.select(col("band"), col("key"), col("doc_id").as("b"), col("sig").as("sb")),
         Seq("band", "key"))
       .where(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sa"), col("sb")).distinct()
-    cand.select(col("a"), col("b"),
-      (size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b)).cast("double") / K)
-        .as("est_jaccard"))
+      .select(col("a"), col("b"),
+        (size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b)).cast("double") / K)
+          .as("est_jaccard"))
+      .distinct()
   }
 
   val minhashLshSql: String =
