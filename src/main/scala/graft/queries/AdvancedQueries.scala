@@ -209,7 +209,49 @@ object AdvancedQueries {
       |       CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
       |FROM lineitem GROUP BY 1 HAVING COUNT(DISTINCT l_orderkey) >= 8""".stripMargin
 
+  /** GROUPING SETS through the SQL interface (the one §2.6 shape not yet
+    * covered by rollup/cube): two explicit sets + the grand total. */
+  val groupingSets: Q = (s, dir) => {
+    table(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+         |FROM lineitem_gs
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+
+  /** Frame-based running totals per customer (ROWS UNBOUNDED PRECEDING)
+    * — partitioned by the grouping key, so every window task is
+    * customer-bounded (no single-partition hazard). */
+  val runningTotal: Q = (s, dir) =>
+    table(s, dir, "orders")
+      .where(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        dec2(col("o_totalprice")).as("price"))
+      .withColumn("running_total",
+        sum(col("price")).over(
+          Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("price").cast("double").as("price"), col("running_total"))
+
+  val runningTotalSql: String =
+    s"""SELECT o_custkey, o_orderkey,
+       |       CAST(${dec2Sql("o_totalprice")} AS DOUBLE) AS price,
+       |       CAST(SUM(${dec2Sql("o_totalprice")}) OVER (
+       |         PARTITION BY o_custkey ORDER BY o_orderkey
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+       |FROM orders WHERE o_custkey < 100""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_grouping_sets" -> (groupingSets, Some(groupingSetsSql)),
+    "a_running_total" -> (runningTotal, Some(runningTotalSql)),
     "a_shipping_priority" -> (shippingPriority, Some(shippingPrioritySql)),
     "a_nation_pairs" -> (nationPairs, Some(nationPairsSql)),
     "a_having_distinct" -> (havingDistinct, Some(havingDistinctSql)),
