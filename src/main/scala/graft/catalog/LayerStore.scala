@@ -100,17 +100,30 @@ class LayerStore(spark: SparkSession, val root: String) {
 
   /** K1 space-time variant: SpaceTimeKey layers sort by Hilbert distance
     * within each time bucket (HilbertKeyIndexMethod,
-    * api/package.scala:148-152) and partition additionally by time. */
-  def writeSpaceTime(tiles: DataFrame, name: String, zoom: Int): Unit =
+    * api/package.scala:148-152) and partition additionally by time. The
+    * `_attributes` sidecar (histogram over all time slices + schema)
+    * rides along like the spatial write. */
+  def writeSpaceTime(tiles: DataFrame, name: String, zoom: Int,
+                     tileSize: Int = graft.core.TileMath.DefaultTileSize,
+                     crs: String = "EPSG:4326", binWidth: Double = 1.0,
+                     withAttributes: Boolean = true): Unit = {
     tiles
       .repartition(col("time"), col("tile_col"), col("tile_row"))
       .sortWithinPartitions(col("time"),
         graft.functions.HilbertKey.hilbert(col("tile_col").cast("int"), col("tile_row").cast("int")))
       .write.mode(SaveMode.Overwrite).partitionBy("time")
       .parquet(layerPath(name, zoom))
+    if (withAttributes) writeAttrs(layerPath(name, zoom), tileSize, crs, binWidth)
+  }
 
+  /** Time-pruned read: the `time` predicate prunes partition dirs; the
+    * sidecar schema (which includes the time partition column) skips
+    * footer inference like the spatial read. */
   def readSpaceTime(name: String, zoom: Int, time: Option[String] = None): DataFrame = {
-    val df = spark.read.parquet(layerPath(name, zoom))
+    val schema = readAttributes(name, zoom).flatMap(_.schemaJson)
+      .map(js => org.apache.spark.sql.types.DataType.fromJson(js)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val df = schema.fold(spark.read)(s => spark.read.schema(s)).parquet(layerPath(name, zoom))
     time.fold(df)(t => df.where(col("time") === t))
   }
 

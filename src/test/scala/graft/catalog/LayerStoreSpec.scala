@@ -84,6 +84,28 @@ class LayerStoreSpec extends AnyFunSuite {
     assert(m.minV == 100.0 && m.bins.head == 50L)
   }
 
+  test("space-time layer: Hilbert-sorted write, time-pruned read, sidecar rides along") {
+    val store = freshStore()
+    val st = (for (t <- Seq("2024-01", "2024-02"); tc <- 0 to 1; px <- 0 until TS; py <- 0 until TS)
+      yield (t, tc, 0, px, py, (if (t == "2024-01") 1.0 else 2.0) + px))
+      .toDF("time", "tile_col", "tile_row", "px", "py", "v")
+    val tiles = Raster.assemble(st.where($"time" === "2024-01"), TS, TS).withColumn("time", lit("2024-01"))
+      .unionByName(Raster.assemble(st.where($"time" === "2024-02"), TS, TS).withColumn("time", lit("2024-02")))
+    store.writeSpaceTime(tiles, "stl", 4, tileSize = TS)
+    // full read sees both slices; time-pruned read sees one
+    assert(store.readSpaceTime("stl", 4).count() == 4)
+    val feb = store.readSpaceTime("stl", 4, Some("2024-02"))
+    assert(feb.count() == 2)
+    // partition pruning: the time filter reaches PartitionFilters
+    val plan = feb.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("time"))
+    val cells = feb.where($"tile_col" === 1).select($"cells").as[Seq[Double]].head()
+    assert(cells(0) == 2.0 && cells(1) == 3.0)
+    // sidecar covers all time slices
+    val a = store.readAttributes("stl", 4).get
+    assert(a.nTiles == 4 && a.schemaJson.exists(_.contains("time")))
+  }
+
   test("concurrent merges serialize: no upsert is lost") {
     val store = freshStore()
     store.write(tiles(0), "c", 2)
