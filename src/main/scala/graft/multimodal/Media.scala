@@ -62,6 +62,33 @@ object Media {
     }
   }
 
+  /** Resize plumbing: nearest-neighbor index mapping over the (stubbed)
+    * decoded w x h grayscale plane. The resampling arithmetic is the
+    * real thing — a codec build swaps the byte plane for decoded pixels
+    * and keeps the mapping. Rows whose payload is smaller than w*h are
+    * dropped (undecodable under the stub contract). */
+  def resize(media: Dataset[MediaRow], outW: Int, outH: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val w = math.max(1, r.width); val h = math.max(1, r.height)
+      if (r.media.length < w * h) None
+      else {
+        val out = new Array[Byte](outW * outH)
+        var y = 0
+        while (y < outH) {
+          val sy = y * h / outH
+          var x = 0
+          while (x < outW) {
+            out(x + y * outW) = r.media(x * w / outW + sy * w)
+            x += 1
+          }
+          y += 1
+        }
+        Some((r.doc_id, outW, outH, out.map(b => b & 0xFF).toSeq))
+      }
+    }.toDF("doc_id", "width", "height", "pixels")
+  }
+
   /** Frame sampling for "video" payloads: split the byte stream into
     * n_frames equal chunks and keep every k-th chunk (plumbing twin of
     * ffmpeg frame extraction). */

@@ -88,6 +88,29 @@ object MiscQueries {
        |       CAST(ascii(substr(text, CAST((r.j * 37) % length(text) AS INT) + 1, 1)) / 256.0 AS REAL) AS f
        |FROM documents, range(0, ${graft.multimodal.Media.FeatureDim}) r(j)""".stripMargin
 
+  /** Multimodal resize: NN index mapping over the stub-decoded plane to
+    * a 4x4 thumbnail; the oracle replays the same integer arithmetic on
+    * the ASCII payload. */
+  val mediaResize: Q = (s, dir) => {
+    import s.implicits._
+    val media = graft.multimodal.Media
+      .mediaFromDocuments(table(s, dir, "documents"))
+      .as[graft.multimodal.Media.MediaRow]
+    graft.multimodal.Media.resize(media, 4, 4)
+      .select(col("doc_id"), posexplode(col("pixels")).as(Seq("i", "pix")))
+  }
+
+  val mediaResizeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, text,
+      |         CAST(length(text) % 64 + 1 AS INT) AS w,
+      |         CAST(length(text) % 48 + 1 AS INT) AS h
+      |  FROM documents WHERE length(text) >= (length(text) % 64 + 1) * (length(text) % 48 + 1))
+      |SELECT doc_id, CAST(r.i AS INT) AS i,
+      |       ascii(substr(text,
+      |         CAST(((r.i % 4) * w) // 4 + (((r.i // 4) * h) // 4) * w AS INT) + 1, 1)) AS pix
+      |FROM m, range(0, 16) r(i)""".stripMargin
+
   /** M1-M4: OVA LinearSVC train/predict on embeddings → confusion
     * counts. No oracle (SGD boundary predictions are float-order
     * sensitive); gated rows-only + unit-tested accuracy floor. */
@@ -99,6 +122,7 @@ object MiscQueries {
     "c_point_read" -> (pointRead, Some(pointReadSql)),
     "c_attributes" -> (attributes, Some(attributesSql)),
     "m_media_features" -> (mediaFeatures, Some(mediaFeaturesSql)),
+    "m_media_resize" -> (mediaResize, Some(mediaResizeSql)),
     "m_ml_confusion" -> (mlConfusion, None),
   )
 }
