@@ -134,6 +134,24 @@ object PixelStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_window.start").as("sess_start"), col("n_events"))
 
+  /** Stream-stream interval join: enrich a pixel/event stream with a
+    * second stream keyed the same way, matching within a bounded
+    * event-time interval. Both sides carry watermarks, so join state is
+    * purged once the watermark passes the interval — the unbounded-state
+    * trap of naive stream joins is structurally impossible here. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   watermark: String = "10 minutes",
+                   interval: String = "5 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right.select(col(key).as("r_key"), col("ts").as("r_ts"),
+      col("value").as("r_value")).withWatermark("r_ts", watermark)
+    l.join(r,
+      col(key) === col("r_key") &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $interval") &&
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $interval"))
+      .drop("r_key")
+  }
+
   // -------------------------------------------------------------------
   // Kafka topology (K9)
   // -------------------------------------------------------------------

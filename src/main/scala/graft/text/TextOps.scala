@@ -25,13 +25,16 @@ object TextOps {
       extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Seq[Long]] {
     private val keep = cap + 1 // one extra marks overflow
     def zero: Array[Long] = Array.empty[Long]
+    // distinct-aware append (O(cap) scan, cap is small): duplicates must
+    // not consume cap slots, or overflow detection would depend on how
+    // Spark groups partials (proven by AggregatorLawsSpec)
     def reduce(b: Array[Long], v: Long): Array[Long] =
-      if (b.length >= keep) b else b :+ v
+      if (b.length >= keep || b.contains(v)) b else b :+ v
     def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-      val m = a ++ b
+      val m = (a ++ b).distinct
       if (m.length > keep) m.take(keep) else m
     }
-    def finish(b: Array[Long]): Seq[Long] = b.distinct.sorted.toSeq
+    def finish(b: Array[Long]): Seq[Long] = b.sorted.toSeq
     def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =

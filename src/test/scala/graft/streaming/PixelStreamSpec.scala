@@ -111,6 +111,29 @@ class PixelStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches keys within the event-time window") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val lhs = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val rhs = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = intervalJoin(
+      lhs.toDS().toDF("user_id", "ts", "value"),
+      rhs.toDS().toDF("user_id", "ts", "value"), key = "user_id")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      lhs.addData((1L, t("2024-01-01 00:10:00"), 1.0))
+      rhs.addData(
+        (1L, t("2024-01-01 00:12:00"), 2.0), // within 5 min -> joins
+        (1L, t("2024-01-01 00:20:00"), 3.0), // outside interval -> no
+        (2L, t("2024-01-01 00:10:00"), 4.0)) // other key -> no
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out").select($"user_id", $"value", $"r_value")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(rows == Set((1L, 1.0, 2.0)))
+    } finally q.stop()
+  }
+
   test("reassemble emits the partial tile with NaN holes after a wall-clock timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[PixelEvent]
