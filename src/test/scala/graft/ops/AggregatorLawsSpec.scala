@@ -110,6 +110,35 @@ class AggregatorLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("QuadAssemble.merge is associative and commutative on disjoint quadrants") {
+    val agg = new TileAggregators.QuadAssemble(4, 4)
+    forAll(tileGen(16), tileGen(16), tileGen(16)) { (a, b, c) =>
+      val left = agg.merge(agg.merge(a.clone(), b.clone()), c.clone())
+      val right = agg.merge(a.clone(), agg.merge(b.clone(), c.clone()))
+      assert(bits(left) == bits(right))
+    }
+  }
+
+  test("PolyBurn.merge: max-seq wins under any partial grouping") {
+    val agg = new PolyBurnAggregator.PolyBurn(4, 4)
+    // triangles with unique seq ids
+    val triGen = for {
+      x <- Gen.choose(0.0, 5.0); y <- Gen.choose(0.0, 5.0)
+      w <- Gen.choose(1.0, 3.0); v <- Gen.choose(-50.0, 50.0)
+    } yield (x, y, w, v)
+    forAll(Gen.listOfN(5, triGen), 100) { tris =>
+      val polys = tris.zipWithIndex.map { case ((x, y, w, v), i) =>
+        PolyBurnAggregator.PolyIn(0, 0,
+          Seq(x, x + w, x), Seq(y, y, y + w), Seq(0), v, i.toLong)
+      }
+      val whole = polys.foldLeft(agg.zero)(agg.reduce)
+      val partials = polys.reverse.grouped(2).map(_.foldLeft(agg.zero)(agg.reduce)).toList
+      val merged = partials.reduceLeft(agg.merge)
+      assert(agg.finish(whole).map(java.lang.Double.doubleToLongBits) ==
+        agg.finish(merged).map(java.lang.Double.doubleToLongBits))
+    }
+  }
+
   test("mergeCells/TileMath.merge: incoming-wins is associative") {
     forAll(tileGen(16), tileGen(16), tileGen(16)) { (a, b, c) =>
       val left = TileMath.merge(TileMath.merge(a, b), c)
