@@ -208,3 +208,74 @@ object WordCountApp {
       .write.mode("overwrite").text(out)
   }
 }
+
+/** Delete a layer or one zoom of it (DeleteLayer.scala:16-41 analog).
+  * args: catalogDir layerName [zoom] */
+object DeleteLayerApp {
+  def main(args: Array[String]): Unit = {
+    val spark = Apps.session("DeleteLayerApp")
+    try run(spark, args) finally spark.stop()
+  }
+
+  def run(spark: org.apache.spark.sql.SparkSession, args: Array[String]): Unit = {
+    val store = new LayerStore(spark, args(0))
+    store.delete(args(1), args.lift(2).map(_.toInt))
+  }
+}
+
+/** Stack N single-band layers into one multiband layer
+  * (ManyLayersToMultibandLayer.scala:48-260 analog — the cross-CRS
+  * reproject leg lives in grid.Reproject/Crs; here layers already share
+  * the grid, as in ManySingleBandLayersToMultibandLayer).
+  * args: catalogDir outLayer zoom inLayer1 inLayer2 [...] */
+object StackLayers {
+  def main(args: Array[String]): Unit = {
+    val spark = Apps.session("StackLayers")
+    try run(spark, args) finally spark.stop()
+  }
+
+  def run(spark: org.apache.spark.sql.SparkSession, args: Array[String]): Unit = {
+    val Array(catalog, out, zoom) = args.take(3)
+    val store = new LayerStore(spark, catalog)
+    val stacked = Raster.stackBands(args.drop(3).toIndexedSeq.map(store.read(_, zoom.toInt)))
+    store.write(stacked, out, zoom.toInt)
+  }
+}
+
+/** Rasterize vector features into a layer
+  * (ShapefilePolygonRasterizer.scala:40-74 analog): GeoJSON (or
+  * converted shapefile) polygons → scanline burn → catalog layer.
+  * args: featureGeojson burnAttribute catalogDir layerName zoom */
+object RasterizeShapes {
+  def main(args: Array[String]): Unit = {
+    val spark = Apps.session("RasterizeShapes")
+    try run(spark, args) finally spark.stop()
+  }
+
+  def run(spark: org.apache.spark.sql.SparkSession, args: Array[String]): Unit = {
+    val Array(input, attribute, catalog, layer, zoom) = args.take(5)
+    val ts = Apps.tileSize
+    val feats = graft.sources.GeoJson.readFeatures(spark, input, attribute)
+    val burned = Raster.rasterizePolygons(feats, ts, ts)
+    new LayerStore(spark, catalog).write(burned, layer, zoom.toInt)
+  }
+}
+
+/** Resample a layer to a deeper zoom (ZoomResampleLayer.scala:42-60
+  * analog). args: catalogDir layerName fromZoom toZoom */
+object ZoomResampleApp {
+  def main(args: Array[String]): Unit = {
+    val spark = Apps.session("ZoomResampleApp")
+    try run(spark, args) finally spark.stop()
+  }
+
+  def run(spark: org.apache.spark.sql.SparkSession, args: Array[String]): Unit = {
+    val Array(catalog, layer, fromZoom, toZoom) = args.take(4)
+    val ts = Apps.tileSize
+    val store = new LayerStore(spark, catalog)
+    val dz = toZoom.toInt - fromZoom.toInt
+    require(dz > 0, s"toZoom must exceed fromZoom, got $fromZoom -> $toZoom")
+    store.write(Raster.zoomResampleUp(store.read(layer, fromZoom.toInt), ts, ts, dz),
+      layer, toZoom.toInt)
+  }
+}

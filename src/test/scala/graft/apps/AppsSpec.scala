@@ -56,6 +56,30 @@ class AppsSpec extends AnyFunSuite {
     val header = scala.io.Source.fromFile(s"$dir/stitch/stitched.pgm.txt").getLines().next()
     assert(header == s"P2-ish ${2 * ts} $ts")
 
+    StackLayers.run(spark, Array(catalog, "stack", "5", "nir", "red"))
+    val stacked = store.read("stack", 5)
+    assert(stacked.select(col("band")).distinct().count() == 2)
+
+    ZoomResampleApp.run(spark, Array(catalog, "nir", "5", "6"))
+    assert(store.exists("nir", 6))
+    assert(store.read("nir", 6).count() == 4 * store.read("nir", 5).count())
+
+    val gj =
+      """{"type":"FeatureCollection","features":[
+        | {"type":"Feature","properties":{"cls":5},
+        |  "geometry":{"type":"MultiPolygon","coordinates":[[[[0,0],[64,0],[64,64],[0,64]]]]}}
+        |]}""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/shapes.json"), gj)
+    RasterizeShapes.run(spark, Array(s"$dir/shapes.json", "cls", catalog, "zones", "5"))
+    assert(store.exists("zones", 5))
+    assert(graft.ops.Raster.pixelize(store.read("zones", 5), ts)
+      .agg(min(col("v")), max(col("v"))).head().toSeq == Seq(5.0, 5.0))
+
+    DeleteLayerApp.run(spark, Array(catalog, "zones", "5"))
+    assert(!store.exists("zones", 5))
+    DeleteLayerApp.run(spark, Array(catalog, "stack"))
+    assert(store.zoomsOf("stack").isEmpty)
+
     // RenderTile must take its color breaks from the _attributes sidecar:
     // the only Spark job allowed is the single-tile point read.
     var jobs = 0
