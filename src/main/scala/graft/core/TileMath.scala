@@ -174,9 +174,16 @@ object TileMath {
     * Utils.scala:23) at fractional cell coordinates, cell centers at
     * k + 0.5. Keys (1981) kernel with a = -0.5 — the classic 4x4
     * interpolator GDAL/GeoTrellis use. Weights form a partition of unity
-    * on a full neighborhood (identity at cell centers); NaN/out-of-tile
-    * neighbors renormalize over the remaining weights like
-    * [[sampleBilinear]]. */
+    * on a full neighborhood (identity at cell centers).
+    *
+    * Unlike [[sampleBilinear]] the kernel is SIGNED, so renormalizing
+    * over a partial neighborhood is unsound: the remaining weights can
+    * sum arbitrarily close to zero and amplify the result by orders of
+    * magnitude instead of degrading gracefully. When any of the 16
+    * neighbors is NoData or outside the tile, fall back to bilinear
+    * (whose non-negative weights renormalize safely) — GDAL's practice
+    * for cubic near nodata. Bilinear is also an identity at cell
+    * centers, so edge cells on an aligned grid stay lossless. */
   def sampleCubic(a: Array[Double], cols: Int, rows: Int, fx: Double, fy: Double): Double = {
     val A = -0.5
     def h(x: Double): Double = {
@@ -189,7 +196,7 @@ object TileMath {
     val y0 = math.floor(fy - 0.5).toInt
     val u = (fx - 0.5) - x0
     val w = (fy - 0.5) - y0
-    var num = 0.0; var den = 0.0
+    var num = 0.0; var den = 0.0; var contrib = 0
     var dy = -1
     while (dy <= 2) {
       var dx = -1
@@ -199,14 +206,15 @@ object TileMath {
           val v = a(x + y * cols)
           if (isData(v)) {
             val wt = h(dx - u) * h(dy - w)
-            num += wt * v; den += wt
+            num += wt * v; den += wt; contrib += 1
           }
         }
         dx += 1
       }
       dy += 1
     }
-    if (math.abs(den) > 1e-9) num / den else Double.NaN
+    if (contrib == 16) num / den
+    else sampleBilinear(a, cols, rows, fx, fy)
   }
 
   /** Focal mean over a square (2r+1)^2 or circular kernel on a padded

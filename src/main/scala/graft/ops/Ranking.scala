@@ -93,9 +93,12 @@ object Ranking {
       else ((rem + (rn - cut - 1) / math.max(1L, q)) + 1).toInt
     }
 
+    // rnk/drnk are Long: this operator exists exactly for the regime where
+    // a single-partition Window fails (>2^31 rows), so Int ranks would
+    // silently wrap negative right where the operator matters
     val outSchema = StructType(schema.fields ++ Array(
-      StructField("rnk", IntegerType, nullable = false),
-      StructField("drnk", IntegerType, nullable = false),
+      StructField("rnk", LongType, nullable = false),
+      StructField("drnk", LongType, nullable = false),
       StructField("ntile", IntegerType, nullable = false),
       StructField("prev_nb", schema(nbIdx).dataType, nullable = true),
       StructField("next_nb", schema(nbIdx).dataType, nullable = true)))
@@ -130,8 +133,8 @@ object Ranking {
               val rn = b.rowBase + localRow
               val nextVal = if (buf.hasNext) buf.head.get(nbIdx) else b.nextVal
               val out = Row.fromSeq(r.toSeq ++ Seq(
-                groupStartRank.toInt,
-                (b.denseBase + localDense).toInt,
+                groupStartRank,
+                b.denseBase + localDense,
                 ntileOf(rn), prevVal, nextVal))
               prevVal = r.get(nbIdx)
               out

@@ -97,8 +97,8 @@ object AdvancedQueries {
        |  SELECT l_suppkey, ${dsumSql(revenueSql)} AS revenue
        |  FROM lineitem GROUP BY 1)
        |SELECT l_suppkey, revenue,
-       |       CAST(RANK() OVER w AS INT) AS rnk,
-       |       CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+       |       RANK() OVER w AS rnk,
+       |       DENSE_RANK() OVER w AS drnk,
        |       CAST(NTILE(4) OVER w AS INT) AS quartile,
        |       COALESCE(LAG(l_suppkey, 1) OVER w, -1) AS prev_supp,
        |       COALESCE(LEAD(l_suppkey, 1) OVER w, -1) AS next_supp

@@ -66,19 +66,25 @@ class TileMathSpec extends AnyFunSuite {
     assert(sampleBilinear(tn, 2, 2, 1.0, 1.0) == (0.0 + 20 + 30) / 3)
   }
 
-  test("cubic convolution sample: Keys a=-0.5 goldens, identity at centers, renormalizes") {
+  test("cubic convolution sample: Keys a=-0.5 goldens, identity at centers, safe fallback") {
     // 4x4 tile, value varies only in x: each row = [0, 1, 2, 4]
     val t = Array.tabulate(16)(i => Array(0.0, 1.0, 2.0, 4.0)(i % 4))
     // exactly on a cell center -> identity (partition of unity)
     assert(TileMath.sampleCubic(t, 4, 4, 1.5, 1.5) == 1.0)
+    // edge cell center: incomplete 4x4 -> bilinear fallback, still identity
     assert(TileMath.sampleCubic(t, 4, 4, 2.5, 2.5) == 2.0)
-    // midpoint between cells 1 and 2: Keys midpoint weights
-    // (-1/16, 9/16, 9/16, -1/16) . (0, 1, 2, 4) = 1.4375
+    // midpoint between cells 1 and 2 (full neighborhood): Keys midpoint
+    // weights (-1/16, 9/16, 9/16, -1/16) . (0, 1, 2, 4) = 1.4375
     assert(math.abs(TileMath.sampleCubic(t, 4, 4, 2.0, 1.5) - 1.4375) < 1e-12)
-    // NaN neighbor renormalizes over remaining weights
-    val tn = t.clone(); tn(0 + 1 * 4) = Double.NaN // row y=1, x=0 (weight -1/16)
-    val expect = (9.0 / 16 * 1 + 9.0 / 16 * 2 - 1.0 / 16 * 4) / (1.0 + 1.0 / 16)
-    assert(math.abs(TileMath.sampleCubic(tn, 4, 4, 2.0, 1.5) - expect) < 1e-12)
+    // NaN neighbor: the signed kernel must NOT renormalize (weight sum can
+    // pass near zero and amplify) -> bilinear fallback over (1,1)-(2,2)
+    val tn = t.clone(); tn(0 + 1 * 4) = Double.NaN // row y=1, x=0
+    assert(TileMath.sampleCubic(tn, 4, 4, 2.0, 1.5) == 1.5)
+    // adversarial sparse tile: only far corners valid, cubic corner weights
+    // sum near zero — the old renormalization amplified; fallback gives NaN
+    val sparse = Array.fill(16)(Double.NaN); sparse(0) = 10.0; sparse(15) = 10.0
+    val v = TileMath.sampleCubic(sparse, 4, 4, 2.0, 2.0)
+    assert(v.isNaN, s"expected graceful NaN, got amplified $v")
     // all-NaN neighborhood -> NaN
     assert(TileMath.sampleCubic(Array.fill(16)(Double.NaN), 4, 4, 2.0, 2.0).isNaN)
   }

@@ -20,14 +20,14 @@ class RankingSpec extends AnyFunSuite {
           Seq("score", "id"), neighborCol = "id", ntileN = 4)
         .select($"id", $"rnk", $"drnk", $"ntile", $"prev_nb", $"next_nb")
         .collect().map(r => r.getLong(0) ->
-          (r.getInt(1), r.getInt(2), r.getInt(3), Option(r.get(4)), Option(r.get(5)))).toMap
+          (r.getLong(1), r.getLong(2), r.getInt(3), Option(r.get(4)), Option(r.get(5)))).toMap
       val w = Window.orderBy($"score".desc, $"id".asc)
       val ref = df.select($"id",
           rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
           ntile(4).over(w).as("ntile"),
           lag($"id", 1).over(w).as("p"), lead($"id", 1).over(w).as("n"))
         .collect().map(r => r.getLong(0) ->
-          (r.getInt(1), r.getInt(2), r.getInt(3), Option(r.get(4)), Option(r.get(5)))).toMap
+          (r.getInt(1).toLong, r.getInt(2).toLong, r.getInt(3), Option(r.get(4)), Option(r.get(5)))).toMap
       assert(dist == ref)
     }
   }
@@ -39,11 +39,11 @@ class RankingSpec extends AnyFunSuite {
     val dist = Ranking.withGlobalRanks(df, Seq($"score".desc, $"id".asc),
         Seq("score"), neighborCol = "id", ntileN = 4)
       .select($"score", $"rnk", $"drnk").distinct()
-      .collect().map(r => (r.getDouble(0), r.getInt(1), r.getInt(2))).toSet
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSet
     val w = Window.orderBy($"score".desc)
     val ref = df.select($"score",
         rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
-      .distinct().collect().map(r => (r.getDouble(0), r.getInt(1), r.getInt(2))).toSet
+      .distinct().collect().map(r => (r.getDouble(0), r.getInt(1).toLong, r.getInt(2).toLong)).toSet
     assert(dist == ref)
     // every score group collapses to exactly one (rnk, drnk) pair
     assert(dist.size == 7)
@@ -55,7 +55,7 @@ class RankingSpec extends AnyFunSuite {
     val out = Ranking.withGlobalRanks(df, Seq($"score".desc, $"id".asc),
         Seq("score"), "id", 4)
     val rnks = out.select($"rnk", $"drnk").distinct().collect()
-    assert(rnks.length == 1 && rnks(0).getInt(0) == 1 && rnks(0).getInt(1) == 1)
+    assert(rnks.length == 1 && rnks(0).getLong(0) == 1L && rnks(0).getLong(1) == 1L)
     // ntile still splits 200 rows into 4 tiles of 50
     val tiles = out.groupBy($"ntile").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap

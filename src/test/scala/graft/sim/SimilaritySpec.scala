@@ -46,6 +46,19 @@ class SimilaritySpec extends AnyFunSuite {
         Similarity.cosineHof($"x.embedding", $"y.ed").as("c2"))
       .where($"c1" =!= $"c2")
     assert(fd.count() == 0)
+    // null ELEMENT propagates to null, exactly like the HOF twin — the
+    // raw ArrayData slot must not be read as 0.0
+    val withNull = Seq(
+      (Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](4.0, 5.0)))
+      .toDF("a", "b")
+    val nn = withNull
+      .select(Similarity.cosine($"a", $"b").as("c1"), Similarity.cosineHof($"a", $"b").as("c2"))
+      .collect()
+    assert(nn.length == 2)
+    assert(nn.exists(r => r.isNullAt(0)) && nn.exists(r => !r.isNullAt(0)))
+    assert(nn.forall(r => r.isNullAt(0) == r.isNullAt(1) &&
+      (r.isNullAt(0) || r.getDouble(0) == r.getDouble(1))))
   }
 
   test("sign-LSH bucket code is stable and bounded") {
