@@ -9,31 +9,113 @@ import graft.functions.ZOrderKey.zorder
   * Reference model: an HDFS directory catalog with a JSON attribute store
   * and SFC-indexed layer writer (api/package.scala:62-180). Here:
   *
-  *  - one parquet dataset partitioned by (layer_name, zoom) → partition
-  *    pruning replaces the attribute-store lookup + index range read;
+  *  - one parquet dataset per (layer_name, zoom), resolved through a
+  *    version manifest (below) → partition-dir pruning replaces the
+  *    attribute-store lookup + index range read;
   *  - rows sorted by zorder(tile_col, tile_row) within partitions before
   *    write (ZCurveKeyIndexMethod analog, api/package.scala:143) so
   *    parquet row-group min/max stats prune point/range reads;
   *  - per-(layer, zoom) metadata + zoom-0 histogram as a JSON sidecar
-  *    `_attributes` table (Utils.scala:85-89 `histogramData`).
+  *    `_attributes` inside the version dir (Utils.scala:85-89).
+  *
+  * == Versioned publish (crash atomicity + snapshot isolation) ==
+  *
+  * Every write lands in a fresh immutable version dir
+  * `zoom=Z/v-NNNNNNNN/` and is made live by atomically replacing the
+  * tiny `zoom=Z/_current` pointer file (write sibling tmp, then one
+  * rename — POSIX rename(2) and HDFS rename are atomic; on object
+  * stores the same publish maps to a conditional put of the pointer
+  * key). Consequences, by construction rather than by recovery code:
+  *
+  *  - a crash at ANY point leaves `_current` resolving to a complete
+  *    version — either the old one or the new one, never a half-swap
+  *    (the old two-rename stage/retire swap had a window where the live
+  *    dir did not exist, and a crash there made the next merge silently
+  *    drop the whole prior layer);
+  *  - readers that resolved the pointer before a publish keep reading
+  *    their version's immutable files — the previous version is retained
+  *    until the NEXT publish, so a merge under a running query never
+  *    yanks that query's inputs (point-in-time snapshots, one deep);
+  *  - a version dir orphaned by a crash mid-write is garbage, not state:
+  *    it is never referenced and the next successful publish GCs it.
+  *
+  * Timing knobs exist for tests; production uses the defaults.
   */
-class LayerStore(spark: SparkSession, val root: String) {
+class LayerStore(spark: SparkSession, val root: String,
+                 staleLockMs: Long = 60000L,
+                 lockWaitMs: Long = 120000L,
+                 heartbeatMs: Long = 5000L) {
 
-  private def layerPath(name: String, zoom: Int) =
+  import java.nio.file.{Files, Paths, Path, StandardCopyOption, StandardOpenOption, NoSuchFileException}
+
+  private def zoomDir(name: String, zoom: Int) =
     s"$root/tiles/layer_name=$name/zoom=$zoom"
 
-  /** K1: delete-then-write with Z-curve ordering (api/package.scala:130-146),
+  private def pointerPath(name: String, zoom: Int): Path =
+    Paths.get(s"${zoomDir(name, zoom)}/_current")
+
+  /** The live version dir name (e.g. "v-00000003"), if published. */
+  def currentVersion(name: String, zoom: Int): Option[String] =
+    if (Files.exists(pointerPath(name, zoom)))
+      Some(new String(Files.readAllBytes(pointerPath(name, zoom)), "UTF-8").trim)
+    else None
+
+  private def dataPath(name: String, zoom: Int): String =
+    currentVersion(name, zoom)
+      .map(v => s"${zoomDir(name, zoom)}/$v")
+      .getOrElse(zoomDir(name, zoom)) // unpublished: surface Spark's path error
+
+  private val VersionRe = "v-(\\d{8})".r
+
+  private def listVersions(name: String, zoom: Int): Seq[String] = {
+    val d = new java.io.File(zoomDir(name, zoom))
+    if (!d.exists()) Seq.empty
+    else d.listFiles().iterator
+      .filter(f => f.isDirectory && VersionRe.pattern.matcher(f.getName).matches())
+      .map(_.getName).toSeq
+  }
+
+  private def nextVersionName(name: String, zoom: Int): String = {
+    val mx = listVersions(name, zoom)
+      .map { case VersionRe(n) => n.toLong }.foldLeft(0L)(math.max)
+    f"v-${mx + 1}%08d"
+  }
+
+  /** Stage a new version via `writer`, then publish it. Caller must hold
+    * the layer lock (all public write paths do). Old-version retention:
+    * the immediate predecessor survives for in-flight readers; anything
+    * older — including crash orphans — is GC'd. */
+  private def writeVersion(name: String, zoom: Int)(writer: String => Unit): Unit = {
+    val dir = zoomDir(name, zoom)
+    Files.createDirectories(Paths.get(dir))
+    val prev = currentVersion(name, zoom)
+    val v = nextVersionName(name, zoom)
+    writer(s"$dir/$v") // fully durable before the pointer moves
+    verifyLockOwned(name, zoom)
+    val tmp = Paths.get(s"$dir/_current.tmp-$v")
+    Files.write(tmp, v.getBytes("UTF-8"))
+    Files.move(tmp, pointerPath(name, zoom),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    listVersions(name, zoom)
+      .filterNot(d => d == v || prev.contains(d))
+      .foreach(d => rmTree(new java.io.File(s"$dir/$d")))
+  }
+
+  /** K1: versioned write with Z-curve ordering (api/package.scala:130-146),
     * then the `_attributes.json` sidecar (metadata + exact binned
     * histogram — Utils.scala:85-89 persists `histogramData` so the tile
     * server never re-aggregates the layer). The sidecar lives INSIDE the
-    * layer dir: underscore-prefixed files are invisible to Spark's
-    * parquet scan, and the merge swap moves data + attributes atomically. */
+    * version dir: underscore-prefixed files are invisible to Spark's
+    * parquet scan, and the pointer swap publishes data + attributes
+    * together. */
   def write(tiles: DataFrame, name: String, zoom: Int,
             tileSize: Int = graft.core.TileMath.DefaultTileSize,
             crs: String = "EPSG:4326", binWidth: Double = 1.0,
-            withAttributes: Boolean = true): Unit = {
-    writeTo(tiles, layerPath(name, zoom))
-    if (withAttributes) writeAttrs(layerPath(name, zoom), tileSize, crs, binWidth)
+            withAttributes: Boolean = true): Unit = withLayerLock(name, zoom) {
+    writeVersion(name, zoom) { path =>
+      writeTo(tiles, path)
+      if (withAttributes) writeAttrs(path, tileSize, crs, binWidth)
+    }
   }
 
   private def writeTo(tiles: DataFrame, path: String): Unit =
@@ -86,15 +168,16 @@ class LayerStore(spark: SparkSession, val root: String) {
         else Seq(b.getInt(0).toDouble * tileSize, b.getInt(2).toDouble * tileSize,
                  (b.getInt(1) + 1).toDouble * tileSize, (b.getInt(3) + 1).toDouble * tileSize),
       schemaJson = Some(schemaJson))
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/_attributes.json"),
+    Files.write(Paths.get(s"$path/_attributes.json"),
       LayerAttributes.toJson(attrs).getBytes("UTF-8")): Unit
   }
 
-  /** S9: read the attribute sidecar (None for pre-sidecar layers). */
+  /** S9: read the attribute sidecar of the live version (None for
+    * unpublished layers). */
   def readAttributes(name: String, zoom: Int): Option[LayerAttributes] = {
-    val f = java.nio.file.Paths.get(s"${layerPath(name, zoom)}/_attributes.json")
-    if (java.nio.file.Files.exists(f))
-      Some(LayerAttributes.fromJson(new String(java.nio.file.Files.readAllBytes(f), "UTF-8")))
+    val f = Paths.get(s"${dataPath(name, zoom)}/_attributes.json")
+    if (Files.exists(f))
+      Some(LayerAttributes.fromJson(new String(Files.readAllBytes(f), "UTF-8")))
     else None
   }
 
@@ -106,36 +189,44 @@ class LayerStore(spark: SparkSession, val root: String) {
   def writeSpaceTime(tiles: DataFrame, name: String, zoom: Int,
                      tileSize: Int = graft.core.TileMath.DefaultTileSize,
                      crs: String = "EPSG:4326", binWidth: Double = 1.0,
-                     withAttributes: Boolean = true): Unit = {
-    tiles
-      .repartition(col("time"), col("tile_col"), col("tile_row"))
-      .sortWithinPartitions(col("time"),
-        graft.functions.HilbertKey.hilbert(col("tile_col").cast("int"), col("tile_row").cast("int")))
-      .write.mode(SaveMode.Overwrite).partitionBy("time")
-      .parquet(layerPath(name, zoom))
-    if (withAttributes) writeAttrs(layerPath(name, zoom), tileSize, crs, binWidth)
+                     withAttributes: Boolean = true): Unit = withLayerLock(name, zoom) {
+    writeVersion(name, zoom) { path =>
+      tiles
+        .repartition(col("time"), col("tile_col"), col("tile_row"))
+        .sortWithinPartitions(col("time"),
+          graft.functions.HilbertKey.hilbert(col("tile_col").cast("int"), col("tile_row").cast("int")))
+        .write.mode(SaveMode.Overwrite).partitionBy("time")
+        .parquet(path)
+      if (withAttributes) writeAttrs(path, tileSize, crs, binWidth)
+    }
   }
 
   /** Time-pruned read: the `time` predicate prunes partition dirs; the
     * sidecar schema (which includes the time partition column) skips
     * footer inference like the spatial read. */
   def readSpaceTime(name: String, zoom: Int, time: Option[String] = None): DataFrame = {
-    val schema = readAttributes(name, zoom).flatMap(_.schemaJson)
-      .map(js => org.apache.spark.sql.types.DataType.fromJson(js)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-    val df = schema.fold(spark.read)(s => spark.read.schema(s)).parquet(layerPath(name, zoom))
+    val df = read(name, zoom)
     time.fold(df)(t => df.where(col("time") === t))
   }
 
-  /** S3: pruned read of one (layer, zoom). The sidecar's persisted schema
-    * skips parquet footer inference (one fewer job per read — the
-    * attribute store playing the reference's Metadata role,
-    * api/package.scala:62-65). */
+  /** S3: pruned read of the live version of one (layer, zoom). The
+    * sidecar's persisted schema skips parquet footer inference (one
+    * fewer job per read — the attribute store playing the reference's
+    * Metadata role, api/package.scala:62-65). The returned frame is
+    * pinned to the resolved version dir: it stays valid across ONE
+    * subsequent merge/write (previous version retained), giving readers
+    * a point-in-time snapshot instead of a mid-swap mixture. */
   def read(name: String, zoom: Int): DataFrame = {
-    val schema = readAttributes(name, zoom).flatMap(_.schemaJson)
-      .map(js => org.apache.spark.sql.types.DataType.fromJson(js)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-    schema.fold(spark.read)(s => spark.read.schema(s)).parquet(layerPath(name, zoom))
+    val path = dataPath(name, zoom)
+    val schema = {
+      val f = Paths.get(s"$path/_attributes.json")
+      if (Files.exists(f))
+        LayerAttributes.fromJson(new String(Files.readAllBytes(f), "UTF-8")).schemaJson
+          .map(js => org.apache.spark.sql.types.DataType.fromJson(js)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+      else None
+    }
+    schema.fold(spark.read)(s => spark.read.schema(s)).parquet(path)
   }
 
   /** S10: point lookup of a single tile — parquet predicate pushdown +
@@ -144,75 +235,123 @@ class LayerStore(spark: SparkSession, val root: String) {
   def readTile(name: String, zoom: Int, tileCol: Int, tileRow: Int): DataFrame =
     read(name, zoom).where(col("tile_col") === tileCol && col("tile_row") === tileRow)
 
-  /** K2: merge/upsert — read existing, cell-wise incoming-wins merge,
-    * overwrite (api/package.scala:328-385).
+  /** K2: merge/upsert — read live version, cell-wise incoming-wins merge,
+    * publish as a new version (api/package.scala:328-385).
     *
-    * Durability: the merged output is fully written to a staging dir
-    * *before* the live dir is touched, then swapped in by rename. The
-    * old cache-then-overwrite approach could silently corrupt — Spark's
-    * cache is not durable, and a partition evicted after the overwrite
-    * deletes the source files forces a lineage recompute against the
-    * destroyed input. With stage-then-swap the merge plan's source files
-    * stay intact until the new data is durably on disk, so recompute is
-    * always safe and a crash leaves either the old layer or the new one,
-    * never a mix. */
+    * Durability: the merged output is fully written to a fresh version
+    * dir while the source version's files stay untouched, so a cache
+    * eviction mid-merge recomputes against intact inputs; the pointer
+    * swap is the single atomic commit point, and the source version
+    * survives it (GC'd only by the NEXT publish) — there is no window
+    * in which the layer is missing or half-swapped. */
   def merge(incoming: DataFrame, name: String, zoom: Int,
             tileSize: Int = graft.core.TileMath.DefaultTileSize,
             crs: String = "EPSG:4326", binWidth: Double = 1.0,
             withAttributes: Boolean = true): Unit = withLayerLock(name, zoom) {
-    if (!exists(name, zoom)) { write(incoming, name, zoom, tileSize, crs, binWidth, withAttributes) }
-    else {
-      val merged = graft.ops.Raster.mergeLayers(read(name, zoom), incoming)
-      val live = layerPath(name, zoom)
-      val staging = s"$root/.staging/layer_name=$name/zoom=$zoom"
-      writeTo(merged, staging) // live files untouched; lineage can still recompute
-      if (withAttributes) writeAttrs(staging, tileSize, crs, binWidth) // swapped in with the data
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val retired = Paths.get(staging + ".retired")
-      rmTree(retired.toFile)
-      Files.move(Paths.get(live), retired, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(Paths.get(staging), Paths.get(live), StandardCopyOption.ATOMIC_MOVE)
-      rmTree(retired.toFile)
+    val base = currentVersion(name, zoom)
+    val toWrite =
+      if (base.isEmpty) incoming
+      else graft.ops.Raster.mergeLayers(read(name, zoom), incoming)
+    writeVersion(name, zoom) { path =>
+      writeTo(toWrite, path)
+      if (withAttributes) writeAttrs(path, tileSize, crs, binWidth)
     }
   }
 
   /** Writer serialization for merge's read-modify-write: concurrent
     * upserts into one (layer, zoom) would each read the same base and
-    * the last swap would silently drop the other's tiles. An atomically
-    * created lock file (CREATE_NEW is atomic on POSIX and HDFS-style
-    * stores expose the same create-if-absent primitive) serializes
-    * writers; locks older than [[StaleLockMs]] are considered crashed
-    * and broken. */
-  private val StaleLockMs = 300000L
-  private val LockWaitMs = 120000L
+    * the last publish would silently drop the other's tiles. An
+    * atomically created lock file (CREATE_NEW is atomic on POSIX, and
+    * HDFS-style stores expose the same create-if-absent primitive)
+    * serializes writers.
+    *
+    * Liveness vs safety: the holder HEARTBEATS the lock (touches its
+    * mtime every [[heartbeatMs]] from a driver-side daemon thread), so
+    * a lock older than [[staleLockMs]] means the holder really crashed —
+    * a merge that legitimately runs long stays fresh and is never
+    * broken, unlike a fixed create-time TTL. Breaking a stale lock is an
+    * atomic RENAME to a unique grave name: of N waiters racing, exactly
+    * one move succeeds (delete-then-create had a TOCTOU where a waiter
+    * could delete a lock another waiter had just freshly created). The
+    * lock body is a unique owner token, re-verified before every
+    * publish ([[verifyLockOwned]]) and again at release so a holder
+    * whose lock was broken aborts instead of publishing a lost update,
+    * and never deletes a successor's lock. */
+  private def lockPath(name: String, zoom: Int): Path =
+    Paths.get(s"$root/.locks/layer_name=$name-zoom=$zoom.lock")
 
-  private def withLayerLock[T](name: String, zoom: Int)(f: => T): T = {
-    import java.nio.file.{Files, Paths, StandardOpenOption}
-    val lock = Paths.get(s"$root/.locks/layer_name=$name-zoom=$zoom.lock")
+  // (name, zoom) -> (lock file, owner token) held by the current thread
+  private val heldLocks = new ThreadLocal[Map[(String, Int), (Path, String)]] {
+    override def initialValue(): Map[(String, Int), (Path, String)] = Map.empty
+  }
+
+  private[catalog] def withLayerLock[T](name: String, zoom: Int)(f: => T): T = {
+    val lock = lockPath(name, zoom)
     Files.createDirectories(lock.getParent)
-    val deadline = System.currentTimeMillis + LockWaitMs
+    val token = ProcessHandle.current().pid() + ":" + java.util.UUID.randomUUID()
+    val deadline = System.currentTimeMillis + lockWaitMs
     var acquired = false
     while (!acquired) {
       try {
-        Files.write(lock, ProcessHandle.current().pid().toString.getBytes("UTF-8"),
+        Files.write(lock, token.getBytes("UTF-8"),
           StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
         acquired = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           val age = try System.currentTimeMillis - Files.getLastModifiedTime(lock).toMillis
-                    catch { case _: java.nio.file.NoSuchFileException => Long.MaxValue }
-          if (age > StaleLockMs) Files.deleteIfExists(lock): Unit
-          else if (System.currentTimeMillis > deadline)
+                    catch { case _: NoSuchFileException => -1L }
+          if (age > staleLockMs) {
+            val grave = lock.resolveSibling(
+              lock.getFileName.toString + ".broken-" + java.util.UUID.randomUUID())
+            try { Files.move(lock, grave, StandardCopyOption.ATOMIC_MOVE); Files.deleteIfExists(grave): Unit }
+            catch { case _: NoSuchFileException => () } // another waiter won the break
+          } else if (System.currentTimeMillis > deadline)
             throw new IllegalStateException(s"timed out waiting for writer lock on ($name, $zoom)")
           else Thread.sleep(100)
       }
     }
-    try f finally Files.deleteIfExists(lock)
+    val beating = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val hb = new Thread(() => {
+      while (beating.get) {
+        try Thread.sleep(heartbeatMs) catch { case _: InterruptedException => () }
+        if (beating.get)
+          try Files.setLastModifiedTime(lock,
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis))
+          catch { case _: java.io.IOException => () } // broken-as-stale: verify catches it
+      }
+    }, s"graft-lock-heartbeat-$name-$zoom")
+    hb.setDaemon(true)
+    hb.start()
+    heldLocks.set(heldLocks.get + ((name, zoom) -> (lock, token)))
+    try f
+    finally {
+      heldLocks.set(heldLocks.get - ((name, zoom)))
+      beating.set(false); hb.interrupt()
+      // release only our own lock: if it was broken while we were
+      // (wrongly) presumed dead, the file now holds a successor's token
+      try {
+        if (new String(Files.readAllBytes(lock), "UTF-8") == token)
+          Files.deleteIfExists(lock): Unit
+      } catch { case _: java.io.IOException => () }
+    }
   }
 
-  /** S9: catalog listing. */
+  /** Abort a publish whose writer lock no longer holds our token — the
+    * lock was broken as stale, so a successor may already be merging
+    * from the version we are about to replace. */
+  private def verifyLockOwned(name: String, zoom: Int): Unit =
+    heldLocks.get.get((name, zoom)).foreach { case (lock, token) =>
+      val held =
+        try new String(Files.readAllBytes(lock), "UTF-8")
+        catch { case _: java.io.IOException => "" }
+      if (held != token)
+        throw new IllegalStateException(
+          s"writer lock on ($name, $zoom) was lost before publish — aborting to avoid a lost update")
+    }
+
+  /** S9: catalog listing. A layer exists once a version is published. */
   def exists(name: String, zoom: Int): Boolean =
-    new java.io.File(layerPath(name, zoom)).exists()
+    currentVersion(name, zoom).isDefined
 
   def zoomsOf(name: String): Seq[Int] = {
     val d = new java.io.File(s"$root/tiles/layer_name=$name")
@@ -225,7 +364,7 @@ class LayerStore(spark: SparkSession, val root: String) {
   /** K3: delete one zoom or all zooms of a layer (api/package.scala:67-102). */
   def delete(name: String, zoom: Option[Int] = None): Unit = {
     val target = zoom match {
-      case Some(z) => new java.io.File(layerPath(name, z))
+      case Some(z) => new java.io.File(zoomDir(name, z))
       case None => new java.io.File(s"$root/tiles/layer_name=$name")
     }
     rmTree(target)

@@ -60,9 +60,62 @@ class LayerStoreSpec extends AnyFunSuite {
     val cells = store.readTile("d", 2, 0, 0).select($"cells").as[Seq[Double]].head()
     assert(cells(0) == 1000.0 && cells.last == 1000.0 + 2 * (TS - 1))
     assert(store.read("d", 2).count() == 4) // untouched tiles survive
-    // staging + retired dirs are cleaned up after the swap
-    val staged = new java.io.File(store.root + "/.staging/layer_name=d")
-    assert(!staged.exists() || staged.listFiles().isEmpty)
+  }
+
+  test("snapshot isolation: a reader resolved before a merge survives the publish") {
+    val store = freshStore()
+    store.write(tiles(0), "s", 2)
+    val snapshot = store.read("s", 2) // pins the pre-merge version dir
+    assert(snapshot.count() == 4)
+    store.merge(tiles(100), "s", 2)
+    // the old version's files are retained until the NEXT publish, so the
+    // in-flight reader still evaluates against its point-in-time snapshot
+    assert(snapshot.count() == 4)
+    assert(snapshot.select(max(array_max($"cells"))).head().getDouble(0) < 100.0)
+    // while a fresh read sees the merged layer
+    assert(store.readTile("s", 2, 0, 0).select($"cells").as[Seq[Double]].head()(0) == 100.0)
+    // ...and one more publish GCs the twice-retired version
+    store.merge(tiles(200), "s", 2)
+    val zoomDir = new java.io.File(store.root + "/tiles/layer_name=s/zoom=2")
+    val versions = zoomDir.listFiles().filter(_.getName.startsWith("v-")).map(_.getName).sorted
+    assert(versions.length == 2, s"expected current+previous, got ${versions.mkString(",")}")
+  }
+
+  test("crash-orphaned version dirs are never read and are GC'd by the next publish") {
+    val store = freshStore()
+    store.write(tiles(0), "o", 1)
+    // simulate a writer that crashed mid-stage: a version dir exists but
+    // was never published (no pointer update)
+    val zoomDir = new java.io.File(store.root + "/tiles/layer_name=o/zoom=1")
+    val orphan = new java.io.File(zoomDir, "v-00000099")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.write(orphan.toPath.resolve("junk.parquet"), Array[Byte](1, 2, 3))
+    // reads resolve the pointer, not the directory listing
+    assert(store.read("o", 1).count() == 4)
+    // the live layer never disappears: exists() holds during a merge
+    store.merge(tiles(50), "o", 1)
+    assert(store.read("o", 1).count() == 4)
+    assert(!orphan.exists(), "next publish must GC the crash orphan")
+  }
+
+  test("publish is a single pointer swap: the layer stays continuously readable during merges") {
+    val store = freshStore()
+    store.write(tiles(0), "p", 3)
+    val missing = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val poller = new Thread(() => {
+      while (!stop.get) {
+        if (!store.exists("p", 3)) missing.incrementAndGet()
+        Thread.sleep(1)
+      }
+    })
+    poller.start()
+    try (1 to 3).foreach(i => store.merge(tiles(i * 100.0), "p", 3))
+    finally { stop.set(true); poller.join() }
+    // the old stage/retire swap had a window with NO live dir; the
+    // pointer swap must never expose one
+    assert(missing.get() == 0, s"layer vanished ${missing.get()} times mid-merge")
+    assert(store.readTile("p", 3, 0, 0).select($"cells").as[Seq[Double]].head()(0) == 300.0)
   }
 
   test("attribute sidecar: persisted histogram + bounds, refreshed by merge") {
@@ -132,6 +185,44 @@ class LayerStoreSpec extends AnyFunSuite {
     assert(keys.size == 4 + 4) // the 4 original tiles survived too
     // lock released
     assert(new java.io.File(store.root + "/.locks").listFiles().forall(!_.getName.endsWith(".lock")))
+  }
+
+  test("heartbeat keeps a long-running holder's lock fresh: waiters time out instead of breaking it") {
+    val root = java.nio.file.Files.createTempDirectory("graft_store").toString
+    // staleness (600ms) far below the holder's runtime (2s): only the
+    // heartbeat (150ms) keeps the lock alive
+    val holder = new LayerStore(spark, root, staleLockMs = 600, lockWaitMs = 5000, heartbeatMs = 150)
+    val waiter = new LayerStore(spark, root, staleLockMs = 600, lockWaitMs = 1200, heartbeatMs = 150)
+    val holderDone = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => {
+      holder.withLayerLock("h", 1) { Thread.sleep(2000) }
+      holderDone.countDown()
+    })
+    t.start()
+    Thread.sleep(300) // let the holder acquire
+    // a fixed create-time TTL would break this lock at 600ms; with
+    // heartbeating the waiter must give up instead
+    val ex = intercept[IllegalStateException] { waiter.withLayerLock("h", 1) { fail("stole a live lock") } }
+    assert(ex.getMessage.contains("timed out"))
+    assert(holderDone.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    t.join()
+    // after the holder releases, the lock is free
+    var ran = false
+    waiter.withLayerLock("h", 1) { ran = true }
+    assert(ran)
+  }
+
+  test("a genuinely stale lock (crashed holder, no heartbeat) is broken and writing proceeds") {
+    val root = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val store = new LayerStore(spark, root, staleLockMs = 300, lockWaitMs = 5000, heartbeatMs = 100)
+    val lock = java.nio.file.Paths.get(s"$root/.locks/layer_name=c-zoom=1.lock")
+    java.nio.file.Files.createDirectories(lock.getParent)
+    java.nio.file.Files.write(lock, "dead-process-token".getBytes)
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis - 10000))
+    store.write(tiles(0), "c", 1) // must break the stale lock, not dead-lock
+    assert(store.read("c", 1).count() == 4)
+    assert(!java.nio.file.Files.exists(lock), "store must release its own lock")
   }
 
   test("attribute histogram caps bin count: adversarial range widens the bins") {
