@@ -249,7 +249,80 @@ object AdvancedQueries {
        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
        |FROM orders WHERE o_custkey < 100""".stripMargin
 
+  /** Exact quantiles with a scale-correct shape: instead of a per-group
+    * global sort + row_number (one task per group at 100x), aggregate a
+    * value histogram first — the shuffle carries only (group, distinct
+    * value) pairs, and the cumulative window runs over that tiny
+    * aggregated set. Discrete quantile (first value whose cumulative
+    * count reaches ceil(p*n)) avoids interpolation arithmetic entirely,
+    * so results are exact in both engines. */
+  val quartiles: Q = (s, dir) => {
+    val h = table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = h.select(col("l_returnflag"), col("l_quantity"), col("cnt"),
+      sum(col("cnt")).over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))).as("cum"),
+      sum(col("cnt")).over(Window.partitionBy(col("l_returnflag"))).as("n"))
+    def q(p: Double, nm: String) =
+      min(when(col("cum") >= ceil(lit(p) * col("n")), col("l_quantity"))).cast("double").as(nm)
+    cum.groupBy(col("l_returnflag"))
+      .agg(q(0.25, "q1"), q(0.5, "q2"), q(0.75, "q3"), max(col("n")).as("n"))
+  }
+
+  val quartilesSql: String =
+    """WITH h AS (SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+      |           FROM lineitem GROUP BY 1, 2),
+      |c AS (SELECT l_returnflag, l_quantity, cnt,
+      |        SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cum,
+      |        SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+      |      FROM h)
+      |SELECT l_returnflag,
+      |       CAST(MIN(CASE WHEN cum >= ceil(0.25 * n) THEN l_quantity END) AS DOUBLE) AS q1,
+      |       CAST(MIN(CASE WHEN cum >= ceil(0.5 * n) THEN l_quantity END) AS DOUBLE) AS q2,
+      |       CAST(MIN(CASE WHEN cum >= ceil(0.75 * n) THEN l_quantity END) AS DOUBLE) AS q3,
+      |       CAST(MAX(n) AS BIGINT) AS n
+      |FROM c GROUP BY 1""".stripMargin
+
+  /** Pearson correlation per group, bit-deterministic: the five moment
+    * sums accumulate as exact decimals (magnitudes chosen so every
+    * decimal→double cast is exact, see [[Fixtures.dsum]] scaladoc), then
+    * one fixed-order double formula per group. Spark's built-in `corr`
+    * folds doubles in partition order — unusable under a bitwise oracle;
+    * this shape is the determinism-contract way to do second moments. */
+  val corrMoments: Q = (s, dir) => {
+    val x = dec2(col("l_quantity"))
+    val y = dec2(col("l_discount"))
+    val ag = table(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(x).cast("double").as("sx"),
+      sum(y).cast("double").as("sy"),
+      sum(x * y).cast("double").as("sxy"),
+      sum(x * x).cast("double").as("sxx"),
+      sum(y * y).cast("double").as("syy"))
+    ag.select(col("l_returnflag"), col("n"),
+      ((col("n") * col("sxy") - col("sx") * col("sy"))
+        / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+          * sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qd"))
+  }
+
+  val corrMomentsSql: String =
+    s"""WITH ag AS (SELECT l_returnflag,
+       |  CAST(COUNT(*) AS DOUBLE) AS n,
+       |  CAST(SUM(${dec2Sql("l_quantity")}) AS DOUBLE) AS sx,
+       |  CAST(SUM(${dec2Sql("l_discount")}) AS DOUBLE) AS sy,
+       |  CAST(SUM(${dec2Sql("l_quantity")} * ${dec2Sql("l_discount")}) AS DOUBLE) AS sxy,
+       |  CAST(SUM(${dec2Sql("l_quantity")} * ${dec2Sql("l_quantity")}) AS DOUBLE) AS sxx,
+       |  CAST(SUM(${dec2Sql("l_discount")} * ${dec2Sql("l_discount")}) AS DOUBLE) AS syy
+       |FROM lineitem GROUP BY 1)
+       |SELECT l_returnflag, n,
+       |       (n * sxy - sx * sy)
+       |         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qd
+       |FROM ag""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_quartiles" -> (quartiles, Some(quartilesSql)),
+    "a_corr_moments" -> (corrMoments, Some(corrMomentsSql)),
     "a_grouping_sets" -> (groupingSets, Some(groupingSetsSql)),
     "a_running_total" -> (runningTotal, Some(runningTotalSql)),
     "a_shipping_priority" -> (shippingPriority, Some(shippingPrioritySql)),

@@ -228,20 +228,99 @@ object TextQueries {
       .distinct()
   }
 
-  val minhashLshSql: String =
-    s"""WITH $docsCte,
-       |$sigsCte,
-       |bands AS (
+  // NOTE: embedded into outer .stripMargin templates — no line here may
+  // start with '|' (an "|| ','" continuation would lose its first char)
+  private val lshPairsCte =
+    s"""bands AS (
        |  SELECT doc_id, sig, b.b AS band,
-       |         CAST(sig[b.b * 4 + 1] AS VARCHAR) || ',' || CAST(sig[b.b * 4 + 2] AS VARCHAR)
-       |           || ',' || CAST(sig[b.b * 4 + 3] AS VARCHAR) || ',' || CAST(sig[b.b * 4 + 4] AS VARCHAR) AS key
+       |         CAST(sig[b.b * 4 + 1] AS VARCHAR) || ',' || CAST(sig[b.b * 4 + 2] AS VARCHAR) || ',' || CAST(sig[b.b * 4 + 3] AS VARCHAR) || ',' || CAST(sig[b.b * 4 + 4] AS VARCHAR) AS key
        |  FROM sigs, range(0, 4) b(b)),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sig AS sa, y.sig AS sb
-       |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
-       |SELECT a, b,
-       |       CAST(len(list_filter(range(1, $K + 1), i -> sa[i] = sb[i])) AS DOUBLE) / $K AS est_jaccard
-       |FROM cand""".stripMargin
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |lsh AS (
+       |  SELECT a, b,
+       |         CAST(len(list_filter(range(1, $K + 1), i -> sa[i] = sb[i])) AS DOUBLE) / $K AS est_jaccard
+       |  FROM cand)""".stripMargin
+
+  val minhashLshSql: String =
+    s"""WITH $docsCte,
+       |$sigsCte,
+       |$lshPairsCte
+       |SELECT a, b, est_jaccard FROM lsh""".stripMargin
+
+  /** Candidate verification — the stage after LSH in a real dedup
+    * pipeline: edit distance over bounded 64-char prefixes confirms or
+    * rejects each candidate pair. Verification is map-side per candidate
+    * (the expensive O(64^2) Levenshtein runs only on the LSH survivors,
+    * never all-pairs), and the doc-text joins ship one 64-byte prefix
+    * per side, not whole documents. */
+  val lshVerify: Q = (s, dir) => {
+    val pfx = table(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 64).as("pfx"))
+    minhashLsh(s, dir)
+      .join(pfx.select(col("doc_id").as("a"), col("pfx").as("pa")), Seq("a"))
+      .join(pfx.select(col("doc_id").as("b"), col("pfx").as("pb")), Seq("b"))
+      .select(col("a"), col("b"), col("est_jaccard"),
+        levenshtein(col("pa"), col("pb")).as("lev"))
+      .where(col("lev") <= 24)
+  }
+
+  val lshVerifySql: String =
+    s"""WITH $docsCte,
+       |$sigsCte,
+       |$lshPairsCte
+       |SELECT l.a, l.b, l.est_jaccard,
+       |       CAST(levenshtein(substr(da.text, 1, 64), substr(db.text, 1, 64)) AS INT) AS lev
+       |FROM lsh l
+       |JOIN documents da ON da.doc_id = l.a
+       |JOIN documents db ON db.doc_id = l.b
+       |WHERE levenshtein(substr(da.text, 1, 64), substr(db.text, 1, 64)) <= 24""".stripMargin
+
+  /** Deterministic held-out split — hash-bucket sampling on the stable
+    * doc key (80/10/10), reproducible across engines and runs: the split
+    * a training pipeline freezes once and re-derives everywhere. Pure
+    * map-side + one bounded aggregation. */
+  val hashSplit: Q = (s, dir) => {
+    val bucket = TextOps.h60(col("doc_id").cast("string")) % 10
+    table(s, dir, "documents")
+      .select(when(bucket < 8, "train").when(bucket === 8, "valid").otherwise("test").as("split"),
+        col("n_chars"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+  }
+
+  val hashSplitSql: String =
+    s"""WITH s AS (SELECT ${TextOps.h60Sql("CAST(doc_id AS VARCHAR)")} % 10 AS b, n_chars
+       |           FROM documents)
+       |SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid' ELSE 'test' END AS split,
+       |       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+       |FROM s GROUP BY 1""".stripMargin
+
+  /** TF-IDF vocabulary probe: top-20 terms by corpus tf-idf. Integer
+    * term/document frequencies stay exact through ONE double division
+    * (score = tf * N / df), so ordering is bit-deterministic; ties break
+    * on the term. Single term-keyed aggregation (count + distinct-count
+    * share the exchange), top-k via partial TakeOrdered, no global sort. */
+  val tfidf: Q = (s, dir) => {
+    val terms = docs(s, dir).select(col("doc_id"), explode(col("toks")).as("term"))
+    terms.groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(table(s, dir, "documents").agg(count(lit(1)).as("n_docs"))))
+      .select(col("term"), col("tf"), col("df"),
+        ((col("tf") * col("n_docs")).cast("double") / col("df").cast("double")).as("score"))
+      .orderBy(col("score").desc, col("term")).limit(20)
+  }
+
+  val tfidfSql: String =
+    s"""WITH $docsCte,
+       |t AS (SELECT doc_id, u.term FROM docs, unnest(toks) u(term)),
+       |ag AS (SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+       |SELECT term, tf, df,
+       |       CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+       |FROM ag, n
+       |ORDER BY score DESC, term LIMIT 20""".stripMargin
 
   /** BPE-ish token counting (whitespace tokens vs pre-tokenizer units —
     * the budget numbers an LLM data pipeline tracks per document). */
@@ -328,6 +407,9 @@ object TextQueries {
       |FROM documents""".stripMargin
 
   val all: Map[String, (Q, Option[String])] = Map(
+    "t_lsh_verify" -> (lshVerify, Some(lshVerifySql)),
+    "t_hash_split" -> (hashSplit, Some(hashSplitSql)),
+    "t_tfidf" -> (tfidf, Some(tfidfSql)),
     "t_top_ngrams" -> (topNgrams, Some(topNgramsSql)),
     "t_decontaminate" -> (decontaminate, Some(decontaminateSql)),
     "t_pattern_scan" -> (patternScan, Some(patternScanSql)),
