@@ -171,8 +171,10 @@ final case class Utm(zone: Int, north: Boolean) {
 }
 
 /** CRS transforms available offline. Serializable (used inside
-  * aggregator kernels on executors). */
-sealed trait CrsTransform extends Serializable {
+  * aggregator kernels on executors). Open for extension: a user CRS is
+  * just a forward/inverse pair (no exhaustive matches depend on the
+  * subtype set — Crs.transform matches on EPSG codes, not types). */
+trait CrsTransform extends Serializable {
   /** source-CRS point -> target-CRS point */
   def forward(x: Double, y: Double): (Double, Double)
   /** target-CRS point -> source-CRS point */

@@ -75,6 +75,40 @@ object Reproject {
     def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
   }
 
+  /** Source key -> covered destination keys. The projected image of a
+    * rectangle has CURVED edges under a general CRS (UTM easting/
+    * northing both bend with lon/lat), so a corner-only bbox can
+    * under-cover by a tile near zone boundaries / high latitudes —
+    * the extremum of a curved edge lies strictly between corners.
+    * Sample every edge at [[EdgeSamples]] intervals and take the bbox
+    * of the sampled boundary: 4*(EdgeSamples+1) cheap map-side
+    * projections per SOURCE TILE (not per pixel), noise next to the
+    * per-pixel resampling that follows. */
+  private val EdgeSamples = 8
+
+  private[grid] def coveredKeysFn(src: LayoutDefinition, dst: LayoutDefinition,
+                                  transform: CrsTransform): (Int, Int) => Seq[(Int, Int)] =
+    (tc: Int, tr: Int) => {
+      val e = src.keyToExtent(tc, tr)
+      val boundary = for {
+        t <- 0 to EdgeSamples
+        f = t.toDouble / EdgeSamples
+        p <- Seq(
+          (e.xmin + f * (e.xmax - e.xmin), e.ymin),
+          (e.xmin + f * (e.xmax - e.xmin), e.ymax),
+          (e.xmin, e.ymin + f * (e.ymax - e.ymin)),
+          (e.xmax, e.ymin + f * (e.ymax - e.ymin)))
+      } yield p
+      val pts = boundary.map { case (x, y) => transform.forward(x, y) }
+      val xs = pts.map(_._1); val ys = pts.map(_._2)
+      val (c0, r1) = dst.mapToKey(xs.min, ys.min)
+      val (c1, r0) = dst.mapToKey(xs.max, ys.max)
+      for {
+        c <- math.max(0, c0) to math.min(dst.layoutCols - 1, c1)
+        r <- math.max(0, r0) to math.min(dst.layoutRows - 1, r1)
+      } yield (c, r)
+    }
+
   /** Reproject tiles (tile_col, tile_row, cells) from src layout/CRS to
     * dst layout/CRS with NearestNeighbor sampling (reference default,
     * Utils.scala:23). */
@@ -84,20 +118,7 @@ object Reproject {
     import spark.implicits._
     val agg = udaf(new ResampleAgg(src, dst, transform, kernel), ExpressionEncoder[SrcTileIn]())
 
-    // source key -> covered destination keys (corner-projected bbox)
-    val coveredKeys = udf((tc: Int, tr: Int) => {
-      val e = src.keyToExtent(tc, tr)
-      val corners = Seq((e.xmin, e.ymin), (e.xmin, e.ymax), (e.xmax, e.ymin), (e.xmax, e.ymax),
-        ((e.xmin + e.xmax) / 2, e.ymin), ((e.xmin + e.xmax) / 2, e.ymax))
-        .map { case (x, y) => transform.forward(x, y) }
-      val xs = corners.map(_._1); val ys = corners.map(_._2)
-      val (c0, r1) = dst.mapToKey(xs.min, ys.min)
-      val (c1, r0) = dst.mapToKey(xs.max, ys.max)
-      for {
-        c <- math.max(0, c0) to math.min(dst.layoutCols - 1, c1)
-        r <- math.max(0, r0) to math.min(dst.layoutRows - 1, r1)
-      } yield (c, r)
-    })
+    val coveredKeys = udf(coveredKeysFn(src, dst, transform))
 
     tiles
       .select(col("tile_col").as("srcCol"), col("tile_row").as("srcRow"), col("cells"),

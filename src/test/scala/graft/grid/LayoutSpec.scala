@@ -40,6 +40,58 @@ class LayoutSpec extends AnyFunSuite {
     assert(z == 2)
   }
 
+  test("covered keys: edge-sampled bbox contains every densely projected interior point") {
+    val ts = 8
+    val src = LayoutDefinition(Extent(0, 0, 64, 64), ts, ts, 2, 2)
+    // room for the warp's +-24 vertical swing
+    val dst = LayoutDefinition(Extent(0, -32, 64, 96), ts, ts, 2, 4)
+    // strongly curved edges with the extremum strictly inside an edge
+    // (phase-shifted sine): a corner-only bbox misses the bulge
+    val warp = new CrsTransform {
+      def forward(x: Double, y: Double): (Double, Double) =
+        (x, y + 24.0 * math.sin(x / 64.0 * 2 * math.Pi + 0.7))
+      def inverse(x: Double, y: Double): (Double, Double) =
+        (x, y - 24.0 * math.sin(x / 64.0 * 2 * math.Pi + 0.7))
+    }
+    val ck = Reproject.coveredKeysFn(src, dst, warp)
+    var checked = 0
+    for (tc <- 0 until 2; tr <- 0 until 2) {
+      val covered = ck(tc, tr).toSet
+      val e = src.keyToExtent(tc, tr)
+      for (i <- 0 to 40; j <- 0 to 40) {
+        val (wx, wy) = warp.forward(
+          e.xmin + i * e.width / 40.0, e.ymin + j * e.height / 40.0)
+        val k = dst.mapToKey(wx, wy)
+        if (k._1 >= 0 && k._1 < dst.layoutCols && k._2 >= 0 && k._2 < dst.layoutRows) {
+          checked += 1
+          assert(covered.contains(k),
+            s"source tile ($tc,$tr): projected point ($wx,$wy) -> $k not in covered keys $covered")
+        }
+      }
+    }
+    assert(checked > 5000)
+    // and UTM near the pole: tiles spanning the central meridian off-center
+    val utmSrc = LayoutDefinition(Extent(3.5, 67.0, 11.5, 71.0), ts, ts, 4, 4)
+    val t32 = LatLngToUtm(32, north = true)
+    val pts = for (i <- 0 to 64; j <- 0 to 64)
+      yield t32.forward(3.5 + i * 8.0 / 64, 67.0 + j * 4.0 / 64)
+    val utmDst = FloatingLayout.fit(
+      Extent(pts.map(_._1).min, pts.map(_._2).min, pts.map(_._1).max, pts.map(_._2).max),
+      (pts.map(_._1).max - pts.map(_._1).min) / (4.0 * ts),
+      (pts.map(_._1).max - pts.map(_._1).min) / (4.0 * ts), ts)
+    val uck = Reproject.coveredKeysFn(utmSrc, utmDst, t32)
+    for (tc <- 0 until 4; tr <- 0 until 4) {
+      val covered = uck(tc, tr).toSet
+      val e = utmSrc.keyToExtent(tc, tr)
+      for (i <- 0 to 24; j <- 0 to 24) {
+        val (ux, uy) = t32.forward(e.xmin + i * e.width / 24.0, e.ymin + j * e.height / 24.0)
+        val k = utmDst.mapToKey(ux, uy)
+        if (k._1 >= 0 && k._1 < utmDst.layoutCols && k._2 >= 0 && k._2 < utmDst.layoutRows)
+          assert(covered.contains(k), s"UTM: tile ($tc,$tr) point -> $k missing from $covered")
+      }
+    }
+  }
+
   test("UTM golden values: anchors, independent meridian-arc integral, round-trip") {
     val z32 = Utm(32, north = true)
     assert(z32.lon0 == 9.0)
