@@ -232,6 +232,35 @@ object Raster {
   def selectBand(multiband: DataFrame, band: Int): DataFrame =
     multiband.where(col("band") === band).drop("band")
 
+  /** Multiband as ONE nested-array column per tile —
+    * `bands ARRAY<ARRAY<DOUBLE>>` indexed by band, the columnar analog
+    * of a GeoTrellis MultibandTile (ManyLayersToMultibandLayer.scala:
+    * 244-260). Zipping the band-row representation costs one tile-keyed
+    * shuffle; every band-algebra consumer after that (NDVI, QA masking,
+    * per-pixel features) is a single column expression over co-located
+    * arrays — no join, no pivot, no per-pixel rows on any wire. For
+    * wide stacks this replaces N-1 joins (or an N-way pivot) with one
+    * aggregation. Bands absent for a tile are null slots. */
+  def zipBands(multiband: DataFrame, nBands: Int): DataFrame =
+    multiband
+      .groupBy(col("tile_col"), col("tile_row"))
+      .agg(map_from_entries(collect_list(struct(col("band").cast("int"), col("cells")))).as("bm"))
+      .select(col("tile_col"), col("tile_row"),
+        transform(sequence(lit(0), lit(nBands - 1)), b => col("bm")(b)).as("bands"))
+
+  /** Inverse of [[zipBands]]: back to band-row form, dropping the null
+    * slots of absent bands. */
+  def unzipBands(stacked: DataFrame): DataFrame =
+    stacked
+      .select(col("tile_col"), col("tile_row"),
+        posexplode(col("bands")).as(Seq("band", "cells")))
+      .where(col("cells").isNotNull)
+
+  /** NDVI straight off the multiband column: same cell algebra as the
+    * two-layer join path, zero joins. */
+  def ndviFromBands(bands: Column, nir: Int, red: Int): Column =
+    ndviCells(bands(nir), bands(red))
+
   /** Per-tile feature-zip kernel: band arrays in, one (px, py, features)
     * row per cell with >= 1 data band out; missing bands are null (the
     * pivot contract). */

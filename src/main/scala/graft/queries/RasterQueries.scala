@@ -281,6 +281,24 @@ object RasterQueries {
     s"""WITH $pxCte
        |SELECT tile_col, tile_row, px, py, va AS f0, vb AS f1 FROM pxk""".stripMargin
 
+  /** R11 struct-column variant: bands zipped into ONE nested-array
+    * column (`bands ARRAY<ARRAY<DOUBLE>>`), NDVI computed directly off
+    * it — one tile-keyed aggregation replaces the two-layer join; for an
+    * N-band stack it replaces N-1 joins. Same algebra, same oracle family
+    * as r_ndvi_join. */
+  val multibandNdvi: Q = (s, dir) => {
+    val z = Raster.zipBands(Raster.stackBands(Seq(tilesA(s, dir), tilesB(s, dir))), 2)
+    Raster.pixelize(
+      z.select(col("tile_col"), col("tile_row"),
+        Raster.ndviFromBands(col("bands"), 0, 1).as("cells")), TS)
+  }
+
+  val multibandNdviSql: String =
+    s"""WITH $pxCte
+       |SELECT tile_col, tile_row, px, py,
+       |       (va - vb) / (va + vb) AS v
+       |FROM pxk WHERE va + vb <> 0""".stripMargin
+
   /** P3 alone: band selection from the stack is a filter+projection. */
   val bandSelect: Q = (s, dir) =>
     Raster.pixelize(
@@ -327,6 +345,7 @@ object RasterQueries {
   val all: Map[String, (Q, Option[String])] = Map(
     "r_zonal_stats" -> (zonalStats, Some(zonalStatsSql)),
     "r_band_stack" -> (bandStack, Some(bandStackSql)),
+    "r_multiband_ndvi" -> (multibandNdvi, Some(multibandNdviSql)),
     "r_band_select" -> (bandSelect, Some(bandSelectSql)),
     "r_pixelize_roundtrip" -> (pixelizeRoundtrip, Some(pixelizeRoundtripSql)),
     "r_ndvi_join" -> (ndvi, Some(ndviSql)),

@@ -145,6 +145,40 @@ class RasterOpsSpec extends AnyFunSuite {
     assert(hole.nonEmpty)
   }
 
+  test("zipBands: round-trips band rows, computes NDVI without a join, holes become null slots") {
+    val a = Raster.assemble(pixels, TS, TS)
+    val b = Raster.assemble(pixels.withColumn("v", $"v" * 2 + 1), TS, TS)
+    // drop one tile from band 1 -> that tile must get a null slot
+    val stacked = Raster.stackBands(Seq(a, b.where(!($"tile_col" === 1 && $"tile_row" === 1))))
+    val zipped = Raster.zipBands(stacked, 2).cache()
+    // round-trip: unzip reproduces exactly the input band rows
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getSeq[Double](3).map(java.lang.Double.doubleToLongBits).toList)
+    val back = Raster.unzipBands(zipped)
+      .select($"band", $"tile_col", $"tile_row", $"cells").collect().map(key).toSet
+    val want = stacked.select($"band", $"tile_col", $"tile_row", $"cells")
+      .collect().map(key).toSet
+    assert(back == want)
+    val holeSlot = zipped.where($"tile_col" === 1 && $"tile_row" === 1)
+      .select(element_at($"bands", 2)).head()
+    assert(holeSlot.isNullAt(0))
+    // NDVI off the struct column equals the two-layer join path
+    val structNdvi = Raster.pixelize(
+      zipped.where(element_at($"bands", 2).isNotNull)
+        .select($"tile_col", $"tile_row", Raster.ndviFromBands($"bands", 0, 1).as("cells")), TS)
+    val joinNdvi = Raster.pixelize(
+      a.withColumnRenamed("cells", "nir")
+        .join(b.where(!($"tile_col" === 1 && $"tile_row" === 1))
+          .withColumnRenamed("cells", "red"), Seq("tile_col", "tile_row"))
+        .select($"tile_col", $"tile_row", Raster.ndviCells($"nir", $"red").as("cells")), TS)
+    assert(structNdvi.collect().map(_.toSeq).toSet == joinNdvi.collect().map(_.toSeq).toSet)
+    // and the struct path's physical plan has NO join operator
+    val plan = structNdvi.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"struct-column NDVI must not join:\n$plan")
+    zipped.unpersist(): Unit
+  }
+
   test("focalMean radius1 equals TileMath kernel on assembled layer") {
     val tiles = Raster.assemble(pixels, TS, TS)
     val got = Raster.pixelize(Raster.focalMean(tiles, TS, TS, 1), TS).collect()
