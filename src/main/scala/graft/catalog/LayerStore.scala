@@ -349,6 +349,66 @@ class LayerStore(spark: SparkSession, val root: String,
           s"writer lock on ($name, $zoom) was lost before publish — aborting to avoid a lost update")
     }
 
+  /** Compaction — the small-file problem at scale: a long upsert
+    * history leaves a version with many small parquet files, and on an
+    * object store every file is a request + a seek. Rewrites the live
+    * version into ~[[targetBytes]]-sized files (computed from the
+    * actual on-disk size, not a guessed partition count) and publishes
+    * it like any other write; readers never see an intermediate state
+    * and the pre-compaction version survives until the next publish. */
+  def compact(name: String, zoom: Int, targetBytes: Long = 128L << 20): Unit =
+    withLayerLock(name, zoom) {
+      val live = dataPath(name, zoom)
+      // size on parquet data bytes only — sidecar/_SUCCESS/checksum
+      // files are bookkeeping, not the thing being split
+      val bytes = {
+        def sz(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(sz).sum
+          else if (f.getName.endsWith(".parquet")) f.length()
+          else 0L
+        sz(new java.io.File(live))
+      }
+      val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      val tiles = spark.read.parquet(live)
+      writeVersion(name, zoom) { path =>
+        tiles
+          .repartition(nFiles, col("tile_col"), col("tile_row"))
+          .sortWithinPartitions(zorder(col("tile_col").cast("int"), col("tile_row").cast("int")))
+          .write.mode(SaveMode.Overwrite).parquet(path)
+        val attrs = Paths.get(s"$live/_attributes.json")
+        if (Files.exists(attrs)) // metadata unchanged by compaction
+          Files.copy(attrs, Paths.get(s"$path/_attributes.json")): Unit
+      }
+    }
+
+  /** Vacuum: sweep debris a crash can leave behind — version dirs beyond
+    * current+previous, orphaned `_current.tmp-*` pointer staging files,
+    * and grave/stale lock files older than [[staleLockMs]]. Never
+    * touches the live or previous version, so in-flight readers keep
+    * their snapshot guarantee. Returns the number of entries removed. */
+  def vacuum(name: String, zoom: Int): Int = withLayerLock(name, zoom) {
+    var removed = 0
+    val dir = zoomDir(name, zoom)
+    val live = currentVersion(name, zoom)
+    // retain the version the pointer names; everything else is either
+    // the retired predecessor (safe to drop on an explicit vacuum — the
+    // caller is declaring no readers are in flight) or a crash orphan
+    listVersions(name, zoom).filterNot(v => live.contains(v)).foreach { v =>
+      rmTree(new java.io.File(s"$dir/$v")); removed += 1
+    }
+    val d = new java.io.File(dir)
+    if (d.exists())
+      d.listFiles().filter(_.getName.startsWith("_current.tmp-")).foreach { f =>
+        if (f.delete()) removed += 1
+      }
+    val locks = new java.io.File(s"$root/.locks")
+    if (locks.exists())
+      locks.listFiles().filter(f => f.getName.contains(".broken-")).foreach { f =>
+        if (f.delete()) removed += 1
+      }
+    removed
+  }
+
   /** S9: catalog listing. A layer exists once a version is published. */
   def exists(name: String, zoom: Int): Boolean =
     currentVersion(name, zoom).isDefined

@@ -239,6 +239,54 @@ class LayerStoreSpec extends AnyFunSuite {
     assert(a.counts.sum == TS * TS)
   }
 
+  test("compact: coalesces the file count, preserves data + sidecar, is versioned like any write") {
+    val store = freshStore()
+    val big = Raster.assemble(
+      (for (tc <- 0 to 7; tr <- 0 to 7; px <- 0 until TS; py <- 0 until TS)
+        yield (tc, tr, px, py, (tc + tr + px + py).toDouble))
+        .toDF("tile_col", "tile_row", "px", "py", "v"), TS, TS)
+    store.write(big, "k", 2, tileSize = TS)
+    def parquetFiles(): Int = {
+      val v = store.currentVersion("k", 2).get
+      new java.io.File(s"${store.root}/tiles/layer_name=k/zoom=2/$v")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    def layerBytes(): Long = {
+      val v = store.currentVersion("k", 2).get
+      new java.io.File(s"${store.root}/tiles/layer_name=k/zoom=2/$v")
+        .listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    // file sizing follows the measured bytes: a small target SPLITS...
+    store.compact("k", 2, targetBytes = (layerBytes() + 1) / 2)
+    assert(parquetFiles() == 2, s"expected 2 files, got ${parquetFiles()}")
+    val snapshot = store.read("k", 2)
+    // ...and the default big target coalesces back to one
+    store.compact("k", 2)
+    assert(parquetFiles() == 1)
+    assert(store.read("k", 2).count() == 64)
+    assert(Raster.pixelize(store.read("k", 2), TS).count() == 64L * TS * TS)
+    // sidecar survives compaction; snapshot readers survive the publish
+    assert(store.readAttributes("k", 2).exists(_.nTiles == 64))
+    assert(snapshot.count() == 64)
+  }
+
+  test("vacuum sweeps crash debris but never the live version") {
+    val store = freshStore()
+    store.write(tiles(0), "v", 1)
+    store.merge(tiles(10), "v", 1) // leaves current + previous
+    val zoomDir = new java.io.File(store.root + "/tiles/layer_name=v/zoom=1")
+    // crash debris: orphan version, staged pointer, grave lock
+    new java.io.File(zoomDir, "v-00000077").mkdirs()
+    java.nio.file.Files.write(zoomDir.toPath.resolve("_current.tmp-v-00000077"), "junk".getBytes)
+    val locks = new java.io.File(store.root + "/.locks"); locks.mkdirs()
+    java.nio.file.Files.write(locks.toPath.resolve("layer_name=v-zoom=1.lock.broken-x"), "t".getBytes)
+    val removed = store.vacuum("v", 1)
+    assert(removed == 4, s"expected prev version + orphan + tmp pointer + grave, got $removed")
+    assert(zoomDir.listFiles().count(_.getName.startsWith("v-")) == 1)
+    assert(store.read("v", 1).count() == 4)
+    assert(store.readTile("v", 1, 0, 0).select($"cells").as[Seq[Double]].head()(0) == 10.0)
+  }
+
   test("zooms listing, exists, delete") {
     val store = freshStore()
     store.write(tiles(0), "z", 1)
