@@ -42,5 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hilbert"),
       new ExpressionInfo(classOf[HilbertKey].getName, "hilbert"),
       (args: Seq[Expression]) => HilbertKey(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
   }
 }

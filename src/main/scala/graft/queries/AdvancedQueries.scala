@@ -320,7 +320,36 @@ object AdvancedQueries {
        |         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qd
        |FROM ag""".stripMargin
 
+  /** Top-k per group: the 3 highest-revenue suppliers of each nation.
+    * Ranking window PARTITIONED by nation — every group is its own
+    * task, nothing single-partitions; the nation dim joins broadcast.
+    * (Per-group rows scale with SF; a group outgrowing a task is the
+    * [[graft.ops.Ranking]] regime.) */
+  val topkPerGroup: Q = (s, dir) => {
+    val rev = table(s, dir, "lineitem")
+      .groupBy(col("l_suppkey")).agg(dsum(revenue).as("revenue"))
+    val sup = broadcast(table(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey")))
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("revenue").desc, col("l_suppkey"))
+    rev.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey"), col("l_suppkey"), col("revenue"),
+        rank().over(w).as("rnk"))
+      .where(col("rnk") <= 3)
+  }
+
+  val topkPerGroupSql: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey, ${dsumSql(revenueSql)} AS revenue
+       |  FROM lineitem GROUP BY 1)
+       |SELECT s_nationkey, l_suppkey, revenue,
+       |       CAST(RANK() OVER (PARTITION BY s_nationkey
+       |                         ORDER BY revenue DESC, l_suppkey) AS INT) AS rnk
+       |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+       |QUALIFY rnk <= 3""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_topk_per_group" -> (topkPerGroup, Some(topkPerGroupSql)),
     "a_quartiles" -> (quartiles, Some(quartilesSql)),
     "a_corr_moments" -> (corrMoments, Some(corrMomentsSql)),
     "a_grouping_sets" -> (groupingSets, Some(groupingSetsSql)),

@@ -119,6 +119,31 @@ object RelationalQueries {
        |FROM lineitem GROUP BY 1
        |ORDER BY revenue DESC, l_suppkey LIMIT 10""".stripMargin
 
+  /** Weekly cohort retention over the event stream: users active in
+    * week w who are also active in w+1. Self-join on the (user, week)
+    * activity set — a plain hash join, no window, no single-partition
+    * stage at any scale. */
+  val userRetention: Q = (s, dir) => {
+    val weeks = events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk")).distinct()
+    weeks.as("a")
+      .join(weeks.as("b"),
+        col("b.user_id") === col("a.user_id") &&
+          col("b.wk") === col("a.wk") + expr("INTERVAL 7 DAYS"), "left")
+      .groupBy(col("a.wk"))
+      .agg(count(lit(1)).as("n_active"), count(col("b.user_id")).as("n_retained"))
+      .select(unix_timestamp(col("a.wk")).as("wk"), col("n_active"), col("n_retained"))
+  }
+
+  val userRetentionSql: String =
+    s"""WITH $eventsCte,
+       |w AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM evts)
+       |SELECT CAST(epoch(a.wk) AS BIGINT) AS wk, COUNT(*) AS n_active,
+       |       COUNT(b.user_id) AS n_retained
+       |FROM w a LEFT JOIN w b
+       |  ON b.user_id = a.user_id AND b.wk = a.wk + INTERVAL 7 DAY
+       |GROUP BY 1""".stripMargin
+
   /** P6 distinct + set ops: parts that ship but were never ordered above
     * qty 45 (EXCEPT), via dropDuplicates. */
   val setOps: Q = (s, dir) => {
@@ -276,6 +301,7 @@ object RelationalQueries {
     "q_semi_anti_join" -> (semiAntiJoin, Some(semiAntiJoinSql)),
     "q_outer_order_counts" -> (outerOrderCounts, Some(outerOrderCountsSql)),
     "q_top_suppliers" -> (topSuppliers, Some(topSuppliersSql)),
+    "q_user_retention" -> (userRetention, Some(userRetentionSql)),
     "q_set_ops" -> (setOps, Some(setOpsSql)),
     "q_event_windows" -> (eventWindows, Some(eventWindowsSql)),
     "q_tumbling_window" -> (tumblingWindow, Some(tumblingWindowSql)),

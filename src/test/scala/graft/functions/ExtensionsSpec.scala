@@ -38,10 +38,16 @@ class ExtensionsSpec extends AnyFunSuite {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("zorder", exprs => ZOrderKey(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("hilbert", exprs => HilbertKey(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
     val r = spark.sql(
       "SELECT zorder(CAST(3 AS INT), CAST(5 AS INT)) AS z, hilbert(CAST(3 AS INT), CAST(5 AS INT)) AS h")
       .head()
     assert(r.getLong(0) == ZOrder.interleave(3, 5))
     assert(r.getLong(1) == Hilbert.xy2d(16, 3, 5))
+    val c = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS DOUBLE), 0.0), array(CAST(1.0 AS DOUBLE), 0.0)) AS c")
+      .head().getDouble(0)
+    assert(c == 1.0)
   }
 }
