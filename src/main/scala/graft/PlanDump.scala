@@ -11,6 +11,9 @@ object PlanDump {
   def normalize(plan: String): String =
     plan
       .replaceAll("#\\d+[L]?", "#N") // expression ids
+      .replaceAll("@[0-9a-f]{6,}", "@obj") // JVM identity hashes (udaf instances)
+      .replaceAll("RDD\\[\\d+\\]", "RDD[N]") // session-scoped RDD ids
+      .replaceAll("\\.scala:\\d+", ".scala:N") // callsite line numbers
       .replaceAll("plan_id=\\d+", "plan_id=N")
       .replaceAll("Location: [^\\n]*", "Location: <path>")
       .replaceAll("file:[^\\s,\\]\\)]*", "<file>")
