@@ -30,6 +30,35 @@ object Export {
     }
   }
 
+  /** K4 proper: one GeoTiff per tile, encoded and written executor-side
+    * (LayerToGeotiff.scala:96-127 writes from executors the same way).
+    * Each tile is georeferenced from its key on the layer grid:
+    * top-left = (originX + tc*cols*cellW, originY - tr*rows*cellH). */
+  def exportTiledGeoTiff(tiles: DataFrame, dir: String, cols: Int, rows: Int,
+                         originX: Double = 0.0, originY: Double = 0.0,
+                         cellW: Double = 1.0, cellH: Double = 1.0): Unit = {
+    new java.io.File(dir).mkdirs()
+    tiles.select(col("tile_col"), col("tile_row"), col("cells")).foreachPartition {
+      (it: Iterator[Row]) =>
+        it.foreach { r =>
+          val tc = r.getInt(0); val tr = r.getInt(1)
+          graft.sources.GeoTiff.write(s"$dir/tile_${tc}_$tr.tif", cols, rows,
+            r.getSeq[Double](2).toArray,
+            originX + tc.toDouble * cols * cellW, originY - tr.toDouble * rows * cellH,
+            cellW, cellH)
+        }
+    }
+  }
+
+  /** K5 proper: driver-side stitch to ONE GeoTiff (bounded use — the
+    * reference warns of OOM here too, LayerToGeotiff.scala:74). */
+  def stitchGeoTiff(tiles: DataFrame, cols: Int, rows: Int, path: String,
+                    originX: Double = 0.0, originY: Double = 0.0,
+                    cellW: Double = 1.0, cellH: Double = 1.0): Unit = {
+    val (w, h, cells) = stitch(tiles, cols, rows)
+    graft.sources.GeoTiff.write(path, w, h, cells, originX, originY, cellW, cellH)
+  }
+
   /** K5/R9: stitch all tiles into one raster **on the driver** —
     * explicitly bounded use only (the reference itself warns of OOM,
     * LayerToGeotiff.scala:74). Returns (width, height, row-major cells). */

@@ -187,6 +187,62 @@ object GeoTiff {
     Raster(Meta(width, height, bits, sampleFormat, spp, noData, ox, oy, cw, ch), out)
   }
 
+  /** K4/K5 writer twin of [[decode]]: minimal single-band float64
+    * GeoTiff — little endian, one uncompressed strip, ModelPixelScale +
+    * ModelTiepoint georeferencing. Written from the TIFF 6.0 / GeoTIFF
+    * specs (the reference writes through GeoTrellis GeoTiffWriter,
+    * LayerToGeotiff.scala:96-127); the tag set is the plain-TIFF core
+    * any GIS reader understands, and [[decode]] round-trips it exactly.
+    * NaN cells stay NaN — IEEE float nodata, no GDAL_NODATA needed.
+    * (originX, originY) is the TOP-LEFT corner; rows grow downward by
+    * cellH. */
+  def encode(width: Int, height: Int, cells: Array[Double],
+             originX: Double = 0.0, originY: Double = 0.0,
+             cellW: Double = 1.0, cellH: Double = 1.0): Array[Byte] = {
+    require(cells.length == width.toLong * height, s"cells ${cells.length} != $width x $height")
+    require(width.toLong * height * 8 < Int.MaxValue - 4096, "raster too large for one TIFF")
+    val tags = 12
+    val ifdOff = 8
+    val scaleOff = ifdOff + 2 + tags * 12 + 4
+    val tieOff = scaleOff + 24
+    val dataOff = tieOff + 48
+    val dataLen = width * height * 8
+    val buf = java.nio.ByteBuffer.allocate(dataOff + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
+    buf.putShort(tags.toShort)
+    def tag(id: Int, typ: Int, cnt: Int, value: Long): Unit = {
+      buf.putShort(id.toShort).putShort(typ.toShort).putInt(cnt)
+      if (typ == 3) buf.putShort(value.toShort).putShort(0) // SHORT, inline-padded
+      else buf.putInt(value.toInt)
+    }
+    tag(256, 4, 1, width) // ImageWidth
+    tag(257, 4, 1, height) // ImageLength
+    tag(258, 3, 1, 64) // BitsPerSample
+    tag(259, 3, 1, 1) // Compression: none
+    tag(262, 3, 1, 1) // Photometric: BlackIsZero
+    tag(273, 4, 1, dataOff) // StripOffsets
+    tag(277, 3, 1, 1) // SamplesPerPixel
+    tag(278, 4, 1, height) // RowsPerStrip: one strip
+    tag(279, 4, 1, dataLen) // StripByteCounts
+    tag(339, 3, 1, 3) // SampleFormat: IEEE float
+    tag(33550, 12, 3, scaleOff) // ModelPixelScale
+    tag(33922, 12, 6, tieOff) // ModelTiepoint
+    buf.putInt(0) // no next IFD
+    buf.putDouble(cellW).putDouble(cellH).putDouble(0.0)
+    buf.putDouble(0.0).putDouble(0.0).putDouble(0.0)
+    buf.putDouble(originX).putDouble(originY).putDouble(0.0)
+    var i = 0
+    while (i < cells.length) { buf.putDouble(cells(i)); i += 1 }
+    buf.array()
+  }
+
+  def write(path: String, width: Int, height: Int, cells: Array[Double],
+            originX: Double = 0.0, originY: Double = 0.0,
+            cellW: Double = 1.0, cellH: Double = 1.0): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      encode(width, height, cells, originX, originY, cellW, cellH)): Unit
+
   /** TIFF-variant LZW (MSB-first codes, 9->12 bits with early change,
     * Clear=256, EOI=257). */
   private[sources] def lzwDecode(in: Array[Byte]): Array[Byte] = {

@@ -52,6 +52,50 @@ class GeoTiffSpec extends AnyFunSuite {
     java.nio.file.Files.write(java.nio.file.Paths.get(path), bb.array()): Unit
   }
 
+  test("GeoTiff writer: encode -> decode round-trips cells (NaN holes), georef, and the reference file") {
+    val w = 7; val h = 5
+    val cells = Array.tabulate(w * h)(i => if (i % 11 == 3) Double.NaN else i * 1.5 - 3)
+    val bytes = GeoTiff.encode(w, h, cells, originX = 1000.5, originY = -200.25,
+      cellW = 30.0, cellH = 30.0)
+    val r = GeoTiff.decode(bytes)
+    assert(r.meta.width == w && r.meta.height == h)
+    assert(r.meta.bits == 64 && r.meta.sampleFormat == 3 && r.meta.samplesPerPixel == 1)
+    assert(r.meta.originX == 1000.5 && r.meta.originY == -200.25)
+    assert(r.meta.cellW == 30.0 && r.meta.cellH == 30.0)
+    assert(r.cells.map(java.lang.Double.doubleToLongBits).toSeq ==
+      cells.map(java.lang.Double.doubleToLongBits).toSeq)
+    // and a full read -> write -> read cycle on the reference raster
+    val orig = GeoTiff.read(sample)
+    val back = GeoTiff.decode(GeoTiff.encode(orig.meta.width, orig.meta.height, orig.cells,
+      orig.meta.originX, orig.meta.originY, orig.meta.cellW, orig.meta.cellH))
+    assert(back.cells.map(java.lang.Double.doubleToLongBits).toSeq ==
+      orig.cells.map(java.lang.Double.doubleToLongBits).toSeq)
+    assert(back.meta.originX == orig.meta.originX && back.meta.cellW == orig.meta.cellW)
+  }
+
+  test("tiled GeoTiff export: executor-written per-tile files round-trip with per-key georef") {
+    import spark.implicits._
+    val ts = 4
+    val pixels = (for (tc <- 0 to 1; tr <- 0 to 1; px <- 0 until ts; py <- 0 until ts)
+      yield (tc, tr, px, py, (tc * 100 + tr * 10 + px + py).toDouble))
+      .toDF("tile_col", "tile_row", "px", "py", "v")
+    val tiles = graft.ops.Raster.assemble(pixels, ts, ts)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tif_export").toString
+    graft.ops.Export.exportTiledGeoTiff(tiles, dir, ts, ts,
+      originX = 500.0, originY = 800.0, cellW = 10.0, cellH = 10.0)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tif"))
+    assert(files.length == 4)
+    val r11 = GeoTiff.read(s"$dir/tile_1_1.tif")
+    assert(r11.meta.originX == 500.0 + ts * 10.0 && r11.meta.originY == 800.0 - ts * 10.0)
+    assert(r11.cells(1 + 2 * ts) == 110.0 + 3) // px=1, py=2
+    // stitched single-file export reads back as one mosaic
+    val stitched = java.nio.file.Files.createTempDirectory("graft_tif_stitch").toString + "/all.tif"
+    graft.ops.Export.stitchGeoTiff(tiles, ts, ts, stitched)
+    val all = GeoTiff.read(stitched)
+    assert(all.meta.width == 2 * ts && all.meta.height == 2 * ts)
+    assert(all.cells((ts + 1) + (ts + 2) * 2 * ts) == 110.0 + 3) // tile(1,1) px=1 py=2
+  }
+
   test("distributed multi-scene ingest decodes in executor tasks and mosaics on the global grid") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_scenes").toString
