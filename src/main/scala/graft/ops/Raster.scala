@@ -261,6 +261,34 @@ object Raster {
   def ndviFromBands(bands: Column, nir: Int, red: Int): Column =
     ndviCells(bands(nir), bands(red))
 
+  private def featFromBandsKernel =
+    udf((bands: Seq[Seq[Double]], cols: Int) => {
+      val nBands = bands.length
+      val n = bands.iterator.filter(_ != null).map(_.length).nextOption().getOrElse(0)
+      (0 until n).flatMap { i =>
+        var any = false
+        val feats = (0 until nBands).map { b =>
+          val arr = bands(b)
+          val v = if (arr == null || i >= arr.length) Double.NaN else arr(i)
+          if (java.lang.Double.isNaN(v)) None else { any = true; Some(v) }
+        }
+        if (any) Some((i % cols, i / cols, feats)) else None
+      }
+    })
+
+  /** [[pixelFeatures]] off an already-zipped multiband layer: when the
+    * stack is STORED zipped (one catalog write of the bands column),
+    * feature assembly is a pure map-side explode — zero shuffles, vs
+    * one tile-keyed shuffle per materialization for the band-row form.
+    * Same output contract as [[pixelFeatures]] (missing band => None
+    * slot, all-NoData pixels dropped). */
+  def pixelFeaturesFromBands(zipped: DataFrame, cols: Int): DataFrame =
+    zipped
+      .select(col("tile_col"), col("tile_row"),
+        explode(featFromBandsKernel(col("bands"), lit(cols))).as("pf"))
+      .select(col("tile_col"), col("tile_row"),
+        col("pf._1").as("px"), col("pf._2").as("py"), col("pf._3").as("features"))
+
   /** Per-tile feature-zip kernel: band arrays in, one (px, py, features)
     * row per cell with >= 1 data band out; missing bands are null (the
     * pivot contract). */

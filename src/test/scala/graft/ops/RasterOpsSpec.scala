@@ -179,6 +179,26 @@ class RasterOpsSpec extends AnyFunSuite {
     zipped.unpersist(): Unit
   }
 
+  test("pixelFeaturesFromBands: map-side features off a zipped (even persisted) stack match pixelFeatures") {
+    val a = Raster.assemble(pixels, TS, TS)
+    val b = Raster.assemble(pixels.withColumn("v", $"v" + 0.5), TS, TS)
+    val stacked = Raster.stackBands(Seq(a, b))
+    val zipped = Raster.zipBands(stacked, 2)
+    // a zipped stack persists like any layer (bands instead of cells)
+    val root = java.nio.file.Files.createTempDirectory("graft_mb").toString
+    val store = new graft.catalog.LayerStore(spark, root)
+    store.write(zipped, "mb", 3, withAttributes = false)
+    val fromStore = Raster.pixelFeaturesFromBands(store.read("mb", 3), TS)
+    val viaRows = Raster.pixelFeatures(stacked, TS, 2)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getSeq[Option[Double]](4).toList)
+    }.toSet
+    assert(key(fromStore) == key(viaRows))
+    // map-side: the persisted-zipped feature plan has no exchange at all
+    val plan = fromStore.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"zipped features must be shuffle-free:\n$plan")
+  }
+
   test("focalMean radius1 equals TileMath kernel on assembled layer") {
     val tiles = Raster.assemble(pixels, TS, TS)
     val got = Raster.pixelize(Raster.focalMean(tiles, TS, TS, 1), TS).collect()
