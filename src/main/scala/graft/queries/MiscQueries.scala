@@ -117,7 +117,27 @@ object MiscQueries {
   val mlConfusion: Q = (s, dir) =>
     graft.ml.Classify.trainPredictCounts(table(s, dir, "embeddings"))
 
+  /** M1 oracle-checked: deterministic stratified split — per-label keep
+    * set from a stable key hash (engine-reproducible, unlike seeded
+    * sample()/sampleBy whose RNG streams differ per engine). One
+    * map-side predicate + one label-keyed aggregation; the split any
+    * training pipeline can re-derive anywhere. */
+  val stratifiedSplit: Q = (s, dir) => {
+    val keep = graft.text.TextOps.h60(col("vec_id").cast("string")) % 2 === 0
+    table(s, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"))
+  }
+
+  val stratifiedSplitSql: String =
+    s"""SELECT label, COUNT(*) AS n_total,
+       |       CAST(SUM(CASE WHEN ${graft.text.TextOps.h60Sql("CAST(vec_id AS VARCHAR)")} % 2 = 0
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM embeddings GROUP BY 1""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "m_stratified_split" -> (stratifiedSplit, Some(stratifiedSplitSql)),
     "c_catalog_roundtrip" -> (catalogRoundtrip, Some(catalogRoundtripSql)),
     "c_point_read" -> (pointRead, Some(pointReadSql)),
     "c_attributes" -> (attributes, Some(attributesSql)),
