@@ -60,10 +60,15 @@ class LayerStore(spark: SparkSession, val root: String,
       Some(new String(Files.readAllBytes(pointerPath(name, zoom)), "UTF-8").trim)
     else None
 
+  /** Resolves to the LIVE version dir only. An unpublished layer maps
+    * to a non-existent path (clean "path does not exist" error) rather
+    * than the zoom dir itself — falling back to the zoom dir would make
+    * a read silently pick up crash-orphaned version dirs that were
+    * never published (phantom data, doubled rows with two orphans). */
   private def dataPath(name: String, zoom: Int): String =
     currentVersion(name, zoom)
       .map(v => s"${zoomDir(name, zoom)}/$v")
-      .getOrElse(zoomDir(name, zoom)) // unpublished: surface Spark's path error
+      .getOrElse(s"${zoomDir(name, zoom)}/_unpublished")
 
   private val VersionRe = "v-(\\d{8})".r
 
@@ -137,6 +142,32 @@ class LayerStore(spark: SparkSession, val root: String,
   private def writeAttrs(path: String, tileSize: Int, crs: String, binWidth: Double): Unit = {
     val tiles = spark.read.parquet(path)
     val schemaJson = tiles.schema.json // read() supplies it -> no footer-inference job
+    // layers without a flat `cells` column (e.g. a zipped multiband
+    // `bands` layer) still get a sidecar — bounds + schema, no
+    // histogram — instead of failing after the data job already ran
+    if (!tiles.columns.contains("cells")) {
+      val b = tiles.agg(
+        min(col("tile_col")).as("c0"), max(col("tile_col")).as("c1"),
+        min(col("tile_row")).as("r0"), max(col("tile_row")).as("r1"),
+        count(lit(1)).as("n")).head()
+      val attrs = LayerAttributes(
+        cellType = "float64", crs = crs, tileCols = tileSize, tileRows = tileSize,
+        minCol = if (b.isNullAt(0)) 0 else b.getInt(0),
+        maxCol = if (b.isNullAt(1)) -1 else b.getInt(1),
+        minRow = if (b.isNullAt(2)) 0 else b.getInt(2),
+        maxRow = if (b.isNullAt(3)) -1 else b.getInt(3),
+        nTiles = b.getLong(4), nCells = 0L,
+        minV = 0.0, maxV = 0.0, binWidth = binWidth, // json4s can't round-trip NaN
+        bins = Seq.empty, counts = Seq.empty,
+        extent =
+          if (b.isNullAt(0)) Seq.empty
+          else Seq(b.getInt(0).toDouble * tileSize, b.getInt(2).toDouble * tileSize,
+                   (b.getInt(1) + 1).toDouble * tileSize, (b.getInt(3) + 1).toDouble * tileSize),
+        schemaJson = Some(schemaJson))
+      Files.write(Paths.get(s"$path/_attributes.json"),
+        LayerAttributes.toJson(attrs).getBytes("UTF-8")): Unit
+      return
+    }
     val dataCells = filter(col("cells"), x => not(isnan(x)))
     val b = tiles.agg(
       min(col("tile_col")).as("c0"), max(col("tile_col")).as("c1"),
@@ -158,8 +189,8 @@ class LayerStore(spark: SparkSession, val root: String,
       maxRow = if (b.isNullAt(3)) -1 else b.getInt(3),
       nTiles = b.getLong(4),
       nCells = hist.map(_.getLong(1)).sum,
-      minV = if (hist.isEmpty) Double.NaN else hist.map(_.getDouble(2)).min,
-      maxV = if (hist.isEmpty) Double.NaN else hist.map(_.getDouble(3)).max,
+      minV = if (hist.isEmpty) 0.0 else hist.map(_.getDouble(2)).min, // 0.0: json4s can't round-trip NaN
+      maxV = if (hist.isEmpty) 0.0 else hist.map(_.getDouble(3)).max,
       binWidth = effWidth,
       bins = hist.map(_.getLong(0)).toSeq.sorted,
       counts = hist.sortBy(_.getLong(0)).map(_.getLong(1)).toSeq,
@@ -327,8 +358,15 @@ class LayerStore(spark: SparkSession, val root: String,
     finally {
       heldLocks.set(heldLocks.get - ((name, zoom)))
       beating.set(false); hb.interrupt()
-      // release only our own lock: if it was broken while we were
-      // (wrongly) presumed dead, the file now holds a successor's token
+      // Release only our own lock: if it was broken while we were
+      // (wrongly) presumed dead, the file now holds a successor's token.
+      // The read-then-delete pair is not atomic — in the worst
+      // interleaving (we stall past staleLockMs, a breaker replaces the
+      // lock between our read and delete) we can delete a successor's
+      // fresh lock. That race cannot lose an update: every publish
+      // re-reads the lock under verifyLockOwned, and a writer whose
+      // token is no longer in the file aborts before its pointer swap —
+      // the damage is a wasted merge, not corruption.
       try {
         if (new String(Files.readAllBytes(lock), "UTF-8") == token)
           Files.deleteIfExists(lock): Unit
@@ -370,29 +408,38 @@ class LayerStore(spark: SparkSession, val root: String,
       }
       val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
       val tiles = spark.read.parquet(live)
+      val spaceTime = tiles.columns.contains("time")
       writeVersion(name, zoom) { path =>
-        tiles
-          .repartition(nFiles, col("tile_col"), col("tile_row"))
-          .sortWithinPartitions(zorder(col("tile_col").cast("int"), col("tile_row").cast("int")))
-          .write.mode(SaveMode.Overwrite).parquet(path)
+        // preserve the layer's layout contract: space-time layers keep
+        // their time partition dirs (readSpaceTime's pruning) and
+        // time-major Hilbert order; spatial layers keep the zorder sort
+        val writer =
+          if (spaceTime)
+            tiles.repartition(nFiles, col("time"))
+              .sortWithinPartitions(col("time"),
+                graft.functions.HilbertKey.hilbert(col("tile_col").cast("int"), col("tile_row").cast("int")))
+              .write.partitionBy("time")
+          else
+            tiles.repartition(nFiles, col("tile_col"), col("tile_row"))
+              .sortWithinPartitions(zorder(col("tile_col").cast("int"), col("tile_row").cast("int")))
+              .write
+        writer.mode(SaveMode.Overwrite).parquet(path)
         val attrs = Paths.get(s"$live/_attributes.json")
         if (Files.exists(attrs)) // metadata unchanged by compaction
           Files.copy(attrs, Paths.get(s"$path/_attributes.json")): Unit
       }
     }
 
-  /** Vacuum: sweep debris a crash can leave behind — version dirs beyond
-    * current+previous, orphaned `_current.tmp-*` pointer staging files,
-    * and grave/stale lock files older than [[staleLockMs]]. Never
-    * touches the live or previous version, so in-flight readers keep
-    * their snapshot guarantee. Returns the number of entries removed. */
+  /** Vacuum: reclaim everything except the LIVE version — the retired
+    * predecessor (calling vacuum DECLARES no readers are in flight; use
+    * the automatic publish-time GC if they might be), crash-orphaned
+    * version dirs, orphaned `_current.tmp-*` pointer staging files, and
+    * this layer's lock debris (grave files from interrupted breaks).
+    * Returns the number of entries removed. */
   def vacuum(name: String, zoom: Int): Int = withLayerLock(name, zoom) {
     var removed = 0
     val dir = zoomDir(name, zoom)
     val live = currentVersion(name, zoom)
-    // retain the version the pointer names; everything else is either
-    // the retired predecessor (safe to drop on an explicit vacuum — the
-    // caller is declaring no readers are in flight) or a crash orphan
     listVersions(name, zoom).filterNot(v => live.contains(v)).foreach { v =>
       rmTree(new java.io.File(s"$dir/$v")); removed += 1
     }
@@ -401,11 +448,14 @@ class LayerStore(spark: SparkSession, val root: String,
       d.listFiles().filter(_.getName.startsWith("_current.tmp-")).foreach { f =>
         if (f.delete()) removed += 1
       }
+    // only THIS layer's graves: vacuum holds only this layer's lock,
+    // and another layer's grave may belong to a break in progress
     val locks = new java.io.File(s"$root/.locks")
+    val lockName = lockPath(name, zoom).getFileName.toString
     if (locks.exists())
-      locks.listFiles().filter(f => f.getName.contains(".broken-")).foreach { f =>
-        if (f.delete()) removed += 1
-      }
+      locks.listFiles()
+        .filter(f => f.getName.startsWith(lockName + ".broken-"))
+        .foreach { f => if (f.delete()) removed += 1 }
     removed
   }
 
@@ -416,7 +466,10 @@ class LayerStore(spark: SparkSession, val root: String,
   def zoomsOf(name: String): Seq[Int] = {
     val d = new java.io.File(s"$root/tiles/layer_name=$name")
     if (!d.exists()) Seq.empty
-    else d.listFiles().filter(_.isDirectory).map(_.getName.stripPrefix("zoom=").toInt).sorted.toSeq
+    else d.listFiles().filter(_.isDirectory)
+      .map(_.getName.stripPrefix("zoom=").toInt)
+      .filter(exists(name, _)) // a crashed never-published zoom is not a zoom
+      .sorted.toSeq
   }
 
   def maxZoom(name: String): Option[Int] = zoomsOf(name).lastOption

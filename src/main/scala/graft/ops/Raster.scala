@@ -261,20 +261,26 @@ object Raster {
   def ndviFromBands(bands: Column, nir: Int, red: Int): Column =
     ndviCells(bands(nir), bands(red))
 
-  private def featFromBandsKernel =
-    udf((bands: Seq[Seq[Double]], cols: Int) => {
-      val nBands = bands.length
-      val n = bands.iterator.filter(_ != null).map(_.length).nextOption().getOrElse(0)
-      (0 until n).flatMap { i =>
-        var any = false
-        val feats = (0 until nBands).map { b =>
-          val arr = bands(b)
-          val v = if (arr == null || i >= arr.length) Double.NaN else arr(i)
-          if (java.lang.Double.isNaN(v)) None else { any = true; Some(v) }
-        }
-        if (any) Some((i % cols, i / cols, feats)) else None
+  /** The ONE pixel-feature assembly core (the pivot contract: missing
+    * band => None slot, all-NoData pixels dropped) — shared by both the
+    * band-row and zipped representations so the policy cannot diverge. */
+  private def assembleFeatures(byBand: IndexedSeq[Seq[Double]],
+                               cols: Int): Seq[(Int, Int, Seq[Option[Double]])] = {
+    val nBands = byBand.length
+    val n = byBand.iterator.filter(_ != null).map(_.length).nextOption().getOrElse(0)
+    (0 until n).flatMap { i =>
+      var any = false
+      val feats = (0 until nBands).map { b =>
+        val arr = byBand(b)
+        val v = if (arr == null || i >= arr.length) Double.NaN else arr(i)
+        if (java.lang.Double.isNaN(v)) None else { any = true; Some(v) }
       }
-    })
+      if (any) Some((i % cols, i / cols, feats)) else None
+    }
+  }
+
+  private def featFromBandsKernel =
+    udf((bands: Seq[Seq[Double]], cols: Int) => assembleFeatures(bands.toIndexedSeq, cols))
 
   /** [[pixelFeatures]] off an already-zipped multiband layer: when the
     * stack is STORED zipped (one catalog write of the bands column),
@@ -296,15 +302,7 @@ object Raster {
     udf((bands: Seq[(Int, Seq[Double])], cols: Int) => {
       val byBand = new Array[Seq[Double]](nBands)
       bands.foreach { case (b, cells) => if (b >= 0 && b < nBands) byBand(b) = cells }
-      val n = bands.headOption.map(_._2.length).getOrElse(0)
-      (0 until n).flatMap { i =>
-        var any = false
-        val feats = (0 until nBands).map { b =>
-          val v = if (byBand(b) == null || i >= byBand(b).length) Double.NaN else byBand(b)(i)
-          if (java.lang.Double.isNaN(v)) None else { any = true; Some(v) }
-        }
-        if (any) Some((i % cols, i / cols, feats)) else None
-      }
+      assembleFeatures(scala.collection.immutable.ArraySeq.unsafeWrapArray(byBand), cols)
     })
 
   /** Per-pixel feature assembly from a band stack (the SVM feature shape

@@ -239,6 +239,49 @@ class LayerStoreSpec extends AnyFunSuite {
     assert(a.counts.sum == TS * TS)
   }
 
+  test("a never-published layer with a crash orphan reads as absent, not as phantom data") {
+    val store = freshStore()
+    // crash during the FIRST write: parquet committed, pointer never swapped
+    val zoomDir = new java.io.File(store.root + "/tiles/layer_name=np/zoom=1")
+    val orphan = new java.io.File(zoomDir, "v-00000001")
+    assert(orphan.mkdirs())
+    // a real committed parquet file, to prove reads still refuse it
+    tiles(0).limit(1).write.parquet(orphan.toString + "/data")
+    assert(!store.exists("np", 1))
+    assert(store.zoomsOf("np").isEmpty) // unpublished zoom is not a zoom
+    intercept[Exception] { store.read("np", 1).count() } // no phantom rows
+    assert(store.readAttributes("np", 1).isEmpty)
+    // the next real write adopts a fresh version and GCs the orphan
+    store.write(tiles(5), "np", 1)
+    assert(store.read("np", 1).count() == 4)
+  }
+
+  test("compact preserves a space-time layer's time partitioning and pruning") {
+    val store = freshStore()
+    val st = (for (t <- Seq("2024-01", "2024-02"); tc <- 0 to 1; px <- 0 until TS; py <- 0 until TS)
+      yield (t, tc, 0, px, py, 1.0 + px)).toDF("time", "tile_col", "tile_row", "px", "py", "v")
+    val stTiles = Raster.assemble(st.where($"time" === "2024-01"), TS, TS).withColumn("time", lit("2024-01"))
+      .unionByName(Raster.assemble(st.where($"time" === "2024-02"), TS, TS).withColumn("time", lit("2024-02")))
+    store.writeSpaceTime(stTiles, "stc", 4, tileSize = TS)
+    store.compact("stc", 4)
+    val feb = store.readSpaceTime("stc", 4, Some("2024-02"))
+    assert(feb.count() == 2)
+    val plan = feb.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("time"),
+      s"time pruning lost after compaction:\n$plan")
+  }
+
+  test("writing a zipped multiband layer with default attributes produces a bounds+schema sidecar") {
+    val store = freshStore()
+    val zipped = graft.ops.Raster.zipBands(
+      graft.ops.Raster.stackBands(Seq(tiles(0), tiles(50))), 2)
+    store.write(zipped, "mb", 2, tileSize = TS) // withAttributes default MUST not throw
+    val a = store.readAttributes("mb", 2).get
+    assert(a.nTiles == 4 && a.minCol == 0 && a.maxCol == 1)
+    assert(a.bins.isEmpty && a.schemaJson.exists(_.contains("bands")))
+    assert(store.read("mb", 2).count() == 4)
+  }
+
   test("compact: coalesces the file count, preserves data + sidecar, is versioned like any write") {
     val store = freshStore()
     val big = Raster.assemble(
