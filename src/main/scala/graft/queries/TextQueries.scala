@@ -249,6 +249,29 @@ object TextQueries {
        |$lshPairsCte
        |SELECT a, b, est_jaccard FROM lsh""".stripMargin
 
+  /** Dedup clusters — the stage after candidate pairs: near-dup pairs
+    * chain transitively (a~b, b~c => one cluster {a,b,c}), and the
+    * canonical keeper is one doc per CLUSTER. Min-label propagation over
+    * the LSH candidate graph; the cluster id is the minimum doc id in
+    * the component (deterministic). The oracle replays it as a recursive
+    * reachability CTE — tiny at oracle scale, while the Spark side is
+    * the distributed Pregel shape that holds at corpus scale. */
+  val dedupClusters: Q = (s, dir) =>
+    TextOps.connectedComponents(minhashLsh(s, dir).select(col("a"), col("b")))
+      .select(col("node").as("doc_id"), col("cluster"))
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $docsCte,
+       |$sigsCte,
+       |$lshPairsCte,
+       |sym AS (SELECT a AS x, b AS y FROM lsh UNION SELECT b, a FROM lsh),
+       |r(x, y) AS (
+       |  SELECT x, y FROM sym
+       |  UNION
+       |  SELECT r.x, s.y FROM r JOIN sym s ON r.y = s.x)
+       |SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster
+       |FROM r GROUP BY x""".stripMargin
+
   /** Candidate verification — the stage after LSH in a real dedup
     * pipeline: edit distance over bounded 64-char prefixes confirms or
     * rejects each candidate pair. Verification is map-side per candidate
@@ -408,6 +431,7 @@ object TextQueries {
 
   val all: Map[String, (Q, Option[String])] = Map(
     "t_lsh_verify" -> (lshVerify, Some(lshVerifySql)),
+    "t_dedup_clusters" -> (dedupClusters, Some(dedupClustersSql)),
     "t_hash_split" -> (hashSplit, Some(hashSplitSql)),
     "t_tfidf" -> (tfidf, Some(tfidfSql)),
     "t_top_ngrams" -> (topNgrams, Some(topNgramsSql)),

@@ -193,4 +193,49 @@ object TextOps {
       acc.when(sc === best, lit(lang))
     }
   }
+
+  /** Connected components over an undirected edge list (`a`, `b`) —
+    * the stage after near-dup candidate pairs in a real dedup pipeline:
+    * pairs chain into clusters, and the keeper is one doc per cluster,
+    * not one per pair. Min-label propagation with pointer jumping
+    * (hash-to-min style): each round a node takes the minimum label
+    * among itself, its neighbors, and ITS LABEL'S label — the last step
+    * halves chain distances, so convergence is O(log diameter) rounds,
+    * not O(diameter) (a plain neighbor-min would need one round per hop
+    * down a path). Each round is two joins + one aggregation on the
+    * (deduplicated, cached) symmetric edge list — fully distributed;
+    * the driver sees only the per-round converged? count. Labels
+    * checkpoint periodically so lineage stays bounded. Deterministic:
+    * the component label IS the minimum node id. Returns
+    * (node, cluster). */
+  def connectedComponents(edges: org.apache.spark.sql.DataFrame,
+                          maxIter: Int = 25): org.apache.spark.sql.DataFrame = {
+    val sym = edges.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(edges.select(col("b").as("x"), col("a").as("y")))
+      .distinct().cache()
+    var labels = sym.select(col("x").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("y"), col("label").as("ylabel")), Seq("y"))
+        .groupBy(col("x").as("node")).agg(min(col("ylabel")).as("nbr"))
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      // pointer jump: follow the label to ITS label (path halving)
+      var next = stepped
+        .join(stepped.select(col("node").as("label"), col("label").as("jump")), Seq("label"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
+      if (it % 5 == 4) next = next.localCheckpoint(true) // bound lineage depth
+      else next = next.cache()
+      changed = labels.select(col("node"), col("label").as("old"))
+        .join(next, Seq("node")).where(col("old") =!= col("label")).count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    sym.unpersist()
+    labels.select(col("node"), col("label").as("cluster"))
+  }
 }

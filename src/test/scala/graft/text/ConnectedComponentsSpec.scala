@@ -1,0 +1,31 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase.spark
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("min-label propagation: chains, separate components, determinism") {
+    // components: {1,2,3,4} (a chain — forces >1 round), {10,11}, {20,21,22} (triangle)
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 20L)).toDF("a", "b")
+    val got = TextOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    assert(got == want)
+    // deterministic across runs (min labels, not iteration order)
+    val again = TextOps.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(again == want)
+  }
+
+  test("long chain converges within the iteration budget (pointer jumping, not one hop per round)") {
+    // a 200-path has diameter 199: plain neighbor-min needs ~199 rounds;
+    // the pointer-jump step makes it O(log n) — well inside maxIter 25
+    val n = 200L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val got = TextOps.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(got.size == n.toInt && got.values.forall(_ == 1L))
+  }
+}
