@@ -266,6 +266,17 @@ class LayerStore(spark: SparkSession, val root: String,
   def readTile(name: String, zoom: Int, tileCol: Int, tileRow: Int): DataFrame =
     read(name, zoom).where(col("tile_col") === tileCol && col("tile_row") === tileRow)
 
+  /** S10 range form: bbox read — the reference's indexed
+    * LayerQuery-with-bounds (api/package.scala:154-177). The zorder
+    * sort groups spatially-near tiles into the same row groups, so the
+    * pushed min/max predicates skip most of the file for a small bbox
+    * (an indexed range read without an index structure). */
+  def readRange(name: String, zoom: Int,
+                c0: Int, r0: Int, c1: Int, r1: Int): DataFrame =
+    read(name, zoom).where(
+      col("tile_col") >= c0 && col("tile_col") <= c1 &&
+        col("tile_row") >= r0 && col("tile_row") <= r1)
+
   /** K2: merge/upsert — read live version, cell-wise incoming-wins merge,
     * publish as a new version (api/package.scala:328-385).
     *

@@ -42,6 +42,20 @@ object MiscQueries {
        |SELECT tile_col, tile_row, px, py, v FROM pxa
        |WHERE tile_col = 1 AND tile_row = 2""".stripMargin
 
+  /** S10 range form: bbox read over the catalog — pushdown on both key
+    * columns; the zorder-sorted row groups make this an indexed range
+    * read without an index structure. */
+  val bboxRead: Q = (s, dir) => {
+    val store = new graft.catalog.LayerStore(s, tmpCatalog(dir) + "_bb")
+    store.write(tilesA(s, dir), "band_a", 10)
+    graft.ops.Raster.pixelize(store.readRange("band_a", 10, 1, 1, 2, 3), TS)
+  }
+
+  val bboxReadSql: String =
+    s"""WITH $pxCte
+       |SELECT tile_col, tile_row, px, py, v FROM pxa
+       |WHERE tile_col BETWEEN 1 AND 2 AND tile_row BETWEEN 1 AND 3""".stripMargin
+
   /** S9/K1: attribute-store round-trip — write the band-A layer, then
     * surface the PERSISTED `_attributes` sidecar histogram (not a live
     * aggregation) as rows. The oracle recomputes the same fixed-width
@@ -140,6 +154,7 @@ object MiscQueries {
     "m_stratified_split" -> (stratifiedSplit, Some(stratifiedSplitSql)),
     "c_catalog_roundtrip" -> (catalogRoundtrip, Some(catalogRoundtripSql)),
     "c_point_read" -> (pointRead, Some(pointReadSql)),
+    "c_bbox_read" -> (bboxRead, Some(bboxReadSql)),
     "c_attributes" -> (attributes, Some(attributesSql)),
     "m_media_features" -> (mediaFeatures, Some(mediaFeaturesSql)),
     "m_media_resize" -> (mediaResize, Some(mediaResizeSql)),

@@ -132,13 +132,26 @@ object TextQueries {
       .where(size(col("ds")) <= MaxShingleDf)
     val sizes = lists.select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // ds is sorted -> (ds(i), ds(j)) for i<j gives a<b directly
-    val combos = flatten(transform(col("ds"), (x, i) =>
-      transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
-        struct(x.as("a"), y.as("b")))))
+    // ds is sorted -> (ds(i), ds(j)) for i<j gives a<b directly.
+    // JVM kernel, not transform+slice HOFs: Spark interprets HOF lambdas
+    // per element, and slice() copies O(n) per outer element (O(n^2)
+    // array churn per posting list) — the kernel emits the same pairs
+    // in one allocation-light pass
+    val pairsKernel = udf((ds: Seq[Long]) => {
+      val n = ds.length
+      val out = Seq.newBuilder[(Long, Long)]
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { out += ((ds(i), ds(j))); j += 1 }
+        i += 1
+      }
+      out.result()
+    })
+    val combos = pairsKernel(col("ds"))
     val pairs = lists.where(size(col("ds")) >= 2)
       .select(explode(combos).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(count(lit(1)).as("inter"))
+      .groupBy(col("p._1").as("a"), col("p._2").as("b")).agg(count(lit(1)).as("inter"))
     pairs
       .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
       .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))

@@ -330,6 +330,16 @@ class LayerStoreSpec extends AnyFunSuite {
     assert(store.readTile("v", 1, 0, 0).select($"cells").as[Seq[Double]].head()(0) == 10.0)
   }
 
+  test("bbox range read pushes both key predicates to the parquet scan") {
+    val store = freshStore()
+    store.write(tiles(0), "bb", 1)
+    val df = store.readRange("bb", 1, 0, 0, 1, 0)
+    assert(df.count() == 2) // (0,0) and (1,0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(tile_col"),
+      s"bbox predicates must reach the scan:\n$plan")
+  }
+
   test("zooms listing, exists, delete") {
     val store = freshStore()
     store.write(tiles(0), "z", 1)
