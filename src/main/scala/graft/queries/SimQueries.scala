@@ -42,6 +42,57 @@ object SimQueries {
        |  FROM scored)
        |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= $K""".stripMargin
 
+  private val KnnK = 5
+
+  /** Oracle-checked classifier: k-NN by exact cosine over the
+    * hash-derived train/test split. Unlike the SGD classifier
+    * (m_ml_confusion, rows-only: float fold order), every step here is
+    * bit-deterministic — hash split, exact cosine (strict left fold),
+    * rank tie-break on the neighbor id, majority vote tie-break on the
+    * label — so the confusion matrix hash-matches DuckDB. Scale shape:
+    * the (small) test set broadcasts against the corpus, ranking
+    * windows partition per query. */
+  val knnConfusion: Q = (s, dir) => {
+    val b = graft.text.TextOps.h60(col("vec_id").cast("string")) % 10
+    val e = table(s, dir, "embeddings")
+    val test = e.where(b === 9)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label"))
+    val train = e.where(b =!= 9)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("label").as("nl"))
+    val scored = train.join(broadcast(test))
+      .select(col("qid"), col("label"), col("cid"), col("nl"),
+        Similarity.cosine(col("qe"), col("ce")).as("cos"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    val votes = scored.withColumn("rank", row_number().over(wr)).where(col("rank") <= KnnK)
+      .groupBy(col("qid"), col("label"), col("nl")).agg(count(lit(1)).as("votes"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("votes").desc, col("nl"))
+    votes.withColumn("r", row_number().over(wv)).where(col("r") === 1)
+      .groupBy(col("label"), col("nl").as("pred")).agg(count(lit(1)).as("n"))
+  }
+
+  val knnConfusionSql: String =
+    s"""WITH s AS (SELECT vec_id, embedding, label,
+       |             ${graft.text.TextOps.h60Sql("CAST(vec_id AS VARCHAR)")} % 10 AS b
+       |           FROM embeddings),
+       |te AS (SELECT * FROM s WHERE b = 9),
+       |tr AS (SELECT * FROM s WHERE b <> 9),
+       |scored AS (
+       |  SELECT te.vec_id AS qid, te.label AS label, tr.vec_id AS cid, tr.label AS nl,
+       |         ${cosSql("te.embedding", "tr.embedding")} AS cos
+       |  FROM te, tr),
+       |topk AS (
+       |  SELECT qid, label, nl,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |  FROM scored QUALIFY rank <= $KnnK),
+       |votes AS (SELECT qid, label, nl, COUNT(*) AS votes FROM topk GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT qid, label, nl,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, nl) AS r
+       |  FROM votes QUALIFY r = 1)
+       |SELECT label, nl AS pred, COUNT(*) AS n FROM pred GROUP BY 1, 2""".stripMargin
+
   private val NBITS = 6
   private val DIM = 64
 
@@ -132,6 +183,7 @@ object SimQueries {
 
   val all: Map[String, (Q, Option[String])] = Map(
     "s_ann_brute" -> (annBrute, Some(annBruteSql)),
+    "m_knn_confusion" -> (knnConfusion, Some(knnConfusionSql)),
     "s_ann_lsh" -> (annLsh, Some(annLshSql)),
     "s_cosine_dedup" -> (cosineDedup, Some(cosineDedupSql)),
     "s_ann_ivf" -> (annIvf, None),
