@@ -144,6 +144,31 @@ object RelationalQueries {
        |  ON b.user_id = a.user_id AND b.wk = a.wk + INTERVAL 7 DAY
        |GROUP BY 1""".stripMargin
 
+  /** CDC-style latest-record-per-key: each user's most recent event
+    * (the upsert/compaction read every changelog consumer runs).
+    * Window partitioned by the key — no global ordering anywhere;
+    * deterministic tie-break on event_id. */
+  val latestPerKey: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(s, dir)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("ts_sec"),
+        col("event_type"), dec2(col("value")).cast("double").as("value"))
+  }
+
+  val latestPerKeySql: String =
+    s"""WITH $eventsCte,
+       |r AS (SELECT user_id, event_id, ts, event_type, value,
+       |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |      FROM evts)
+       |SELECT user_id, event_id,
+       |       -- FLOOR: Spark's unix_timestamp truncates sub-second parts;
+       |       -- a bare BIGINT cast in DuckDB would round-to-nearest
+       |       CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec, event_type,
+       |       CAST(${dec2Sql("value")} AS DOUBLE) AS value
+       |FROM r WHERE rn = 1""".stripMargin
+
   /** P6 distinct + set ops: parts that ship but were never ordered above
     * qty 45 (EXCEPT), via dropDuplicates. */
   val setOps: Q = (s, dir) => {
@@ -302,6 +327,7 @@ object RelationalQueries {
     "q_outer_order_counts" -> (outerOrderCounts, Some(outerOrderCountsSql)),
     "q_top_suppliers" -> (topSuppliers, Some(topSuppliersSql)),
     "q_user_retention" -> (userRetention, Some(userRetentionSql)),
+    "q_latest_per_key" -> (latestPerKey, Some(latestPerKeySql)),
     "q_set_ops" -> (setOps, Some(setOpsSql)),
     "q_event_windows" -> (eventWindows, Some(eventWindowsSql)),
     "q_tumbling_window" -> (tumblingWindow, Some(tumblingWindowSql)),
