@@ -15,6 +15,7 @@ object PlanDump {
       .replaceAll("RDD\\[\\d+\\]", "RDD[N]") // session-scoped RDD ids
       .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$N") // JIT lambda class names
       .replaceAll("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", "<uuid>")
+      .replaceAll("lambda ([a-z]+)_\\d+", "lambda $1_N") // session-global HOF var counters
       .replaceAll("\\.scala:\\d+", ".scala:N") // callsite line numbers
       .replaceAll("plan_id=\\d+", "plan_id=N")
       .replaceAll("Location: [^\\n]*", "Location: <path>")

@@ -137,7 +137,7 @@ object MiscQueries {
     * map-side predicate + one label-keyed aggregation; the split any
     * training pipeline can re-derive anywhere. */
   val stratifiedSplit: Q = (s, dir) => {
-    val keep = graft.text.TextOps.h60(col("vec_id").cast("string")) % 2 === 0
+    val keep = graft.text.TextOps.hashBucket(col("vec_id"), 2) === 0
     table(s, dir, "embeddings")
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_total"),
@@ -146,7 +146,7 @@ object MiscQueries {
 
   val stratifiedSplitSql: String =
     s"""SELECT label, COUNT(*) AS n_total,
-       |       CAST(SUM(CASE WHEN ${graft.text.TextOps.h60Sql("CAST(vec_id AS VARCHAR)")} % 2 = 0
+       |       CAST(SUM(CASE WHEN ${graft.text.TextOps.hashBucketSql("vec_id", 2)} = 0
        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |FROM embeddings GROUP BY 1""".stripMargin
 

@@ -53,7 +53,7 @@ object SimQueries {
     * the (small) test set broadcasts against the corpus, ranking
     * windows partition per query. */
   val knnConfusion: Q = (s, dir) => {
-    val b = graft.text.TextOps.h60(col("vec_id").cast("string")) % 10
+    val b = graft.text.TextOps.hashBucket(col("vec_id"), 10)
     val e = table(s, dir, "embeddings")
     val test = e.where(b === 9)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label"))
@@ -74,7 +74,7 @@ object SimQueries {
 
   val knnConfusionSql: String =
     s"""WITH s AS (SELECT vec_id, embedding, label,
-       |             ${graft.text.TextOps.h60Sql("CAST(vec_id AS VARCHAR)")} % 10 AS b
+       |             ${graft.text.TextOps.hashBucketSql("vec_id", 10)} AS b
        |           FROM embeddings),
        |te AS (SELECT * FROM s WHERE b = 9),
        |tr AS (SELECT * FROM s WHERE b <> 9),

@@ -318,7 +318,7 @@ object TextQueries {
     * a training pipeline freezes once and re-derives everywhere. Pure
     * map-side + one bounded aggregation. */
   val hashSplit: Q = (s, dir) => {
-    val bucket = TextOps.h60(col("doc_id").cast("string")) % 10
+    val bucket = TextOps.hashBucket(col("doc_id"), 10)
     table(s, dir, "documents")
       .select(when(bucket < 8, "train").when(bucket === 8, "valid").otherwise("test").as("split"),
         col("n_chars"))
@@ -327,7 +327,7 @@ object TextQueries {
   }
 
   val hashSplitSql: String =
-    s"""WITH s AS (SELECT ${TextOps.h60Sql("CAST(doc_id AS VARCHAR)")} % 10 AS b, n_chars
+    s"""WITH s AS (SELECT ${TextOps.hashBucketSql("doc_id", 10)} AS b, n_chars
        |           FROM documents)
        |SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid' ELSE 'test' END AS split,
        |       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars_total

@@ -194,6 +194,14 @@ object TextOps {
     }
   }
 
+  /** Deterministic hash bucket on a stable key — THE split primitive
+    * every sampling/split query shares (one definition so the Spark and
+    * DuckDB sides can never drift apart per call site). */
+  def hashBucket(key: Column, n: Int): Column = h60(key.cast("string")) % n
+
+  def hashBucketSql(expr: String, n: Int): String =
+    s"${h60Sql(s"CAST($expr AS VARCHAR)")} % $n"
+
   /** Connected components over an undirected edge list (`a`, `b`) —
     * the stage after near-dup candidate pairs in a real dedup pipeline:
     * pairs chain into clusters, and the keeper is one doc per cluster,
@@ -207,7 +215,9 @@ object TextOps {
     * the driver sees only the per-round converged? count. Labels
     * checkpoint periodically so lineage stays bounded. Deterministic:
     * the component label IS the minimum node id. Returns
-    * (node, cluster). */
+    * (node, cluster) — the result stays cached (one small row per
+    * non-isolated node); callers looping over many graphs should
+    * unpersist it when done. */
   def connectedComponents(edges: org.apache.spark.sql.DataFrame,
                           maxIter: Int = 25): org.apache.spark.sql.DataFrame = {
     val sym = edges.select(col("a").as("x"), col("b").as("y"))
@@ -236,6 +246,10 @@ object TextOps {
       it += 1
     }
     sym.unpersist()
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger("graft.text.TextOps").warn(
+        s"connectedComponents exited at maxIter=$maxIter with $changed labels still moving — " +
+          "clusters may be under-merged; raise maxIter")
     labels.select(col("node"), col("label").as("cluster"))
   }
 }
