@@ -348,7 +348,29 @@ object AdvancedQueries {
        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
        |QUALIFY rnk <= 3""".stripMargin
 
+  /** RANGE window frames (vs the ROWS frames of a_running_total): per
+    * returnflag, the exact decimal revenue of all line items within
+    * quantity-distance 2 of the current row — value-based frame bounds,
+    * peers included, partitioned window (nothing global). */
+  val rangeFrames: Q = (s, dir) => {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity").cast("long"))
+      .rangeBetween(-2, 2)
+    table(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"),
+        col("l_orderkey"), col("l_linenumber"),
+        sum(dec2(col("l_extendedprice"))).over(w).cast("double").as("near_revenue"))
+  }
+
+  val rangeFramesSql: String =
+    s"""SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, l_orderkey, l_linenumber,
+       |       CAST(SUM(${dec2Sql("l_extendedprice")}) OVER (
+       |         PARTITION BY l_returnflag ORDER BY CAST(l_quantity AS BIGINT)
+       |         RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS DOUBLE) AS near_revenue
+       |FROM lineitem""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_range_frames" -> (rangeFrames, Some(rangeFramesSql)),
     "a_topk_per_group" -> (topkPerGroup, Some(topkPerGroupSql)),
     "a_quartiles" -> (quartiles, Some(quartilesSql)),
     "a_corr_moments" -> (corrMoments, Some(corrMomentsSql)),
