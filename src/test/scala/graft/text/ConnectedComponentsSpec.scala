@@ -20,6 +20,27 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(again == want)
   }
 
+  test("agrees with a driver-side union-find on the real LSH candidate graph") {
+    val pairs = graft.queries.TextQueries
+      .minhashLsh(spark, "/root/testdata/sf0.001").select($"a", $"b")
+    val edges = pairs.as[(Long, Long)].collect()
+    assert(edges.nonEmpty)
+    // classic union-find with path compression — an engine-independent
+    // third opinion next to the recursive-CTE oracle
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    val got = TextOps.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("long chain converges within the iteration budget (pointer jumping, not one hop per round)") {
     // a 200-path has diameter 199: plain neighbor-min needs ~199 rounds;
     // the pointer-jump step makes it O(log n) — well inside maxIter 25
