@@ -21,21 +21,38 @@ import graft.functions.ZOrderKey.zorder
   * == Versioned publish (crash atomicity + snapshot isolation) ==
   *
   * Every write lands in a fresh immutable version dir
-  * `zoom=Z/v-NNNNNNNN/` and is made live by atomically replacing the
-  * tiny `zoom=Z/_current` pointer file (write sibling tmp, then one
-  * rename — POSIX rename(2) and HDFS rename are atomic; on object
-  * stores the same publish maps to a conditional put of the pointer
-  * key). Consequences, by construction rather than by recovery code:
+  * `zoom=Z/v-NNNNNNNN/` and is made live by publishing a pointer. The
+  * pointer is not a single replaceable file but a monotone sequence of
+  * one-shot files `zoom=Z/_ptr-SSSSSSSS` (content = the version name);
+  * the live version is the one named by the HIGHEST existing sequence.
+  * Publishing sequence S+1 is an atomic create-if-absent (a hard link
+  * from a fully-written sibling tmp file, so the content is durable
+  * before the name appears): of two writers that both read base S,
+  * exactly one wins `_ptr-(S+1)` and the loser's publish fails with an
+  * exception instead of silently clobbering the winner — a true
+  * compare-and-swap on the pointer, not a check-then-rename. On HDFS
+  * the same publish maps to create-if-absent (`CreateFlag.CREATE`
+  * without overwrite); on object stores to a conditional put
+  * (If-None-Match) of the pointer key. Consequences, by construction
+  * rather than by recovery code:
   *
-  *  - a crash at ANY point leaves `_current` resolving to a complete
-  *    version — either the old one or the new one, never a half-swap
-  *    (the old two-rename stage/retire swap had a window where the live
-  *    dir did not exist, and a crash there made the next merge silently
-  *    drop the whole prior layer);
+  *  - a crash at ANY point leaves the max pointer naming a complete
+  *    version — a sequence file either exists with full content or not
+  *    at all, and data is durable before the pointer appears;
+  *  - lost updates are impossible even across broken locks: a holder
+  *    stalled past the staleness bound (e.g. a GC pause that also froze
+  *    its heartbeat) whose lock was broken CANNOT publish over a
+  *    successor — its sequence claim collides and aborts
+  *    ([[writeVersion]]); read-modify-write paths (merge, compact)
+  *    anchor the fence at the moment they read their base;
   *  - readers that resolved the pointer before a publish keep reading
-  *    their version's immutable files — the previous version is retained
-  *    until the NEXT publish, so a merge under a running query never
-  *    yanks that query's inputs (point-in-time snapshots, one deep);
+  *    their version's immutable files — the last [[retainVersions]]
+  *    versions are retained, so a merge under a running query never
+  *    yanks that query's inputs (point-in-time snapshots,
+  *    `retainVersions - 1` publishes deep; a frame held across MORE
+  *    publishes than that dies with a task-level FileNotFoundException
+  *    once its files are GC'd — size `retainVersions` to the longest
+  *    reader you need to survive);
   *  - a version dir orphaned by a crash mid-write is garbage, not state:
   *    it is never referenced and the next successful publish GCs it.
   *
@@ -44,21 +61,54 @@ import graft.functions.ZOrderKey.zorder
 class LayerStore(spark: SparkSession, val root: String,
                  staleLockMs: Long = 60000L,
                  lockWaitMs: Long = 120000L,
-                 heartbeatMs: Long = 5000L) {
+                 heartbeatMs: Long = 5000L,
+                 retainVersions: Int = 2) {
+  require(retainVersions >= 1, "retainVersions must keep at least the live version")
 
-  import java.nio.file.{Files, Paths, Path, StandardCopyOption, StandardOpenOption, NoSuchFileException}
+  import java.nio.file.{Files, Paths, Path, StandardCopyOption, NoSuchFileException}
 
   private def zoomDir(name: String, zoom: Int) =
     s"$root/tiles/layer_name=$name/zoom=$zoom"
 
-  private def pointerPath(name: String, zoom: Int): Path =
-    Paths.get(s"${zoomDir(name, zoom)}/_current")
+  private val PtrRe = "_ptr-(\\d{8})".r
+
+  private def ptrPath(name: String, zoom: Int, seq: Long): Path =
+    Paths.get(f"${zoomDir(name, zoom)}/_ptr-$seq%08d")
+
+  /** All pointer sequence files of a zoom, unordered. */
+  private def pointerEntries(name: String, zoom: Int): Seq[(Long, Path)] = {
+    val d = new java.io.File(zoomDir(name, zoom))
+    if (!d.exists()) Seq.empty
+    else d.listFiles().iterator.flatMap { f =>
+      f.getName match {
+        case PtrRe(s) => Some((s.toLong, f.toPath))
+        case _ => None
+      }
+    }.toSeq
+  }
+
+  /** Live (sequence, version) = the highest pointer file. Tolerates
+    * concurrent publish-time GC: a pointer listed but deleted before
+    * its read means newer sequences exist — re-list and resolve again
+    * (the max pointer itself is never deleted while it is the max). */
+  private def currentPtr(name: String, zoom: Int): Option[(Long, String)] = {
+    var attempts = 0
+    while (attempts < 8) {
+      val entries = pointerEntries(name, zoom).sortBy(-_._1)
+      if (entries.isEmpty) return None
+      val resolved = entries.iterator.flatMap { case (s, p) =>
+        try Some((s, new String(Files.readAllBytes(p), "UTF-8").trim))
+        catch { case _: java.io.IOException => None }
+      }.nextOption()
+      if (resolved.isDefined) return resolved
+      attempts += 1 // every listed pointer vanished: publishes raced us
+    }
+    None
+  }
 
   /** The live version dir name (e.g. "v-00000003"), if published. */
   def currentVersion(name: String, zoom: Int): Option[String] =
-    if (Files.exists(pointerPath(name, zoom)))
-      Some(new String(Files.readAllBytes(pointerPath(name, zoom)), "UTF-8").trim)
-    else None
+    currentPtr(name, zoom).map(_._2)
 
   /** Resolves to the LIVE version dir only. An unpublished layer maps
     * to a non-existent path (clean "path does not exist" error) rather
@@ -70,7 +120,13 @@ class LayerStore(spark: SparkSession, val root: String,
       .map(v => s"${zoomDir(name, zoom)}/$v")
       .getOrElse(s"${zoomDir(name, zoom)}/_unpublished")
 
-  private val VersionRe = "v-(\\d{8})".r
+  /** Version dirs carry a per-writer random suffix after the ordinal:
+    * two writers anchored at the same base (a stalled holder and the
+    * successor that broke its lock) must NEVER write into the same dir,
+    * or the fenced loser's cleanup would delete the winner's live data.
+    * The bare `v-NNNNNNNN` form is still accepted (pre-suffix layouts,
+    * hand-made crash orphans in tests). */
+  private val VersionRe = "v-(\\d{8})(?:-[0-9a-f]{8})?".r
 
   private def listVersions(name: String, zoom: Int): Seq[String] = {
     val d = new java.io.File(zoomDir(name, zoom))
@@ -83,26 +139,60 @@ class LayerStore(spark: SparkSession, val root: String,
   private def nextVersionName(name: String, zoom: Int): String = {
     val mx = listVersions(name, zoom)
       .map { case VersionRe(n) => n.toLong }.foldLeft(0L)(math.max)
-    f"v-${mx + 1}%08d"
+    f"v-${mx + 1}%08d-" + java.util.UUID.randomUUID().toString.take(8)
   }
 
-  /** Stage a new version via `writer`, then publish it. Caller must hold
-    * the layer lock (all public write paths do). Old-version retention:
-    * the immediate predecessor survives for in-flight readers; anything
-    * older — including crash orphans — is GC'd. */
-  private def writeVersion(name: String, zoom: Int)(writer: String => Unit): Unit = {
+  /** Stage a new version via `writer`, then publish it with a FENCED
+    * pointer claim. Caller must hold the layer lock (all public write
+    * paths do) — but correctness does not depend on it:
+    *
+    * `fence` is the pointer sequence this write's input state was read
+    * at (None = anchor at entry, for overwrite-semantics writes whose
+    * output is base-independent). The publish claims exactly sequence
+    * `fence + 1` via atomic create-if-absent. If ANYTHING published
+    * since the anchor — e.g. our lock was broken as stale and a
+    * successor merged — the claim collides (or the pre-claim max check
+    * sees a newer sequence) and we abort with IllegalStateException
+    * BEFORE touching live state: the successor's update survives, ours
+    * is a wasted merge, never a lost update.
+    *
+    * Retention: the versions named by the newest [[retainVersions]]
+    * pointer files survive for in-flight readers; older pointers, their
+    * versions, and unreferenced dirs — including crash orphans — are
+    * GC'd after a successful publish. */
+  private[catalog] def writeVersion(name: String, zoom: Int,
+                                    fence: Option[Long] = None)(writer: String => Unit): Unit = {
     val dir = zoomDir(name, zoom)
     Files.createDirectories(Paths.get(dir))
-    val prev = currentVersion(name, zoom)
+    val base: Long = fence.orElse(currentPtr(name, zoom).map(_._1)).getOrElse(0L)
     val v = nextVersionName(name, zoom)
-    writer(s"$dir/$v") // fully durable before the pointer moves
-    verifyLockOwned(name, zoom)
-    val tmp = Paths.get(s"$dir/_current.tmp-$v")
+    writer(s"$dir/$v") // fully durable before the pointer appears
+    def fenced() = new IllegalStateException(
+      s"layer ($name, $zoom) was published past sequence $base since this write began " +
+        "— aborting to avoid a lost update (was this writer's lock broken as stale?)")
+    // cheap fast-fail; the createLink below is the real gate
+    if (currentPtr(name, zoom).map(_._1).getOrElse(0L) > base) { rmTree(new java.io.File(s"$dir/$v")); throw fenced() }
+    val tmp = Paths.get(s"$dir/_ptr.tmp-$v")
     Files.write(tmp, v.getBytes("UTF-8"))
-    Files.move(tmp, pointerPath(name, zoom),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    try Files.createLink(ptrPath(name, zoom, base + 1), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp); rmTree(new java.io.File(s"$dir/$v")); throw fenced()
+    }
+    Files.deleteIfExists(tmp)
+    // GC: keep the newest retainVersions pointers and their versions.
+    // Re-list AFTER publishing — if a successor has already advanced
+    // past us, its view of the keep-set wins for anything we might race.
+    val entries = pointerEntries(name, zoom)
+    val maxSeq = entries.map(_._1).max
+    val (keepPtrs, dropPtrs) = entries.partition(_._1 > maxSeq - retainVersions)
+    val keepVersions = keepPtrs.flatMap { case (_, p) =>
+      try Some(new String(Files.readAllBytes(p), "UTF-8").trim)
+      catch { case _: java.io.IOException => None }
+    }.toSet
+    dropPtrs.foreach { case (_, p) => Files.deleteIfExists(p): Unit }
     listVersions(name, zoom)
-      .filterNot(d => d == v || prev.contains(d))
+      .filterNot(keepVersions.contains)
       .foreach(d => rmTree(new java.io.File(s"$dir/$d")))
   }
 
@@ -290,11 +380,13 @@ class LayerStore(spark: SparkSession, val root: String,
             tileSize: Int = graft.core.TileMath.DefaultTileSize,
             crs: String = "EPSG:4326", binWidth: Double = 1.0,
             withAttributes: Boolean = true): Unit = withLayerLock(name, zoom) {
-    val base = currentVersion(name, zoom)
+    // the fence anchors HERE, where the base is resolved: the publish
+    // will only succeed if no other version lands in between
+    val base = currentPtr(name, zoom)
     val toWrite =
       if (base.isEmpty) incoming
       else graft.ops.Raster.mergeLayers(read(name, zoom), incoming)
-    writeVersion(name, zoom) { path =>
+    writeVersion(name, zoom, fence = Some(base.map(_._1).getOrElse(0L))) { path =>
       writeTo(toWrite, path)
       if (withAttributes) writeAttrs(path, tileSize, crs, binWidth)
     }
@@ -302,56 +394,67 @@ class LayerStore(spark: SparkSession, val root: String,
 
   /** Writer serialization for merge's read-modify-write: concurrent
     * upserts into one (layer, zoom) would each read the same base and
-    * the last publish would silently drop the other's tiles. An
-    * atomically created lock file (CREATE_NEW is atomic on POSIX, and
-    * HDFS-style stores expose the same create-if-absent primitive)
-    * serializes writers.
+    * the last publish would drop the other's tiles (the pointer fence
+    * in [[writeVersion]] turns that into an abort; the lock is what
+    * makes the normal path contention-free rather than retry-heavy).
+    *
+    * The lock is a DIRECTORY containing a single empty owner-token
+    * file. Acquisition stages `<lock>.stage-<uuid>/owner-<token>` and
+    * atomically RENAMES the staged dir onto the lock name: rename(2)
+    * succeeds only if the target is absent (or an empty dir — which by
+    * construction means mid-release), and fails with ENOTEMPTY against
+    * a held lock, so acquire is a single atomic claim with the token
+    * already inside — there is never an owner-less lock on disk.
     *
     * Liveness vs safety: the holder HEARTBEATS the lock (touches its
     * mtime every [[heartbeatMs]] from a driver-side daemon thread), so
     * a lock older than [[staleLockMs]] means the holder really crashed —
     * a merge that legitimately runs long stays fresh and is never
     * broken, unlike a fixed create-time TTL. Breaking a stale lock is an
-    * atomic RENAME to a unique grave name: of N waiters racing, exactly
-    * one move succeeds (delete-then-create had a TOCTOU where a waiter
-    * could delete a lock another waiter had just freshly created). The
-    * lock body is a unique owner token, re-verified before every
-    * publish ([[verifyLockOwned]]) and again at release so a holder
-    * whose lock was broken aborts instead of publishing a lost update,
-    * and never deletes a successor's lock. */
+    * atomic RENAME of the whole dir to a unique grave name: of N
+    * waiters racing, exactly one move succeeds.
+    *
+    * Release is ATOMIC where the old file design was read-then-delete:
+    * the holder deletes its OWN token file (a no-op if the lock was
+    * broken — that file left with the grave), then rmdir()s the lock
+    * dir. The kernel refuses rmdir on a non-empty directory, so a
+    * stalled holder can NEVER remove a successor's lock — the
+    * successor's own token file is what pins the dir in place. No
+    * token comparison, no window. */
   private def lockPath(name: String, zoom: Int): Path =
     Paths.get(s"$root/.locks/layer_name=$name-zoom=$zoom.lock")
-
-  // (name, zoom) -> (lock file, owner token) held by the current thread
-  private val heldLocks = new ThreadLocal[Map[(String, Int), (Path, String)]] {
-    override def initialValue(): Map[(String, Int), (Path, String)] = Map.empty
-  }
 
   private[catalog] def withLayerLock[T](name: String, zoom: Int)(f: => T): T = {
     val lock = lockPath(name, zoom)
     Files.createDirectories(lock.getParent)
-    val token = ProcessHandle.current().pid() + ":" + java.util.UUID.randomUUID()
+    val token = ProcessHandle.current().pid() + "-" + java.util.UUID.randomUUID()
+    val ownerFile = lock.resolve(s"owner-$token")
+    val stage = lock.resolveSibling(
+      lock.getFileName.toString + ".stage-" + java.util.UUID.randomUUID())
+    Files.createDirectories(stage)
+    Files.createFile(stage.resolve(s"owner-$token"))
     val deadline = System.currentTimeMillis + lockWaitMs
     var acquired = false
-    while (!acquired) {
-      try {
-        Files.write(lock, token.getBytes("UTF-8"),
-          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-        acquired = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          val age = try System.currentTimeMillis - Files.getLastModifiedTime(lock).toMillis
-                    catch { case _: NoSuchFileException => -1L }
-          if (age > staleLockMs) {
-            val grave = lock.resolveSibling(
-              lock.getFileName.toString + ".broken-" + java.util.UUID.randomUUID())
-            try { Files.move(lock, grave, StandardCopyOption.ATOMIC_MOVE); Files.deleteIfExists(grave): Unit }
-            catch { case _: NoSuchFileException => () } // another waiter won the break
-          } else if (System.currentTimeMillis > deadline)
-            throw new IllegalStateException(s"timed out waiting for writer lock on ($name, $zoom)")
-          else Thread.sleep(100)
+    try {
+      while (!acquired) {
+        try {
+          Files.move(stage, lock, StandardCopyOption.ATOMIC_MOVE)
+          acquired = true
+        } catch {
+          case _: java.io.IOException => // held (ENOTEMPTY) or transient
+            val age = try System.currentTimeMillis - Files.getLastModifiedTime(lock).toMillis
+                      catch { case _: NoSuchFileException => -1L }
+            if (age > staleLockMs) {
+              val grave = lock.resolveSibling(
+                lock.getFileName.toString + ".broken-" + java.util.UUID.randomUUID())
+              try { Files.move(lock, grave, StandardCopyOption.ATOMIC_MOVE); rmTree(grave.toFile) }
+              catch { case _: java.io.IOException => () } // another waiter won the break
+            } else if (System.currentTimeMillis > deadline)
+              throw new IllegalStateException(s"timed out waiting for writer lock on ($name, $zoom)")
+            else Thread.sleep(100)
+        }
       }
-    }
+    } finally if (!acquired) rmTree(stage.toFile) // timed out: drop the staged claim
     val beating = new java.util.concurrent.atomic.AtomicBoolean(true)
     val hb = new Thread(() => {
       while (beating.get) {
@@ -359,44 +462,23 @@ class LayerStore(spark: SparkSession, val root: String,
         if (beating.get)
           try Files.setLastModifiedTime(lock,
             java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis))
-          catch { case _: java.io.IOException => () } // broken-as-stale: verify catches it
+          catch { case _: java.io.IOException => () } // broken-as-stale: the publish fence catches it
       }
     }, s"graft-lock-heartbeat-$name-$zoom")
     hb.setDaemon(true)
     hb.start()
-    heldLocks.set(heldLocks.get + ((name, zoom) -> (lock, token)))
     try f
     finally {
-      heldLocks.set(heldLocks.get - ((name, zoom)))
       beating.set(false); hb.interrupt()
-      // Release only our own lock: if it was broken while we were
-      // (wrongly) presumed dead, the file now holds a successor's token.
-      // The read-then-delete pair is not atomic — in the worst
-      // interleaving (we stall past staleLockMs, a breaker replaces the
-      // lock between our read and delete) we can delete a successor's
-      // fresh lock. That race cannot lose an update: every publish
-      // re-reads the lock under verifyLockOwned, and a writer whose
-      // token is no longer in the file aborts before its pointer swap —
-      // the damage is a wasted merge, not corruption.
-      try {
-        if (new String(Files.readAllBytes(lock), "UTF-8") == token)
-          Files.deleteIfExists(lock): Unit
-      } catch { case _: java.io.IOException => () }
+      // Atomic release: our token file pins only OUR lock incarnation.
+      // If the lock was broken and re-acquired, ownerFile is gone (it
+      // moved with the grave) and the successor's token file makes the
+      // rmdir fail ENOTEMPTY — enforced by the kernel, not by a
+      // read-then-act pair, so a successor's lock cannot be deleted.
+      try Files.deleteIfExists(ownerFile): Unit catch { case _: java.io.IOException => () }
+      try Files.delete(lock) catch { case _: java.io.IOException => () }
     }
   }
-
-  /** Abort a publish whose writer lock no longer holds our token — the
-    * lock was broken as stale, so a successor may already be merging
-    * from the version we are about to replace. */
-  private def verifyLockOwned(name: String, zoom: Int): Unit =
-    heldLocks.get.get((name, zoom)).foreach { case (lock, token) =>
-      val held =
-        try new String(Files.readAllBytes(lock), "UTF-8")
-        catch { case _: java.io.IOException => "" }
-      if (held != token)
-        throw new IllegalStateException(
-          s"writer lock on ($name, $zoom) was lost before publish — aborting to avoid a lost update")
-    }
 
   /** Compaction — the small-file problem at scale: a long upsert
     * history leaves a version with many small parquet files, and on an
@@ -407,6 +489,7 @@ class LayerStore(spark: SparkSession, val root: String,
     * and the pre-compaction version survives until the next publish. */
   def compact(name: String, zoom: Int, targetBytes: Long = 128L << 20): Unit =
     withLayerLock(name, zoom) {
+      val basePtr = currentPtr(name, zoom).map(_._1).getOrElse(0L) // fence anchor
       val live = dataPath(name, zoom)
       // size on parquet data bytes only — sidecar/_SUCCESS/checksum
       // files are bookkeeping, not the thing being split
@@ -420,7 +503,7 @@ class LayerStore(spark: SparkSession, val root: String,
       val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
       val tiles = spark.read.parquet(live)
       val spaceTime = tiles.columns.contains("time")
-      writeVersion(name, zoom) { path =>
+      writeVersion(name, zoom, fence = Some(basePtr)) { path =>
         // preserve the layer's layout contract: space-time layers keep
         // their time partition dirs (readSpaceTime's pruning) and
         // time-major Hilbert order; spatial layers keep the zorder sort
@@ -441,32 +524,43 @@ class LayerStore(spark: SparkSession, val root: String,
       }
     }
 
-  /** Vacuum: reclaim everything except the LIVE version — the retired
-    * predecessor (calling vacuum DECLARES no readers are in flight; use
-    * the automatic publish-time GC if they might be), crash-orphaned
-    * version dirs, orphaned `_current.tmp-*` pointer staging files, and
-    * this layer's lock debris (grave files from interrupted breaks).
-    * Returns the number of entries removed. */
+  /** Vacuum: reclaim everything except the LIVE version — retired
+    * versions inside the retention window (calling vacuum DECLARES no
+    * readers are in flight; rely on the publish-time GC if they might
+    * be) and their pointer files, crash-orphaned version dirs, orphaned
+    * `_ptr.tmp-*` staging files, and this layer's lock debris (grave
+    * dirs from interrupted breaks, staged claims of crashed
+    * acquirers — live waiters' stages are younger than [[staleLockMs]]
+    * and are left alone). Returns the number of entries removed. */
   def vacuum(name: String, zoom: Int): Int = withLayerLock(name, zoom) {
     var removed = 0
     val dir = zoomDir(name, zoom)
-    val live = currentVersion(name, zoom)
-    listVersions(name, zoom).filterNot(v => live.contains(v)).foreach { v =>
+    val live = currentPtr(name, zoom)
+    live.foreach { case (seq, _) =>
+      pointerEntries(name, zoom).filterNot(_._1 == seq).foreach { case (_, p) =>
+        if (Files.deleteIfExists(p)) removed += 1
+      }
+    }
+    listVersions(name, zoom).filterNot(v => live.exists(_._2 == v)).foreach { v =>
       rmTree(new java.io.File(s"$dir/$v")); removed += 1
     }
     val d = new java.io.File(dir)
     if (d.exists())
-      d.listFiles().filter(_.getName.startsWith("_current.tmp-")).foreach { f =>
+      d.listFiles().filter(_.getName.startsWith("_ptr.tmp-")).foreach { f =>
         if (f.delete()) removed += 1
       }
-    // only THIS layer's graves: vacuum holds only this layer's lock,
-    // and another layer's grave may belong to a break in progress
+    // only THIS layer's graves/stages: vacuum holds only this layer's
+    // lock, and another layer's grave may belong to a break in progress
     val locks = new java.io.File(s"$root/.locks")
     val lockName = lockPath(name, zoom).getFileName.toString
     if (locks.exists())
       locks.listFiles()
-        .filter(f => f.getName.startsWith(lockName + ".broken-"))
-        .foreach { f => if (f.delete()) removed += 1 }
+        .filter { f =>
+          f.getName.startsWith(lockName + ".broken-") ||
+            (f.getName.startsWith(lockName + ".stage-") &&
+              System.currentTimeMillis - f.lastModified() > staleLockMs)
+        }
+        .foreach { f => rmTree(f); removed += 1 }
     removed
   }
 
@@ -494,8 +588,9 @@ class LayerStore(spark: SparkSession, val root: String,
     rmTree(target)
   }
 
+  // tolerates a concurrent rmTree of the same tree (listFiles → null)
   private def rmTree(f: java.io.File): Unit = if (f.exists()) {
-    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
     f.delete(): Unit
   }
 }

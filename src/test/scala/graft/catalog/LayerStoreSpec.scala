@@ -225,6 +225,82 @@ class LayerStoreSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(lock), "store must release its own lock")
   }
 
+  test("fenced publish: a stalled writer whose lock was broken cannot clobber a successor's merge") {
+    val root = java.nio.file.Files.createTempDirectory("graft_store").toString
+    // the stalled writer's heartbeat never fires (1h period) so its lock
+    // goes stale in 300ms; the successor breaks it and merges
+    val stalled = new LayerStore(spark, root, staleLockMs = 300, lockWaitMs = 10000, heartbeatMs = 3600000)
+    val successor = new LayerStore(spark, root, staleLockMs = 300, lockWaitMs = 10000, heartbeatMs = 150)
+    stalled.write(tiles(0), "f", 1)
+    val ex = intercept[IllegalStateException] {
+      stalled.withLayerLock("f", 1) {
+        stalled.writeVersion("f", 1) { path =>
+          Thread.sleep(400) // the "GC pause": lock goes stale mid-write
+          successor.merge(tiles(100), "f", 1) // breaks the lock, publishes
+          tiles(999).write.parquet(path) // stalled writer resumes, oblivious
+        }
+      }
+    }
+    assert(ex.getMessage.contains("lost update"))
+    // the successor's merge is live; the stalled writer's data is nowhere
+    val cells = stalled.readTile("f", 1, 0, 0).select($"cells").as[Seq[Double]].head()
+    assert(cells(0) == 100.0, s"successor's merge was clobbered: $cells")
+    assert(stalled.read("f", 1).select(max(array_max($"cells"))).head().getDouble(0) < 999.0)
+  }
+
+  test("atomic release: a stalled holder's release cannot delete a successor's fresh lock") {
+    val root = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val stalledStore = new LayerStore(spark, root, staleLockMs = 300, lockWaitMs = 10000, heartbeatMs = 3600000)
+    val successor = new LayerStore(spark, root, staleLockMs = 300, lockWaitMs = 10000, heartbeatMs = 150)
+    val lockDir = java.nio.file.Paths.get(s"$root/.locks/layer_name=rl-zoom=1.lock")
+    val stalledHolds = new java.util.concurrent.CountDownLatch(1)
+    val successorEntered = new java.util.concurrent.CountDownLatch(1)
+    val stalledDone = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => {
+      stalledStore.withLayerLock("rl", 1) {
+        stalledHolds.countDown()
+        Thread.sleep(400) // go stale
+        successorEntered.await(10, java.util.concurrent.TimeUnit.SECONDS): Unit
+      } // ← the stalled holder's release runs HERE, while the successor holds
+      stalledDone.countDown()
+    })
+    t.start()
+    assert(stalledHolds.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    successor.withLayerLock("rl", 1) { // breaks the stale lock, acquires
+      successorEntered.countDown()
+      assert(stalledDone.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      // old read-then-delete release would have removed our lock here;
+      // rmdir-on-nonempty makes that impossible
+      assert(java.nio.file.Files.isDirectory(lockDir),
+        "successor's lock was deleted by the stalled holder's release")
+      assert(lockDir.toFile.listFiles().count(_.getName.startsWith("owner-")) == 1)
+    }
+    t.join()
+    assert(!java.nio.file.Files.exists(lockDir), "successor's own release must free the lock")
+  }
+
+  test("retention depth is configurable: a reader survives retainVersions-1 publishes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val store = new LayerStore(spark, root, retainVersions = 3)
+    store.write(tiles(0), "rt", 1)
+    val snapshot = store.read("rt", 1)
+    store.merge(tiles(100), "rt", 1)
+    store.merge(tiles(200), "rt", 1)
+    // two publishes later the snapshot's files are still retained
+    assert(snapshot.count() == 4)
+    assert(snapshot.select(max(array_max($"cells"))).head().getDouble(0) < 100.0)
+    val zoomDir = new java.io.File(store.root + "/tiles/layer_name=rt/zoom=1")
+    def versionDirs() = zoomDir.listFiles().count(_.getName.startsWith("v-"))
+    assert(versionDirs() == 3, "retainVersions=3 must keep exactly 3 versions")
+    // the window slides: a third publish GCs the snapshot's version...
+    store.merge(tiles(300), "rt", 1)
+    assert(versionDirs() == 3)
+    // ...and the over-held reader dies with a task-level file-not-found,
+    // the documented outcome of out-living the retention window
+    intercept[Exception] { snapshot.count() }
+    assert(store.readTile("rt", 1, 0, 0).select($"cells").as[Seq[Double]].head()(0) == 300.0)
+  }
+
   test("attribute histogram caps bin count: adversarial range widens the bins") {
     val store = freshStore()
     // values spread over ~4e9: binWidth 1.0 would mean 4 billion bins
@@ -320,11 +396,12 @@ class LayerStoreSpec extends AnyFunSuite {
     val zoomDir = new java.io.File(store.root + "/tiles/layer_name=v/zoom=1")
     // crash debris: orphan version, staged pointer, grave lock
     new java.io.File(zoomDir, "v-00000077").mkdirs()
-    java.nio.file.Files.write(zoomDir.toPath.resolve("_current.tmp-v-00000077"), "junk".getBytes)
+    java.nio.file.Files.write(zoomDir.toPath.resolve("_ptr.tmp-v-00000077"), "junk".getBytes)
     val locks = new java.io.File(store.root + "/.locks"); locks.mkdirs()
     java.nio.file.Files.write(locks.toPath.resolve("layer_name=v-zoom=1.lock.broken-x"), "t".getBytes)
     val removed = store.vacuum("v", 1)
-    assert(removed == 4, s"expected prev version + orphan + tmp pointer + grave, got $removed")
+    assert(removed == 5,
+      s"expected prev version + its pointer + orphan + tmp pointer + grave, got $removed")
     assert(zoomDir.listFiles().count(_.getName.startsWith("v-")) == 1)
     assert(store.read("v", 1).count() == 4)
     assert(store.readTile("v", 1, 0, 0).select($"cells").as[Seq[Double]].head()(0) == 10.0)
