@@ -12,12 +12,18 @@ object Export {
 
   /** K4: one file per tile, written executor-side from foreachPartition
     * (the reference ships a SerializableConfiguration and writes from
-    * executors, LayerToGeotiff.scala:96-127 — same shape; offline build
-    * writes a portable text raster instead of GeoTiff). */
+    * executors, LayerToGeotiff.scala:96-127 — same shape; this variant
+    * writes a portable text raster instead of GeoTiff).
+    *
+    * SHARED-FILESYSTEM CONTRACT (all tiled exports here): `dir` must be
+    * on a filesystem every executor can reach (NFS/HDFS-fuse/local in
+    * local mode). Each task creates the directory chain itself before
+    * writing — the driver pre-creates nothing, so a fresh worker node
+    * never hits a missing parent. */
   def exportTiled(tiles: DataFrame, dir: String, cols: Int, rows: Int): Unit = {
-    new java.io.File(dir).mkdirs()
     tiles.select(col("tile_col"), col("tile_row"), col("cells")).foreachPartition {
       (rows_it: Iterator[Row]) =>
+        new java.io.File(dir).mkdirs()
         rows_it.foreach { r =>
           val tc = r.getInt(0); val tr = r.getInt(1)
           val cells = r.getSeq[Double](2)
@@ -33,11 +39,13 @@ object Export {
   /** K4 proper: one GeoTiff per tile, encoded and written executor-side
     * (LayerToGeotiff.scala:96-127 writes from executors the same way).
     * Each tile is georeferenced from its key on the layer grid:
-    * top-left = (originX + tc*cols*cellW, originY - tr*rows*cellH). */
+    * top-left = (originX + tc*cols*cellW, originY - tr*rows*cellH).
+    * Parent dirs are created inside `GeoTiff.write` (executor-side) —
+    * see the shared-filesystem contract on [[exportTiled]]. */
   def exportTiledGeoTiff(tiles: DataFrame, dir: String, cols: Int, rows: Int,
                          originX: Double = 0.0, originY: Double = 0.0,
-                         cellW: Double = 1.0, cellH: Double = 1.0): Unit = {
-    new java.io.File(dir).mkdirs()
+                         cellW: Double = 1.0, cellH: Double = 1.0,
+                         epsg: Int = 4326): Unit = {
     tiles.select(col("tile_col"), col("tile_row"), col("cells")).foreachPartition {
       (it: Iterator[Row]) =>
         it.foreach { r =>
@@ -45,7 +53,30 @@ object Export {
           graft.sources.GeoTiff.write(s"$dir/tile_${tc}_$tr.tif", cols, rows,
             r.getSeq[Double](2).toArray,
             originX + tc.toDouble * cols * cellW, originY - tr.toDouble * rows * cellH,
-            cellW, cellH)
+            cellW, cellH, epsg)
+        }
+    }
+  }
+
+  /** K4 multiband: one N-band GeoTiff per tile from the zipped
+    * representation (`bands ARRAY<ARRAY<DOUBLE>>`, [[graft.ops.Raster.zipBands]]),
+    * pixel-interleaved in one file — parity with the reference's
+    * MultibandLayerToGeotiff.scala:150-187 tiled path. Band slots absent
+    * for a tile export as all-NaN. */
+  def exportTiledGeoTiffMultiband(zipped: DataFrame, dir: String, cols: Int, rows: Int,
+                                  originX: Double = 0.0, originY: Double = 0.0,
+                                  cellW: Double = 1.0, cellH: Double = 1.0,
+                                  epsg: Int = 4326): Unit = {
+    zipped.select(col("tile_col"), col("tile_row"), col("bands")).foreachPartition {
+      (it: Iterator[Row]) =>
+        it.foreach { r =>
+          val tc = r.getInt(0); val tr = r.getInt(1)
+          val bands = r.getSeq[scala.collection.Seq[Double]](2).map { b =>
+            if (b == null) Array.fill(cols * rows)(Double.NaN) else b.toArray
+          }
+          graft.sources.GeoTiff.writeMultiband(s"$dir/tile_${tc}_$tr.tif", cols, rows, bands,
+            originX + tc.toDouble * cols * cellW, originY - tr.toDouble * rows * cellH,
+            cellW, cellH, epsg)
         }
     }
   }
@@ -54,9 +85,46 @@ object Export {
     * reference warns of OOM here too, LayerToGeotiff.scala:74). */
   def stitchGeoTiff(tiles: DataFrame, cols: Int, rows: Int, path: String,
                     originX: Double = 0.0, originY: Double = 0.0,
-                    cellW: Double = 1.0, cellH: Double = 1.0): Unit = {
+                    cellW: Double = 1.0, cellH: Double = 1.0,
+                    epsg: Int = 4326): Unit = {
     val (w, h, cells) = stitch(tiles, cols, rows)
-    graft.sources.GeoTiff.write(path, w, h, cells, originX, originY, cellW, cellH)
+    graft.sources.GeoTiff.write(path, w, h, cells, originX, originY, cellW, cellH, epsg)
+  }
+
+  /** K5 multiband: stitch the zipped representation into ONE N-band
+    * GeoTiff on the driver (MultibandLayerToGeotiff.scala:150-187
+    * stitched path; same bounded-use warning as [[stitch]]). */
+  def stitchGeoTiffMultiband(zipped: DataFrame, cols: Int, rows: Int, path: String,
+                             originX: Double = 0.0, originY: Double = 0.0,
+                             cellW: Double = 1.0, cellH: Double = 1.0,
+                             epsg: Int = 4326): Unit = {
+    val collected = zipped.select(col("tile_col"), col("tile_row"), col("bands"))
+      .dropDuplicates("tile_col", "tile_row").collect()
+    require(collected.nonEmpty, "stitch of empty layer")
+    val nBands = collected.map(_.getSeq[scala.collection.Seq[Double]](2).length).max
+    val minC = collected.map(_.getInt(0)).min; val maxC = collected.map(_.getInt(0)).max
+    val minR = collected.map(_.getInt(1)).min; val maxR = collected.map(_.getInt(1)).max
+    val w = (maxC - minC + 1) * cols; val h = (maxR - minR + 1) * rows
+    val out = Array.fill(nBands)(TileMath.empty(w, h))
+    collected.foreach { r =>
+      val ox = (r.getInt(0) - minC) * cols; val oy = (r.getInt(1) - minR) * rows
+      val bands = r.getSeq[scala.collection.Seq[Double]](2)
+      var b = 0
+      while (b < bands.length) {
+        val cells = bands(b)
+        if (cells != null) {
+          var y = 0
+          while (y < rows) {
+            var x = 0
+            while (x < cols) { out(b)((ox + x) + (oy + y) * w) = cells(x + y * cols); x += 1 }
+            y += 1
+          }
+        }
+        b += 1
+      }
+    }
+    graft.sources.GeoTiff.writeMultiband(path, w, h, out.toSeq,
+      originX, originY, cellW, cellH, epsg)
   }
 
   /** K5/R9: stitch all tiles into one raster **on the driver** —

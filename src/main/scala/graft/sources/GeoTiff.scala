@@ -21,9 +21,22 @@ object GeoTiff {
 
   case class Meta(width: Int, height: Int, bits: Int, sampleFormat: Int,
                   samplesPerPixel: Int, noData: Option[Double],
-                  originX: Double, originY: Double, cellW: Double, cellH: Double)
+                  originX: Double, originY: Double, cellW: Double, cellH: Double,
+                  epsg: Option[Int] = None)
 
-  case class Raster(meta: Meta, cells: Array[Double]) // row-major, NaN = NoData
+  /** Row-major cells, NaN = NoData. Multiband rasters are pixel-
+    * interleaved (chunky / PlanarConfiguration=1): cell (x, y, band) is
+    * at `(x + y*width) * samplesPerPixel + band`; [[band]] deinterleaves. */
+  case class Raster(meta: Meta, cells: Array[Double])
+
+  /** Extract one band of a (possibly multiband) raster as a dense
+    * row-major array. */
+  def band(r: Raster, b: Int): Array[Double] = {
+    val n = r.meta.samplesPerPixel
+    require(b >= 0 && b < n, s"band $b of $n")
+    if (n == 1) r.cells
+    else Array.tabulate(r.meta.width * r.meta.height)(i => r.cells(i * n + b))
+  }
 
   def read(path: String): Raster =
     decode(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
@@ -57,6 +70,8 @@ object GeoTiff {
     var noData: Option[Double] = None
     var pixScale: Option[(Double, Double)] = None
     var tiePoint: Option[(Double, Double)] = None
+    var planarConfig = 1
+    var epsg: Option[Int] = None
 
     def values(o: Int, typ: Int, cnt: Int): Array[Long] = {
       val size = typ match { case 3 => 2; case 4 => 4; case _ => 1 }
@@ -88,9 +103,17 @@ object GeoTiff {
         case 323 => tileH = values(o, typ, cnt)(0).toInt
         case 324 => tileOffsets = values(o, typ, cnt)
         case 325 => tileCounts = values(o, typ, cnt)
+        case 284 => planarConfig = values(o, typ, cnt)(0).toInt
         case 339 => sampleFormat = values(o, typ, cnt)(0).toInt
         case 33550 => val b = u32(o + 8).toInt; pixScale = Some((f64(b), f64(b + 8)))
         case 33922 => val b = u32(o + 8).toInt; tiePoint = Some((f64(b + 24), f64(b + 32)))
+        case 34735 => // GeoKeyDirectory: header + 4-short key entries
+          val ks = values(o, typ, cnt)
+          epsg = (4 until ks.length by 4).collectFirst {
+            // 2048 GeographicTypeGeoKey / 3072 ProjectedCSTypeGeoKey,
+            // value inline (TIFFTagLocation == 0)
+            case k if (ks(k) == 2048L || ks(k) == 3072L) && ks(k + 1) == 0L => ks(k + 3).toInt
+          }
         case 42113 =>
           val b = u32(o + 8).toInt
           val s = new String(bytes, b, cnt).takeWhile(_ != 0).trim
@@ -99,10 +122,11 @@ object GeoTiff {
       }
       i += 1
     }
-    require(spp == 1, s"only single-band supported, got $spp samples/pixel")
+    require(spp == 1 || planarConfig == 1,
+      s"multiband requires chunky layout (PlanarConfiguration=1), got $planarConfig")
 
     val bytesPerSample = bits / 8
-    val out = new Array[Double](width * height)
+    val out = new Array[Double](width * height * spp)
 
     def decode(data: Array[Byte]): Array[Byte] = compression match {
       case 1 => data
@@ -149,8 +173,8 @@ object GeoTiff {
         var r = 0
         while (r < nRows) {
           var x = 0
-          while (x < width) {
-            out(x + (y0 + r) * width) = sample(d, x + r * width)
+          while (x < width * spp) { // interleaved samples copy straight through
+            out(x + (y0 + r) * width * spp) = sample(d, x + r * width * spp)
             x += 1
           }
           r += 1
@@ -169,7 +193,11 @@ object GeoTiff {
         while (r < tileH && ty + r < height) {
           var x = 0
           while (x < tileW && tx + x < width) {
-            out((tx + x) + (ty + r) * width) = sample(d, x + r * tileW)
+            var b = 0
+            while (b < spp) {
+              out(((tx + x) + (ty + r) * width) * spp + b) = sample(d, (x + r * tileW) * spp + b)
+              b += 1
+            }
             x += 1
           }
           r += 1
@@ -184,64 +212,126 @@ object GeoTiff {
     }
     val (cw, ch) = pixScale.getOrElse((1.0, 1.0))
     val (ox, oy) = tiePoint.getOrElse((0.0, 0.0))
-    Raster(Meta(width, height, bits, sampleFormat, spp, noData, ox, oy, cw, ch), out)
+    Raster(Meta(width, height, bits, sampleFormat, spp, noData, ox, oy, cw, ch, epsg), out)
   }
 
-  /** K4/K5 writer twin of [[decode]]: minimal single-band float64
-    * GeoTiff — little endian, one uncompressed strip, ModelPixelScale +
-    * ModelTiepoint georeferencing. Written from the TIFF 6.0 / GeoTIFF
-    * specs (the reference writes through GeoTrellis GeoTiffWriter,
-    * LayerToGeotiff.scala:96-127); the tag set is the plain-TIFF core
-    * any GIS reader understands, and [[decode]] round-trips it exactly.
-    * NaN cells stay NaN — IEEE float nodata, no GDAL_NODATA needed.
-    * (originX, originY) is the TOP-LEFT corner; rows grow downward by
-    * cellH. */
-  def encode(width: Int, height: Int, cells: Array[Double],
-             originX: Double = 0.0, originY: Double = 0.0,
-             cellW: Double = 1.0, cellH: Double = 1.0): Array[Byte] = {
-    require(cells.length == width.toLong * height, s"cells ${cells.length} != $width x $height")
-    require(width.toLong * height * 8 < Int.MaxValue - 4096, "raster too large for one TIFF")
-    val tags = 12
+  /** K4/K5 writer twin of [[decode]]: float64 GeoTiff — little endian,
+    * one uncompressed strip, pixel-interleaved bands
+    * (PlanarConfiguration=1), ModelPixelScale + ModelTiepoint
+    * georeferencing, and a GeoKeyDirectory carrying the CRS. Written
+    * from the TIFF 6.0 / GeoTIFF specs (the reference writes through
+    * GeoTrellis GeoTiffWriter, which emits the same key set:
+    * LayerToGeotiff.scala:90-127, MultibandLayerToGeotiff.scala:150-187);
+    * the tag set is the plain-TIFF core any GIS reader understands, and
+    * [[decode]] round-trips it exactly. NaN cells stay NaN — IEEE float
+    * nodata, no GDAL_NODATA needed. (originX, originY) is the TOP-LEFT
+    * corner; rows grow downward by cellH.
+    *
+    * CRS encoding: EPSG codes in 4000-4999 are geographic 2D
+    * (GTModelType=2, GeographicTypeGeoKey), anything else projected
+    * (GTModelType=1, ProjectedCSTypeGeoKey) — covering the engine's
+    * CRS registry (4326, 3857, UTM 326xx/327xx). */
+  def encodeMultiband(width: Int, height: Int, bands: Seq[Array[Double]],
+                      originX: Double = 0.0, originY: Double = 0.0,
+                      cellW: Double = 1.0, cellH: Double = 1.0,
+                      epsg: Int = 4326): Array[Byte] = {
+    val n = bands.length
+    require(n >= 1, "at least one band")
+    bands.foreach(b =>
+      require(b.length == width.toLong * height, s"cells ${b.length} != $width x $height"))
+    require(width.toLong * height * 8 * n < Int.MaxValue - 8192, "raster too large for one TIFF")
+    require(epsg > 0 && epsg < 65535, s"EPSG $epsg does not fit a GeoKey SHORT")
+    val geographic = epsg >= 4000 && epsg < 5000
+    val geoKeys: Array[Int] = Array(
+      1, 1, 0, 3, // KeyDirectoryVersion, KeyRevision, MinorRevision, NumberOfKeys
+      1024, 0, 1, if (geographic) 2 else 1, // GTModelType: geographic / projected
+      1025, 0, 1, 1, // GTRasterType: RasterPixelIsArea
+      if (geographic) 2048 else 3072, 0, 1, epsg)
+    val tags = 14
     val ifdOff = 8
-    val scaleOff = ifdOff + 2 + tags * 12 + 4
-    val tieOff = scaleOff + 24
-    val dataOff = tieOff + 48
-    val dataLen = width * height * 8
+    var ext = ifdOff + 2 + tags * 12 + 4
+    def alloc(sz: Int): Int = { val o = ext; ext += sz; o }
+    val bpsOff = if (n > 2) alloc(2 * n) else -1 // SHORT arrays go external past 2 values
+    val sfOff = if (n > 2) alloc(2 * n) else -1
+    val scaleOff = alloc(24)
+    val tieOff = alloc(48)
+    val geoOff = alloc(2 * geoKeys.length)
+    val dataOff = ext
+    val dataLen = width * height * n * 8
     val buf = java.nio.ByteBuffer.allocate(dataOff + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
     buf.putShort(tags.toShort)
     def tag(id: Int, typ: Int, cnt: Int, value: Long): Unit = {
       buf.putShort(id.toShort).putShort(typ.toShort).putInt(cnt)
-      if (typ == 3) buf.putShort(value.toShort).putShort(0) // SHORT, inline-padded
+      if (typ == 3 && cnt == 1) buf.putShort(value.toShort).putShort(0) // SHORT, inline-padded
       else buf.putInt(value.toInt)
     }
+    // per-band SHORT runs: inline up to 2 values, else external block
+    def tagShorts(id: Int, value: Int, extOff: Int): Unit =
+      if (n == 1) tag(id, 3, 1, value)
+      else if (n == 2) {
+        buf.putShort(id.toShort).putShort(3.toShort).putInt(2)
+        buf.putShort(value.toShort).putShort(value.toShort)
+      } else tag(id, 3, n, extOff)
     tag(256, 4, 1, width) // ImageWidth
     tag(257, 4, 1, height) // ImageLength
-    tag(258, 3, 1, 64) // BitsPerSample
+    tagShorts(258, 64, bpsOff) // BitsPerSample
     tag(259, 3, 1, 1) // Compression: none
     tag(262, 3, 1, 1) // Photometric: BlackIsZero
     tag(273, 4, 1, dataOff) // StripOffsets
-    tag(277, 3, 1, 1) // SamplesPerPixel
+    tag(277, 3, 1, n) // SamplesPerPixel
     tag(278, 4, 1, height) // RowsPerStrip: one strip
     tag(279, 4, 1, dataLen) // StripByteCounts
-    tag(339, 3, 1, 3) // SampleFormat: IEEE float
+    tag(284, 3, 1, 1) // PlanarConfiguration: chunky (pixel-interleaved)
+    tagShorts(339, 3, sfOff) // SampleFormat: IEEE float
     tag(33550, 12, 3, scaleOff) // ModelPixelScale
     tag(33922, 12, 6, tieOff) // ModelTiepoint
+    tag(34735, 3, geoKeys.length, geoOff) // GeoKeyDirectory
     buf.putInt(0) // no next IFD
+    if (n > 2) {
+      var b = 0; while (b < n) { buf.putShort(64.toShort); b += 1 } // BitsPerSample
+      b = 0; while (b < n) { buf.putShort(3.toShort); b += 1 } // SampleFormat
+    }
     buf.putDouble(cellW).putDouble(cellH).putDouble(0.0)
     buf.putDouble(0.0).putDouble(0.0).putDouble(0.0)
     buf.putDouble(originX).putDouble(originY).putDouble(0.0)
+    geoKeys.foreach(k => buf.putShort(k.toShort))
+    val m = width * height
     var i = 0
-    while (i < cells.length) { buf.putDouble(cells(i)); i += 1 }
+    while (i < m) {
+      var b = 0
+      while (b < n) { buf.putDouble(bands(b)(i)); b += 1 }
+      i += 1
+    }
     buf.array()
   }
 
+  def encode(width: Int, height: Int, cells: Array[Double],
+             originX: Double = 0.0, originY: Double = 0.0,
+             cellW: Double = 1.0, cellH: Double = 1.0,
+             epsg: Int = 4326): Array[Byte] =
+    encodeMultiband(width, height, Seq(cells), originX, originY, cellW, cellH, epsg)
+
+  /** Write one GeoTiff, creating parent dirs first: export tasks run
+    * executor-side against a SHARED filesystem (as the reference's
+    * executor-side GeoTiffWriter does — LayerToGeotiff.scala:96-127), and
+    * on a fresh worker nothing guarantees the target dir exists yet. */
   def write(path: String, width: Int, height: Int, cells: Array[Double],
             originX: Double = 0.0, originY: Double = 0.0,
-            cellW: Double = 1.0, cellH: Double = 1.0): Unit =
-    java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      encode(width, height, cells, originX, originY, cellW, cellH)): Unit
+            cellW: Double = 1.0, cellH: Double = 1.0,
+            epsg: Int = 4326): Unit =
+    writeMultiband(path, width, height, Seq(cells), originX, originY, cellW, cellH, epsg)
+
+  def writeMultiband(path: String, width: Int, height: Int, bands: Seq[Array[Double]],
+                     originX: Double = 0.0, originY: Double = 0.0,
+                     cellW: Double = 1.0, cellH: Double = 1.0,
+                     epsg: Int = 4326): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p,
+      encodeMultiband(width, height, bands, originX, originY, cellW, cellH, epsg)): Unit
+  }
 
   /** TIFF-variant LZW (MSB-first codes, 9->12 bits with early change,
     * Clear=256, EOI=257). */
@@ -306,6 +396,8 @@ object GeoTiff {
       .as[Array[Byte]]
       .flatMap { bytes =>
         val r = decode(bytes)
+        require(r.meta.samplesPerPixel == 1,
+          "multiband scenes: read per band and stackBands/zipBands instead")
         val w = r.meta.width
         // grid-aligned global pixel origin of this scene
         val gx0 = math.round(r.meta.originX / r.meta.cellW)

@@ -73,6 +73,71 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(back.meta.originX == orig.meta.originX && back.meta.cellW == orig.meta.cellW)
   }
 
+  test("GeoKeyDirectory: CRS survives encode -> decode, geographic and projected") {
+    val cells = Array.tabulate(6)(_.toDouble)
+    // default: EPSG:4326 geographic
+    val r4326 = GeoTiff.decode(GeoTiff.encode(3, 2, cells))
+    assert(r4326.meta.epsg.contains(4326), s"expected 4326, got ${r4326.meta.epsg}")
+    // projected: web mercator + a UTM zone round-trip through the key
+    assert(GeoTiff.decode(GeoTiff.encode(3, 2, cells, epsg = 3857)).meta.epsg.contains(3857))
+    assert(GeoTiff.decode(GeoTiff.encode(3, 2, cells, epsg = 32633)).meta.epsg.contains(32633))
+    // the reference sample has no CRS expectations broken by the change
+    assert(GeoTiff.read(sample).meta.epsg.isEmpty ||
+      GeoTiff.read(sample).meta.epsg.exists(_ > 0))
+  }
+
+  test("multiband encode -> decode round-trips interleaved bands exactly") {
+    val w = 5; val h = 3
+    def mk(seed: Int) = Array.tabulate(w * h)(i =>
+      if ((i + seed) % 7 == 2) Double.NaN else seed * 100.0 + i)
+    for (n <- Seq(2, 3, 4)) { // 2 = inline SHORT path, >2 = external arrays
+      val bands = (0 until n).map(mk)
+      val bytes = GeoTiff.encodeMultiband(w, h, bands,
+        originX = 12.5, originY = -7.25, cellW = 2.0, cellH = 2.0, epsg = 32633)
+      val r = GeoTiff.decode(bytes)
+      assert(r.meta.samplesPerPixel == n && r.meta.width == w && r.meta.height == h)
+      assert(r.meta.originX == 12.5 && r.meta.cellW == 2.0)
+      assert(r.meta.epsg.contains(32633))
+      for (b <- 0 until n)
+        assert(GeoTiff.band(r, b).map(java.lang.Double.doubleToLongBits).toSeq ==
+          bands(b).map(java.lang.Double.doubleToLongBits).toSeq, s"band $b of $n")
+    }
+  }
+
+  test("multiband tiled + stitched export from the zipped representation") {
+    import spark.implicits._
+    val ts = 4
+    def layer(off: Double) = graft.ops.Raster.assemble(
+      (for (tc <- 0 to 1; tr <- 0 to 0; px <- 0 until ts; py <- 0 until ts)
+        yield (tc, tr, px, py, off + tc * 100 + px + py)).toDF("tile_col", "tile_row", "px", "py", "v"),
+      ts, ts)
+    val zipped = graft.ops.Raster.zipBands(
+      graft.ops.Raster.stackBands(Seq(layer(0), layer(1000))), 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mb").toString
+    graft.ops.Export.exportTiledGeoTiffMultiband(zipped, s"$dir/tiled", ts, ts,
+      originX = 0.0, originY = 0.0, cellW = 1.0, cellH = 1.0, epsg = 3857)
+    val t1 = GeoTiff.read(s"$dir/tiled/tile_1_0.tif")
+    assert(t1.meta.samplesPerPixel == 2 && t1.meta.epsg.contains(3857))
+    assert(GeoTiff.band(t1, 0)(1 + 2 * ts) == 100.0 + 3) // px=1, py=2
+    assert(GeoTiff.band(t1, 1)(1 + 2 * ts) == 1100.0 + 3)
+    graft.ops.Export.stitchGeoTiffMultiband(zipped, ts, ts, s"$dir/all.tif")
+    val all = GeoTiff.read(s"$dir/all.tif")
+    assert(all.meta.width == 2 * ts && all.meta.height == ts && all.meta.samplesPerPixel == 2)
+    assert(GeoTiff.band(all, 1)((ts + 1) + 2 * 2 * ts) == 1100.0 + 3) // tile 1, px=1, py=2
+  }
+
+  test("cluster-safe export: tasks create the (nested) output dirs themselves") {
+    import spark.implicits._
+    val ts = 4
+    val tiles = graft.ops.Raster.assemble(
+      (for (px <- 0 until ts; py <- 0 until ts)
+        yield (0, 0, px, py, 1.0 * px)).toDF("tile_col", "tile_row", "px", "py", "v"), ts, ts)
+    // a nested path nobody pre-created: the write must succeed anyway
+    val dir = java.nio.file.Files.createTempDirectory("graft_fresh").toString + "/a/b/c"
+    graft.ops.Export.exportTiledGeoTiff(tiles, dir, ts, ts)
+    assert(GeoTiff.read(s"$dir/tile_0_0.tif").cells(1) == 1.0)
+  }
+
   test("tiled GeoTiff export: executor-written per-tile files round-trip with per-key georef") {
     import spark.implicits._
     val ts = 4
