@@ -171,14 +171,108 @@ object SimQueries {
        |       ${dsumSql("CAST(embedding[1] AS DOUBLE)")} AS sum_dim0
        |FROM embeddings GROUP BY 1""".stripMargin
 
-  /** IVF ANN (scale path): k-means coarse quantizer, nprobe=2 of 8
-    * lists. No oracle — k-means centroids are float-order sensitive;
-    * gated rows-only + recall-tested against brute force in
-    * SimilaritySpec. */
+  private val NLIST = 8
+  private val NPROBE = 2
+
+  /** Seeded fixed centroids for the GATE variant of IVF: like [[Planes]],
+    * the same literal weights are embedded in the Spark expression AND
+    * the oracle SQL, so cluster assignment is bit-deterministic and the
+    * query hash-matches DuckDB (a k-means fit is float-order sensitive —
+    * the fit-at-runtime path stays in [[Similarity.ivfTopK]], recall-
+    * tested in SimilaritySpec). Two-decimal weights keep the SQL tidy;
+    * quantizer QUALITY is irrelevant to what the gate proves — the IVF
+    * plan shape (single-projection assignment, cluster-pruned probe
+    * join) and exact in-list scoring. */
+  private val Centroids: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(20240501L)
+    Array.fill(NLIST, DIM)(math.rint((rnd.nextDouble() * 2 - 1) * 100) / 100)
+  }
+  // |w_j| pre-rendered as a literal, so neither engine re-derives it
+  private val CentNorm: Array[Double] = Centroids.map(w => math.sqrt(w.map(x => x * x).sum))
+
+  private def fmt(d: Double): String = java.lang.Double.toString(d)
+
+  /** dot(e, w_j)/|w_j| — monotone in cos(e, w_j) for ranking/argmax
+    * (the |e| factor is common), strict left fold both engines. */
+  private def centScore(e: org.apache.spark.sql.Column, j: Int): org.apache.spark.sql.Column =
+    aggregate(zip_with(e, typedLit(Centroids(j).toSeq),
+        (x, wi) => x.cast("double") * wi),
+      lit(0.0), (acc, x) => acc + x) / lit(CentNorm(j))
+
+  private def centScoreSql(e: String, j: Int): String = {
+    val ws = Centroids(j).map(fmt).mkString("[", ",", "]")
+    s"list_reduce(list_transform(range(1, ${DIM + 1}), i -> CAST($e[i] AS DOUBLE) * ($ws)[i]), (x, y) -> x + y) / ${fmt(CentNorm(j))}"
+  }
+
+  /** First-match argmax CASE chain: branch j wins iff score_j >= every
+    * LATER score (suffix comparisons suffice — an earlier better score
+    * would have matched first), ties to the lowest cluster id. The
+    * identical chain is generated for both engines. */
+  private def clusterOf(scores: IndexedSeq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+    (0 until NLIST - 1).foldRight(lit(NLIST - 1)) { (j, els) =>
+      when((j + 1 until NLIST).map(k => scores(j) >= scores(k)).reduce(_ && _), lit(j))
+        .otherwise(els)
+    }
+
+  private def clusterSql(e: String): String = {
+    val s = (0 until NLIST).map(j => centScoreSql(e, j))
+    val branches = (0 until NLIST - 1).map { j =>
+      val cond = (j + 1 until NLIST).map(k => s"${s(j)} >= ${s(k)}").mkString(" AND ")
+      s"WHEN $cond THEN $j"
+    }
+    s"CASE ${branches.mkString(" ")} ELSE ${NLIST - 1} END"
+  }
+
+  /** IVF ANN (scale path): fixed coarse quantizer, nprobe=$NPROBE of
+    * $NLIST lists. Assignment is one projection over the corpus (no
+    * per-candidate explode), the probe join touches only the probed
+    * clusters' rows, exact cosine + top-k inside. */
   val annIvf: Q = (s, dir) => {
     val e = table(s, dir, "embeddings")
-    Similarity.ivfTopK(e.where(col("vec_id") < NQ), e, K, nlist = 8, nprobe = 2)
+    val assigned = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      clusterOf((0 until NLIST).map(j => centScore(col("embedding"), j))).as("cluster"))
+    val q = e.where(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val qprobe = q
+      .select(col("qid"), col("qe"), explode(array((0 until NLIST).map(j =>
+        struct(lit(j).as("cluster"), centScore(col("qe"), j).as("cscore"))): _*)).as("pc"))
+      .select(col("qid"), col("qe"), col("pc.cluster").as("cluster"), col("pc.cscore").as("cscore"))
+      .withColumn("pr", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cscore").desc, col("cluster"))))
+      .where(col("pr") <= NPROBE)
+      .select(col("qid"), col("qe"), col("cluster"))
+    val scored = qprobe.join(assigned, Seq("cluster"))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), Similarity.cosine(col("qe"), col("ce")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= K)
       .select(col("qid"), col("cid"), col("cos"), col("rank"))
+  }
+
+  val annIvfSql: String = {
+    val probeUnion = (0 until NLIST).map(j =>
+      s"SELECT qid, qe, $j AS cluster, ${centScoreSql("qe", j)} AS cscore FROM q")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH asg AS (
+       |  SELECT vec_id AS cid, embedding AS ce, ${clusterSql("embedding")} AS cluster
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NQ),
+       |qs AS (
+       |  $probeUnion),
+       |qprobe AS (
+       |  SELECT qid, qe, cluster FROM (
+       |    SELECT qid, qe, cluster,
+       |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cscore DESC, cluster) AS pr
+       |    FROM qs) WHERE pr <= $NPROBE),
+       |scored AS (
+       |  SELECT qid, cid, ${cosSql("qe", "ce")} AS cos
+       |  FROM qprobe JOIN asg USING (cluster) WHERE cid <> qid),
+       |ranked AS (
+       |  SELECT qid, cid, cos,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
+       |  FROM scored)
+       |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= $K""".stripMargin
   }
 
   val all: Map[String, (Q, Option[String])] = Map(
@@ -186,7 +280,7 @@ object SimQueries {
     "m_knn_confusion" -> (knnConfusion, Some(knnConfusionSql)),
     "s_ann_lsh" -> (annLsh, Some(annLshSql)),
     "s_cosine_dedup" -> (cosineDedup, Some(cosineDedupSql)),
-    "s_ann_ivf" -> (annIvf, None),
+    "s_ann_ivf" -> (annIvf, Some(annIvfSql)),
     "s_embed_stats" -> (vecDedup, Some(vecDedupSql)),
   )
 }
