@@ -140,6 +140,33 @@ object TileMath {
     out
   }
 
+  /** Interpolating twin of [[upsampleChildNN]] (R7 with a selectable
+    * kernel, LayerRDDZoomResampleMethods.scala:28-85 takes the resample
+    * method): child cell centers map to fractional parent coordinates
+    * (gx + 0.5) / 2^dz and sample bilinearly or cubically. Cells whose
+    * 2x2 (or 4x4) support falls outside THIS parent tile renormalize
+    * over the in-tile neighbors ([[sampleBilinear]]) — zoom upsampling
+    * is per-tile local, like the reference's. */
+  def upsampleChildInterp(a: Array[Double], cols: Int, rows: Int,
+                          cx: Int, cy: Int, dz: Int, cubic: Boolean): Array[Double] = {
+    val f = 1 << dz
+    val out = new Array[Double](cols * rows)
+    var y = 0
+    while (y < rows) {
+      val fy = (cy.toDouble * rows + y + 0.5) / f
+      var x = 0
+      while (x < cols) {
+        val fx = (cx.toDouble * cols + x + 0.5) / f
+        out(x + y * cols) =
+          if (cubic) sampleCubic(a, cols, rows, fx, fy)
+          else sampleBilinear(a, cols, rows, fx, fy)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Bilinear sample of a tile at fractional cell coordinates (F3:
     * Bilinear selectable besides NearestNeighbor, Utils.scala:23,
     * GeotiffToPyramid.scala:43). (fx, fy) are in cell units relative to

@@ -173,23 +173,48 @@ object Raster {
       .agg(qa(col("qx"), col("qy"), col("half")).as("cells"))
   }
 
-  private val upsampleUdf = udf((cells: Seq[Double], cols: Int, rows: Int, cx: Int, cy: Int, dz: Int) =>
-    TileMath.upsampleChildNN(cells.toArray, cols, rows, cx, cy, dz).toSeq)
-
-  /** Zoom resample up (R7, ZoomResampleTEST.scala:65-152): each tile
-    * explodes to its 2^dz x 2^dz children, NearestNeighbor resampled.
-    * A WHERE on the computed child key prunes to target bounds
-    * (gridBoundsAtZoom) via Catalyst — no custom rule needed. */
-  def zoomResampleUp(tiles: DataFrame, cols: Int, rows: Int, dz: Int): DataFrame = {
+  /** Zoom resample up (R7, LayerRDDZoomResampleMethods.scala:28-85 +
+    * ZoomResampleTEST.scala:65-152): each tile explodes to its
+    * 2^dz x 2^dz children, resampled with a selectable kernel
+    * (NearestNeighbor / Bilinear / CubicConvolution — the reference
+    * takes the resample method as a parameter).
+    *
+    * `targetBounds` (c0, r0, c1, r1), inclusive CHILD-zoom keys, is the
+    * reference's target-GridBounds pruning: parents that contribute no
+    * child in range are filtered BEFORE the explode (the floorDiv'd
+    * parent range), and stray children of boundary parents are filtered
+    * before any resampling work runs — both plain Catalyst WHEREs, so
+    * the parent filter pushes down to the layer scan. */
+  def zoomResampleUp(tiles: DataFrame, cols: Int, rows: Int, dz: Int,
+                     kernel: graft.grid.Reproject.Kernel = graft.grid.Reproject.NearestNeighbor,
+                     targetBounds: Option[(Int, Int, Int, Int)] = None): DataFrame = {
+    import graft.grid.Reproject.{NearestNeighbor, CubicConvolution}
     val f = 1 << dz
+    val cubic = kernel == CubicConvolution
+    val nn = kernel == NearestNeighbor
+    val upUdf = udf((cells: Seq[Double], cols: Int, rows: Int, cx: Int, cy: Int, dz: Int) =>
+      (if (nn) TileMath.upsampleChildNN(cells.toArray, cols, rows, cx, cy, dz)
+       else TileMath.upsampleChildInterp(cells.toArray, cols, rows, cx, cy, dz, cubic)).toSeq)
     val offsets = array((for (cy <- 0 until f; cx <- 0 until f)
       yield struct(lit(cx).as("cx"), lit(cy).as("cy"))): _*)
-    tiles
+    val parents = targetBounds.fold(tiles) { case (c0, r0, c1, r1) =>
+      tiles.where(
+        col("tile_col") >= Math.floorDiv(c0, f) && col("tile_col") <= Math.floorDiv(c1, f) &&
+          col("tile_row") >= Math.floorDiv(r0, f) && col("tile_row") <= Math.floorDiv(r1, f))
+    }
+    val children = parents
       .select(col("tile_col"), col("tile_row"), col("cells"), explode(offsets).as("o"))
       .select(
         (col("tile_col") * f + col("o.cx")).as("tile_col"),
         (col("tile_row") * f + col("o.cy")).as("tile_row"),
-        upsampleUdf(col("cells"), lit(cols), lit(rows), col("o.cx"), col("o.cy"), lit(dz)).as("cells"))
+        col("cells"), col("o.cx").as("cx"), col("o.cy").as("cy"))
+    val pruned = targetBounds.fold(children) { case (c0, r0, c1, r1) =>
+      children.where(
+        col("tile_col") >= c0 && col("tile_col") <= c1 &&
+          col("tile_row") >= r0 && col("tile_row") <= r1)
+    }
+    pruned.select(col("tile_col"), col("tile_row"),
+      upUdf(col("cells"), lit(cols), lit(rows), col("cx"), col("cy"), lit(dz)).as("cells"))
   }
 
   /** Rasterize rectangles (R5 restricted to axis-aligned boxes — the

@@ -36,6 +36,28 @@ class TileMathSpec extends AnyFunSuite {
     assert(c11.toSeq == Seq(4.0, 4.0, 4.0, 4.0))
   }
 
+  test("upsampleChildInterp bilinear: hand-computed golden on a 2x2 parent") {
+    val t = Array[Double](0, 1, 2, 3) // a(x,y): 0 1 / 2 3
+    // child (0,0): centers map to parent (0.25, 0.25)..(0.75, 0.75);
+    // out-of-tile neighbors renormalize, interior cell interpolates:
+    //   (0,0) -> a00 = 0;  (1,0) -> 0.75*0 + 0.25*1 = 0.25 (x only)
+    //   (0,1) -> 0.5;      (1,1) -> full 2x2 blend = 0.75
+    val c00 = upsampleChildInterp(t, 2, 2, 0, 0, 1, cubic = false)
+    assert(c00.toSeq == Seq(0.0, 0.25, 0.5, 0.75), c00.toSeq)
+    // child (1,1): (0,0) = full blend at (1.25, 1.25) = 2.25; (1,1)
+    // renormalizes to the corner cell a11 = 3
+    val c11 = upsampleChildInterp(t, 2, 2, 1, 1, 1, cubic = false)
+    assert(c11(0) == 2.25 && c11(3) == 3.0, c11.toSeq)
+    // NaN parent cell: bilinear renormalizes over data neighbors only
+    val withHole = Array[Double](0, Double.NaN, 2, 3)
+    val h00 = upsampleChildInterp(withHole, 2, 2, 0, 0, 1, cubic = false)
+    assert(h00(0) == 0.0 && !h00(3).isNaN)
+    // cubic on an all-data interior degrades to bilinear only at edges;
+    // constant tiles are reproduced exactly by both kernels
+    val const = Array.fill(16)(7.0)
+    assert(upsampleChildInterp(const, 4, 4, 1, 0, 1, cubic = true).forall(_ == 7.0))
+  }
+
   test("focalMean radius 1 circle matches hand computation incl NoData") {
     // 3x3 tile, pad 1 of NaN (layer edge); center cell neighborhood = cross
     val pad = 1; val pc = 5

@@ -81,6 +81,33 @@ class RasterOpsSpec extends AnyFunSuite {
     assert(!m.contains((0, 0))) // parent hole stays hole
   }
 
+  test("zoomResampleUp: selectable kernel + target-bounds pruning before the resample") {
+    val tiles = Raster.assemble(pixels, TS, TS)
+    // bilinear kernel: constant tiles stay constant, and the child set
+    // restricts to the target GridBounds (child keys, inclusive)
+    val bounded = Raster.zoomResampleUp(tiles, TS, TS, 1,
+      kernel = graft.grid.Reproject.Bilinear, targetBounds = Some((1, 0, 1, 1)))
+    val keys = bounded.select($"tile_col", $"tile_row").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(keys.subsetOf(Set((1, 0), (1, 1))), s"bounds leak: $keys")
+    // the parent-level prune is a plain Catalyst Filter on the parent
+    // keys (pushable to a layer scan); assert it exists ahead of the UDF
+    val plan = bounded.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Filter"), s"expected a pruning filter:\n$plan")
+    // kernel actually interpolates: a linear-ramp parent produces
+    // half-step child values under bilinear (NN would replicate)
+    val ramp = Raster.assemble(
+      (for (px <- 0 until TS; py <- 0 until TS)
+        yield (0, 0, px, py, px.toDouble)).toDF("tile_col", "tile_row", "px", "py", "v"),
+      TS, TS)
+    val bl = Raster.pixelize(
+      Raster.zoomResampleUp(ramp, TS, TS, 1, kernel = graft.grid.Reproject.Bilinear), TS)
+      .where($"tile_col" === 0 && $"tile_row" === 0 && $"py" === 1)
+      .orderBy($"px").select($"v").collect().map(_.getDouble(0))
+    // centers 0.25,0.75,1.25,... -> renormalized edge then 0.25-steps
+    assert(bl(1) == 0.25 && bl(2) == 0.75 && bl(3) == 1.25, bl.toSeq)
+  }
+
   test("rasterizeRects burns last-wins by fid deterministically") {
     val feats = Seq(
       (1L, 0L, 0L, 4L, 4L, 10.0), // covers tile(0,0) fully
