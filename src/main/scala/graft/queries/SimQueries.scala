@@ -52,7 +52,22 @@ object SimQueries {
     * label — so the confusion matrix hash-matches DuckDB. Scale shape:
     * the (small) test set broadcasts against the corpus, ranking
     * windows partition per query. */
-  val knnConfusion: Q = (s, dir) => {
+  /** Majority vote over ranked neighbor rows
+    * (qid, label, nl, rank <= KnnK) -> one (qid, label, pred) each;
+    * vote ties break on the smaller label. Shared by the exact and the
+    * IVF-probed classifier so the policy cannot diverge. */
+  private def vote(ranked: DataFrame): DataFrame = {
+    val votes = ranked.groupBy(col("qid"), col("label"), col("nl"))
+      .agg(count(lit(1)).as("votes"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("votes").desc, col("nl"))
+    votes.withColumn("r", row_number().over(wv)).where(col("r") === 1)
+      .select(col("qid"), col("label"), col("nl").as("pred"))
+  }
+
+  /** Per-test-point predictions of the exact k-NN (broadcast test x
+    * full corpus). */
+  def knnPredictions(s: SparkSession, dir: String): DataFrame = {
     val b = graft.text.TextOps.hashBucket(col("vec_id"), 10)
     val e = table(s, dir, "embeddings")
     val test = e.where(b === 9)
@@ -64,13 +79,34 @@ object SimQueries {
         Similarity.cosine(col("qe"), col("ce")).as("cos"))
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    val votes = scored.withColumn("rank", row_number().over(wr)).where(col("rank") <= KnnK)
-      .groupBy(col("qid"), col("label"), col("nl")).agg(count(lit(1)).as("votes"))
-    val wv = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("votes").desc, col("nl"))
-    votes.withColumn("r", row_number().over(wv)).where(col("r") === 1)
-      .groupBy(col("label"), col("nl").as("pred")).agg(count(lit(1)).as("n"))
+    vote(scored.withColumn("rank", row_number().over(wr)).where(col("rank") <= KnnK))
   }
+
+  /** 100x-scale twin of [[knnPredictions]]: neighbors come from a
+    * persisted IVF index probe over the TRAIN side (partition-pruned
+    * scan, ~nprobe/nlist of the corpus per query batch) instead of an
+    * exact full-corpus pass. Build the index with
+    * `Similarity.buildIvfIndex(trainSide, path, nlist)` where trainSide
+    * is `embeddings` filtered to hash buckets != 9. Not oracle-gated
+    * (k-means is float-order sensitive); SimilaritySpec asserts
+    * prediction agreement with the exact path. */
+  def knnPredictionsIvf(s: SparkSession, dir: String, indexPath: String,
+                        nprobe: Int): DataFrame = {
+    val b = graft.text.TextOps.hashBucket(col("vec_id"), 10)
+    val e = table(s, dir, "embeddings")
+    val test = e.where(b === 9)
+    val labels = e.where(b =!= 9).select(col("vec_id").as("cid"), col("label").as("nl"))
+    val probed = Similarity.ivfProbe(
+      test.select(col("vec_id"), col("embedding")), indexPath, KnnK, nprobe)
+    probed
+      .join(test.select(col("vec_id").as("qid"), col("label")), Seq("qid"))
+      .join(labels, Seq("cid"))
+      .transform(vote)
+  }
+
+  val knnConfusion: Q = (s, dir) =>
+    knnPredictions(s, dir)
+      .groupBy(col("label"), col("pred")).agg(count(lit(1)).as("n"))
 
   val knnConfusionSql: String =
     s"""WITH s AS (SELECT vec_id, embedding, label,

@@ -84,6 +84,33 @@ class SimilaritySpec extends AnyFunSuite {
       "probe must prune assignment partitions by cluster")
   }
 
+  test("IVF-backed k-NN: pruned-probe predictions agree with the exact classifier (sf0.01)") {
+    val dir10 = "/root/testdata/sf0.01"
+    val e10 = spark.read.parquet(s"$dir10/embeddings.parquet")
+    val train = e10.where(graft.text.TextOps.hashBucket($"vec_id", 10) =!= 9)
+    val idx = java.nio.file.Files.createTempDirectory("graft_knn_ivf").toString
+    Similarity.buildIvfIndex(train, idx, nlist = 8)
+    val exact = graft.queries.SimQueries.knnPredictions(spark, dir10)
+      .select($"qid", $"pred").as[(Long, Long)].collect().toMap
+    // probing EVERY list must reproduce the exact classifier bit-for-bit
+    // (same neighbors, same rank tie-breaks, same votes) — the probe
+    // plumbing itself loses nothing
+    val full = graft.queries.SimQueries.knnPredictionsIvf(spark, dir10, idx, nprobe = 8)
+      .select($"qid", $"pred").as[(Long, Long)].collect().toMap
+    assert(full == exact, "full-probe IVF k-NN must equal the exact classifier")
+    // a pruned probe (3 of 8 lists) still predicts every test point; on
+    // these synthetic near-uniform embeddings (no cluster structure,
+    // max cosine ~0.4) neighbor recall is bounded by ~nprobe/nlist, so
+    // assert a floor consistent with that — real corpora with cluster
+    // structure sit far higher, which is the point of IVF
+    val ivf = graft.queries.SimQueries.knnPredictionsIvf(spark, dir10, idx, nprobe = 3)
+      .select($"qid", $"pred").as[(Long, Long)].collect().toMap
+    assert(ivf.keySet == exact.keySet,
+      s"missing predictions: ${(exact.keySet -- ivf.keySet).take(5)}")
+    val agree = exact.count { case (q, p) => ivf.get(q).contains(p) }.toDouble / exact.size
+    assert(agree >= 0.3, s"IVF k-NN agreement below the random-data floor: $agree")
+  }
+
   test("hyperplane buckets mix dimensions: better spread than leading-dim signs") {
     val planes = Similarity.hyperplanes(6, 64)
     assert(planes.length == 6 && planes(0).length == 64)
