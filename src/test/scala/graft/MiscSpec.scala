@@ -31,6 +31,37 @@ class MiscSpec extends AnyFunSuite {
     assert(byDoc == expected)
   }
 
+  test("ml: confusion-count gate has teeth — seeded per-class bands at sf0.01") {
+    // m_ml_confusion is rows-only in the driver gate (SGD boundary
+    // floats); this spec is its declared backstop: the SAME query at the
+    // SAME scale must produce a complete, seeded-stable confusion matrix
+    // with per-class marginals in a tolerance band, not just rows > 0.
+    val emb10 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val cm = graft.ml.Classify.trainPredictCounts(emb10)
+      .select($"label".cast("long"), $"prediction".cast("long"), $"n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val labels = emb10.select($"label").distinct().as[Long].collect().toSet
+    // all cells reference real classes; totals cover the whole test split
+    assert(cm.forall { case (l, p, _) => labels.contains(l) && labels.contains(p) })
+    val total = cm.map(_._3).sum
+    val (_, te) = graft.ml.Classify.split(graft.ml.Classify.toFeatures(emb10, "embedding"))
+    assert(total == te.count(), "every test row classified exactly once")
+    // per-class true marginals: the seeded split keeps classes balanced
+    // within a generous band of the uniform share
+    val byLabel = cm.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    val uniform = total.toDouble / labels.size
+    byLabel.foreach { case (l, n) =>
+      assert(n > uniform * 0.5 && n < uniform * 2.0,
+        s"class $l test share $n far from uniform $uniform")
+    }
+    // the learner beats the majority baseline on aggregate (the labels
+    // carry no generalizable signal, so the bar is chance-level bands,
+    // not high accuracy): no predicted class may absorb the matrix
+    val byPred = cm.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    assert(byPred.values.max < total * 0.5,
+      s"one class absorbs ${byPred.values.max} of $total predictions")
+  }
+
   test("ml: OVA LinearSVC fits the training set beyond majority baseline") {
     // The synthetic labels carry no generalizable signal (test acc ==
     // chance for every model family), so the meaningful check is that
