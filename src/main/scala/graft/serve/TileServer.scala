@@ -46,15 +46,79 @@ class TileServer(spark: SparkSession, catalogRoot: String, layer: String,
     }
   }
 
+  /** The slippy-map page (the reference serves a Leaflet index.html,
+    * ServeLayerAsMap.scala + static/index.html; this build is offline so
+    * the pan/zoom viewer is ~40 lines of inline JS with zero external
+    * assets). Tiles come from the same /{z}/{x}/{y} endpoint; layer
+    * bounds per zoom come from /meta (the attribute store, no Spark
+    * job). */
+  private def mapPage: String =
+    s"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>$layer</title>
+       |<style>
+       | body{margin:0;font:13px sans-serif;background:#222;color:#eee;overflow:hidden}
+       | #bar{position:fixed;top:0;left:0;right:0;padding:6px;background:#333;z-index:2}
+       | #bar button{margin-right:4px}
+       | #view{position:absolute;top:34px;left:0;right:0;bottom:0;cursor:grab}
+       | #view img{position:absolute;width:256px;height:256px;image-rendering:pixelated}
+       |</style></head><body>
+       |<div id="bar"><button id="zi">+</button><button id="zo">&minus;</button>
+       | <span id="info">$layer</span></div>
+       |<div id="view"></div>
+       |<script>
+       |let meta=null,z=0,ox=0,oy=0,drag=null;
+       |const view=document.getElementById('view'),info=document.getElementById('info');
+       |function zoomMeta(){return meta.zooms.find(m=>m.zoom===z)||meta.zooms[0];}
+       |function render(){
+       |  const m=zoomMeta();z=m.zoom;view.textContent='';
+       |  info.textContent=meta.layer+'  zoom '+z+'  tiles ['+m.minCol+'..'+m.maxCol+']x['+m.minRow+'..'+m.maxRow+']';
+       |  for(let ty=m.minRow;ty<=m.maxRow;ty++)for(let tx=m.minCol;tx<=m.maxCol;tx++){
+       |    const img=document.createElement('img');
+       |    img.src='/'+z+'/'+tx+'/'+ty;
+       |    img.style.left=(ox+(tx-m.minCol)*256)+'px';
+       |    img.style.top=(oy+(ty-m.minRow)*256)+'px';
+       |    img.onerror=()=>img.remove();
+       |    view.appendChild(img);}}
+       |function setZoom(nz){
+       |  const zs=meta.zooms.map(m=>m.zoom);
+       |  if(zs.includes(nz)){z=nz;render();}}
+       |document.getElementById('zi').onclick=()=>setZoom(z+1);
+       |document.getElementById('zo').onclick=()=>setZoom(z-1);
+       |view.onmousedown=e=>{drag=[e.clientX-ox,e.clientY-oy];view.style.cursor='grabbing';};
+       |window.onmousemove=e=>{if(drag){ox=e.clientX-drag[0];oy=e.clientY-drag[1];render();}};
+       |window.onmouseup=()=>{drag=null;view.style.cursor='grab';};
+       |fetch('/meta').then(r=>r.json()).then(m=>{meta=m;z=m.zooms[0].zoom;render();});
+       |</script></body></html>""".stripMargin
+
+  /** Layer metadata for the map page: available zooms + tile bounds,
+    * straight from the attribute sidecars (zero Spark jobs). */
+  private def metaJson: String = {
+    val zooms = store.zoomsOf(layer).flatMap { z =>
+      store.readAttributes(layer, z).map(a =>
+        s"""{"zoom":$z,"minCol":${a.minCol},"maxCol":${a.maxCol},"minRow":${a.minRow},"maxRow":${a.maxRow}}""")
+    }
+    s"""{"layer":"$layer","tileSize":$tileSize,"zooms":[${zooms.mkString(",")}]}"""
+  }
+
   private var server: HttpServer = _
 
-  /** Start serving /{zoom}/{x}/{y} as PNG; returns the bound port. */
+  private def respond(ex: HttpExchange, contentType: String, body: Array[Byte]): Unit = {
+    ex.getResponseHeaders.add("Content-Type", contentType)
+    ex.sendResponseHeaders(200, body.length.toLong)
+    ex.getResponseBody.write(body)
+  }
+
+  /** Start serving the map page (/), layer metadata (/meta) and
+    * /{zoom}/{x}/{y} PNG tiles; returns the bound port. */
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         try {
           val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
+          if (parts.isEmpty) { respond(ex, "text/html", mapPage.getBytes("UTF-8")); return }
+          if (parts.length == 1 && parts(0) == "meta") {
+            respond(ex, "application/json", metaJson.getBytes("UTF-8")); return
+          }
           if (parts.length != 3) { ex.sendResponseHeaders(404, -1); return }
           val (z, x, y) = (parts(0).toInt, parts(1).toInt, parts(2).toInt)
           tile(z, x, y) match {

@@ -39,6 +39,17 @@ class TileServerSpec extends AnyFunSuite {
       assert(get("/2/9/9")._1 == 204) // missing tile
       assert(get("/nope")._1 == 404)
       assert(get("/a/b/c")._1 == 400)
+      // the slippy-map page (ServeLayerAsMap's index.html parity) and
+      // its zero-job metadata endpoint
+      val (hc, html) = get("/")
+      assert(hc == 200)
+      val page = new String(html, "UTF-8")
+      assert(page.contains("<html") && page.contains("demo") && page.contains("/meta"))
+      val (mc, metaBytes) = get("/meta")
+      assert(mc == 200)
+      val meta = new String(metaBytes, "UTF-8")
+      assert(meta.contains(""""layer":"demo"""") && meta.contains(""""zoom":2""") &&
+        meta.contains(""""maxCol":1"""), meta)
     } finally srv.stop()
   }
 }
