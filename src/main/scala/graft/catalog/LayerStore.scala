@@ -75,11 +75,13 @@ class LayerStore(spark: SparkSession, val root: String,
   private def ptrPath(name: String, zoom: Int, seq: Long): Path =
     Paths.get(f"${zoomDir(name, zoom)}/_ptr-$seq%08d")
 
-  /** All pointer sequence files of a zoom, unordered. */
+  /** All pointer sequence files of a zoom, unordered. Null-tolerant
+    * listing: a concurrent delete() can remove the dir between exists()
+    * and listFiles(). */
   private def pointerEntries(name: String, zoom: Int): Seq[(Long, Path)] = {
     val d = new java.io.File(zoomDir(name, zoom))
     if (!d.exists()) Seq.empty
-    else d.listFiles().iterator.flatMap { f =>
+    else Option(d.listFiles()).getOrElse(Array.empty).iterator.flatMap { f =>
       f.getName match {
         case PtrRe(s) => Some((s.toLong, f.toPath))
         case _ => None
@@ -94,16 +96,31 @@ class LayerStore(spark: SparkSession, val root: String,
   private def currentPtr(name: String, zoom: Int): Option[(Long, String)] = {
     var attempts = 0
     while (attempts < 8) {
-      val entries = pointerEntries(name, zoom).sortBy(-_._1)
-      if (entries.isEmpty) return None
-      val resolved = entries.iterator.flatMap { case (s, p) =>
-        try Some((s, new String(Files.readAllBytes(p), "UTF-8").trim))
-        catch { case _: java.io.IOException => None }
-      }.nextOption()
-      if (resolved.isDefined) return resolved
-      attempts += 1 // every listed pointer vanished: publishes raced us
+      val entries = pointerEntries(name, zoom)
+      if (entries.isEmpty) return legacyCurrent(name, zoom)
+      // resolve ONLY this listing's max: an older entry from the same
+      // (now stale) listing may already be outside the retention window
+      // and mid-GC — falling back to it would serve a dying version
+      val (s, p) = entries.maxBy(_._1)
+      try return Some((s, new String(Files.readAllBytes(p), "UTF-8").trim))
+      catch { case _: java.io.IOException => attempts += 1 } // raced a publish: re-list
     }
     None
+  }
+
+  /** Pre-pointer-sequence layout compat: a store written before the
+    * fenced-publish change has a single `_current` file instead of
+    * `_ptr-*` sequence files. Read it as sequence 0 (every new claim
+    * sorts above it); the next publish migrates it to `_ptr-00000000`
+    * BEFORE its GC runs, so the old live version enters the retention
+    * window instead of being deleted as an unreferenced orphan. */
+  private def legacyCurrent(name: String, zoom: Int): Option[(Long, String)] = {
+    val legacy = Paths.get(s"${zoomDir(name, zoom)}/_current")
+    try {
+      if (Files.exists(legacy))
+        Some((0L, new String(Files.readAllBytes(legacy), "UTF-8").trim))
+      else None
+    } catch { case _: java.io.IOException => None }
   }
 
   /** The live version dir name (e.g. "v-00000003"), if published. */
@@ -131,7 +148,7 @@ class LayerStore(spark: SparkSession, val root: String,
   private def listVersions(name: String, zoom: Int): Seq[String] = {
     val d = new java.io.File(zoomDir(name, zoom))
     if (!d.exists()) Seq.empty
-    else d.listFiles().iterator
+    else Option(d.listFiles()).getOrElse(Array.empty).iterator
       .filter(f => f.isDirectory && VersionRe.pattern.matcher(f.getName).matches())
       .map(_.getName).toSeq
   }
@@ -180,6 +197,11 @@ class LayerStore(spark: SparkSession, val root: String,
         Files.deleteIfExists(tmp); rmTree(new java.io.File(s"$dir/$v")); throw fenced()
     }
     Files.deleteIfExists(tmp)
+    // migrate a pre-sequence `_current` pointer into the sequence as 0,
+    // so the GC below sees the old live version as retained, not orphaned
+    try Files.move(Paths.get(s"$dir/_current"), ptrPath(name, zoom, 0L),
+      StandardCopyOption.ATOMIC_MOVE): Unit
+    catch { case _: java.io.IOException => () } // none, or another writer migrated
     // GC: keep the newest retainVersions pointers and their versions.
     // Re-list AFTER publishing — if a successor has already advanced
     // past us, its view of the keep-set wins for anything we might race.
@@ -438,6 +460,13 @@ class LayerStore(spark: SparkSession, val root: String,
     try {
       while (!acquired) {
         try {
+          // keep the staged claim's mtime fresh on every attempt: rename
+          // preserves it, so a waiter that queued longer than
+          // staleLockMs would otherwise acquire an instantly-"stale"
+          // lock and have it broken before its first heartbeat (and
+          // vacuum could sweep a live waiter's stage as crash debris)
+          Files.setLastModifiedTime(stage,
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis))
           Files.move(stage, lock, StandardCopyOption.ATOMIC_MOVE)
           acquired = true
         } catch {

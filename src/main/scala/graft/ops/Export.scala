@@ -98,6 +98,18 @@ object Export {
                              originX: Double = 0.0, originY: Double = 0.0,
                              cellW: Double = 1.0, cellH: Double = 1.0,
                              epsg: Int = 4326): Unit = {
+    val (w, h, out) = stitchBands(zipped, cols, rows)
+    graft.sources.GeoTiff.writeMultiband(path, w, h, out.toSeq,
+      originX, originY, cellW, cellH, epsg)
+  }
+
+  /** The ONE driver-side stitch core (bounded use only — the reference
+    * itself warns of OOM, LayerToGeotiff.scala:74): zipped rows
+    * (tile_col, tile_row, bands) -> (width, height, per-band row-major
+    * arrays). Null band slots leave NaN. Single- and multiband stitched
+    * exports both go through here so dedup/bounds policy cannot
+    * diverge. */
+  def stitchBands(zipped: DataFrame, cols: Int, rows: Int): (Int, Int, Array[Array[Double]]) = {
     val collected = zipped.select(col("tile_col"), col("tile_row"), col("bands"))
       .dropDuplicates("tile_col", "tile_row").collect()
     require(collected.nonEmpty, "stitch of empty layer")
@@ -123,32 +135,16 @@ object Export {
         b += 1
       }
     }
-    graft.sources.GeoTiff.writeMultiband(path, w, h, out.toSeq,
-      originX, originY, cellW, cellH, epsg)
+    (w, h, out)
   }
 
-  /** K5/R9: stitch all tiles into one raster **on the driver** —
-    * explicitly bounded use only (the reference itself warns of OOM,
-    * LayerToGeotiff.scala:74). Returns (width, height, row-major cells). */
+  /** K5/R9: single-band stitch — the `cells` layer wrapped as one band
+    * through [[stitchBands]]. Returns (width, height, row-major cells). */
   def stitch(tiles: DataFrame, cols: Int, rows: Int): (Int, Int, Array[Double]) = {
-    val collected = tiles.select(col("tile_col"), col("tile_row"), col("cells"))
-      .dropDuplicates("tile_col", "tile_row").collect()
-    require(collected.nonEmpty, "stitch of empty layer")
-    val minC = collected.map(_.getInt(0)).min; val maxC = collected.map(_.getInt(0)).max
-    val minR = collected.map(_.getInt(1)).min; val maxR = collected.map(_.getInt(1)).max
-    val w = (maxC - minC + 1) * cols; val h = (maxR - minR + 1) * rows
-    val out = TileMath.empty(w, h)
-    collected.foreach { r =>
-      val ox = (r.getInt(0) - minC) * cols; val oy = (r.getInt(1) - minR) * rows
-      val cells = r.getSeq[Double](2)
-      var y = 0
-      while (y < rows) {
-        var x = 0
-        while (x < cols) { out((ox + x) + (oy + y) * w) = cells(x + y * cols); x += 1 }
-        y += 1
-      }
-    }
-    (w, h, out)
+    val (w, h, bands) = stitchBands(
+      tiles.select(col("tile_col"), col("tile_row"), array(col("cells")).as("bands")),
+      cols, rows)
+    (w, h, bands(0))
   }
 
   /** K6: LibSVM text export with the reference's optional zero-label

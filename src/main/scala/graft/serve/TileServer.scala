@@ -58,33 +58,39 @@ class TileServer(spark: SparkSession, catalogRoot: String, layer: String,
        | body{margin:0;font:13px sans-serif;background:#222;color:#eee;overflow:hidden}
        | #bar{position:fixed;top:0;left:0;right:0;padding:6px;background:#333;z-index:2}
        | #bar button{margin-right:4px}
-       | #view{position:absolute;top:34px;left:0;right:0;bottom:0;cursor:grab}
-       | #view img{position:absolute;width:256px;height:256px;image-rendering:pixelated}
+       | #view{position:absolute;top:34px;left:0;right:0;bottom:0;cursor:grab;overflow:hidden}
+       | #tiles{position:absolute;will-change:transform}
+       | #tiles img{position:absolute;width:256px;height:256px;image-rendering:pixelated}
        |</style></head><body>
        |<div id="bar"><button id="zi">+</button><button id="zo">&minus;</button>
        | <span id="info">$layer</span></div>
-       |<div id="view"></div>
+       |<div id="view"><div id="tiles"></div></div>
        |<script>
        |let meta=null,z=0,ox=0,oy=0,drag=null;
-       |const view=document.getElementById('view'),info=document.getElementById('info');
+       |const view=document.getElementById('view'),info=document.getElementById('info'),
+       |      tiles=document.getElementById('tiles');
        |function zoomMeta(){return meta.zooms.find(m=>m.zoom===z)||meta.zooms[0];}
+       |function pan(){tiles.style.transform='translate('+ox+'px,'+oy+'px)';}
+       |// full tile rebuild happens ONLY on zoom change; panning just
+       |// moves the container (no re-fetch, no element churn)
        |function render(){
-       |  const m=zoomMeta();z=m.zoom;view.textContent='';
+       |  const m=zoomMeta();z=m.zoom;tiles.textContent='';
        |  info.textContent=meta.layer+'  zoom '+z+'  tiles ['+m.minCol+'..'+m.maxCol+']x['+m.minRow+'..'+m.maxRow+']';
        |  for(let ty=m.minRow;ty<=m.maxRow;ty++)for(let tx=m.minCol;tx<=m.maxCol;tx++){
        |    const img=document.createElement('img');
        |    img.src='/'+z+'/'+tx+'/'+ty;
-       |    img.style.left=(ox+(tx-m.minCol)*256)+'px';
-       |    img.style.top=(oy+(ty-m.minRow)*256)+'px';
+       |    img.style.left=((tx-m.minCol)*256)+'px';
+       |    img.style.top=((ty-m.minRow)*256)+'px';
        |    img.onerror=()=>img.remove();
-       |    view.appendChild(img);}}
+       |    tiles.appendChild(img);}
+       |  pan();}
        |function setZoom(nz){
        |  const zs=meta.zooms.map(m=>m.zoom);
        |  if(zs.includes(nz)){z=nz;render();}}
        |document.getElementById('zi').onclick=()=>setZoom(z+1);
        |document.getElementById('zo').onclick=()=>setZoom(z-1);
        |view.onmousedown=e=>{drag=[e.clientX-ox,e.clientY-oy];view.style.cursor='grabbing';};
-       |window.onmousemove=e=>{if(drag){ox=e.clientX-drag[0];oy=e.clientY-drag[1];render();}};
+       |window.onmousemove=e=>{if(drag){ox=e.clientX-drag[0];oy=e.clientY-drag[1];pan();}};
        |window.onmouseup=()=>{drag=null;view.style.cursor='grab';};
        |fetch('/meta').then(r=>r.json()).then(m=>{meta=m;z=m.zooms[0].zoom;render();});
        |</script></body></html>""".stripMargin
@@ -129,6 +135,9 @@ class TileServer(spark: SparkSession, catalogRoot: String, layer: String,
                 Export.renderPng(cells, tileSize, tileSize, breaks(z), tmp.getAbsolutePath)
                 val bytes = java.nio.file.Files.readAllBytes(tmp.toPath)
                 ex.getResponseHeaders.add("Content-Type", "image/png")
+                // tiles are immutable per published version: let the
+                // browser cache them instead of re-fetching on re-render
+                ex.getResponseHeaders.add("Cache-Control", "max-age=3600")
                 ex.sendResponseHeaders(200, bytes.length.toLong)
                 ex.getResponseBody.write(bytes)
               } finally tmp.delete()

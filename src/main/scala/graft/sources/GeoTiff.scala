@@ -109,11 +109,14 @@ object GeoTiff {
         case 33922 => val b = u32(o + 8).toInt; tiePoint = Some((f64(b + 24), f64(b + 32)))
         case 34735 => // GeoKeyDirectory: header + 4-short key entries
           val ks = values(o, typ, cnt)
-          epsg = (4 until ks.length by 4).collectFirst {
-            // 2048 GeographicTypeGeoKey / 3072 ProjectedCSTypeGeoKey,
-            // value inline (TIFFTagLocation == 0)
-            case k if (ks(k) == 2048L || ks(k) == 3072L) && ks(k + 1) == 0L => ks(k + 3).toInt
+          // inline (TIFFTagLocation == 0) CRS keys, skipping 32767
+          // (user-defined). A projected file carries BOTH
+          // ProjectedCSType (3072) and its datum's GeographicType
+          // (2048, sorted first) — the projected key must win.
+          def key(id: Long): Option[Int] = (4 to ks.length - 4 by 4).collectFirst {
+            case k if ks(k) == id && ks(k + 1) == 0L && ks(k + 3) != 32767L => ks(k + 3).toInt
           }
+          epsg = key(3072L).orElse(key(2048L))
         case 42113 =>
           val b = u32(o + 8).toInt
           val s = new String(bytes, b, cnt).takeWhile(_ != 0).trim

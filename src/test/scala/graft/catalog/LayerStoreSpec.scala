@@ -301,6 +301,30 @@ class LayerStoreSpec extends AnyFunSuite {
     assert(store.readTile("rt", 1, 0, 0).select($"cells").as[Seq[Double]].head()(0) == 300.0)
   }
 
+  test("legacy _current pointer layout reads and migrates without data loss") {
+    val store = freshStore()
+    store.write(tiles(0), "lg", 1)
+    // rewrite the pointer into the OLD pre-sequence layout: one
+    // `_current` file, no `_ptr-*` sequence files
+    val zoomDir = java.nio.file.Paths.get(store.root + "/tiles/layer_name=lg/zoom=1")
+    val v = store.currentVersion("lg", 1).get
+    zoomDir.toFile.listFiles().filter(_.getName.startsWith("_ptr-"))
+      .foreach(f => assert(f.delete()))
+    java.nio.file.Files.write(zoomDir.resolve("_current"), v.getBytes("UTF-8"))
+    // legacy pointer resolves...
+    assert(store.currentVersion("lg", 1).contains(v))
+    assert(store.read("lg", 1).count() == 4)
+    // ...and a merge MERGES the legacy base instead of orphaning it
+    store.merge(tiles(100), "lg", 1)
+    assert(store.read("lg", 1).count() == 4)
+    assert(store.readTile("lg", 1, 0, 0).select($"cells").as[Seq[Double]].head()(0) == 100.0)
+    // the old pointer was migrated into the sequence and the old live
+    // version dir survived as the retained predecessor
+    assert(!java.nio.file.Files.exists(zoomDir.resolve("_current")))
+    assert(java.nio.file.Files.exists(zoomDir.resolve("_ptr-00000000")))
+    assert(java.nio.file.Files.exists(zoomDir.resolve(v)), "legacy live version must be retained")
+  }
+
   test("attribute histogram caps bin count: adversarial range widens the bins") {
     val store = freshStore()
     // values spread over ~4e9: binWidth 1.0 would mean 4 billion bins

@@ -86,6 +86,31 @@ class GeoTiffSpec extends AnyFunSuite {
       GeoTiff.read(sample).meta.epsg.exists(_ > 0))
   }
 
+  test("GeoKeyDirectory: ProjectedCSType wins over the datum's GeographicType") {
+    // libgeotiff/GDAL write BOTH keys for projected files (2048 = the
+    // underlying geographic datum, 3072 = the projected CRS), sorted by
+    // key id — the projected key must win. Hand-build such a file.
+    val w = 2; val h = 2
+    val geoKeys = Array(1, 1, 0, 3, 1024, 0, 1, 1, 2048, 0, 1, 4326, 3072, 0, 1, 32633)
+    val entries = 10
+    val geoOff = 8 + 2 + entries * 12 + 4
+    val dataOff = geoOff + geoKeys.length * 2
+    val bb = java.nio.ByteBuffer.allocate(dataOff + w * h * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8).putShort(entries.toShort)
+    def entry(tag: Int, typ: Int, cnt: Int, v: Long): Unit = {
+      bb.putShort(tag.toShort); bb.putShort(typ.toShort); bb.putInt(cnt); bb.putInt(v.toInt): Unit
+    }
+    entry(256, 3, 1, w); entry(257, 3, 1, h); entry(258, 3, 1, 64); entry(259, 3, 1, 1)
+    entry(273, 4, 1, dataOff); entry(277, 3, 1, 1); entry(278, 3, 1, h)
+    entry(279, 4, 1, w * h * 8); entry(339, 3, 1, 3); entry(34735, 3, geoKeys.length, geoOff)
+    bb.putInt(0) // next IFD
+    geoKeys.foreach(k => bb.putShort(k.toShort))
+    for (i <- 0 until w * h) bb.putDouble(i.toDouble)
+    val r = GeoTiff.decode(bb.array())
+    assert(r.meta.epsg.contains(32633), s"projected key must win: ${r.meta.epsg}")
+  }
+
   test("multiband encode -> decode round-trips interleaved bands exactly") {
     val w = 5; val h = 3
     def mk(seed: Int) = Array.tabulate(w * h)(i =>
