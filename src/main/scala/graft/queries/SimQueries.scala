@@ -311,6 +311,73 @@ object SimQueries {
        |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= $K""".stripMargin
   }
 
+  private val CentScale = 1048576.0 // 2^20: exact power-of-two fixed-point step
+
+  /** Oracle-checked nearest-centroid classifier: per-class mean
+    * embeddings over the hash split's train buckets, argmax-cosine
+    * assignment of the test bucket, confusion matrix. The class mean is
+    * the one genuinely order-sensitive float reduction in the ML
+    * surface; it is made order-free by summing FLOOR(x * 2^20)
+    * fixed-point longs (integer addition commutes exactly; x is a unit
+    * float so the scaled magnitude stays far under 2^63) and dividing
+    * once — so unlike the SGD gate (m_ml_confusion, rows-only) this
+    * classifier hash-matches DuckDB bit-for-bit. Scale shape: the sums
+    * are ONE partial-agg groupBy over (label, dim) — map-side combine
+    * does nearly all the work — and scoring broadcasts the tiny
+    * (numClasses-row) centroid table against the test scan; no join of
+    * the corpus against itself anywhere. */
+  val centroidConfusion: Q = (s, dir) => {
+    val b = graft.text.TextOps.hashBucket(col("vec_id"), 10)
+    val e = table(s, dir, "embeddings")
+    val dims = e.where(b =!= 9)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos"),
+        floor(col("v").cast("double") * CentScale).as("q"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("qs"), count(lit(1)).as("cnt"))
+    val cents = dims
+      .select(col("label").as("cl"), col("pos"),
+        (col("qs").cast("double") / (col("cnt").cast("double") * CentScale)).as("cv"))
+      .groupBy(col("cl"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x("cv")).as("cvec"))
+    val scored = e.where(b === 9)
+      .select(col("vec_id").as("qid"), col("label"), col("embedding"))
+      .join(broadcast(cents))
+      .select(col("qid"), col("label"), col("cl"),
+        Similarity.cosine(col("embedding"), col("cvec")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cl"))
+    scored.withColumn("r", row_number().over(w)).where(col("r") === 1)
+      .select(col("label"), col("cl").as("pred"))
+      .groupBy(col("label"), col("pred")).agg(count(lit(1)).as("n"))
+  }
+
+  val centroidConfusionSql: String =
+    s"""WITH s AS (SELECT vec_id, embedding, label,
+       |             ${graft.text.TextOps.hashBucketSql("vec_id", 10)} AS b
+       |           FROM embeddings),
+       |tr AS (SELECT * FROM s WHERE b <> 9),
+       |te AS (SELECT * FROM s WHERE b = 9),
+       |dims AS (
+       |  SELECT label, i,
+       |         CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * $CentScale) AS BIGINT)) AS BIGINT) AS qs,
+       |         COUNT(*) AS cnt
+       |  FROM tr CROSS JOIN range(1, ${DIM + 1}) r(i)
+       |  GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT label AS cl, list(CAST(qs AS DOUBLE) / (cnt * $CentScale) ORDER BY i) AS cvec
+       |  FROM dims GROUP BY 1),
+       |scored AS (
+       |  SELECT te.vec_id AS qid, te.label AS label, c.cl,
+       |         ${cosSql("te.embedding", "c.cvec")} AS cos
+       |  FROM te CROSS JOIN cent c),
+       |pred AS (
+       |  SELECT qid, label, cl,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cl) AS r
+       |  FROM scored QUALIFY r = 1)
+       |SELECT label, cl AS pred, COUNT(*) AS n FROM pred GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
     "s_ann_brute" -> (annBrute, Some(annBruteSql)),
     "m_knn_confusion" -> (knnConfusion, Some(knnConfusionSql)),
@@ -318,5 +385,6 @@ object SimQueries {
     "s_cosine_dedup" -> (cosineDedup, Some(cosineDedupSql)),
     "s_ann_ivf" -> (annIvf, Some(annIvfSql)),
     "s_embed_stats" -> (vecDedup, Some(vecDedupSql)),
+    "m_centroid_confusion" -> (centroidConfusion, Some(centroidConfusionSql)),
   )
 }

@@ -426,6 +426,101 @@ object TextQueries {
        |FROM docs d
        |WHERE d.doc_id % 50 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
 
+  /** Gopher-style repetition signals (quality filtering): per doc, the
+    * fraction of bigram occurrences taken by the single most frequent
+    * bigram, and the fraction of trigram occurrences that are repeats
+    * (within-doc count > 1) — the two strongest "degenerate text"
+    * markers in published filtering stacks. Scale shape: n-grams are
+    * built map-side from shifted-slice zips (no shuffle), then ONE
+    * groupBy per n on (doc_id, gram); that key-space is near-unique so
+    * partial aggregation absorbs almost everything map-side, and the
+    * final per-doc rollup is a second partial-agg groupBy on doc_id.
+    * No self-joins, nothing driver-side. */
+  val repetition: Q = (s, dir) => {
+    // n equal-length shifted slices zipped into n-grams: slice i covers
+    // tokens [i+1, i+1+L) with L = len-(n-1) clamped at 0, so zip_with
+    // never pads and short docs yield an empty gram array, not an error.
+    def grams(n: Int) = {
+      val len = greatest(size(col("toks")) - (n - 1), lit(0))
+      (0 until n).map(i => slice(col("toks"), lit(i + 1), len))
+        .reduceLeft((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
+    }
+    val d = docs(s, dir)
+    val bg = d.select(col("doc_id"), explode(grams(2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c"))).as("top_bigram_frac"))
+    val tg = d.select(col("doc_id"), explode(grams(3)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).cast("double")
+        / sum(col("c"))).as("dup_trigram_frac"))
+    bg.join(tg, Seq("doc_id"))
+  }
+
+  val repetitionSql: String =
+    s"""WITH $docsCte,
+       |bgc AS (
+       |  SELECT doc_id, g, COUNT(*) AS c FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i+1])) AS g FROM docs)
+       |  GROUP BY 1, 2),
+       |b AS (SELECT doc_id,
+       |        CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_bigram_frac
+       |      FROM bgc GROUP BY 1),
+       |tgc AS (
+       |  SELECT doc_id, g, COUNT(*) AS c FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g FROM docs)
+       |  GROUP BY 1, 2),
+       |t AS (SELECT doc_id,
+       |        CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+       |          / CAST(SUM(c) AS BIGINT) AS dup_trigram_frac
+       |      FROM tgc GROUP BY 1)
+       |SELECT b.doc_id, b.top_bigram_frac, t.dup_trigram_frac
+       |FROM b JOIN t USING (doc_id)""".stripMargin
+
+  private val ChunkTokens = 16
+
+  /** Chunk-level (paragraph-style) cross-document dedup: split each doc
+    * into fixed [[ChunkTokens]]-token windows, hash each window with the
+    * shared h60, and mark chunks whose hash occurs in more than one
+    * distinct document — the boilerplate-removal stage of a crawl
+    * pipeline (headers/footers repeat across pages even when full docs
+    * differ). Scale shape: ONE groupBy on the chunk hash (partial-agg
+    * distinct-doc count) and a hash-keyed join back; never doc x doc.
+    * A chunk shared by millions of docs is one build-side row joined to
+    * its probe rows — skew stays bounded by the probe side's own size. */
+  val chunkDedup: Q = (s, dir) => {
+    // ceil(len/C) windows, floored at 1 so an empty doc still yields one
+    // (empty) chunk in both engines rather than a descending sequence.
+    val nChunks = greatest(ceil(size(col("toks")).cast("double") / ChunkTokens).cast("int"), lit(1))
+    val hashed = docs(s, dir).select(col("doc_id"),
+      explode(transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(col("toks"), i * ChunkTokens + 1, lit(ChunkTokens))))).as("chunk"))
+      .select(col("doc_id"), TextOps.h60(col("chunk")).as("h"))
+    val nd = hashed.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+    val shared = sum(when(col("nd") > 1, lit(1L)).otherwise(lit(0L)))
+    hashed.join(nd, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), shared.as("n_shared"),
+        (shared.cast("double") / count(lit(1))).as("shared_frac"))
+  }
+
+  val chunkDedupSql: String =
+    s"""WITH $docsCte,
+       |chunks AS (
+       |  SELECT doc_id, ${TextOps.h60Sql("c")} AS h FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      range(0, greatest(CAST(ceil(len(toks) / $ChunkTokens.0) AS BIGINT), 1)),
+       |      i -> array_to_string(list_slice(toks, i*$ChunkTokens + 1, i*$ChunkTokens + $ChunkTokens), ' '))) AS c
+       |    FROM docs)),
+       |nd AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |       CAST(SUM(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       |       CAST(SUM(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS shared_frac
+       |FROM chunks JOIN nd USING (h) GROUP BY 1""".stripMargin
+
   /** Pattern scan (the PII / markup census a quality pipeline runs):
     * per-doc counts of email-ish, URL-ish and digit-run matches — all
     * map-side regexp counting. */
@@ -460,5 +555,7 @@ object TextQueries {
     "t_simhash" -> (simhash, Some(simhashSql)),
     "t_minhash_sig" -> (minhashSig, Some(minhashSigSql)),
     "t_minhash_lsh" -> (minhashLsh, Some(minhashLshSql)),
+    "t_repetition" -> (repetition, Some(repetitionSql)),
+    "t_chunk_dedup" -> (chunkDedup, Some(chunkDedupSql)),
   )
 }
