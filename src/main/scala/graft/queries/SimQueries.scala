@@ -378,6 +378,49 @@ object SimQueries {
        |  FROM scored QUALIFY r = 1)
        |SELECT label, cl AS pred, COUNT(*) AS n FROM pred GROUP BY 1, 2""".stripMargin
 
+  /** Int8 scalar-quantization census: the storage-compression pass an
+    * embedding corpus takes before ANN at scale (4x smaller than
+    * float32). Per vector: symmetric amax scaling, q_i = floor(x/amax
+    * * 127 + 0.5) — in [-127, 127] by construction (|x| <= amax), no
+    * clamp branch — then a strict-left-fold reconstruction-error sum
+    * and a saturation census. floor(x + 0.5) instead of round()
+    * because round's tie rule differs across engines; floor is
+    * bit-identical everywhere. Entirely map-side — no shuffle, no
+    * join: at 100 TB this is one scan emitting the quantized column.
+    * Zero vectors are undefined under amax scaling and filtered
+    * identically on both sides. */
+  val quantizeErr: Q = (s, dir) => {
+    val d = table(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("amax", aggregate(col("e"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .where(col("amax") > 0)
+      .withColumn("q", transform(col("e"), x => floor(x / col("amax") * 127.0 + lit(0.5))))
+    val errs = zip_with(col("e"), col("q"),
+      (x, qi) => abs(x - qi.cast("double") * col("amax") / 127.0))
+    d.select(col("vec_id"), col("amax"),
+      (aggregate(errs, lit(0.0), (a, x) => a + x) / DIM.toDouble).as("mean_abs_err"),
+      size(filter(col("q"), qi => abs(qi) === 127)).as("n_sat"))
+  }
+
+  val quantizeErrSql: String =
+    s"""WITH d AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |a AS (
+       |  SELECT vec_id, e,
+       |         list_reduce(list_prepend(0.0, list_transform(e, x -> abs(x))),
+       |           (x, y) -> greatest(x, y)) AS amax
+       |  FROM d),
+       |q AS (
+       |  SELECT vec_id, e, amax,
+       |         list_transform(e, x -> floor(x / amax * 127.0 + 0.5)) AS qv
+       |  FROM a WHERE amax > 0)
+       |SELECT vec_id, amax,
+       |  list_reduce(list_prepend(0.0, list_transform(range(1, ${DIM + 1}),
+       |    i -> abs(e[i] - qv[i] * amax / 127.0))), (x, y) -> x + y) / ${DIM.toDouble} AS mean_abs_err,
+       |  CAST(len(list_filter(qv, v -> abs(v) = 127)) AS INT) AS n_sat
+       |FROM q""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
     "s_ann_brute" -> (annBrute, Some(annBruteSql)),
     "m_knn_confusion" -> (knnConfusion, Some(knnConfusionSql)),
@@ -386,5 +429,6 @@ object SimQueries {
     "s_ann_ivf" -> (annIvf, Some(annIvfSql)),
     "s_embed_stats" -> (vecDedup, Some(vecDedupSql)),
     "m_centroid_confusion" -> (centroidConfusion, Some(centroidConfusionSql)),
+    "s_quantize_err" -> (quantizeErr, Some(quantizeErrSql)),
   )
 }
