@@ -369,6 +369,31 @@ object AdvancedQueries {
        |         RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS DOUBLE) AS near_revenue
        |FROM lineitem""".stripMargin
 
+  /** Salted two-phase aggregation through `ops.Skew.saltedAgg`, putting
+    * the skew tool into the oracle-checked surface: l_returnflag has 3
+    * distinct values over the whole of lineitem — exactly the
+    * one-hot-key-per-reducer shape salting exists for. Partial
+    * aggregates run on (key, salt) spreading each flag over 16
+    * reducers, the final phase merges per key; sums stay in DECIMAL
+    * through both phases so the re-aggregation is exact and
+    * order-free, and the result is bitwise identical to a plain
+    * GROUP BY (which is what the oracle runs). */
+  val saltedFlagAgg: Q = (s, dir) =>
+    graft.ops.Skew.saltedAgg(table(s, dir, "lineitem"), Seq("l_returnflag"), 16)(
+      Seq(sum(col("l_quantity").cast("decimal(24,6)")).as("pq"),
+        sum(dec2(col("l_extendedprice")).cast("decimal(24,6)")).as("pp"),
+        count(lit(1)).as("pc")),
+      Seq(sum(col("pq")).cast("double").as("sum_qty"),
+        sum(col("pp")).cast("double").as("sum_price"),
+        sum(col("pc")).as("n_items")))
+
+  val saltedFlagAggSql: String =
+    s"""SELECT l_returnflag,
+       |       CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty,
+       |       CAST(SUM(CAST(${dec2Sql("l_extendedprice")} AS DECIMAL(24,6))) AS DOUBLE) AS sum_price,
+       |       COUNT(*) AS n_items
+       |FROM lineitem GROUP BY 1""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
     "a_range_frames" -> (rangeFrames, Some(rangeFramesSql)),
     "a_topk_per_group" -> (topkPerGroup, Some(topkPerGroupSql)),
@@ -386,5 +411,6 @@ object AdvancedQueries {
     "a_scalar_subquery" -> (scalarSubquery, Some(scalarSubquerySql)),
     "a_ranking_windows" -> (rankingWindows, Some(rankingWindowsSql)),
     "a_pivot" -> (pivot, Some(pivotSql)),
+    "a_salted_agg" -> (saltedFlagAgg, Some(saltedFlagAggSql)),
   )
 }

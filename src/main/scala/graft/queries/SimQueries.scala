@@ -421,6 +421,85 @@ object SimQueries {
        |  CAST(len(list_filter(qv, v -> abs(v) = 127)) AS INT) AS n_sat
        |FROM q""".stripMargin
 
+  private val PREF = 8
+
+  /** Quantized-prefilter ANN: candidates are scored with int8 dot
+    * products first — the memory-bounded path, where the scan reads the
+    * 4x-smaller quantized column and the hot loop is integer MACs —
+    * and only the top [[PREF]] per query are reranked with exact float
+    * cosine. The approximate score is dot(q_a, q_b) / (sqrt(sum q_a^2)
+    * * sqrt(sum q_b^2)): the per-vector amax factors cancel, so the
+    * prefilter ranking is derived entirely from small integers and is
+    * bit-portable by construction (no float fold order anywhere before
+    * the exact rerank). Scale shape: same broadcast-queries pass over
+    * the corpus as s_ann_brute, but at 100 TB the corpus side is the
+    * int8 column — 4x less scan + bandwidth — and the float column is
+    * touched only for PREF survivors per query. */
+  val annQuantized: Q = (s, dir) => {
+    val base = table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("amax", aggregate(col("e"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .where(col("amax") > 0)
+      .withColumn("q", transform(col("e"), x => floor(x / col("amax") * 127.0 + lit(0.5))))
+      .withColumn("rq2", aggregate(col("q"), lit(0L), (a, qi) => a + qi * qi))
+    val cand = base.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("q").as("cq"), col("rq2").as("crq2"))
+    val qs = base.where(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("q").as("qq"), col("rq2").as("qrq2"))
+    val scored = cand.join(broadcast(qs), col("qid") =!= col("cid"))
+      .withColumn("dotq",
+        aggregate(zip_with(col("qq"), col("cq"), (a, b) => a * b), lit(0L), (a, x) => a + x))
+      .withColumn("approx", col("dotq").cast("double") /
+        (sqrt(col("qrq2").cast("double")) * sqrt(col("crq2").cast("double"))))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("approx").desc, col("cid"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("pr", row_number().over(wp)).where(col("pr") <= PREF)
+      .select(col("qid"), col("cid"), Similarity.cosine(col("qe"), col("ce")).as("cos"))
+      .withColumn("rank", row_number().over(wr)).where(col("rank") <= K)
+      .select(col("qid"), col("cid"), col("cos"), col("rank"))
+  }
+
+  val annQuantizedSql: String =
+    s"""WITH d AS (
+       |  SELECT vec_id, embedding, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |a AS (
+       |  SELECT vec_id, embedding, e,
+       |         list_reduce(list_prepend(0.0, list_transform(e, x -> abs(x))),
+       |           (x, y) -> greatest(x, y)) AS amax
+       |  FROM d),
+       |qz AS (
+       |  SELECT vec_id, embedding,
+       |         list_transform(e, x -> floor(x / amax * 127.0 + 0.5)) AS qv
+       |  FROM a WHERE amax > 0),
+       |nz AS (
+       |  SELECT vec_id, embedding, qv,
+       |         list_reduce(list_prepend(0.0, list_transform(qv, v -> v * v)),
+       |           (x, y) -> x + y) AS rq2
+       |  FROM qz),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce,
+       |         list_reduce(list_prepend(0.0, list_transform(range(1, ${DIM + 1}),
+       |             i -> q.qv[i] * c.qv[i])), (x, y) -> x + y)
+       |           / (sqrt(q.rq2) * sqrt(c.rq2)) AS approx
+       |  FROM nz q JOIN nz c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQ),
+       |pref AS (
+       |  SELECT qid, cid, qe, ce FROM (
+       |    SELECT qid, cid, qe, ce,
+       |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx DESC, cid) AS pr
+       |    FROM scored) WHERE pr <= $PREF),
+       |rer AS (SELECT qid, cid, ${cosSql("qe", "ce")} AS cos FROM pref),
+       |ranked AS (
+       |  SELECT qid, cid, cos,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
+       |  FROM rer)
+       |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= $K""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
     "s_ann_brute" -> (annBrute, Some(annBruteSql)),
     "m_knn_confusion" -> (knnConfusion, Some(knnConfusionSql)),
@@ -430,5 +509,6 @@ object SimQueries {
     "s_embed_stats" -> (vecDedup, Some(vecDedupSql)),
     "m_centroid_confusion" -> (centroidConfusion, Some(centroidConfusionSql)),
     "s_quantize_err" -> (quantizeErr, Some(quantizeErrSql)),
+    "s_ann_quantized" -> (annQuantized, Some(annQuantizedSql)),
   )
 }
