@@ -500,6 +500,132 @@ object SimQueries {
        |  FROM rer)
        |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= $K""".stripMargin
 
+  // ---- Product quantization (PQ) gate ----------------------------------
+  private val PQ_M = 8 // subspaces
+  private val PQ_SUB = DIM / PQ_M // dims per subspace
+  private val PQ_K = 8 // codes per subspace -> 3 bits/subspace, 24 bits/vector
+
+  /** Seeded literal codebook, the [[Centroids]] pattern: the same
+    * two-decimal weights are embedded in the Spark expressions AND the
+    * oracle SQL, so encoding is bit-deterministic in both engines (a
+    * trained codebook is float-order sensitive; quantizer QUALITY is
+    * irrelevant to what the gate proves — the PQ plan shape and exact
+    * ADC arithmetic). */
+  private val PqCodebook: Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(20250813L)
+    Array.fill(PQ_M, PQ_K, PQ_SUB)(math.rint((rnd.nextDouble() * 2 - 1) * 100) / 100)
+  }
+  // per-code squared norms: computed ONCE here and embedded as literals
+  // in both engines, so neither re-derives them
+  private val PqN2: Array[Array[Double]] =
+    PqCodebook.map(_.map(c => c.map(x => x * x).sum))
+
+  /** dot(e[subspace m], code k) as a left-assoc codegen'd chain (no HOF). */
+  private def pqDot(e: org.apache.spark.sql.Column, m: Int, k: Int): org.apache.spark.sql.Column =
+    (0 until PQ_SUB).map(j => e.getItem(m * PQ_SUB + j) * lit(PqCodebook(m)(k)(j)))
+      .reduceLeft(_ + _)
+
+  private def pqDotSql(arr: String, m: Int, k: Int): String =
+    (0 until PQ_SUB)
+      .map(j => s"CAST($arr[${m * PQ_SUB + j + 1}] AS DOUBLE) * ${fmt(PqCodebook(m)(k)(j))}")
+      .mkString(" + ")
+
+  /** The 8 code distances for subspace m as ONE array column: argmin is
+    * then array_position(arr, array_min(arr)) - 1 (first-k tie-break in
+    * both engines), so each distance expression is built exactly once —
+    * a LEAST + CASE chain re-inlines every score ~2k times and blows the
+    * codegen budget (measured 4.1 s vs 0.9 s warm at sf0.1). Distances
+    * use the monotone form n2 - 2*dot (|e_m|^2 is common per subspace). */
+  private def pqScores(e: org.apache.spark.sql.Column, m: Int): org.apache.spark.sql.Column =
+    array((0 until PQ_K).map(k => lit(PqN2(m)(k)) - lit(2.0) * pqDot(e, m, k)): _*)
+
+  /** PQ ANN: corpus vectors collapse to [[PQ_M]] 3-bit codes (24 bits —
+    * a 170x compression of the float64 view, 21x of float32), queries
+    * precompute per-subspace dot tables against the codebook, and ADC
+    * scoring is [[PQ_M]] table lookups + one sqrt per candidate — no
+    * per-dimension work in the scoring loop at all. Approximate ranking
+    * = sum_m qd_m[code_m] / sqrt(sum_m n2_m[code_m]) (the |q| factor is
+    * per-query constant); exact float cosine reranks the top [[PREF]].
+    * At 100 TB the scored scan is the codes column — bytes per vector —
+    * and the float column is read for PREF rows per query. */
+  val annPq: Q = (s, dir) => {
+    val base = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    val withArrs = (0 until PQ_M).foldLeft(base)((df, m) =>
+      df.withColumn(s"arr_$m", pqScores(col("e"), m)))
+    val withCodes = (0 until PQ_M).foldLeft(withArrs)((df, m) =>
+      df.withColumn(s"c$m",
+        (array_position(col(s"arr_$m"), array_min(col(s"arr_$m"))) - 1).cast("int")))
+    val n2s = (0 until PQ_M).map(m =>
+      element_at(typedLit(PqN2(m).toSeq), col(s"c$m") + 1)).reduceLeft(_ + _)
+    val cand = withCodes.select((col("vec_id").as("cid") +: col("embedding").as("ce") +:
+      (0 until PQ_M).map(m => col(s"c$m"))) :+ n2s.as("n2s"): _*)
+    val qds = (0 until PQ_M).map(m =>
+      array((0 until PQ_K).map(k => pqDot(col("e"), m, k)): _*).as(s"qd$m"))
+    val qs = base.where(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid") +: col("embedding").as("qe") +: qds: _*)
+    val adc = (0 until PQ_M).map(m =>
+      element_at(col(s"qd$m"), col(s"c$m") + 1)).reduceLeft(_ + _)
+    val scored = cand.join(broadcast(qs), col("qid") =!= col("cid"))
+      .withColumn("approx", adc / sqrt(col("n2s")))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("approx").desc, col("cid"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("pr", row_number().over(wp)).where(col("pr") <= PREF)
+      .select(col("qid"), col("cid"), Similarity.cosine(col("qe"), col("ce")).as("cos"))
+      .withColumn("rank", row_number().over(wr)).where(col("rank") <= K)
+      .select(col("qid"), col("cid"), col("cos"), col("rank"))
+  }
+
+  val annPqSql: String = {
+    val scoreCols = (0 until PQ_M).map(m =>
+      s"list_value(${(0 until PQ_K).map(k =>
+        s"${fmt(PqN2(m)(k))} - 2.0 * (${pqDotSql("embedding", m, k)})").mkString(", ")}) AS arr_$m")
+      .mkString(",\n       |  ")
+    val codeCols = (0 until PQ_M).map(m =>
+      s"CAST(list_position(arr_$m, list_min(arr_$m)) - 1 AS INT) AS c_$m")
+      .mkString(",\n       |  ")
+    val n2sSql = (0 until PQ_M).map(m =>
+      s"list_extract(list_value(${PqN2(m).map(fmt).mkString(", ")}), c_$m + 1)")
+      .mkString(" + ")
+    val qdCols = (0 until PQ_M).map(m =>
+      s"list_value(${(0 until PQ_K).map(k => s"(${pqDotSql("embedding", m, k)})").mkString(", ")}) AS qd_$m")
+      .mkString(",\n       |  ")
+    val adcSql = (0 until PQ_M).map(m => s"list_extract(qd_$m, c_$m + 1)").mkString(" + ")
+    s"""WITH sc AS (
+       |  SELECT vec_id, embedding,
+       |  $scoreCols
+       |  FROM embeddings),
+       |enc AS (
+       |  SELECT vec_id, embedding,
+       |  $codeCols
+       |  FROM sc),
+       |cand AS (
+       |  SELECT vec_id AS cid, embedding AS ce,
+       |         ${(0 until PQ_M).map(m => s"c_$m").mkString(", ")},
+       |         $n2sSql AS n2s
+       |  FROM enc),
+       |qs AS (
+       |  SELECT vec_id AS qid, embedding AS qe,
+       |  $qdCols
+       |  FROM embeddings WHERE vec_id < $NQ),
+       |scored AS (
+       |  SELECT qid, cid, qe, ce, ($adcSql) / sqrt(n2s) AS approx
+       |  FROM cand, qs WHERE cid <> qid),
+       |pref AS (
+       |  SELECT qid, cid, qe, ce FROM (
+       |    SELECT qid, cid, qe, ce,
+       |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx DESC, cid) AS pr
+       |    FROM scored) WHERE pr <= $PREF),
+       |rer AS (SELECT qid, cid, ${cosSql("qe", "ce")} AS cos FROM pref),
+       |ranked AS (
+       |  SELECT qid, cid, cos,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
+       |  FROM rer)
+       |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= $K""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
     "s_ann_brute" -> (annBrute, Some(annBruteSql)),
     "m_knn_confusion" -> (knnConfusion, Some(knnConfusionSql)),
@@ -510,5 +636,6 @@ object SimQueries {
     "m_centroid_confusion" -> (centroidConfusion, Some(centroidConfusionSql)),
     "s_quantize_err" -> (quantizeErr, Some(quantizeErrSql)),
     "s_ann_quantized" -> (annQuantized, Some(annQuantizedSql)),
+    "s_ann_pq" -> (annPq, Some(annPqSql)),
   )
 }
