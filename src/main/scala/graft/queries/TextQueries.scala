@@ -492,12 +492,8 @@ object TextQueries {
     * A chunk shared by millions of docs is one build-side row joined to
     * its probe rows — skew stays bounded by the probe side's own size. */
   val chunkDedup: Q = (s, dir) => {
-    // ceil(len/C) windows, floored at 1 so an empty doc still yields one
-    // (empty) chunk in both engines rather than a descending sequence.
-    val nChunks = greatest(ceil(size(col("toks")).cast("double") / ChunkTokens).cast("int"), lit(1))
     val hashed = docs(s, dir).select(col("doc_id"),
-      explode(transform(sequence(lit(0), nChunks - 1),
-        i => concat_ws(" ", slice(col("toks"), i * ChunkTokens + 1, lit(ChunkTokens))))).as("chunk"))
+      explode(TextOps.chunkTexts(col("toks"), ChunkTokens)).as("chunk"))
       .select(col("doc_id"), TextOps.h60(col("chunk")).as("h"))
     val nd = hashed.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
     val shared = sum(when(col("nd") > 1, lit(1L)).otherwise(lit(0L)))

@@ -45,6 +45,19 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
+  /** Fixed n-token window texts (the paragraph-style chunking unit for
+    * cross-doc boilerplate dedup) — ceil(len/n) windows, floored at one
+    * so an empty token array yields one empty chunk rather than a
+    * descending sequence; the SQL oracle twin mirrors the floor with
+    * range(0, greatest(..., 1)). Shared by the batch t_chunk_dedup
+    * query and the streaming dedup stage (the expression is pure
+    * Column-level, so batch/stream semantics cannot drift). */
+  def chunkTexts(toks: Column, n: Int): Column = {
+    val nChunks = greatest(ceil(size(toks).cast("double") / n).cast("int"), lit(1))
+    transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(toks, i * n + 1, lit(n))))
+  }
+
   /** Portable 60-bit hash: first 15 hex chars of md5, parsed base-16.
     * Chosen because both Spark (`conv`) and any ANSI-ish oracle engine
     * can reproduce it exactly; 60 bits keeps it positive in an int64. */

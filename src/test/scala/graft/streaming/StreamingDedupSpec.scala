@@ -32,4 +32,33 @@ class StreamingDedupSpec extends AnyFunSuite {
     val kept = spark.table("dedup_out").select($"doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L))
   }
+
+  test("stream chunk dedup drops repeated boilerplate windows, keeps fresh ones") {
+    // the streaming stage of t_chunk_dedup: same TextOps.chunkTexts
+    // expression, state bounded by the watermark — crawl pages share
+    // headers (the shared window) but differ in bodies
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val header = (1 to 16).map(i => s"s$i").mkString(" ")
+    val body1 = (1 to 16).map(i => s"p$i").mkString(" ")
+    val body2 = (1 to 16).map(i => s"q$i").mkString(" ")
+    val survivors = input.toDS().toDF("ts", "doc_id", "text")
+      .select($"ts", $"doc_id",
+        explode(graft.text.TextOps.chunkTexts(graft.text.TextOps.tokens($"text"), 16)).as("chunk"))
+      .withColumn("h", graft.text.TextOps.h60($"chunk"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("h")
+    input.addData(
+      (t("2024-01-01 00:00:01"), 1L, s"$header $body1"),
+      (t("2024-01-01 00:00:02"), 2L, s"$header $body2")) // header repeats
+    val q = survivors.writeStream.format("memory").queryName("chunk_dedup_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val perDoc = spark.table("chunk_dedup_out").groupBy($"doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    // doc 1 keeps header+body; doc 2's header chunk is deduped away
+    assert(perDoc == Map(1L -> 2L, 2L -> 1L))
+  }
 }
