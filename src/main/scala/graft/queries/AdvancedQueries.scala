@@ -394,6 +394,35 @@ object AdvancedQueries {
        |       COUNT(*) AS n_items
        |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** lag/lead window family over the event stream: inter-event gaps —
+    * the sessionization primitive (q_session_windows groups by the same
+    * 30-minute break this query exposes per row). All integer epoch-us
+    * math, exact in both engines; per-user windows partition cleanly at
+    * any scale (no global ordering anywhere). */
+  val lagDelta: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val us = unix_micros(col("ts"))
+    val gap = us - lag(us, 1).over(w)
+    events(s, dir).select(col("event_id"), col("user_id"),
+      gap.as("gap_us"),
+      (lead(us, 1).over(w) - us).as("next_us"),
+      when(coalesce(gap, lit(Long.MaxValue)) > 30L * 60 * 1000000L, 1)
+        .otherwise(0).as("new_session"))
+  }
+
+  val lagDeltaSql: String =
+    s"""WITH $eventsCte,
+       |g AS (
+       |  SELECT event_id, user_id,
+       |         epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS gap_us,
+       |         LEAD(epoch_us(ts), 1) OVER w - epoch_us(ts) AS next_us
+       |  FROM evts
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT event_id, user_id, gap_us, next_us,
+       |       CASE WHEN COALESCE(gap_us, 9223372036854775807) > 1800000000
+       |            THEN 1 ELSE 0 END AS new_session
+       |FROM g""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
     "a_range_frames" -> (rangeFrames, Some(rangeFramesSql)),
     "a_topk_per_group" -> (topkPerGroup, Some(topkPerGroupSql)),
@@ -412,5 +441,6 @@ object AdvancedQueries {
     "a_ranking_windows" -> (rankingWindows, Some(rankingWindowsSql)),
     "a_pivot" -> (pivot, Some(pivotSql)),
     "a_salted_agg" -> (saltedFlagAgg, Some(saltedFlagAggSql)),
+    "a_lag_delta" -> (lagDelta, Some(lagDeltaSql)),
   )
 }
