@@ -511,10 +511,9 @@ object SimQueries {
     * trained codebook is float-order sensitive; quantizer QUALITY is
     * irrelevant to what the gate proves — the PQ plan shape and exact
     * ADC arithmetic). */
-  private val PqCodebook: Array[Array[Array[Double]]] = {
-    val rnd = new scala.util.Random(20250813L)
-    Array.fill(PQ_M, PQ_K, PQ_SUB)(math.rint((rnd.nextDouble() * 2 - 1) * 100) / 100)
-  }
+  private[graft] val PqSeed = 20250813L
+  private[graft] val PqCodebook: Array[Array[Array[Double]]] =
+    Similarity.seededPqCodebook(PQ_M, PQ_K, PQ_SUB, PqSeed)
   // per-code squared norms: computed ONCE here and embedded as literals
   // in both engines, so neither re-derives them
   private val PqN2: Array[Array[Double]] =

@@ -197,4 +197,81 @@ object Similarity {
       .select(col("a"), col("b"), cosine(col("ea"), col("eb")).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  // ---- Product quantization: persisted byte-codes index --------------
+
+  /** Seeded two-decimal PQ codebook (m subspaces x k codes x sub dims)
+    * — the literal-codebook pattern shared with the s_ann_pq gate
+    * query (same seed -> bit-identical weights). */
+  def seededPqCodebook(m: Int, k: Int, sub: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(m, k, sub)(math.rint((rnd.nextDouble() * 2 - 1) * 100) / 100)
+  }
+
+  /** Encode vectors against a codebook: adds `pq_codes` (one 0-based
+    * code per subspace — argmin of the monotone distance n2 - 2*dot,
+    * first-k tie-break, each distance expression built exactly once via
+    * array_position/array_min) and `n2s` (reconstructed squared norm,
+    * a literal-table lookup). Map-side only. */
+  def pqEncode(vectors: DataFrame, codebook: Array[Array[Array[Double]]]): DataFrame = {
+    val n2 = codebook.map(_.map(c => c.map(x => x * x).sum))
+    val (nm, nk, sub) = (codebook.length, codebook(0).length, codebook(0)(0).length)
+    val base = vectors.withColumn("_e", transform(col("embedding"), x => x.cast("double")))
+    val withArrs = (0 until nm).foldLeft(base)((df, m) =>
+      df.withColumn(s"_arr$m", array((0 until nk).map(k =>
+        lit(n2(m)(k)) - lit(2.0) * (0 until sub).map(j =>
+          col("_e").getItem(m * sub + j) * lit(codebook(m)(k)(j))).reduceLeft(_ + _)): _*)))
+    val codes = array((0 until nm).map(m =>
+      (array_position(col(s"_arr$m"), array_min(col(s"_arr$m"))) - 1).cast("int")): _*)
+    val n2s = (0 until nm).map(m =>
+      element_at(typedLit(n2(m).toSeq), element_at(col("pq_codes"), m + 1) + 1))
+      .reduceLeft(_ + _)
+    withArrs.withColumn("pq_codes", codes).withColumn("n2s", n2s)
+      .drop("_e" +: (0 until nm).map("_arr" + _): _*)
+  }
+
+  /** Persist a PQ index: ONLY (vec_id, pq_codes, n2s) — a few bytes per
+    * vector, so at corpus scale the probe scan is ~100x smaller than
+    * the float column. The codebook rides as a JSON sidecar for
+    * self-description. */
+  def buildPqIndex(vectors: DataFrame, path: String,
+                   codebook: Array[Array[Array[Double]]]): Unit = {
+    pqEncode(vectors, codebook)
+      .select(col("vec_id"), col("pq_codes"), col("n2s"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    val json = codebook.map(_.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
+      .mkString("[\n", ",\n", "\n]")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/_codebook.json"),
+      json.getBytes("UTF-8")): Unit
+  }
+
+  /** ADC candidate generation over a persisted PQ index: queries
+    * precompute per-subspace dot tables against the codebook (a
+    * broadcast of nq rows), the corpus scan touches only the codes
+    * column, and scoring is one table lookup per subspace plus one
+    * sqrt per candidate — no per-dimension work. Returns (qid, cid,
+    * approx, pr <= k); the caller reranks survivors against the float
+    * column (the s_ann_pq shape). */
+  def pqProbe(queries: DataFrame, indexPath: String,
+              codebook: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val (nm, nk, sub) = (codebook.length, codebook(0).length, codebook(0)(0).length)
+    val idx = spark.read.parquet(s"$indexPath/codes")
+      .select(col("vec_id").as("cid"), col("pq_codes"), col("n2s"))
+    val qds = (0 until nm).map(m => array((0 until nk).map(k =>
+      (0 until sub).map(j => col("_qe").getItem(m * sub + j) * lit(codebook(m)(k)(j)))
+        .reduceLeft(_ + _)): _*).as(s"_qd$m"))
+    val qs = queries
+      .select(col("vec_id").as("qid"),
+        transform(col("embedding"), x => x.cast("double")).as("_qe"))
+      .select(col("qid") +: qds: _*)
+    val adc = (0 until nm).map(m =>
+      element_at(col(s"_qd$m"), element_at(col("pq_codes"), m + 1) + 1))
+      .reduceLeft(_ + _)
+    val scored = idx.join(broadcast(qs), col("qid") =!= col("cid"))
+      .withColumn("approx", adc / sqrt(col("n2s")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("cid"))
+    scored.withColumn("pr", row_number().over(w)).where(col("pr") <= k)
+      .select(col("qid"), col("cid"), col("approx"), col("pr"))
+  }
 }

@@ -146,4 +146,29 @@ class SimilaritySpec extends AnyFunSuite {
     val got = pairs.select($"a", $"b").as[(Long, Long)].collect().toSet
     assert(got == brute)
   }
+
+  test("persisted PQ index: probe + rerank reproduces the s_ann_pq gate exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // same codebook as the gate query (shared seeded builder)
+    val cb = Similarity.seededPqCodebook(8, 8, 8, graft.queries.SimQueries.PqSeed)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    Similarity.buildPqIndex(emb, dir, cb)
+    // the index stores ONLY codes + reconstructed norm - no float payload
+    assert(spark.read.parquet(s"$dir/codes").schema.fieldNames.toSet
+      == Set("vec_id", "pq_codes", "n2s"))
+    val q = emb.where($"vec_id" < 8)
+    val viaIndex = Similarity.pqProbe(q, dir, cb, 8)
+      .join(emb.select($"vec_id".as("cid"), $"embedding".as("ce")), Seq("cid"))
+      .join(q.select($"vec_id".as("qid"), $"embedding".as("qe")), Seq("qid"))
+      .select($"qid", $"cid", Similarity.cosine($"qe", $"ce").as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")))
+      .where($"rank" <= 3)
+      .select($"qid", $"cid", $"rank", $"cos")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val gate = graft.queries.SimQueries.annPq(spark, "/root/testdata/sf0.001")
+      .select($"qid", $"cid", $"rank", $"cos")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(viaIndex == gate, "index-probed PQ diverges from the inline gate query")
+  }
 }
