@@ -226,7 +226,13 @@ object TextOps {
     * down a path). Each round is two joins + one aggregation on the
     * (deduplicated, cached) symmetric edge list — fully distributed;
     * the driver sees only the per-round converged? count. Labels
-    * checkpoint periodically so lineage stays bounded. Deterministic:
+    * eagerly localCheckpoint EVERY round: cache() keeps the logical
+    * plan alive, and this plan doubles per round (two self-referencing
+    * joins), so by convergence Catalyst would be re-analyzing a plan
+    * with thousands of Exchange nodes -- a driver-side planning
+    * bottleneck that grows with graph diameter, i.e. with data scale.
+    * Checkpointing truncates the plan to a leaf, keeping per-round
+    * planning O(1). Deterministic:
     * the component label IS the minimum node id. Returns
     * (node, cluster) — the result stays cached (one small row per
     * non-isolated node); callers looping over many graphs should
@@ -237,7 +243,7 @@ object TextOps {
       .unionByName(edges.select(col("b").as("x"), col("a").as("y")))
       .distinct().cache()
     var labels = sym.select(col("x").as("node")).distinct()
-      .withColumn("label", col("node")).cache()
+      .withColumn("label", col("node")).localCheckpoint(true)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -245,17 +251,19 @@ object TextOps {
         .join(labels.select(col("node").as("y"), col("label").as("ylabel")), Seq("y"))
         .groupBy(col("x").as("node")).agg(min(col("ylabel")).as("nbr"))
       val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-      // pointer jump: follow the label to ITS label (path halving)
-      var next = stepped
+        .select(col("node"), col("label").as("old"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      // pointer jump: follow the label to ITS label (path halving).
+      // The pre-round label rides along as `old`, so the convergence
+      // count below is a scan of the just-materialized checkpoint
+      // rows -- no extra join, no recompute.
+      val next = stepped
         .join(stepped.select(col("node").as("label"), col("label").as("jump")), Seq("label"), "left")
-        .select(col("node"), least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
-      if (it % 5 == 4) next = next.localCheckpoint(true) // bound lineage depth
-      else next = next.cache()
-      changed = labels.select(col("node"), col("label").as("old"))
-        .join(next, Seq("node")).where(col("old") =!= col("label")).count()
-      labels.unpersist()
-      labels = next
+        .select(col("node"), col("old"),
+          least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.where(col("old") =!= col("label")).count()
+      labels = next.select(col("node"), col("label"))
       it += 1
     }
     sym.unpersist()
