@@ -455,7 +455,14 @@ object TextQueries {
       .groupBy(col("doc_id"))
       .agg((sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).cast("double")
         / sum(col("c"))).as("dup_trigram_frac"))
-    bg.join(tg, Seq("doc_id"))
+    // left-join from ALL docs: a doc with < n tokens has no n-grams and
+    // would vanish from an inner join — exactly the short/degenerate
+    // docs a quality filter cares about. Its fractions default to 0.0.
+    d.select(col("doc_id"))
+      .join(bg, Seq("doc_id"), "left").join(tg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        coalesce(col("dup_trigram_frac"), lit(0.0)).as("dup_trigram_frac"))
   }
 
   val repetitionSql: String =
@@ -477,8 +484,12 @@ object TextQueries {
        |        CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
        |          / CAST(SUM(c) AS BIGINT) AS dup_trigram_frac
        |      FROM tgc GROUP BY 1)
-       |SELECT b.doc_id, b.top_bigram_frac, t.dup_trigram_frac
-       |FROM b JOIN t USING (doc_id)""".stripMargin
+       |SELECT d.doc_id,
+       |       COALESCE(b.top_bigram_frac, 0.0) AS top_bigram_frac,
+       |       COALESCE(t.dup_trigram_frac, 0.0) AS dup_trigram_frac
+       |FROM docs d
+       |LEFT JOIN b ON d.doc_id = b.doc_id
+       |LEFT JOIN t ON d.doc_id = t.doc_id""".stripMargin
 
   private val ChunkTokens = 16
 
@@ -508,9 +519,9 @@ object TextQueries {
        |chunks AS (
        |  SELECT doc_id, ${TextOps.h60Sql("c")} AS h FROM (
        |    SELECT doc_id, unnest(list_transform(
-       |      range(0, greatest(CAST(ceil(len(toks) / $ChunkTokens.0) AS BIGINT), 1)),
-       |      i -> array_to_string(list_slice(toks, i*$ChunkTokens + 1, i*$ChunkTokens + $ChunkTokens), ' '))) AS c
-       |    FROM docs)),
+       |      range(0, greatest(CAST(ceil(len(ctoks) / $ChunkTokens.0) AS BIGINT), 1)),
+       |      i -> array_to_string(list_slice(ctoks, i*$ChunkTokens + 1, i*$ChunkTokens + $ChunkTokens), ' '))) AS c
+       |    FROM (SELECT doc_id, coalesce(toks, []) AS ctoks FROM docs))),
        |nd AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1)
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
        |       CAST(SUM(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,

@@ -258,8 +258,8 @@ object Similarity {
     val (nm, nk, sub) = (codebook.length, codebook(0).length, codebook(0)(0).length)
     val idx = spark.read.parquet(s"$indexPath/codes")
       .select(col("vec_id").as("cid"), col("pq_codes"), col("n2s"))
-    val qds = (0 until nm).map(m => array((0 until nk).map(k =>
-      (0 until sub).map(j => col("_qe").getItem(m * sub + j) * lit(codebook(m)(k)(j)))
+    val qds = (0 until nm).map(m => array((0 until nk).map(code =>
+      (0 until sub).map(j => col("_qe").getItem(m * sub + j) * lit(codebook(m)(code)(j)))
         .reduceLeft(_ + _)): _*).as(s"_qd$m"))
     val qs = queries
       .select(col("vec_id").as("qid"),

@@ -51,11 +51,16 @@ object TextOps {
     * descending sequence; the SQL oracle twin mirrors the floor with
     * range(0, greatest(..., 1)). Shared by the batch t_chunk_dedup
     * query and the streaming dedup stage (the expression is pure
-    * Column-level, so batch/stream semantics cannot drift). */
+    * Column-level, so batch/stream semantics cannot drift). A null
+    * token array is treated as empty (one empty chunk) — without the
+    * coalesce, Spark's concat_ws over a null slice yields "" while the
+    * SQL twin propagates NULL through md5 and drops the row, so the
+    * twins would diverge on nullable text. */
   def chunkTexts(toks: Column, n: Int): Column = {
-    val nChunks = greatest(ceil(size(toks).cast("double") / n).cast("int"), lit(1))
+    val ts = coalesce(toks, array())
+    val nChunks = greatest(ceil(size(ts).cast("double") / n).cast("int"), lit(1))
     transform(sequence(lit(0), nChunks - 1),
-      i => concat_ws(" ", slice(toks, i * n + 1, lit(n))))
+      i => concat_ws(" ", slice(ts, i * n + 1, lit(n))))
   }
 
   /** Portable 60-bit hash: first 15 hex chars of md5, parsed base-16.
