@@ -1,97 +1,170 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns for LLM-data pipelines: image/audio/video as
   * opaque BINARY columns with typed metadata, processed per-partition
   * in batches (the Scala analog of mapInPandas).
   *
-  * The actual codec decode is STUBBED (no image/audio libraries in this
-  * build): [[decodeStub]] derives a deterministic fake feature vector
-  * from the bytes. Everything around it — schema, partition-batched
-  * execution, feature dimensionality, frame sampling — is the real
-  * plumbing a decoder would plug into (swap `fakeDecode` for the codec
-  * call).
+  * Image decode is REAL: payloads are decoded with JDK ImageIO
+  * (PNG/BMP/GIF/JPEG — whatever the JRE's plugin registry reads), and
+  * features/resize operate on the decoded pixel plane. The container
+  * ships no image fixtures, so ingestion is simulated —
+  * [[mediaFromDocuments]] synthesizes a real PNG per document from a
+  * deterministic pixel formula — but the bytes are genuine PNG and
+  * everything downstream runs the actual codec. Because PNG is
+  * lossless, a SQL oracle can predict the decoded pixels from the same
+  * formula without an image library, which is what lets the
+  * m_media_features / m_media_resize gates hash-match over a real
+  * decode path. Video frame sampling remains a byte-chunking stand-in
+  * (no video codec in the JDK); its plumbing (schema, per-row fan-out)
+  * is the real shape.
+  *
+  * Reference analog: the per-pixel features the SVM pipeline consumes
+  * (`biggis-landuse` `UtilsML.scala:17-36`).
   */
 object Media {
 
   case class MediaRow(doc_id: Long, media: Array[Byte], media_type: String,
                       width: Int, height: Int, n_frames: Int)
   case class MediaFeatures(doc_id: Long, media_type: String, byte_len: Int,
-                           features: Array[Float])
+                           width: Int, height: Int, features: Array[Float])
 
   val FeatureDim = 8
 
-  /** Wrap a text table as a fake media table: payload = UTF-8 bytes.
-    * Deterministic stand-in for real binary ingestion (S1-analog). */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      col("text").cast("binary").as("media"),
-      concat(lit("fake/"), col("source")).as("media_type"),
-      (length(col("text")) % 64 + 1).cast("int").as("width"),
-      (length(col("text")) % 48 + 1).cast("int").as("height"),
-      (col("doc_id") % 16 + 1).cast("int").as("n_frames"))
+  // ImageIO defaults to a disk-backed stream cache; executors want the
+  // pure in-memory path. Global, idempotent, safe under concurrency.
+  ImageIO.setUseCache(false)
 
-  /** STUB decode: deterministic fake "decoder" — samples bytes at a
-    * fixed stride and normalizes to [0,1). A real build replaces this
-    * one function with an actual codec; the mapPartitions batching,
-    * schema and feature shape stay identical. */
-  private[multimodal] def fakeDecode(bytes: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](FeatureDim)
-    if (bytes.nonEmpty) {
-      var j = 0
-      while (j < FeatureDim) {
-        out(j) = (bytes((j * 37) % bytes.length) & 0xFF) / 256.0f
-        j += 1
-      }
+  /** Deterministic grayscale value for pixel `i` (row-major) of the
+    * synthetic image derived from document `docId` — the contract the
+    * SQL oracle replays to predict decoded pixels. */
+  def synthPixel(docId: Long, i: Long): Int = ((docId * 31 + i) % 256).toInt
+
+  /** Encode a w x h 8-bit grayscale plane with a real JDK codec
+    * (`format`: "png", "bmp", "gif"...). `pix` maps row-major index ->
+    * 0..255. */
+  def encodeGray(w: Int, h: Int, format: String, pix: Int => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pix(y * w + x) & 0xFF); x += 1 }
+      y += 1
     }
-    out
+    val bos = new ByteArrayOutputStream()
+    if (!ImageIO.write(img, format, bos))
+      throw new IllegalArgumentException(s"no ImageIO writer for format '$format'")
+    bos.toByteArray
+  }
+
+  /** REAL image decode: ImageIO reads whatever format the bytes carry
+    * and the result is reduced to a row-major luminance plane —
+    * grayscale sources pass through exactly; RGB sources use the
+    * integer ITU-R 601 weights (r*299+g*587+b*114+500)/1000, rounding
+    * fixed so the result is bit-deterministic. Returns None for bytes
+    * no registered reader accepts (the undecodable-row contract). */
+  def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val raster = img.getRaster
+        val nb = raster.getNumBands
+        val out = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            out(y * w + x) =
+              if (nb >= 3) {
+                val r = raster.getSample(x, y, 0)
+                val g = raster.getSample(x, y, 1)
+                val b = raster.getSample(x, y, 2)
+                (r * 299 + g * 587 + b * 114 + 500) / 1000
+              } else raster.getSample(x, y, 0)
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, out)
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Wrap a text table as a media table with REAL PNG payloads: per
+    * document, a (len%64+1) x (len%48+1) grayscale image whose pixels
+    * follow [[synthPixel]], encoded through the actual PNG writer.
+    * Executor-side and batched per partition — the S1-analog binary
+    * ingestion stand-in (no image fixtures ship in this container). */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), length(col("text")).cast("int").as("len"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, len) =>
+          val w = len % 64 + 1
+          val h = len % 48 + 1
+          MediaRow(id, encodeGray(w, h, "png", i => synthPixel(id, i)),
+            "image/png", w, h, (id % 16 + 1).toInt)
+        }
+      }
   }
 
   /** Feature extraction over the binary column, batched per partition
-    * (executor-local, no shuffle; partition count = parallelism knob
-    * exactly like mapInPandas batches). */
+    * (executor-local, no shuffle; partition count = parallelism knob,
+    * exactly like mapInPandas batches). Each payload is REALLY decoded;
+    * features sample the decoded plane at a fixed stride, normalized to
+    * [0,1). Undecodable rows are dropped (None contract). */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.map { r =>
-        MediaFeatures(r.doc_id, r.media_type, r.media.length, fakeDecode(r.media))
+      rows.flatMap { r =>
+        decodeGray(r.media).map { case (w, h, px) =>
+          val out = new Array[Float](FeatureDim)
+          var j = 0
+          while (j < FeatureDim) {
+            out(j) = px(((j * 37) % (w * h)).toInt) / 256.0f
+            j += 1
+          }
+          MediaFeatures(r.doc_id, r.media_type, r.media.length, w, h, out)
+        }
       }
     }
   }
 
-  /** Resize plumbing: nearest-neighbor index mapping over the (stubbed)
-    * decoded w x h grayscale plane. The resampling arithmetic is the
-    * real thing — a codec build swaps the byte plane for decoded pixels
-    * and keeps the mapping. Rows whose payload is smaller than w*h are
-    * dropped (undecodable under the stub contract). */
+  /** Nearest-neighbor resize over the REAL decoded pixel plane to an
+    * outW x outH thumbnail. Undecodable rows are dropped. */
   def resize(media: Dataset[MediaRow], outW: Int, outH: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      val w = math.max(1, r.width); val h = math.max(1, r.height)
-      if (r.media.length < w * h) None
-      else {
-        val out = new Array[Byte](outW * outH)
+      decodeGray(r.media).map { case (w, h, px) =>
+        val out = new Array[Int](outW * outH)
         var y = 0
         while (y < outH) {
           val sy = y * h / outH
           var x = 0
           while (x < outW) {
-            out(x + y * outW) = r.media(x * w / outW + sy * w)
+            out(x + y * outW) = px(x * w / outW + sy * w)
             x += 1
           }
           y += 1
         }
-        Some((r.doc_id, outW, outH, out.map(b => b & 0xFF).toSeq))
+        (r.doc_id, outW, outH, out.toSeq)
       }
     }.toDF("doc_id", "width", "height", "pixels")
   }
 
   /** Frame sampling for "video" payloads: split the byte stream into
     * n_frames equal chunks and keep every k-th chunk (plumbing twin of
-    * ffmpeg frame extraction). */
+    * ffmpeg frame extraction — the JDK has no video codec, so the
+    * chunks are raw bytes, not decoded frames; schema and fan-out are
+    * the real shape). */
   def sampleFrames(media: Dataset[MediaRow], everyK: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap { r =>

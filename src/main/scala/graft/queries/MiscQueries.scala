@@ -84,45 +84,52 @@ object MiscQueries {
        |       CAST(t.min_row AS INT) AS min_row, CAST(t.max_row AS INT) AS max_row
        |FROM b, t""".stripMargin
 
-  /** Multimodal plumbing: binary payloads → per-partition batched stub
-    * decode (graft.multimodal.Media) → exploded feature rows. The
-    * oracle replays the stub's byte arithmetic (ASCII corpus ⇒ byte i ==
-    * char i+1). */
+  /** Multimodal: per-document synthetic PNG payloads → REAL ImageIO
+    * decode (graft.multimodal.Media) → exploded feature rows sampled
+    * from the decoded pixel plane. PNG is lossless, so the oracle
+    * predicts the decoded pixels from the synthPixel formula without an
+    * image library — the gate hash-matching proves the actual codec
+    * round-trip (encode → PNG bytes → decode) recovered dimensions and
+    * every sampled pixel exactly. */
   val mediaFeatures: Q = (s, dir) => {
     import s.implicits._
     val media = graft.multimodal.Media
       .mediaFromDocuments(table(s, dir, "documents"))
-      .as[graft.multimodal.Media.MediaRow]
     graft.multimodal.Media.extractFeatures(media)
-      .select(col("doc_id"), col("byte_len"), posexplode(col("features")).as(Seq("j", "f")))
+      .select(col("doc_id"), col("width"), col("height"),
+        posexplode(col("features")).as(Seq("j", "f")))
   }
 
   val mediaFeaturesSql: String =
-    s"""SELECT doc_id, CAST(length(text) AS INT) AS byte_len, CAST(r.j AS INT) AS j,
-       |       CAST(ascii(substr(text, CAST((r.j * 37) % length(text) AS INT) + 1, 1)) / 256.0 AS REAL) AS f
-       |FROM documents, range(0, ${graft.multimodal.Media.FeatureDim}) r(j)""".stripMargin
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |         CAST(length(text) % 64 + 1 AS INT) AS width,
+       |         CAST(length(text) % 48 + 1 AS INT) AS height
+       |  FROM documents)
+       |SELECT doc_id, width, height, CAST(r.j AS INT) AS j,
+       |       CAST(((doc_id * 31 + (r.j * 37) % (width * height)) % 256) / 256.0 AS REAL) AS f
+       |FROM m, range(0, ${graft.multimodal.Media.FeatureDim}) r(j)""".stripMargin
 
-  /** Multimodal resize: NN index mapping over the stub-decoded plane to
-    * a 4x4 thumbnail; the oracle replays the same integer arithmetic on
-    * the ASCII payload. */
+  /** Multimodal resize: NN index mapping over the REAL decoded pixel
+    * plane to a 4x4 thumbnail; the oracle replays the NN index
+    * arithmetic on the synthPixel formula (lossless PNG ⇒ decoded
+    * plane == formula). */
   val mediaResize: Q = (s, dir) => {
     import s.implicits._
     val media = graft.multimodal.Media
       .mediaFromDocuments(table(s, dir, "documents"))
-      .as[graft.multimodal.Media.MediaRow]
     graft.multimodal.Media.resize(media, 4, 4)
       .select(col("doc_id"), posexplode(col("pixels")).as(Seq("i", "pix")))
   }
 
   val mediaResizeSql: String =
     """WITH m AS (
-      |  SELECT doc_id, text,
+      |  SELECT doc_id,
       |         CAST(length(text) % 64 + 1 AS INT) AS w,
       |         CAST(length(text) % 48 + 1 AS INT) AS h
-      |  FROM documents WHERE length(text) >= (length(text) % 64 + 1) * (length(text) % 48 + 1))
+      |  FROM documents)
       |SELECT doc_id, CAST(r.i AS INT) AS i,
-      |       ascii(substr(text,
-      |         CAST(((r.i % 4) * w) // 4 + (((r.i // 4) * h) // 4) * w AS INT) + 1, 1)) AS pix
+      |       CAST((doc_id * 31 + ((r.i % 4) * w) // 4 + (((r.i // 4) * h) // 4) * w) % 256 AS INT) AS pix
       |FROM m, range(0, 16) r(i)""".stripMargin
 
   /** M1-M4: OVA LinearSVC train/predict on embeddings → confusion

@@ -8,16 +8,37 @@ class MiscSpec extends AnyFunSuite {
   import spark.implicits._
   val sf = "/root/testdata/sf0.001"
 
-  test("multimodal: stub decode is deterministic with fixed feature dim") {
+  test("multimodal: real PNG round-trip — decoded features match the pixel formula") {
+    import graft.multimodal.Media
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(20)
-    val media = graft.multimodal.Media.mediaFromDocuments(docs)
-      .as[graft.multimodal.Media.MediaRow]
-    val f1 = graft.multimodal.Media.extractFeatures(media).collect().sortBy(_.doc_id)
-    val f2 = graft.multimodal.Media.extractFeatures(media).collect().sortBy(_.doc_id)
+    val media = Media.mediaFromDocuments(docs)
+    // payloads are genuine PNG bytes (magic), not raw text
+    assert(media.collect().forall(r =>
+      (r.media.take(4).map(_ & 0xFF).toSeq == Seq(0x89, 0x50, 0x4E, 0x47)) && r.media_type == "image/png"))
+    val f1 = Media.extractFeatures(media).collect().sortBy(_.doc_id)
     assert(f1.length == 20)
-    assert(f1.forall(_.features.length == graft.multimodal.Media.FeatureDim))
-    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
-    assert(f1.forall(_.features.forall(v => v >= 0f && v < 1f)))
+    assert(f1.forall(_.features.length == Media.FeatureDim))
+    // the decode is the real codec: dimensions and every sampled pixel
+    // must round-trip the encoder's formula exactly
+    assert(f1.forall { r =>
+      r.features.zipWithIndex.forall { case (v, j) =>
+        v == Media.synthPixel(r.doc_id, (j * 37) % (r.width * r.height)) / 256.0f
+      }
+    })
+  }
+
+  test("multimodal: decodeGray reads other formats and rejects garbage") {
+    import graft.multimodal.Media
+    // BMP comes back as an RGB raster; with r=g=b=v the integer 601
+    // luminance collapses to v, so the plane round-trips bit-exactly
+    val bmp = Media.encodeGray(7, 5, "bmp", i => (i * 11) % 256)
+    val Some((w, h, px)) = Media.decodeGray(bmp)
+    assert((w, h) == (7, 5))
+    assert(px.toSeq == (0 until 35).map(i => (i * 11) % 256))
+    val gif = Media.encodeGray(3, 3, "gif", i => i * 20)
+    assert(Media.decodeGray(gif).map(t => (t._1, t._2)).contains((3, 3)))
+    assert(Media.decodeGray(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(Media.decodeGray("not an image at all".getBytes).isEmpty)
   }
 
   test("multimodal: frame sampling splits payload into n_frames chunks") {
