@@ -6,9 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * minimal TIFF decode" — GeoTrellis's `hadoopGeoTiffRDD` is not
   * available offline). Supports the subset the reference's own sample
   * data needs: II/MM byte order, strip or tile organization,
-  * uncompressed / LZW / Deflate, 1 sample per pixel, uint8-64 /
-  * int8-64 / float32/64, optional ModelPixelScale+Tiepoint geo
-  * transform and GDAL_NODATA.
+  * uncompressed / LZW / Deflate / PackBits, 1 sample per pixel,
+  * uint8-64 / int8-64 / float32/64, optional ModelPixelScale+Tiepoint
+  * geo transform and GDAL_NODATA.
   *
   * `decode` is a pure bytes→raster function: `read` applies it to one
   * local file on the driver (the reference's Shapefile/GeoJSON reads are
@@ -134,6 +134,7 @@ object GeoTiff {
     def decode(data: Array[Byte]): Array[Byte] = compression match {
       case 1 => data
       case 5 => lzwDecode(data)
+      case 32773 => packBitsDecode(data)
       case 8 | 32946 =>
         val inf = new java.util.zip.Inflater()
         inf.setInput(data)
@@ -334,6 +335,26 @@ object GeoTiff {
     Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(p,
       encodeMultiband(width, height, bands, originX, originY, cellW, cellH, epsg)): Unit
+  }
+
+  /** PackBits (TIFF compression 32773 — the Macintosh RLE scheme):
+    * control byte n in 0..127 copies the next n+1 bytes literally;
+    * n in -127..-1 repeats the next byte 1-n times; -128 is a no-op.
+    * Widens the input surface toward GeoTrellis `hadoopGeoTiffRDD`
+    * (`GeotiffTilingExample.scala:49`), which accepts PackBits files. */
+  private[sources] def packBitsDecode(in: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(in.length * 2)
+    var i = 0
+    while (i < in.length) {
+      val n = in(i); i += 1
+      if (n >= 0) { out.write(in, i, n + 1); i += n + 1 }
+      else if (n != -128) {
+        val b = in(i); i += 1
+        var k = 1 - n
+        while (k > 0) { out.write(b.toInt); k -= 1 }
+      }
+    }
+    out.toByteArray
   }
 
   /** TIFF-variant LZW (MSB-first codes, 9->12 bits with early change,

@@ -31,6 +31,61 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(a, b))
   }
 
+  test("PackBits: decodes the TIFF 6.0 spec's worked example") {
+    // The packed stream and its 24-byte expansion straight from the
+    // PackBits section of the TIFF 6.0 specification.
+    val packed = Array(0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA,
+      0x03, 0x80, 0x00, 0x2A, 0x22, 0xF7, 0xAA).map(_.toByte)
+    val expect = Array(0xAA, 0xAA, 0xAA, 0x80, 0x00, 0x2A, 0xAA, 0xAA,
+      0xAA, 0xAA, 0x80, 0x00, 0x2A, 0x22, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA,
+      0xAA, 0xAA, 0xAA, 0xAA, 0xAA).map(_.toByte)
+    assert(GeoTiff.packBitsDecode(packed).toSeq == expect.toSeq)
+    // -128 control bytes are no-ops
+    assert(GeoTiff.packBitsDecode(Array[Byte](-128, 0, 65)).toSeq == Seq[Byte](65))
+  }
+
+  /** Run-length PackBits encoder (test-side only): runs >= 2 become a
+    * repeat record, everything else literal records of <= 128 bytes. */
+  def packBitsEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && run < 128 && data(i + run) == data(i)) run += 1
+      if (run >= 2) { out.write(1 - run); out.write(data(i).toInt); i += run }
+      else {
+        var j = i + 1
+        while (j < data.length && j - i < 128 &&
+          !(j + 1 < data.length && data(j) == data(j + 1))) j += 1
+        out.write(j - i - 1); out.write(data, i, j - i); i = j
+      }
+    }
+    out.toByteArray
+  }
+
+  test("PackBits uint8 strip TIFF round-trips through the reader (compression 32773)") {
+    val w = 16; val h = 6
+    // runs AND literals so both record kinds are exercised
+    val pix = Array.tabulate(w * h)(i => if ((i / w) % 2 == 0) 7 else (i * 13) % 256)
+    val comp = packBitsEncode(pix.map(_.toByte))
+    val bb = java.nio.ByteBuffer.allocate(10 + 9 * 12 + 4 + comp.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    bb.putShort(9)
+    def entry(tag: Int, typ: Int, cnt: Int, v: Long): Unit = {
+      bb.putShort(tag.toShort); bb.putShort(typ.toShort); bb.putInt(cnt); bb.putInt(v.toInt): Unit
+    }
+    val stripOff = 10 + 9 * 12 + 4
+    entry(256, 3, 1, w); entry(257, 3, 1, h); entry(258, 3, 1, 8); entry(259, 3, 1, 32773)
+    entry(273, 4, 1, stripOff); entry(277, 3, 1, 1); entry(278, 3, 1, h)
+    entry(279, 4, 1, comp.length); entry(339, 3, 1, 1)
+    bb.putInt(0) // next IFD
+    bb.put(comp)
+    val r = GeoTiff.decode(bb.array())
+    assert(r.meta.width == w && r.meta.height == h)
+    assert(r.cells.toSeq == pix.map(_.toDouble).toSeq)
+  }
+
   /** Minimal little-endian float64 strip TIFF with a geo transform —
     * written from the format spec, for multi-scene fixtures. */
   def writeTif(path: String, w: Int, h: Int, origX: Double, origY: Double,
