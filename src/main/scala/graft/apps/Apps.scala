@@ -161,9 +161,8 @@ object ExportLayer {
     val ts = Apps.tileSize
     val tiles = new LayerStore(spark, catalog).read(layer, zoom.toInt)
     if (stitched) {
-      val (w, h, cells) = Export.stitch(tiles, ts, ts)
-      val f = new java.io.PrintWriter(s"$out/stitched.pgm.txt")
-      try { f.println(s"P2-ish $w $h"); f.println(cells.mkString(" ")) } finally f.close()
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      Export.stitchGeoTiff(tiles, ts, ts, s"$out/stitched.tif")
     } else Export.exportTiled(tiles, out, ts, ts)
   }
 }

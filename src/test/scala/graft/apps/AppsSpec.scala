@@ -51,10 +51,11 @@ class AppsSpec extends AnyFunSuite {
     val tileFiles = new java.io.File(s"$dir/export").listFiles()
     assert(tileFiles != null && tileFiles.length == 2) // one file per tile
 
-    new java.io.File(s"$dir/stitch").mkdirs()
     ExportLayer.run(spark, Array(catalog, "nir", "5", s"$dir/stitch", "stitched"))
-    val header = scala.io.Source.fromFile(s"$dir/stitch/stitched.pgm.txt").getLines().next()
-    assert(header == s"P2-ish ${2 * ts} $ts")
+    // the stitched branch writes a REAL decodable GeoTiff
+    val stitchedTif = graft.sources.GeoTiff.read(s"$dir/stitch/stitched.tif")
+    assert(stitchedTif.meta.width == 2 * ts && stitchedTif.meta.height == ts)
+    assert(stitchedTif.cells.exists(v => !java.lang.Double.isNaN(v)))
 
     StackLayers.run(spark, Array(catalog, "stack", "5", "nir", "red"))
     val stacked = store.read("stack", 5)
