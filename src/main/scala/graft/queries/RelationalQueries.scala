@@ -237,6 +237,34 @@ object RelationalQueries {
        |SELECT win_start, event_type, COUNT(*) AS n, ${dsumSql(dec2Sql("value"))} AS sum_value
        |FROM hits GROUP BY 1, 2""".stripMargin
 
+  /** §2.8 batch twin of the stream-stream interval join: the SAME
+    * function (graft.streaming.PixelStream.intervalJoin — watermarks
+    * are a no-op in batch) over events split into even/odd event_id
+    * "streams", joined on user_id within a ±5 minute event-time
+    * interval. Plan shape: an equi-join on the key with the interval
+    * as a residual range predicate — shuffles only on user_id, and in
+    * streaming mode the watermark bounds state to the interval. */
+  val intervalJoinTwin: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val l = ev.where(col("event_id") % 2 === 0)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val r = ev.where(col("event_id") % 2 === 1)
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.streaming.PixelStream.intervalJoin(l, r, "user_id")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"), unix_micros(col("r_ts")).as("r_ts_us"), col("r_value"))
+  }
+
+  val intervalJoinTwinSql: String =
+    s"""WITH $eventsCte,
+       |l AS (SELECT user_id, ts, event_id, value FROM evts WHERE event_id % 2 = 0),
+       |r AS (SELECT user_id, ts AS r_ts, value AS r_value FROM evts WHERE event_id % 2 = 1)
+       |SELECT l.user_id, l.event_id, epoch_us(l.ts) AS ts_us, l.value,
+       |       epoch_us(r.r_ts) AS r_ts_us, r.r_value
+       |FROM l JOIN r ON r.user_id = l.user_id
+       | AND r.r_ts >= l.ts - INTERVAL 5 MINUTE
+       | AND r.r_ts <= l.ts + INTERVAL 5 MINUTE""".stripMargin
+
   /** §2.8 session windows (gap 10 min) per user — batch equivalent of
     * session_window; oracle is the classic gaps-and-islands rewrite. */
   val sessionWindows: Q = (s, dir) =>
@@ -333,6 +361,7 @@ object RelationalQueries {
     "q_tumbling_window" -> (tumblingWindow, Some(tumblingWindowSql)),
     "q_sliding_window" -> (slidingWindow, Some(slidingWindowSql)),
     "q_session_windows" -> (sessionWindows, Some(sessionWindowsSql)),
+    "q_interval_join" -> (intervalJoinTwin, Some(intervalJoinTwinSql)),
     "q_json_extract" -> (jsonExtract, Some(jsonExtractSql)),
     "q_word_count" -> (wordCount, Some(wordCountSql)),
     "q_extent_union" -> (extentUnion, Some(extentUnionSql)),
