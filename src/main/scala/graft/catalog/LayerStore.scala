@@ -352,6 +352,21 @@ class LayerStore(spark: SparkSession, val root: String,
     time.fold(df)(t => df.where(col("time") === t))
   }
 
+  /** S10 space-time range form: time window + bbox in one read. Both
+    * predicates push down — `time` is the partition column, so the
+    * window prunes partition DIRECTORIES before any file is opened;
+    * the bbox lands in PushedFilters against the Hilbert-sorted row
+    * groups (spatially-near tiles share row groups, so min/max stats
+    * skip most of each time slice). The reference's indexed space-time
+    * query: HilbertKeyIndexMethod + LayerQuery bounds
+    * (api/package.scala:148-177). */
+  def readSpaceTimeRange(name: String, zoom: Int, t0: String, t1: String,
+                         c0: Int, r0: Int, c1: Int, r1: Int): DataFrame =
+    read(name, zoom).where(
+      col("time") >= t0 && col("time") <= t1 &&
+        col("tile_col") >= c0 && col("tile_col") <= c1 &&
+        col("tile_row") >= r0 && col("tile_row") <= r1)
+
   /** S3: pruned read of the live version of one (layer, zoom). The
     * sidecar's persisted schema skips parquet footer inference (one
     * fewer job per read — the attribute store playing the reference's

@@ -56,6 +56,50 @@ object MiscQueries {
        |SELECT tile_col, tile_row, px, py, v FROM pxa
        |WHERE tile_col BETWEEN 1 AND 2 AND tile_row BETWEEN 1 AND 3""".stripMargin
 
+  /** K1/S10 space-time: write a month-keyed layer through the catalog
+    * (Hilbert-sorted within time partitions), then read it back with a
+    * time window + bbox — the reference's indexed space-time query
+    * (HilbertKeyIndexMethod, api/package.scala:148-152). The time
+    * window prunes partition dirs; the bbox is pushed to the
+    * Hilbert-sorted row groups (asserted in LayerStoreSpec). The
+    * oracle recomputes the filtered pixels relationally, so the hash
+    * match proves pruning lost nothing. */
+  val spacetimeRange: Q = (s, dir) => {
+    val store = new graft.catalog.LayerStore(s, tmpCatalog(dir) + "_str")
+    val px = table(s, dir, "lineitem").groupBy(
+        date_format(col("l_shipdate"), "yyyy-MM").as("time"),
+        (col("l_orderkey") % 4).cast("int").as("tile_col"),
+        (col("l_suppkey") % 4).cast("int").as("tile_row"),
+        (col("l_partkey") % TS).cast("int").as("px"),
+        (col("l_linenumber") % TS).cast("int").as("py"))
+      .agg(sum(col("l_quantity")).cast("double").as("v"))
+    val asm = udaf(new graft.ops.TileAggregators.TileAssemble(TS, TS),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.ops.TileAggregators.PixelIn]())
+    val tiles = px.groupBy(col("time"), col("tile_col"), col("tile_row"))
+      .agg(asm(col("px"), col("py"), col("v")).as("cells"))
+    store.writeSpaceTime(tiles, "band_st", 9, tileSize = TS)
+    val out = store.readSpaceTimeRange("band_st", 9, "1994-01", "1994-12", 1, 1, 2, 3)
+    out.select(col("time"), col("tile_col"), col("tile_row"),
+        posexplode(col("cells")).as(Seq("i", "v")))
+      .where(not(isnan(col("v"))))
+      .select(col("time"), col("tile_col"), col("tile_row"),
+        (col("i") % TS).cast("int").as("px"),
+        (col("i") / TS).cast("int").as("py"), col("v"))
+  }
+
+  val spacetimeRangeSql: String =
+    s"""WITH stpx AS (
+       |  SELECT strftime(l_shipdate, '%Y-%m') AS time,
+       |         CAST(l_orderkey % 4 AS INT) AS tile_col,
+       |         CAST(l_suppkey % 4 AS INT) AS tile_row,
+       |         CAST(l_partkey % $TS AS INT) AS px,
+       |         CAST(l_linenumber % $TS AS INT) AS py,
+       |         CAST(SUM(l_quantity) AS DOUBLE) AS v
+       |  FROM lineitem GROUP BY 1, 2, 3, 4, 5)
+       |SELECT time, tile_col, tile_row, px, py, v FROM stpx
+       |WHERE time >= '1994-01' AND time <= '1994-12'
+       |  AND tile_col BETWEEN 1 AND 2 AND tile_row BETWEEN 1 AND 3""".stripMargin
+
   /** S9/K1: attribute-store round-trip — write the band-A layer, then
     * surface the PERSISTED `_attributes` sidecar histogram (not a live
     * aggregation) as rows. The oracle recomputes the same fixed-width
@@ -162,6 +206,7 @@ object MiscQueries {
     "c_catalog_roundtrip" -> (catalogRoundtrip, Some(catalogRoundtripSql)),
     "c_point_read" -> (pointRead, Some(pointReadSql)),
     "c_bbox_read" -> (bboxRead, Some(bboxReadSql)),
+    "c_spacetime_range" -> (spacetimeRange, Some(spacetimeRangeSql)),
     "c_attributes" -> (attributes, Some(attributesSql)),
     "m_media_features" -> (mediaFeatures, Some(mediaFeaturesSql)),
     "m_media_resize" -> (mediaResize, Some(mediaResizeSql)),

@@ -441,6 +441,25 @@ class LayerStoreSpec extends AnyFunSuite {
       s"bbox predicates must reach the scan:\n$plan")
   }
 
+  test("space-time range read prunes time partitions AND pushes the bbox to the scan") {
+    val store = freshStore()
+    val st = (for (t <- Seq("2024-01", "2024-02", "2024-03"); tc <- 0 to 1; px <- 0 until TS; py <- 0 until TS)
+      yield (t, tc, 0, px, py, t.substring(6).toDouble + px))
+      .toDF("time", "tile_col", "tile_row", "px", "py", "v")
+    val tiles = Seq("2024-01", "2024-02", "2024-03").map(t =>
+      Raster.assemble(st.where($"time" === t), TS, TS).withColumn("time", lit(t)))
+      .reduce(_ unionByName _)
+    store.writeSpaceTime(tiles, "str", 4, tileSize = TS)
+    val df = store.readSpaceTimeRange("str", 4, "2024-02", "2024-03", 1, 0, 1, 0)
+    assert(df.count() == 2) // tile (1,0) in feb and mar
+    val plan = df.queryExecution.executedPlan.toString
+    // time window prunes partition dirs; bbox reaches PushedFilters
+    assert(plan.contains("PartitionFilters") && plan.contains("time"),
+      s"time window must prune partitions:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(tile_col"),
+      s"bbox predicates must reach the scan:\n$plan")
+  }
+
   test("zooms listing, exists, delete") {
     val store = freshStore()
     store.write(tiles(0), "z", 1)
