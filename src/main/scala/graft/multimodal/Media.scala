@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
   * lossless, a SQL oracle can predict the decoded pixels from the same
   * formula without an image library, which is what lets the
   * m_media_features / m_media_resize gates hash-match over a real
-  * decode path. Video frame sampling remains a byte-chunking stand-in
-  * (no video codec in the JDK); its plumbing (schema, per-row fan-out)
-  * is the real shape.
+  * decode path. Audio decode is REAL too: javax.sound.sampled parses
+  * WAV containers and the m_audio_features gate hash-matches per-frame
+  * energies over decoded PCM (lossless, same oracle trick). Video
+  * frame sampling remains a byte-chunking stand-in (no video codec in
+  * the JDK); its plumbing (schema, per-row fan-out) is the real shape.
   *
   * Reference analog: the per-pixel features the SVM pipeline consumes
   * (`biggis-landuse` `UtilsML.scala:17-36`).
@@ -158,6 +160,113 @@ object Media {
         (r.doc_id, outW, outH, out.toSeq)
       }
     }.toDF("doc_id", "width", "height", "pixels")
+  }
+
+  // -------------------------------------------------------------------
+  // Audio: REAL WAV codec via javax.sound.sampled (JDK-only, like
+  // ImageIO above). PCM is lossless, so the oracle predicts decoded
+  // samples from the synthesis formula — same gate design as images.
+  // -------------------------------------------------------------------
+
+  case class AudioRow(doc_id: Long, audio: Array[Byte], media_type: String,
+                      sample_rate: Int)
+
+  /** Deterministic signed 16-bit sample `i` of the synthetic clip for
+    * document `docId` — the contract the SQL oracle replays. */
+  def synthSample(docId: Long, i: Long): Int =
+    (((docId * 7 + i * 13) % 65536) - 32768).toInt
+
+  /** Encode signed 16-bit mono PCM as a real WAV container through the
+    * JDK's audio writer. */
+  def encodeWav(samples: Array[Int], rateHz: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rateHz.toFloat, 16, 1, true, false) // PCM16 LE mono
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xFF).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode: the JDK parses the container (WAV/AIFF/AU) and
+    * hands back format + PCM frames; 16-bit signed mono is reassembled
+    * into exact sample values honoring the container's endianness.
+    * Returns (sampleRateHz, samples), or None for bytes no reader
+    * accepts or formats outside 16-bit mono PCM. */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Array[Int])] =
+    try {
+      import javax.sound.sampled._
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val f = ais.getFormat
+      if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+          f.getSampleSizeInBits != 16 || f.getChannels != 1) None
+      else {
+        val raw = ais.readAllBytes()
+        val n = raw.length / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) =
+            if (f.isBigEndian) (raw(2 * i) << 8) | (raw(2 * i + 1) & 0xFF)
+            else (raw(2 * i + 1) << 8) | (raw(2 * i) & 0xFF)
+          i += 1
+        }
+        Some((f.getSampleRate.toInt, out))
+      }
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Wrap a text table as an audio table with REAL WAV payloads:
+    * (len%512+64) samples following [[synthSample]], at a
+    * doc-dependent sample rate (8000 + (doc_id%8)*1000 Hz) so the gate
+    * also proves the decoder recovered the container's format fields,
+    * not just the payload. */
+  def audioFromDocuments(docs: DataFrame): Dataset[AudioRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), length(col("text")).cast("int").as("len"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, len) =>
+          val n = len % 512 + 64
+          val rate = 8000 + (id % 8).toInt * 1000
+          AudioRow(id, encodeWav(Array.tabulate(n)(i => synthSample(id, i.toLong)), rate),
+            "audio/wav", rate)
+        }
+      }
+  }
+
+  /** Per-frame mean-square energy over the REAL decoded samples: the
+    * clip splits into `nFrames` equal spans (sample i -> frame
+    * i*nFrames/n), energy = sum(s^2)/count as exact-integer-sum
+    * division so it is bit-deterministic. Executor-local, no shuffle;
+    * undecodable rows drop. */
+  def audioFrameEnergy(audio: Dataset[AudioRow], nFrames: Int): DataFrame = {
+    import audio.sparkSession.implicits._
+    audio.flatMap { r =>
+      decodeAudio(r.audio).map { case (rate, s) =>
+        val n = s.length
+        val sums = new Array[Long](nFrames)
+        val cnts = new Array[Long](nFrames)
+        var i = 0
+        while (i < n) {
+          val f = (i.toLong * nFrames / n).toInt
+          sums(f) += s(i).toLong * s(i)
+          cnts(f) += 1
+          i += 1
+        }
+        (r.doc_id, rate, n,
+          (0 until nFrames).map(f => if (cnts(f) == 0) 0.0 else sums(f).toDouble / cnts(f)))
+      }
+    }.toDF("doc_id", "rate_hz", "n_samples", "energy")
   }
 
   /** Frame sampling for "video" payloads: split the byte stream into

@@ -176,6 +176,33 @@ object MiscQueries {
       |       CAST((doc_id * 31 + ((r.i % 4) * w) // 4 + (((r.i // 4) * h) // 4) * w) % 256 AS INT) AS pix
       |FROM m, range(0, 16) r(i)""".stripMargin
 
+  /** Multimodal audio: per-document synthetic WAV payloads → REAL
+    * javax.sound.sampled decode → per-frame mean-square energy over the
+    * decoded PCM. The projected rate_hz/n_samples come from the DECODED
+    * container format, so the hash match proves the codec recovered the
+    * format fields and every sample exactly (PCM is lossless). */
+  val audioFeatures: Q = (s, dir) => {
+    val audio = graft.multimodal.Media.audioFromDocuments(table(s, dir, "documents"))
+    graft.multimodal.Media.audioFrameEnergy(audio, 8)
+      .select(col("doc_id"), col("rate_hz"), col("n_samples"),
+        posexplode(col("energy")).as(Seq("frame", "energy")))
+  }
+
+  val audioFeaturesSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         CAST(length(text) % 512 + 64 AS INT) AS n,
+      |         CAST(8000 + (doc_id % 8) * 1000 AS INT) AS rate_hz
+      |  FROM documents),
+      |ix AS (SELECT doc_id, n, rate_hz, unnest(range(0, n)) AS i FROM m),
+      |sm AS (
+      |  SELECT doc_id, n, rate_hz, i,
+      |         ((doc_id * 7 + i * 13) % 65536) - 32768 AS s
+      |  FROM ix)
+      |SELECT doc_id, rate_hz, n AS n_samples, CAST((i * 8) // n AS INT) AS frame,
+      |       CAST(SUM(s * s) AS DOUBLE) / COUNT(*) AS energy
+      |FROM sm GROUP BY 1, 2, 3, 4""".stripMargin
+
   /** M1-M4: OVA LinearSVC train/predict on embeddings → confusion
     * counts. No oracle (SGD boundary predictions are float-order
     * sensitive); gated rows-only + unit-tested accuracy floor. */
@@ -207,6 +234,7 @@ object MiscQueries {
     "c_point_read" -> (pointRead, Some(pointReadSql)),
     "c_bbox_read" -> (bboxRead, Some(bboxReadSql)),
     "c_spacetime_range" -> (spacetimeRange, Some(spacetimeRangeSql)),
+    "m_audio_features" -> (audioFeatures, Some(audioFeaturesSql)),
     "c_attributes" -> (attributes, Some(attributesSql)),
     "m_media_features" -> (mediaFeatures, Some(mediaFeaturesSql)),
     "m_media_resize" -> (mediaResize, Some(mediaResizeSql)),

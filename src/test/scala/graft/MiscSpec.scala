@@ -41,6 +41,21 @@ class MiscSpec extends AnyFunSuite {
     assert(Media.decodeGray("not an image at all".getBytes).isEmpty)
   }
 
+  test("multimodal: real WAV round-trip — decoded samples and format match the synth contract") {
+    import graft.multimodal.Media
+    val samples = Array.tabulate(200)(i => Media.synthSample(3L, i.toLong))
+    val wav = Media.encodeWav(samples, 11000)
+    // genuine RIFF/WAVE container
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val Some((rate, back)) = Media.decodeAudio(wav)
+    assert(rate == 11000)               // format recovered from the container
+    assert(back.toSeq == samples.toSeq) // PCM lossless round-trip
+    // garbage and non-audio bytes are rejected, not mis-decoded
+    assert(Media.decodeAudio("definitely not audio".getBytes).isEmpty)
+    assert(Media.decodeAudio(Media.encodeGray(4, 4, "png", _ => 1)).isEmpty)
+  }
+
   test("multimodal: frame sampling splits payload into n_frames chunks") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(5)
     val media = graft.multimodal.Media.mediaFromDocuments(docs)
