@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** S1/S2: minimal GeoTiff reader (SURVEY §2.1: "binary-file read +
   * minimal TIFF decode" — GeoTrellis's `hadoopGeoTiffRDD` is not
   * available offline). Supports the subset the reference's own sample
-  * data needs: II/MM byte order, strip or tile organization,
+  * data needs: II/MM byte order, classic AND BigTIFF (magic 43)
+  * headers, strip or tile organization,
   * uncompressed / LZW / Deflate / PackBits, 1 sample per pixel,
   * uint8-64 / int8-64 / float32/64, optional ModelPixelScale+Tiepoint
   * geo transform and GDAL_NODATA.
@@ -58,8 +59,33 @@ object GeoTiff {
       java.lang.Double.longBitsToDouble(v)
     }
 
-    val ifd = u32(4).toInt
-    val n = u16(ifd)
+    def u64(o: Int): Long = {
+      var v = 0L
+      if (le) { var i = 7; while (i >= 0) { v = (v << 8) | (bytes(o + i) & 0xFFL); i -= 1 } }
+      else { var i = 0; while (i < 8) { v = (v << 8) | (bytes(o + i) & 0xFFL); i += 1 } }
+      v
+    }
+
+    // BigTIFF (magic 43): 8-byte IFD offsets/counts, 20-byte entries
+    // with an 8-byte value/offset field, and LONG8 (type 16) counts —
+    // the format GDAL emits past 4 GiB. Classic TIFF is magic 42.
+    val magic = u16(2)
+    require(magic == 42 || magic == 43, s"not a TIFF (magic $magic)")
+    val bigTiff = magic == 43
+    val ifd = if (bigTiff) u64(8).toInt else u32(4).toInt
+    val n = if (bigTiff) u64(ifd).toInt else u16(ifd)
+    val entryBase = ifd + (if (bigTiff) 8 else 2)
+    val entrySize = if (bigTiff) 20 else 12
+    val inlineCap = if (bigTiff) 8 else 4
+    def typeSize(typ: Int): Int =
+      typ match { case 3 => 2; case 4 | 11 => 4; case 5 | 12 | 16 | 17 | 18 => 8; case _ => 1 }
+    /** Offset of an entry's payload: inline in the value field when it
+      * fits, else at the pointed-to location. */
+    def dataBase(o: Int, typ: Int, cnt: Int): Int = {
+      val valueField = o + (if (bigTiff) 12 else 8)
+      if (typeSize(typ) * cnt <= inlineCap) valueField
+      else (if (bigTiff) u64(valueField) else u32(valueField)).toInt
+    }
     var width = 0; var height = 0; var bits = 0; var compression = 1
     var sampleFormat = 1; var spp = 1; var rowsPerStrip = Int.MaxValue
     var stripOffsets: Array[Long] = Array.empty
@@ -74,13 +100,12 @@ object GeoTiff {
     var epsg: Option[Int] = None
 
     def values(o: Int, typ: Int, cnt: Int): Array[Long] = {
-      val size = typ match { case 3 => 2; case 4 => 4; case _ => 1 }
-      val inline = size * cnt <= 4
-      val base = if (inline) o + 8 else u32(o + 8).toInt
+      val base = dataBase(o, typ, cnt)
       (0 until cnt).map { i =>
         typ match {
           case 3 => u16(base + 2 * i).toLong
           case 4 => u32(base + 4 * i)
+          case 16 => u64(base + 8 * i)
           case _ => (bytes(base + i) & 0xFF).toLong
         }
       }.toArray
@@ -88,8 +113,9 @@ object GeoTiff {
 
     var i = 0
     while (i < n) {
-      val o = ifd + 2 + i * 12
-      val tag = u16(o); val typ = u16(o + 2); val cnt = u32(o + 4).toInt
+      val o = entryBase + i * entrySize
+      val tag = u16(o); val typ = u16(o + 2)
+      val cnt = (if (bigTiff) u64(o + 4) else u32(o + 4)).toInt
       tag match {
         case 256 => width = values(o, typ, cnt)(0).toInt
         case 257 => height = values(o, typ, cnt)(0).toInt
@@ -105,8 +131,8 @@ object GeoTiff {
         case 325 => tileCounts = values(o, typ, cnt)
         case 284 => planarConfig = values(o, typ, cnt)(0).toInt
         case 339 => sampleFormat = values(o, typ, cnt)(0).toInt
-        case 33550 => val b = u32(o + 8).toInt; pixScale = Some((f64(b), f64(b + 8)))
-        case 33922 => val b = u32(o + 8).toInt; tiePoint = Some((f64(b + 24), f64(b + 32)))
+        case 33550 => val b = dataBase(o, 12, cnt); pixScale = Some((f64(b), f64(b + 8)))
+        case 33922 => val b = dataBase(o, 12, cnt); tiePoint = Some((f64(b + 24), f64(b + 32)))
         case 34735 => // GeoKeyDirectory: header + 4-short key entries
           val ks = values(o, typ, cnt)
           // inline (TIFFTagLocation == 0) CRS keys, skipping 32767
@@ -118,7 +144,7 @@ object GeoTiff {
           }
           epsg = key(3072L).orElse(key(2048L))
         case 42113 =>
-          val b = u32(o + 8).toInt
+          val b = dataBase(o, typ, cnt) // inline-aware: short ASCII fits the value field
           val s = new String(bytes, b, cnt).takeWhile(_ != 0).trim
           noData = scala.util.Try(s.toDouble).toOption
         case _ => ()

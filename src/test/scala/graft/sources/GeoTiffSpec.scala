@@ -86,6 +86,49 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(r.cells.toSeq == pix.map(_.toDouble).toSeq)
   }
 
+  test("BigTIFF (magic 43): 8-byte offsets, 20-byte entries, LONG8 counts, geo tags") {
+    val w = 9; val h = 5
+    val nTags = 11
+    val ifdLen = 8 + nTags * 20 + 8
+    val scaleOff = 16 + ifdLen          // 3 doubles
+    val tieOff = scaleOff + 24          // 6 doubles
+    val dataOff = tieOff + 48
+    val bb = java.nio.ByteBuffer.allocate(dataOff + w * h * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(43)
+    bb.putShort(8).putShort(0).putLong(16) // offset size, pad, first IFD
+    bb.putLong(nTags)
+    def entry(tag: Int, typ: Int, cnt: Long, v: Long): Unit = {
+      bb.putShort(tag.toShort); bb.putShort(typ.toShort); bb.putLong(cnt); bb.putLong(v): Unit
+    }
+    entry(256, 16, 1, w)                // width as LONG8 — exercises type 16
+    entry(257, 4, 1, h)
+    entry(258, 3, 1, 64)
+    entry(259, 3, 1, 1)
+    entry(273, 16, 1, dataOff)
+    entry(277, 3, 1, 1)
+    entry(278, 3, 1, h)
+    entry(279, 16, 1, w.toLong * h * 8)
+    entry(339, 3, 1, 3)
+    entry(33550, 12, 3, scaleOff)
+    entry(33922, 12, 6, tieOff)
+    bb.putLong(0) // next IFD
+    bb.putDouble(0.5).putDouble(0.5).putDouble(0)
+    bb.putDouble(0).putDouble(0).putDouble(0).putDouble(100.0).putDouble(200.0).putDouble(0)
+    for (y <- 0 until h; x <- 0 until w) bb.putDouble(x * 10.0 + y)
+    val r = GeoTiff.decode(bb.array())
+    assert(r.meta.width == w && r.meta.height == h)
+    assert(r.meta.originX == 100.0 && r.meta.originY == 200.0 && r.meta.cellW == 0.5)
+    assert(r.cells.toSeq == (for (y <- 0 until h; x <- 0 until w) yield x * 10.0 + y))
+  }
+
+  test("non-TIFF magic is rejected with a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      GeoTiff.decode(Array[Byte]('I', 'I', 44, 0, 0, 0, 0, 0))
+    }
+    assert(e.getMessage.contains("magic"))
+  }
+
   /** Minimal little-endian float64 strip TIFF with a geo transform —
     * written from the format spec, for multi-scene fixtures. */
   def writeTif(path: String, w: Int, h: Int, origX: Double, origY: Double,
