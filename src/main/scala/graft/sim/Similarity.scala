@@ -208,6 +208,58 @@ object Similarity {
     Array.fill(m, k, sub)(math.rint((rnd.nextDouble() * 2 - 1) * 100) / 100)
   }
 
+  /** Train a PQ codebook with seeded per-subspace Lloyd k-means over a
+    * bounded deterministic sample (the FAISS practice: train the
+    * quantizer on a sample, encode the whole corpus with it). The
+    * sample is vec_id-ordered and capped at `sampleN` (driver-bounded
+    * by construction); the model is m*k*sub doubles. Like the IVF
+    * fit-at-runtime path, a trained codebook is float-order sensitive,
+    * so it is spec-checked for quality (reconstruction error / recall
+    * vs the literal codebook) while the seeded LITERAL codebook keeps
+    * the hash-matched oracle gate (s_ann_pq). */
+  def trainPqCodebook(vectors: DataFrame, m: Int, k: Int, iters: Int = 10,
+                      sampleN: Int = 4096, seed: Long = 42L): Array[Array[Array[Double]]] = {
+    val sample = vectors.sort(col("vec_id")).limit(sampleN)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty PQ training sample")
+    require(sample.length >= k, s"PQ training needs >= k=$k sample vectors, got ${sample.length}")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val rnd = new scala.util.Random(seed)
+    Array.tabulate(m) { mi =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
+      // seeded init: k sample rows without replacement
+      val cents = rnd.shuffle(subs.indices.toList).take(k).map(subs(_).clone).toArray
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k, sub)(0.0)
+        val cnt = new Array[Long](k)
+        subs.foreach { v =>
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var d = 0.0; var j = 0
+            while (j < sub) { val t = v(j) - cents(c)(j); d += t * t; j += 1 }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          var j = 0
+          while (j < sub) { sums(best)(j) += v(j); j += 1 }
+          cnt(best) += 1
+        }
+        var c = 0
+        while (c < k) {
+          if (cnt(c) > 0) { var j = 0; while (j < sub) { cents(c)(j) = sums(c)(j) / cnt(c); j += 1 } }
+          c += 1
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
   /** Encode vectors against a codebook: adds `pq_codes` (one 0-based
     * code per subspace — argmin of the monotone distance n2 - 2*dot,
     * first-k tie-break, each distance expression built exactly once via

@@ -171,4 +171,55 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Int, Double)].collect().toSet
     assert(viaIndex == gate, "index-probed PQ diverges from the inline gate query")
   }
+
+  test("trained PQ codebook beats the seeded literal codebook: quantization error and recall") {
+    val m = 8; val k = 8; val sub = 8
+    val literal = Similarity.seededPqCodebook(m, k, sub, graft.queries.SimQueries.PqSeed)
+    val trained = Similarity.trainPqCodebook(emb, m, k, iters = 10)
+    val vecs = emb.sort($"vec_id").select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+
+    def encode(v: Array[Double], cb: Array[Array[Array[Double]]]): Array[Int] =
+      Array.tabulate(m) { mi =>
+        (0 until k).minBy { c =>
+          var d = 0.0; var j = 0
+          while (j < sub) { val t = v(mi * sub + j) - cb(mi)(c)(j); d += t * t; j += 1 }
+          d
+        }
+      }
+    def mse(cb: Array[Array[Array[Double]]]): Double =
+      vecs.map { case (_, v) =>
+        val code = encode(v, cb)
+        (0 until m).map { mi =>
+          (0 until sub).map { j => val t = v(mi * sub + j) - cb(mi)(code(mi))(j); t * t }.sum
+        }.sum
+      }.sum / vecs.length
+    // k-means fits the data; the random literal codes do not
+    assert(mse(trained) < mse(literal),
+      f"trained MSE ${mse(trained)}%.4f must beat literal ${mse(literal)}%.4f")
+
+    // recall@10 of ADC ranking vs exact cosine, 8 queries
+    def l2(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    def cos(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum / (l2(a) * l2(b))
+    val queries = vecs.take(8)
+    def recall(cb: Array[Array[Array[Double]]]): Double = {
+      val codes = vecs.map { case (id, v) => (id, encode(v, cb), v) }
+      queries.map { case (qid, qv) =>
+        val exact = vecs.filter(_._1 != qid).sortBy { case (cid, cv) => (-cos(qv, cv), cid) }
+          .take(10).map(_._1).toSet
+        val approx = codes.filter(_._1 != qid).map { case (cid, code, _) =>
+          val recon = (0 until m).flatMap(mi => cb(mi)(code(mi)))
+          val adc = (0 until m).map { mi =>
+            (0 until sub).map(j => qv(mi * sub + j) * cb(mi)(code(mi))(j)).sum
+          }.sum / l2(recon.toArray)
+          (cid, adc)
+        }.sortBy { case (cid, s) => (-s, cid) }.take(10).map(_._1).toSet
+        (exact intersect approx).size / 10.0
+      }.sum / queries.length
+    }
+    val rT = recall(trained); val rL = recall(literal)
+    assert(rT >= rL, f"trained recall $rT%.2f must be >= literal $rL%.2f")
+    assert(rT > 0.2, f"trained recall $rT%.2f implausibly low")
+  }
 }
