@@ -465,6 +465,18 @@ object TextQueries {
         coalesce(col("dup_trigram_frac"), lit(0.0)).as("dup_trigram_frac"))
   }
 
+  /** The row-wise (stateless, streamable) twin of [[repetition]]: one
+    * O(len) kernel pass per doc, NO shuffle — the shape an ingest-time
+    * stream filter needs. Gated against the SAME oracle SQL as the
+    * batch explode+groupBy plan, so the two plans are proven
+    * interchangeable row-for-row. */
+  val repetitionRowwise: Q = (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"), TextOps.repetitionScores(col("toks")).as("r"))
+      .select(col("doc_id"),
+        col("r").getItem(0).as("top_bigram_frac"),
+        col("r").getItem(1).as("dup_trigram_frac"))
+
   val repetitionSql: String =
     s"""WITH $docsCte,
        |bgc AS (
@@ -563,6 +575,7 @@ object TextQueries {
     "t_minhash_sig" -> (minhashSig, Some(minhashSigSql)),
     "t_minhash_lsh" -> (minhashLsh, Some(minhashLshSql)),
     "t_repetition" -> (repetition, Some(repetitionSql)),
+    "t_repetition_rowwise" -> (repetitionRowwise, Some(repetitionSql)),
     "t_chunk_dedup" -> (chunkDedup, Some(chunkDedupSql)),
   )
 }

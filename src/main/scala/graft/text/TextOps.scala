@@ -63,6 +63,38 @@ object TextOps {
       i => concat_ws(" ", slice(ts, i * n + 1, lit(n))))
   }
 
+  /** Row-wise repetition kernel: ONE O(len) pass per document computing
+    * the Gopher-style quality pair [top-bigram fraction,
+    * duplicate-trigram fraction] — the stateless STREAMABLE twin of the
+    * batch explode+groupBy rollup (TextQueries.repetition): no shuffle,
+    * no state, so it drops into a readStream map for ingest-time
+    * filtering, and the batch gate t_repetition_rowwise hash-matches it
+    * against the SAME oracle as the batch plan. Docs with fewer than n
+    * tokens score 0.0 (the outer-join default of the batch form). JVM
+    * kernel rather than HOFs: per-row hash-map counting (HOF lambdas
+    * run interpreted; same measured trade as shingles3). */
+  def repetitionScores(toks: Column): Column = {
+    val f = udf((ts: Seq[String]) => {
+      def stats(n: Int): (Double, Double) = {
+        val total = ts.length - (n - 1)
+        if (total <= 0) (0.0, 0.0)
+        else {
+          val m = scala.collection.mutable.HashMap.empty[String, Int]
+          var i = 0
+          while (i <= ts.length - n) {
+            val g = ts.slice(i, i + n).mkString(" ")
+            m.update(g, m.getOrElse(g, 0) + 1)
+            i += 1
+          }
+          (m.valuesIterator.max.toDouble / total,
+            m.valuesIterator.filter(_ > 1).sum.toDouble / total)
+        }
+      }
+      Seq(stats(2)._1, stats(3)._2)
+    })
+    f(coalesce(toks, array()))
+  }
+
   /** Portable 60-bit hash: first 15 hex chars of md5, parsed base-16.
     * Chosen because both Spark (`conv`) and any ANSI-ish oracle engine
     * can reproduce it exactly; 60 bits keeps it positive in an int64. */

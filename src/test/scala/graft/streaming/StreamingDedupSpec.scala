@@ -61,4 +61,27 @@ class StreamingDedupSpec extends AnyFunSuite {
     // doc 1 keeps header+body; doc 2's header chunk is deduped away
     assert(perDoc == Map(1L -> 2L, 2L -> 1L))
   }
+
+  test("stream repetition filter: the row-wise kernel scores docs statelessly in-flight") {
+    // ingest-time quality filtering with TextOps.repetitionScores: a
+    // plain per-row expression — no watermark, no state store — whose
+    // batch twin (t_repetition_rowwise) hash-matches the SAME oracle
+    // as the batch explode+groupBy plan
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val scored = input.toDS().toDF("doc_id", "text")
+      .select($"doc_id",
+        graft.text.TextOps.repetitionScores(graft.text.TextOps.tokens($"text")).as("r"))
+      .select($"doc_id", $"r".getItem(0).as("top_bigram_frac"))
+    input.addData(
+      (1L, "spam spam spam spam spam"),  // 4/4 identical bigrams
+      (2L, "the quick brown fox jumps"), // all bigrams unique
+      (3L, "one"))                       // < 2 tokens -> 0.0
+    val q = scored.writeStream.format("memory").queryName("rep_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val byDoc = spark.table("rep_out").as[(Long, Double)].collect().toMap
+    assert(byDoc == Map(1L -> 1.0, 2L -> 0.25, 3L -> 0.0))
+  }
 }
