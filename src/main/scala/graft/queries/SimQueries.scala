@@ -16,12 +16,16 @@ object SimQueries {
   private val NQ = 8 // query vectors: vec_id < 8
   private val K = 3
 
-  private def dotSql(a: String, b: String): String =
-    s"""list_reduce(list_transform(range(1, 65),
+  private def dotSqlN(a: String, b: String, dim: Int): String =
+    s"""list_reduce(list_transform(range(1, ${dim + 1}),
        |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
 
-  private def cosSql(a: String, b: String): String =
-    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+  private def dotSql(a: String, b: String): String = dotSqlN(a, b, 64)
+
+  private def cosSqlN(a: String, b: String, dim: Int): String =
+    s"${dotSqlN(a, b, dim)} / (sqrt(${dotSqlN(a, a, dim)}) * sqrt(${dotSqlN(b, b, dim)}))"
+
+  private def cosSql(a: String, b: String): String = cosSqlN(a, b, 64)
 
   /** Brute-force cosine top-k: the exact ANN baseline. */
   val annBrute: Q = (s, dir) => {
@@ -41,6 +45,47 @@ object SimQueries {
        |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
        |  FROM scored)
        |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= $K""".stripMargin
+
+  /** Cross-modal composition: brute-force cosine ANN over feature
+    * vectors extracted from REALLY decoded image payloads (the
+    * image-embedding pipeline shape: binary media -> codec decode ->
+    * feature vector -> similarity search). The oracle predicts the
+    * decoded features end-to-end from the lossless-PNG pixel contract,
+    * so the hash match pins the whole chain, decode included.
+    * Zero-norm vectors are excluded on both sides (cosine undefined —
+    * and the engines disagree on 0/0: NaN vs NULL). */
+  val annMedia: Q = (s, dir) => {
+    val media = graft.multimodal.Media.mediaFromDocuments(table(s, dir, "documents"))
+    val feats = graft.multimodal.Media.extractFeatures(media)
+      .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+      .where(Similarity.norm2(col("embedding")) > 0)
+    Similarity.bruteForceTopK(feats.where(col("vec_id") < 4), feats, K)
+      .select(col("qid"), col("cid"), col("cos"), col("rank"))
+  }
+
+  val annMediaSql: String = {
+    val fd = graft.multimodal.Media.FeatureDim
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |         CAST(length(text) % 64 + 1 AS INT) AS w,
+       |         CAST(length(text) % 48 + 1 AS INT) AS h
+       |  FROM documents),
+       |f0 AS (
+       |  SELECT doc_id, list_transform(range(0, $fd),
+       |    j -> CAST(((doc_id * 31 + (j * 37) % (w * h)) % 256) / 256.0 AS REAL)) AS e
+       |  FROM m),
+       |f AS (SELECT * FROM f0 WHERE ${dotSqlN("e", "e", fd)} > 0),
+       |scored AS (
+       |  SELECT q.doc_id AS qid, c.doc_id AS cid,
+       |         ${cosSqlN("q.e", "c.e", fd)} AS cos
+       |  FROM f q JOIN f c ON c.doc_id <> q.doc_id
+       |  WHERE q.doc_id < 4),
+       |ranked AS (
+       |  SELECT qid, cid, cos,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
+       |  FROM scored)
+       |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= $K""".stripMargin
+  }
 
   private val KnnK = 5
 
@@ -627,6 +672,7 @@ object SimQueries {
 
   val all: Map[String, (Q, Option[String])] = Map(
     "s_ann_brute" -> (annBrute, Some(annBruteSql)),
+    "s_ann_media" -> (annMedia, Some(annMediaSql)),
     "m_knn_confusion" -> (knnConfusion, Some(knnConfusionSql)),
     "s_ann_lsh" -> (annLsh, Some(annLshSql)),
     "s_cosine_dedup" -> (cosineDedup, Some(cosineDedupSql)),

@@ -83,6 +83,77 @@ object TextQueries {
        |FROM sc""".stripMargin
   }
 
+  /** The composite KEEP/DROP stage a real training-data pipeline runs:
+    * length floor + quality blend + language-ID + repetition cap, each
+    * surfaced as its own verdict flag plus the combined `keep`. Every
+    * signal is computed map-side in ONE pass over the doc (the
+    * repetition signal uses the row-wise kernel, not the explode
+    * rollup), so the whole filter stage is embarrassingly parallel —
+    * zero Exchanges at any corpus size. Thresholds are illustrative;
+    * the point the gate proves is that the composed verdict matches a
+    * relational oracle bit-for-bit, so each signal's semantics are
+    * pinned where a filter bug would silently skew the corpus. */
+  val qualityFilter: Q = (s, dir) => {
+    val stop = Seq("the", "a", "of", "and", "to")
+    val stopCount = size(filter(col("toks"), t => stop.map(w => t === w).reduce(_ || _)))
+    val quality = when(size(col("toks")) > 0,
+      size(array_distinct(col("toks"))).cast("double") / size(col("toks")) * 0.6
+        + (lit(1.0) - stopCount.cast("double") / size(col("toks"))) * 0.4)
+      .otherwise(lit(0.0))
+    docs(s, dir).select(col("doc_id"),
+        size(col("toks")).as("n_tokens"), quality.as("quality"),
+        TextOps.langId(col("toks")).as("lang_pred"),
+        TextOps.repetitionScores(col("toks")).getItem(0).as("top_bigram_frac"))
+      .select(col("doc_id"),
+        (col("n_tokens") >= 5).as("len_ok"),
+        (col("quality") >= 0.5).as("quality_ok"),
+        (col("lang_pred") =!= "und").as("lang_ok"),
+        (col("top_bigram_frac") < 0.5).as("rep_ok"))
+      .withColumn("keep",
+        col("len_ok") && col("quality_ok") && col("lang_ok") && col("rep_ok"))
+  }
+
+  val qualityFilterSql: String = {
+    val scores = TextOps.langProfiles.map { case (lang, ws) =>
+      s"len(list_filter(toks, t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))) AS s_$lang"
+    }.mkString(",\n       |  ")
+    val langs = TextOps.langProfiles.map(_._1)
+    val best = s"GREATEST(${langs.map("s_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString("\n       |       ")
+    s"""WITH $docsCte,
+       |sc AS (SELECT doc_id,
+       |  $scores
+       |FROM docs),
+       |lp AS (SELECT doc_id,
+       |  CASE WHEN $best <= 0 THEN 'und'
+       |       $cases
+       |  END AS lang_pred
+       |FROM sc),
+       |bgc AS (
+       |  SELECT doc_id, g, COUNT(*) AS c FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i+1])) AS g FROM docs)
+       |  GROUP BY 1, 2),
+       |b AS (SELECT doc_id,
+       |        CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_bigram_frac
+       |      FROM bgc GROUP BY 1),
+       |q AS (SELECT doc_id, len(toks) AS n_tokens,
+       |        CASE WHEN len(toks) > 0 THEN
+       |          CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.6
+       |          + (1.0 - CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to'))) AS DOUBLE) / len(toks)) * 0.4
+       |        ELSE 0.0 END AS quality
+       |      FROM docs)
+       |SELECT q.doc_id,
+       |       q.n_tokens >= 5 AS len_ok,
+       |       q.quality >= 0.5 AS quality_ok,
+       |       lp.lang_pred <> 'und' AS lang_ok,
+       |       COALESCE(b.top_bigram_frac, 0.0) < 0.5 AS rep_ok,
+       |       (q.n_tokens >= 5 AND q.quality >= 0.5 AND lp.lang_pred <> 'und'
+       |        AND COALESCE(b.top_bigram_frac, 0.0) < 0.5) AS keep
+       |FROM q JOIN lp ON q.doc_id = lp.doc_id
+       |LEFT JOIN b ON q.doc_id = b.doc_id""".stripMargin
+  }
+
   /** Position-weighted fingerprint (rolling-hash style). */
   val fingerprint: Q = (s, dir) =>
     docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("toks")).as("fp"))
@@ -576,6 +647,7 @@ object TextQueries {
     "t_minhash_lsh" -> (minhashLsh, Some(minhashLshSql)),
     "t_repetition" -> (repetition, Some(repetitionSql)),
     "t_repetition_rowwise" -> (repetitionRowwise, Some(repetitionSql)),
+    "t_quality_filter" -> (qualityFilter, Some(qualityFilterSql)),
     "t_chunk_dedup" -> (chunkDedup, Some(chunkDedupSql)),
   )
 }
