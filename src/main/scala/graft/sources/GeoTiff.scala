@@ -7,7 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * available offline). Supports the subset the reference's own sample
   * data needs: II/MM byte order, classic AND BigTIFF (magic 43)
   * headers, strip or tile organization,
-  * uncompressed / LZW / Deflate / PackBits, 1 sample per pixel,
+  * uncompressed / LZW / Deflate / PackBits / JPEG (compression 7,
+  * 8-bit, JPEGTables splice), 1 sample per pixel,
   * uint8-64 / int8-64 / float32/64, optional ModelPixelScale+Tiepoint
   * geo transform and GDAL_NODATA.
   *
@@ -98,6 +99,7 @@ object GeoTiff {
     var tiePoint: Option[(Double, Double)] = None
     var planarConfig = 1
     var epsg: Option[Int] = None
+    var jpegTables: Option[Array[Byte]] = None
 
     def values(o: Int, typ: Int, cnt: Int): Array[Long] = {
       val base = dataBase(o, typ, cnt)
@@ -143,6 +145,9 @@ object GeoTiff {
             case k if ks(k) == id && ks(k + 1) == 0L && ks(k + 3) != 32767L => ks(k + 3).toInt
           }
           epsg = key(3072L).orElse(key(2048L))
+        case 347 => // JPEGTables: shared quant/Huffman tables for compression 7
+          val b = dataBase(o, typ, cnt)
+          jpegTables = Some(java.util.Arrays.copyOfRange(bytes, b, b + cnt))
         case 42113 =>
           val b = dataBase(o, typ, cnt) // inline-aware: short ASCII fits the value field
           val s = new String(bytes, b, cnt).takeWhile(_ != 0).trim
@@ -161,6 +166,37 @@ object GeoTiff {
       case 1 => data
       case 5 => lzwDecode(data)
       case 32773 => packBitsDecode(data)
+      case 7 => // new-style JPEG: each strip/tile is a JPEG stream, decoded
+        // by the JDK's codec (same ImageIO the multimodal path uses).
+        // A JPEGTables tag (347) carries shared quant/Huffman tables:
+        // splice its body between the strip's SOI and the scan data.
+        require(bits == 8, s"JPEG-in-TIFF supports 8-bit samples, got $bits")
+        val jpeg = jpegTables match {
+          case Some(t) if t.length > 4 && data.length > 2 =>
+            val merged = new java.io.ByteArrayOutputStream(t.length + data.length)
+            merged.write(data, 0, 2)             // SOI from the strip
+            merged.write(t, 2, t.length - 4)     // tables body (between SOI and EOI)
+            merged.write(data, 2, data.length - 2)
+            merged.toByteArray
+          case _ => data
+        }
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+        require(img != null, "undecodable JPEG strip/tile")
+        val r = img.getRaster
+        val (jw, jh, nb) = (img.getWidth, img.getHeight, r.getNumBands)
+        require(nb >= spp, s"JPEG strip has $nb bands, file declares $spp samples/pixel")
+        val px = new Array[Byte](jw * jh * spp)
+        var y = 0
+        while (y < jh) {
+          var x = 0
+          while (x < jw) {
+            var b = 0
+            while (b < spp) { px((x + y * jw) * spp + b) = r.getSample(x, y, b).toByte; b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        px
       case 8 | 32946 =>
         val inf = new java.util.zip.Inflater()
         inf.setInput(data)

@@ -122,6 +122,70 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(r.cells.toSeq == (for (y <- 0 until h; x <- 0 until w) yield x * 10.0 + y))
   }
 
+  /** One-strip 8-bit gray TIFF with compression 7 (new-style JPEG),
+    * optionally carrying a JPEGTables tag. */
+  def jpegTif(w: Int, h: Int, strip: Array[Byte], tables: Option[Array[Byte]]): Array[Byte] = {
+    val nTags = 9 + (if (tables.isDefined) 1 else 0)
+    val ifdLen = 2 + nTags * 12 + 4
+    val tablesOff = 8 + ifdLen
+    val dataOff = tablesOff + tables.map(_.length).getOrElse(0)
+    val bb = java.nio.ByteBuffer.allocate(dataOff + strip.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    bb.putShort(nTags.toShort)
+    def entry(tag: Int, typ: Int, cnt: Int, v: Long): Unit = {
+      bb.putShort(tag.toShort); bb.putShort(typ.toShort); bb.putInt(cnt); bb.putInt(v.toInt): Unit
+    }
+    entry(256, 3, 1, w); entry(257, 3, 1, h); entry(258, 3, 1, 8); entry(259, 3, 1, 7)
+    entry(273, 4, 1, dataOff); entry(277, 3, 1, 1); entry(278, 3, 1, h)
+    entry(279, 4, 1, strip.length); entry(339, 3, 1, 1)
+    tables.foreach(t => entry(347, 7, t.length, tablesOff))
+    bb.putInt(0)
+    tables.foreach(t => bb.put(t))
+    bb.put(strip)
+    bb.array()
+  }
+
+  test("JPEG-in-TIFF (compression 7): strips decode through the JDK codec") {
+    // gray gradient, JPEG-encoded by ImageIO — the TIFF decode must
+    // equal ImageIO's own decode of the same stream (JPEG is lossy, so
+    // the reference is the codec's output, not the source pattern)
+    val w = 32; val h = 16
+    val jpeg = graft.multimodal.Media.encodeGray(w, h, "jpg", i => (i * 7) % 256)
+    val expect = graft.multimodal.Media.decodeGray(jpeg).get._3
+    val r = GeoTiff.decode(jpegTif(w, h, jpeg, None))
+    assert(r.meta.width == w && r.meta.height == h)
+    assert(r.cells.toSeq == expect.map(_.toDouble).toSeq)
+  }
+
+  test("JPEG-in-TIFF with a JPEGTables tag: tables splice back into each strip") {
+    // split the stream the way TIFF writers do: DQT/DHT segments into
+    // the shared JPEGTables tag, everything else stays in the strip
+    val w = 24; val h = 8
+    val jpeg = graft.multimodal.Media.encodeGray(w, h, "jpg", i => (i * 13) % 256)
+    val expect = graft.multimodal.Media.decodeGray(jpeg).get._3
+    val tab = new java.io.ByteArrayOutputStream()
+    val rest = new java.io.ByteArrayOutputStream()
+    tab.write(0xFF); tab.write(0xD8); rest.write(0xFF); rest.write(0xD8)
+    var i = 2
+    var done = false
+    while (!done) {
+      assert((jpeg(i) & 0xFF) == 0xFF, "expected a JPEG marker")
+      val m = jpeg(i + 1) & 0xFF
+      if (m == 0xDA) { // SOS: entropy data through EOI stays in the strip
+        rest.write(jpeg, i, jpeg.length - i); done = true
+      } else {
+        val len = ((jpeg(i + 2) & 0xFF) << 8) | (jpeg(i + 3) & 0xFF)
+        val out = if (m == 0xDB || m == 0xC4) tab else rest // DQT / DHT
+        out.write(jpeg, i, 2 + len)
+        i += 2 + len
+      }
+    }
+    tab.write(0xFF); tab.write(0xD9)
+    val r = GeoTiff.decode(jpegTif(w, h, rest.toByteArray, Some(tab.toByteArray)))
+    assert(r.cells.toSeq == expect.map(_.toDouble).toSeq)
+  }
+
   test("non-TIFF magic is rejected with a clear error") {
     val e = intercept[IllegalArgumentException] {
       GeoTiff.decode(Array[Byte]('I', 'I', 44, 0, 0, 0, 0, 0))
