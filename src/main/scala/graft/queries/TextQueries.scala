@@ -497,6 +497,115 @@ object TextQueries {
        |FROM docs d
        |WHERE d.doc_id % 50 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
 
+  /** The capstone composition: the corpus-preparation pipeline a
+    * training-data team actually ships, as ONE query — quality filter
+    * (map-side kernel verdicts) → exact dedup (content-hash groups,
+    * keeper = min doc_id) → near-dup clusters (MinHash-LSH candidates
+    * + distributed connected components, keep cluster minima) →
+    * benchmark decontamination (band-key anti-join vs the holdout) →
+    * surviving (doc_id, lang, n_tokens) rows. Every stage reuses the
+    * operator already gated on its own (same functions, same
+    * thresholds), so this gate pins the COMPOSITION: stage wiring,
+    * survivor-set joins, column hygiene. Scale shape: band keys are
+    * computed ONCE over the corpus and reused for both near-dup
+    * pairing (filtered to exact-dedup survivors) and decontamination;
+    * nothing doc x doc; one CC loop over 8-byte ids. */
+  val corpusPrep: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val kept = qualityFilter(s, dir).where(col("keep")).select(col("doc_id"))
+    val s1 = table(s, dir, "documents").join(kept, Seq("doc_id"))
+      .groupBy(md5(col("text").cast("binary")).as("ch"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val sigs = d.select(col("doc_id"),
+      TextOps.minhashSignature(array_distinct(TextOps.shingles3(col("toks"))), K).as("sig"))
+    val bands = sigs.select(col("doc_id"),
+      posexplode(TextOps.bandKeys(col("sig"), 4, 4)).as(Seq("band", "key")))
+    val bands1 = bands.join(s1, Seq("doc_id"))
+    val pairs = bands1.select(col("band"), col("key"), col("doc_id").as("a"))
+      .join(bands1.select(col("band"), col("key"), col("doc_id").as("b")), Seq("band", "key"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val nonMin = TextOps.connectedComponents(pairs)
+      .where(col("node") =!= col("cluster")).select(col("node").as("doc_id"))
+    val s2 = s1.join(nonMin, Seq("doc_id"), "left_anti")
+    val hold = bands.where(col("doc_id") % 50 === 0)
+      .select(col("band"), col("key")).distinct()
+    val bad = bands.join(s2, Seq("doc_id")).where(col("doc_id") % 50 =!= 0)
+      .join(hold, Seq("band", "key")).select(col("doc_id")).distinct()
+    val s3 = s2.where(col("doc_id") % 50 =!= 0).join(bad, Seq("doc_id"), "left_anti")
+    table(s, dir, "documents").join(s3, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"))
+  }
+
+  val corpusPrepSql: String = {
+    val scores = TextOps.langProfiles.map { case (lang, ws) =>
+      s"len(list_filter(toks, t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))) AS s_$lang"
+    }.mkString(",\n       |  ")
+    val langs = TextOps.langProfiles.map(_._1)
+    val best = s"GREATEST(${langs.map("s_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString("\n       |       ")
+    s"""WITH RECURSIVE $docsCte,
+       |sc AS (SELECT doc_id, toks, $scores FROM docs),
+       |lp AS (SELECT doc_id, CASE WHEN $best <= 0 THEN 'und'
+       |       $cases
+       |  END AS lang_pred FROM sc),
+       |bgc AS (
+       |  SELECT doc_id, g, COUNT(*) AS c FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i+1])) AS g FROM docs)
+       |  GROUP BY 1, 2),
+       |bfrac AS (SELECT doc_id,
+       |        CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_bigram_frac
+       |      FROM bgc GROUP BY 1),
+       |q AS (SELECT doc_id, len(toks) AS n_tokens,
+       |        CASE WHEN len(toks) > 0 THEN
+       |          CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.6
+       |          + (1.0 - CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to'))) AS DOUBLE) / len(toks)) * 0.4
+       |        ELSE 0.0 END AS quality
+       |      FROM docs),
+       |kept AS (
+       |  SELECT q.doc_id FROM q
+       |  JOIN lp ON q.doc_id = lp.doc_id
+       |  LEFT JOIN bfrac ON q.doc_id = bfrac.doc_id
+       |  WHERE q.n_tokens >= 5 AND q.quality >= 0.5 AND lp.lang_pred <> 'und'
+       |    AND COALESCE(bfrac.top_bigram_frac, 0.0) < 0.5),
+       |ek AS (SELECT MIN(d.doc_id) AS doc_id
+       |       FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+       |       GROUP BY md5(d.text)),
+       |$sigsCte,
+       |bands AS (
+       |  SELECT doc_id, b.b AS band,
+       |         CAST(sig[b.b * 4 + 1] AS VARCHAR) || ',' || CAST(sig[b.b * 4 + 2] AS VARCHAR)
+       |           || ',' || CAST(sig[b.b * 4 + 3] AS VARCHAR) || ',' || CAST(sig[b.b * 4 + 4] AS VARCHAR) AS key
+       |  FROM sigs, range(0, 4) b(b)),
+       |b1 AS (SELECT bands.* FROM bands JOIN ek ON bands.doc_id = ek.doc_id),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM b1 x JOIN b1 y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |sym AS (SELECT a AS x, b AS y FROM cand UNION SELECT b, a FROM cand),
+       |r(x, y) AS (
+       |  SELECT x, y FROM sym
+       |  UNION
+       |  SELECT r.x, s.y FROM r JOIN sym s ON r.y = s.x),
+       |cc AS (SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster FROM r GROUP BY x),
+       |s2 AS (SELECT doc_id FROM ek
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE cluster <> doc_id)),
+       |hold AS (SELECT DISTINCT band, key FROM bands WHERE doc_id % 50 = 0),
+       |bad AS (
+       |  SELECT DISTINCT t.doc_id FROM bands t
+       |  JOIN s2 ON t.doc_id = s2.doc_id
+       |  JOIN hold h ON t.band = h.band AND t.key = h.key
+       |  WHERE t.doc_id % 50 <> 0),
+       |s3 AS (SELECT doc_id FROM s2
+       |       WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad))
+       |SELECT d.doc_id, dd.lang, CAST(len(d.toks) AS INT) AS n_tokens
+       |FROM docs d
+       |JOIN s3 ON d.doc_id = s3.doc_id
+       |JOIN documents dd ON dd.doc_id = d.doc_id""".stripMargin
+  }
+
   /** Gopher-style repetition signals (quality filtering): per doc, the
     * fraction of bigram occurrences taken by the single most frequent
     * bigram, and the fraction of trigram occurrences that are repeats
@@ -648,6 +757,7 @@ object TextQueries {
     "t_repetition" -> (repetition, Some(repetitionSql)),
     "t_repetition_rowwise" -> (repetitionRowwise, Some(repetitionSql)),
     "t_quality_filter" -> (qualityFilter, Some(qualityFilterSql)),
+    "t_corpus_prep" -> (corpusPrep, Some(corpusPrepSql)),
     "t_chunk_dedup" -> (chunkDedup, Some(chunkDedupSql)),
   )
 }
