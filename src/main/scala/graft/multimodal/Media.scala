@@ -68,36 +68,49 @@ object Media {
 
   /** REAL image decode: ImageIO reads whatever format the bytes carry
     * and the result is reduced to a row-major luminance plane —
-    * grayscale sources pass through exactly; RGB sources use the
-    * integer ITU-R 601 weights (r*299+g*587+b*114+500)/1000, rounding
-    * fixed so the result is bit-deterministic. Returns None for bytes
-    * no registered reader accepts (the undecodable-row contract). */
+    * 8-bit grayscale rasters pass through exactly, 16-bit grayscale is
+    * scaled to 8-bit (>>8), indexed-color images (GIF, paletted
+    * PNG/BMP) resolve through the palette via getRGB (raw raster
+    * samples there are LUT indices, not pixel values), and RGB sources
+    * use the integer ITU-R 601 weights (r*299+g*587+b*114+500)/1000 —
+    * rounding fixed so the result is bit-deterministic. Returns None
+    * for bytes no registered reader accepts OR that a reader chokes on
+    * mid-stream (plugin readers throw unchecked exceptions on corrupt
+    * headers — the undecodable-row contract must absorb those, not
+    * fail the task). */
   def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     try {
       Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
         val w = img.getWidth
         val h = img.getHeight
         val raster = img.getRaster
+        val indexed = img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
         val nb = raster.getNumBands
+        val grayShift = // 16-bit gray -> 8-bit
+          if (!indexed && nb < 3 && img.getColorModel.getComponentSize(0) > 8) 8 else 0
         val out = new Array[Int](w * h)
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
             out(y * w + x) =
-              if (nb >= 3) {
+              if (indexed) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+                (r * 299 + g * 587 + b * 114 + 500) / 1000
+              } else if (nb >= 3) {
                 val r = raster.getSample(x, y, 0)
                 val g = raster.getSample(x, y, 1)
                 val b = raster.getSample(x, y, 2)
                 (r * 299 + g * 587 + b * 114 + 500) / 1000
-              } else raster.getSample(x, y, 0)
+              } else raster.getSample(x, y, 0) >> grayShift
             x += 1
           }
           y += 1
         }
         (w, h, out)
       }
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Wrap a text table as a media table with REAL PNG payloads: per
     * document, a (len%64+1) x (len%48+1) grayscale image whose pixels
@@ -221,8 +234,10 @@ object Media {
         Some((f.getSampleRate.toInt, out))
       }
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
+      // UnsupportedAudioFileException, IOException, AND the unchecked
+      // exceptions container parsers throw on corrupt headers — a bad
+      // row must drop, not fail the task
+      case scala.util.control.NonFatal(_) => None
     }
 
   /** Wrap a text table as an audio table with REAL WAV payloads:

@@ -136,7 +136,6 @@ object MiscQueries {
     * round-trip (encode → PNG bytes → decode) recovered dimensions and
     * every sampled pixel exactly. */
   val mediaFeatures: Q = (s, dir) => {
-    import s.implicits._
     val media = graft.multimodal.Media
       .mediaFromDocuments(table(s, dir, "documents"))
     graft.multimodal.Media.extractFeatures(media)
@@ -159,7 +158,6 @@ object MiscQueries {
     * arithmetic on the synthPixel formula (lossless PNG ⇒ decoded
     * plane == formula). */
   val mediaResize: Q = (s, dir) => {
-    import s.implicits._
     val media = graft.multimodal.Media
       .mediaFromDocuments(table(s, dir, "documents"))
     graft.multimodal.Media.resize(media, 4, 4)

@@ -276,11 +276,21 @@ object TextOps {
     * unpersist it when done. */
   def connectedComponents(edges: org.apache.spark.sql.DataFrame,
                           maxIter: Int = 25): org.apache.spark.sql.DataFrame = {
+    // The RDD blocks behind a localCheckpoint are only reclaimed when
+    // the driver GCs the RDD reference (ContextCleaner); on a big graph
+    // with many rounds that lets O(rounds) full label-table copies pile
+    // up in executor storage. Free each superseded round's blocks
+    // explicitly by digging the checkpoint RDD out of the plan leaf.
+    def checkpointRdds(df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
     val sym = edges.select(col("a").as("x"), col("b").as("y"))
       .unionByName(edges.select(col("b").as("x"), col("a").as("y")))
       .distinct().cache()
     var labels = sym.select(col("x").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)
+    var prevRdds = checkpointRdds(labels)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -300,6 +310,8 @@ object TextOps {
           least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
         .localCheckpoint(true)
       changed = next.where(col("old") =!= col("label")).count()
+      prevRdds.foreach(_.unpersist(blocking = false)) // superseded round's blocks
+      prevRdds = checkpointRdds(next)
       labels = next.select(col("node"), col("label"))
       it += 1
     }

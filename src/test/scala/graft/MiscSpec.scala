@@ -35,8 +35,34 @@ class MiscSpec extends AnyFunSuite {
     val Some((w, h, px)) = Media.decodeGray(bmp)
     assert((w, h) == (7, 5))
     assert(px.toSeq == (0 until 35).map(i => (i * 11) % 256))
-    val gif = Media.encodeGray(3, 3, "gif", i => i * 20)
-    assert(Media.decodeGray(gif).map(t => (t._1, t._2)).contains((3, 3)))
+    // GIF decodes to an INDEXED image: raw raster samples are palette
+    // indices (verified below), so decodeGray must resolve through the
+    // palette. The JDK's GIF *writer* is itself lossy on small frames
+    // (drops pixel runs), so the reference here is ImageIO's own
+    // palette-resolved getRGB of the written bytes, not the encoder
+    // input — the property under test is index resolution, not the
+    // writer's fidelity.
+    // an RGB-sourced GIF gets a COMPACT palette (raster samples are
+    // LUT indices 0,1,2..., NOT pixel values) — the case the palette
+    // resolution exists for
+    val rgbImg = new java.awt.image.BufferedImage(3, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 3) {
+      val v = (y * 3 + x) * 20; rgbImg.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val gifBos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgbImg, "gif", gifBos)
+    val gif = gifBos.toByteArray
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    assert(img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel])
+    val viaRgb = for (y <- 0 until 3; x <- 0 until 3) yield {
+      val rgb = img.getRGB(x, y)
+      (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114 + 500) / 1000
+    }
+    val rawIdx = for (y <- 0 until 3; x <- 0 until 3) yield img.getRaster.getSample(x, y, 0)
+    assert(rawIdx != viaRgb, "fixture: raster samples should be LUT indices here")
+    val Some((gw, gh, gpx)) = Media.decodeGray(gif)
+    assert((gw, gh) == (3, 3))
+    assert(gpx.toSeq == viaRgb, "decodeGray must resolve the palette, not return indices")
     assert(Media.decodeGray(Array[Byte](1, 2, 3, 4)).isEmpty)
     assert(Media.decodeGray("not an image at all".getBytes).isEmpty)
   }
