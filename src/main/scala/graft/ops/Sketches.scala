@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Distinct-count sketches for cardinality at 100 TB.
+  *
+  * Exact `COUNT(DISTINCT key)` shuffles every distinct key to its
+  * group's reducer — at corpus scale (billions of URLs, shingles,
+  * tokens) the shuffle IS the cost. The K-minimum-values (KMV) sketch
+  * [Bar-Yossef et al. 2002; Beyer et al., "On Synopses for Distinct-
+  * Value Estimation Under Multiset Operations", SIGMOD'07] bounds the
+  * per-group state to the k smallest distinct hash values: uniform
+  * hashes split [0,1) into ~n equal gaps, so the k-th smallest value
+  * u_k estimates k/n and `(k-1)/u_k` is the unbiased cardinality
+  * estimate. Relative error ~ 1/sqrt(k-2) (k=64 → ~13%).
+  *
+  * Why KMV and not HyperLogLog here: "k smallest distinct values of a
+  * set" is ORDER-FREE and engine-portable — built on the shared
+  * [[graft.text.TextOps.h60]] portable hash, any ANSI engine reproduces
+  * the estimate bit-for-bit with a window query (the DuckDB oracle
+  * twin), which HLL's register layout does not allow. Same estimator
+  * family the reference exposes through its sketch module; here it is
+  * a Spark `Aggregator` with map-side partial combine: each partition
+  * keeps its own k-bounded sorted array and partials merge in O(k), so
+  * the shuffle carries k longs per group instead of n keys.
+  *
+  * The sketch is also a synopsis under set operations (SIGMOD'07):
+  * [[KmvSketch.union]] of two sketches equals the sketch of the union
+  * exactly, and [[KmvSketch.jaccard]]/[[KmvSketch.intersectionEstimate]]
+  * estimate overlap from the combined k-min set — distinct counts,
+  * overlap and containment for free at the cost of one pass per table.
+  */
+object Sketches {
+
+  /** 2^60 as an exact double — h60 values are uniform in [0, 2^60). */
+  val TwoPow60: Double = 1.152921504606846976e18
+
+  /** Cardinality estimate from a k-bounded sorted distinct-hash array:
+    * exact size when the set never filled (the sketch saw every
+    * distinct value), else (k-1) * 2^60 / h_(k). Written so the DuckDB
+    * twin can repeat the arithmetic: one int→double conversion per
+    * operand, one multiply, one divide — IEEE round-to-nearest makes
+    * both engines produce the same bits. */
+  def estimate(mins: Array[Long], k: Int): Double =
+    if (mins.length < k) mins.length.toDouble
+    else (k - 1).toDouble * TwoPow60 / mins(k - 1).toDouble
+
+  /** KMV distinct sketch over pre-hashed h60 values.
+    *
+    * Buffer = sorted array of at most k DISTINCT hashes (KMV needs set
+    * semantics: a duplicate hash is the same value seen again and must
+    * not occupy a slot). Insertion keeps the array sorted (binary
+    * search + memmove, k is small); merge is a sorted-merge keeping the
+    * k smallest distinct — both order-free, so the result is identical
+    * for any row order or partition split (AggregatorLawsSpec).
+    */
+  class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Double] {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+
+    def zero: Array[Long] = Array.emptyLongArray
+
+    def reduce(b: Array[Long], h: Long): Array[Long] = {
+      val pos = java.util.Arrays.binarySearch(b, h)
+      if (pos >= 0) return b // already present
+      val ins = -pos - 1
+      if (b.length < k) {
+        val out = new Array[Long](b.length + 1)
+        System.arraycopy(b, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(b, ins, out, ins + 1, b.length - ins)
+        out
+      } else if (ins < k) { // h < current max: max falls out
+        System.arraycopy(b, ins, b, ins + 1, k - ins - 1)
+        b(ins) = h
+        b
+      } else b
+    }
+
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length && (i < a.length || j < b.length)) {
+        val takeA = j >= b.length || (i < a.length && a(i) <= b(j))
+        val v = if (takeA) a(i) else b(j)
+        if (takeA) i += 1 else j += 1
+        if (i < a.length && a(i) == v) i += 1 // cross-array duplicate
+        if (j < b.length && b(j) == v) j += 1
+        out(o) = v
+        o += 1
+      }
+      if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+    }
+
+    def finish(b: Array[Long]): Double = estimate(b, k)
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** [[KmvDistinct]] as an untyped aggregate column over an h60 hash. */
+  def kmvDistinct(hash: Column, k: Int): Column =
+    udaf(new KmvDistinct(k), Encoders.scalaLong)(hash)
+
+  /** Raw-sketch variant (the k-min array itself, for set operations /
+    * persistence beside a layer like the histogram sidecars). */
+  class KmvSketchAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    private val inner = new KmvDistinct(k)
+    def zero: Array[Long] = inner.zero
+    def reduce(b: Array[Long], h: Long): Array[Long] = inner.reduce(b, h)
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  }
+
+  def kmvSketch(hash: Column, k: Int): Column =
+    udaf(new KmvSketchAgg(k), Encoders.scalaLong)(hash)
+
+  /** Driver-side set operations on materialized sketches. */
+  object KmvSketch {
+
+    /** Sketch of A ∪ B — EXACTLY the sketch that would be built from
+      * the concatenated inputs (merge is the aggregator's own). */
+    def union(a: Array[Long], b: Array[Long], k: Int): Array[Long] =
+      new KmvDistinct(k).merge(a.clone(), b)
+
+    /** Jaccard estimate: fraction of the union's k-min set present in
+      * both input sketches (the SIGMOD'07 ρ/k rule). */
+    def jaccard(a: Array[Long], b: Array[Long], k: Int): Double = {
+      val u = union(a, b, k)
+      if (u.isEmpty) return 0.0
+      val both = u.count(h =>
+        java.util.Arrays.binarySearch(a, h) >= 0 &&
+          java.util.Arrays.binarySearch(b, h) >= 0)
+      both.toDouble / u.length.toDouble
+    }
+
+    /** |A ∩ B| estimate = Jaccard * |A ∪ B| estimate. */
+    def intersectionEstimate(a: Array[Long], b: Array[Long], k: Int): Double =
+      jaccard(a, b, k) * estimate(union(a, b, k), k)
+  }
+}

@@ -423,7 +423,74 @@ object AdvancedQueries {
        |            THEN 1 ELSE 0 END AS new_session
        |FROM g""".stripMargin
 
+  /** KMV distinct-count sketch beside the exact answer: per returnflag,
+    * distinct parts and suppliers both exactly (the shuffle-heavy way)
+    * and through `ops.Sketches.KmvDistinct` (k=64 — per-group state is
+    * 64 longs REGARDLESS of cardinality; at 100 TB the exact columns
+    * are the ones you delete). Built on the portable h60 hash, so the
+    * oracle reproduces the estimate bit-for-bit with a window query —
+    * the sketch is gated, not just the plumbing. Parts (~200+ distinct)
+    * exercise the estimation branch, suppliers (10 at small SF) the
+    * exact-below-k branch. */
+  val kmvDistinct: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"),
+        graft.text.TextOps.h60(col("l_partkey").cast("string")).as("hp"),
+        graft.text.TextOps.h60(col("l_suppkey").cast("string")).as("hs"))
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        graft.ops.Sketches.kmvDistinct(col("hp"), 64).as("kmv_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        graft.ops.Sketches.kmvDistinct(col("hs"), 64).as("kmv_supps"))
+
+  private def kmvEstSql(keyExpr: String, alias: String): String =
+    s"""SELECT g, CASE WHEN MAX(nd) < 64 THEN CAST(MAX(nd) AS DOUBLE)
+       |            ELSE 63 * power(2.0, 60) /
+       |                 CAST(MAX(CASE WHEN rn = 64 THEN h END) AS DOUBLE) END AS $alias
+       |FROM (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn,
+       |             count(*) OVER (PARTITION BY g) AS nd
+       |      FROM (SELECT DISTINCT l_returnflag AS g,
+       |                   ${graft.text.TextOps.h60Sql(s"CAST($keyExpr AS VARCHAR)")} AS h
+       |            FROM lineitem))
+       |GROUP BY g""".stripMargin
+
+  val kmvDistinctSql: String =
+    s"""WITH sp AS (${kmvEstSql("l_partkey", "kmv_parts")}),
+       |ss AS (${kmvEstSql("l_suppkey", "kmv_supps")}),
+       |e AS (SELECT l_returnflag AS g,
+       |             COUNT(DISTINCT l_partkey) AS exact_parts,
+       |             COUNT(DISTINCT l_suppkey) AS exact_supps
+       |      FROM lineitem GROUP BY 1)
+       |SELECT e.g AS l_returnflag, e.exact_parts, sp.kmv_parts,
+       |       e.exact_supps, ss.kmv_supps
+       |FROM e JOIN sp ON e.g = sp.g JOIN ss ON e.g = ss.g""".stripMargin
+
+  /** Bloom-pruned semi-join: lineitem rows whose part is size-1 (a
+    * ~2% dim selection), aggregated per returnflag. The Bloom pass
+    * drops non-matching fact rows at the scan — before any exchange —
+    * and the exact broadcast semi-join removes false positives, so the
+    * result is bitwise the plain `WHERE l_partkey IN (...)` the oracle
+    * runs. At 100 TB this is the difference between shuffling the
+    * whole fact table and shuffling ~2% of it. */
+  val bloomJoin: Q = (s, dir) => {
+    val dim = table(s, dir, "part").where(col("p_size") === 1)
+    graft.ops.BloomJoin.prunedLeftSemi(
+        table(s, dir, "lineitem"), col("l_partkey"), dim, col("p_partkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"))
+  }
+
+  val bloomJoinSql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n_items,
+       |       ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
+       |GROUP BY 1""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_kmv_distinct" -> (kmvDistinct, Some(kmvDistinctSql)),
+    "a_bloom_join" -> (bloomJoin, Some(bloomJoinSql)),
     "a_range_frames" -> (rangeFrames, Some(rangeFramesSql)),
     "a_topk_per_group" -> (topkPerGroup, Some(topkPerGroupSql)),
     "a_quartiles" -> (quartiles, Some(quartilesSql)),

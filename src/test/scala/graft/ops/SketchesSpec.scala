@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase.spark
+import graft.text.TextOps
+
+class SketchesSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def sketchOf(values: Seq[Long], k: Int): Array[Long] = {
+    val a = new Sketches.KmvDistinct(k)
+    values.foldLeft(a.zero)((b, v) => a.reduce(b, v))
+  }
+
+  test("kmv: reduce keeps the k smallest DISTINCT hashes, sorted") {
+    val a = new Sketches.KmvDistinct(4)
+    val vals = Seq(50L, 10L, 50L, 30L, 20L, 40L, 10L, 5L)
+    val buf = vals.foldLeft(a.zero)((b, v) => a.reduce(b, v))
+    assert(buf.toSeq == Seq(5L, 10L, 20L, 30L))
+  }
+
+  test("kmv: merge law — any split/order gives the sketch of the whole") {
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(500)(rnd.nextLong() & Long.MaxValue)
+    val agg = new Sketches.KmvDistinct(16)
+    val whole = sketchOf(vals, 16).toSeq
+    for (seed <- 0 until 30) {
+      val r = new scala.util.Random(seed)
+      val shuffled = r.shuffle(vals)
+      val cut = 1 + r.nextInt(shuffled.length - 1)
+      val (l, rr) = shuffled.splitAt(cut)
+      val merged = agg.merge(sketchOf(l, 16), sketchOf(rr, 16))
+      assert(merged.toSeq == whole)
+    }
+  }
+
+  test("kmv: exact below k, estimate within expected band above") {
+    // below k: sketch IS the distinct set
+    val small = Seq(3L, 1L, 3L, 2L)
+    assert(Sketches.estimate(sketchOf(small, 8), 8) == 3.0)
+    // above k: hash real strings, expect ~1/sqrt(k-2) relative error
+    val n = 20000
+    val hashes = (0 until n).map(i => TextOps.hash60(s"key-$i"))
+    val est = Sketches.estimate(sketchOf(hashes.map(h => h: Long), 256), 256)
+    assert(math.abs(est - n) / n < 0.2, s"est $est for n=$n")
+  }
+
+  test("kmv: distributed aggregation equals driver-side fold") {
+    val vals = (0 until 5000).map(i => TextOps.hash60(s"v${i % 1234}"))
+    val viaSpark = vals.toDF("h").repartition(7)
+      .agg(Sketches.kmvDistinct(col("h"), 64)).head.getDouble(0)
+    val viaFold = Sketches.estimate(sketchOf(vals, 64), 64)
+    assert(viaSpark == viaFold)
+    // and the raw-sketch aggregator returns the same k-min set
+    val rawSpark = vals.toDF("h").repartition(5)
+      .agg(Sketches.kmvSketch(col("h"), 64)).head.getSeq[Long](0).toSeq
+    assert(rawSpark == sketchOf(vals, 64).toSeq)
+  }
+
+  test("kmv set ops: union is exact, jaccard/intersection track truth") {
+    val k = 256
+    val aVals = (0 until 4000).map(i => TextOps.hash60(s"a-$i"))
+    val shared = (0 until 2000).map(i => TextOps.hash60(s"s-$i"))
+    val bVals = (0 until 4000).map(i => TextOps.hash60(s"b-$i"))
+    val sa = sketchOf(aVals ++ shared, k)
+    val sb = sketchOf(bVals ++ shared, k)
+    assert(Sketches.KmvSketch.union(sa, sb, k).toSeq ==
+      sketchOf(aVals ++ shared ++ bVals, k).toSeq)
+    val j = Sketches.KmvSketch.jaccard(sa, sb, k) // truth: 2000/10000
+    assert(j > 0.1 && j < 0.3, s"jaccard $j")
+    val inter = Sketches.KmvSketch.intersectionEstimate(sa, sb, k)
+    assert(inter > 1000 && inter < 3000, s"intersection $inter")
+  }
+}
+
+class BloomJoinSpec extends AnyFunSuite {
+  import spark.implicits._
+  val sf = "/root/testdata/sf0.001"
+
+  test("bloom bits: no false negatives, measured FP rate near theory") {
+    val bits = new Array[Long](1 << 7) // 8192 bits
+    val members = (0 until 500).map(i => TextOps.hash60(s"m$i"))
+    members.foreach(h => BloomJoin.setHash(bits, h, 4))
+    assert(members.forall(h => BloomJoin.mightContain(bits, h, 4)))
+    val probes = (0 until 20000).map(i => TextOps.hash60(s"x$i"))
+    val fp = probes.count(h => BloomJoin.mightContain(bits, h, 4)).toDouble / probes.size
+    // ~16 bits/key, nh=4 -> theory ~0.24%; allow slack
+    assert(fp < 0.02, s"false-positive rate $fp")
+  }
+
+  test("bloom agg: bit-OR merge is order/partition free") {
+    val vals = (0 until 2000).map(i => TextOps.hash60(s"k$i"))
+    val agg = new BloomJoin.BloomBitsAgg(64, 4)
+    val one = vals.foldLeft(agg.zero)((b, h) => agg.reduce(b, h))
+    val viaSpark = vals.toDF("h").repartition(9)
+      .agg(udaf(agg, org.apache.spark.sql.Encoders.scalaLong)(col("h")))
+      .head.getSeq[Long](0).toSeq
+    assert(viaSpark == one.toSeq)
+  }
+
+  test("pruned semi-join equals plain semi-join on real tables") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dim = spark.read.parquet(s"$sf/part.parquet").where($"p_size" <= 5)
+    val pruned = BloomJoin.prunedLeftSemi(li, $"l_partkey", dim, $"p_partkey")
+      .select($"l_orderkey", $"l_linenumber").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val plain = li.join(dim, $"l_partkey" === $"p_partkey", "left_semi")
+      .select($"l_orderkey", $"l_linenumber").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(pruned == plain && plain.nonEmpty)
+  }
+
+  test("probe is a codegen filter below the exchange") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dim = spark.read.parquet(s"$sf/part.parquet").where($"p_size" === 1)
+    val df = BloomJoin.prunedLeftSemi(li, $"l_partkey", dim, $"p_partkey")
+      .groupBy($"l_returnflag").agg(count(lit(1)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), plan.take(2000))
+    // the probe must sit in a Filter directly over the fact scan,
+    // not above the join
+    val lines = plan.linesIterator.toSeq
+    val probeLine = lines.indexWhere(_.contains("bloom_might_contain"))
+    val joinLine = lines.indexWhere(_.contains("BroadcastHashJoin"))
+    assert(joinLine >= 0 && probeLine > joinLine, "probe should be below the join in the plan tree")
+  }
+}
