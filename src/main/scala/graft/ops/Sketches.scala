@@ -120,6 +120,52 @@ object Sketches {
   def kmvSketch(hash: Column, k: Int): Column =
     udaf(new KmvSketchAgg(k), Encoders.scalaLong)(hash)
 
+  /** Count-Min frequency sketch [Cormode & Muthukrishnan 2005]: d rows
+    * of w counters; item x increments cell (r, h_r(x)) in every row and
+    * its frequency estimate is the min over rows — always >= the true
+    * count, over by at most ~2N/w with probability 1-(1/2)^d. The
+    * entire matrix is one mergeable buffer (d*w longs, elementwise-sum
+    * merge — order-free), so token frequencies over 100 TB reduce to
+    * one fixed-size row per partition instead of a vocabulary-sized
+    * shuffle. Row hashes come from the portable h60 over "r:item", so
+    * an ANSI engine reproduces the matrix — and hence the estimates —
+    * exactly (the t_cms_heavy oracle). */
+  class CountMin(d: Int, w: Int)
+      extends Aggregator[String, Array[Long], Seq[Long]] {
+    def zero: Array[Long] = new Array[Long](d * w)
+    def reduce(b: Array[Long], item: String): Array[Long] = {
+      var r = 0
+      while (r < d) {
+        b(r * w + (graft.text.TextOps.hash60(s"$r:$item") % w).toInt) += 1L
+        r += 1
+      }
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
+  def countMin(item: Column, d: Int, w: Int): Column =
+    udaf(new CountMin(d, w), Encoders.STRING)(item)
+
+  /** Point estimate from a materialized CMS matrix. */
+  def cmsEstimate(matrix: IndexedSeq[Long], d: Int, w: Int, item: String): Long = {
+    var best = Long.MaxValue
+    var r = 0
+    while (r < d) {
+      val c = matrix(r * w + (graft.text.TextOps.hash60(s"$r:$item") % w).toInt)
+      if (c < best) best = c
+      r += 1
+    }
+    best
+  }
+
   /** Driver-side set operations on materialized sketches. */
   object KmvSketch {
 

@@ -461,6 +461,39 @@ object TextQueries {
        |SELECT ng, COUNT(*) AS df FROM ng GROUP BY 1
        |ORDER BY df DESC, ng LIMIT 20""".stripMargin
 
+  /** Heavy hitters through a Count-Min sketch, gated against the exact
+    * answer: one d x w mergeable matrix summarizes every token
+    * occurrence (at 100 TB: a 32 KB row per partition instead of a
+    * vocabulary shuffle), then the exact top-20 tokens are looked up in
+    * it. The oracle rebuilds the SAME matrix relationally — row hashes
+    * are portable h60 over "r:token" — so cms_est matches bitwise, not
+    * just approximately. exact_n <= cms_est is the sketch guarantee
+    * (no false negatives); the spec checks the error bound. */
+  val cmsHeavy: Q = (s, dir) => {
+    val (d, w) = (4, 1024)
+    val toks = docs(s, dir).select(explode(col("toks")).as("tok"))
+    val matrix = toks.agg(graft.ops.Sketches.countMin(col("tok"), d, w))
+      .head.getSeq[Long](0).toIndexedSeq
+    val est = udf((t: String) => graft.ops.Sketches.cmsEstimate(matrix, d, w, t))
+    toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok")).limit(20)
+      .withColumn("cms_est", est(col("tok")))
+  }
+
+  val cmsHeavySql: String =
+    s"""WITH $docsCte,
+       |tk AS (SELECT g.tok FROM docs, unnest(toks) g(tok)),
+       |cnt AS (SELECT tok, COUNT(*) AS exact_n FROM tk GROUP BY tok),
+       |top AS (SELECT tok, exact_n FROM cnt ORDER BY exact_n DESC, tok LIMIT 20),
+       |cms AS (SELECT d, ${TextOps.h60Sql("CAST(d AS VARCHAR) || ':' || tok")} % 1024 AS b,
+       |               COUNT(*) AS c
+       |        FROM tk, range(0, 4) ds(d) GROUP BY 1, 2)
+       |SELECT t.tok, t.exact_n, MIN(c.c) AS cms_est
+       |FROM top t, range(0, 4) ds(d)
+       |JOIN cms c ON c.d = ds.d
+       |  AND c.b = ${TextOps.h60Sql("CAST(ds.d AS VARCHAR) || ':' || t.tok")} % 1024
+       |GROUP BY 1, 2""".stripMargin
+
   /** Benchmark decontamination: drop training docs that share a MinHash
     * band key with any holdout doc (the standard "remove eval-set
     * near-matches from the training corpus" pass). Holdout here =
@@ -742,6 +775,7 @@ object TextQueries {
     "t_hash_split" -> (hashSplit, Some(hashSplitSql)),
     "t_tfidf" -> (tfidf, Some(tfidfSql)),
     "t_top_ngrams" -> (topNgrams, Some(topNgramsSql)),
+    "t_cms_heavy" -> (cmsHeavy, Some(cmsHeavySql)),
     "t_decontaminate" -> (decontaminate, Some(decontaminateSql)),
     "t_pattern_scan" -> (patternScan, Some(patternScanSql)),
     "t_bpe_tokens" -> (bpeCount, Some(bpeCountSql)),

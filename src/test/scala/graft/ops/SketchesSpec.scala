@@ -58,6 +58,33 @@ class SketchesSpec extends AnyFunSuite {
     assert(rawSpark == sketchOf(vals, 64).toSeq)
   }
 
+  test("cms: overestimates only, within the 2N/w bound, merge order-free") {
+    val (d, w) = (4, 256)
+    val rnd = new scala.util.Random(11)
+    // zipf-ish: token i appears ~ 2000/(i+1) times
+    val stream = (0 until 200).flatMap(i => Seq.fill(2000 / (i + 1))(s"tok$i"))
+    val shuffled = rnd.shuffle(stream)
+    val agg = new Sketches.CountMin(d, w)
+    val whole = shuffled.foldLeft(agg.zero)((b, t) => agg.reduce(b, t))
+    val exact = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val n = stream.size
+    exact.foreach { case (t, c) =>
+      val e = Sketches.cmsEstimate(whole.toIndexedSeq, d, w, t)
+      assert(e >= c, s"$t underestimated: $e < $c")
+      assert(e - c <= 2L * n / w + 1, s"$t over by ${e - c} (N=$n, w=$w)")
+    }
+    // split/merge law
+    val (l, r) = shuffled.splitAt(shuffled.length / 3)
+    val merged = agg.merge(
+      l.foldLeft(agg.zero)((b, t) => agg.reduce(b, t)),
+      r.foldLeft(agg.zero)((b, t) => agg.reduce(b, t)))
+    assert(merged.toSeq == whole.toSeq)
+    // distributed == driver fold
+    val viaSpark = shuffled.toDF("t").repartition(6)
+      .agg(Sketches.countMin(col("t"), d, w)).head.getSeq[Long](0)
+    assert(viaSpark == whole.toSeq)
+  }
+
   test("kmv set ops: union is exact, jaccard/intersection track truth") {
     val k = 256
     val aVals = (0 until 4000).map(i => TextOps.hash60(s"a-$i"))
