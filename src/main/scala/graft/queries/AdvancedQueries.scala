@@ -443,20 +443,20 @@ object AdvancedQueries {
         countDistinct(col("l_suppkey")).as("exact_supps"),
         graft.ops.Sketches.kmvDistinct(col("hs"), 64).as("kmv_supps"))
 
-  private def kmvEstSql(keyExpr: String, alias: String): String =
+  private def kmvEstSql(src: String, gExpr: String, keyExpr: String, alias: String): String =
     s"""SELECT g, CASE WHEN MAX(nd) < 64 THEN CAST(MAX(nd) AS DOUBLE)
        |            ELSE 63 * power(2.0, 60) /
        |                 CAST(MAX(CASE WHEN rn = 64 THEN h END) AS DOUBLE) END AS $alias
        |FROM (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn,
        |             count(*) OVER (PARTITION BY g) AS nd
-       |      FROM (SELECT DISTINCT l_returnflag AS g,
+       |      FROM (SELECT DISTINCT $gExpr AS g,
        |                   ${graft.text.TextOps.h60Sql(s"CAST($keyExpr AS VARCHAR)")} AS h
-       |            FROM lineitem))
+       |            FROM $src))
        |GROUP BY g""".stripMargin
 
   val kmvDistinctSql: String =
-    s"""WITH sp AS (${kmvEstSql("l_partkey", "kmv_parts")}),
-       |ss AS (${kmvEstSql("l_suppkey", "kmv_supps")}),
+    s"""WITH sp AS (${kmvEstSql("lineitem", "l_returnflag", "l_partkey", "kmv_parts")}),
+       |ss AS (${kmvEstSql("lineitem", "l_returnflag", "l_suppkey", "kmv_supps")}),
        |e AS (SELECT l_returnflag AS g,
        |             COUNT(DISTINCT l_partkey) AS exact_parts,
        |             COUNT(DISTINCT l_suppkey) AS exact_supps
@@ -464,6 +464,34 @@ object AdvancedQueries {
        |SELECT e.g AS l_returnflag, e.exact_parts, sp.kmv_parts,
        |       e.exact_supps, ss.kmv_supps
        |FROM e JOIN sp ON e.g = sp.g JOIN ss ON e.g = ss.g""".stripMargin
+
+  /** KMV composed with event-time windows: distinct users per 5-minute
+    * tumbling window, exact beside the sketch. The streaming shape of
+    * "unique visitors per window" — the same Aggregator runs unchanged
+    * under a `groupBy(window(...))` in Structured Streaming (the
+    * SketchesSpec streaming test), and per-window state is k longs
+    * instead of a user set, which is what makes a 100 TB-a-day stream
+    * aggregation hold. */
+  val kmvWindow: Q = (s, dir) =>
+    events(s, dir)
+      .select(window(col("ts"), "5 minutes").as("w"),
+        col("user_id"),
+        graft.text.TextOps.h60(col("user_id").cast("string")).as("h"))
+      .groupBy(col("w"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        graft.ops.Sketches.kmvDistinct(col("h"), 64).as("kmv_users"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+        col("exact_users"), col("kmv_users"))
+
+  val kmvWindowSql: String =
+    s"""WITH $eventsCte,
+       |wi AS (SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS win_start,
+       |              user_id FROM evts),
+       |sk AS (${kmvEstSql("wi", "win_start", "user_id", "kmv_users")}),
+       |e AS (SELECT win_start AS g, COUNT(DISTINCT user_id) AS exact_users
+       |      FROM wi GROUP BY 1)
+       |SELECT e.g AS win_start, e.exact_users, sk.kmv_users
+       |FROM e JOIN sk ON e.g = sk.g""".stripMargin
 
   /** Bloom-pruned semi-join: lineitem rows whose part is size-1 (a
     * ~2% dim selection), aggregated per returnflag. The Bloom pass
@@ -491,6 +519,7 @@ object AdvancedQueries {
   val all: Map[String, (Q, Option[String])] = Map(
     "a_kmv_distinct" -> (kmvDistinct, Some(kmvDistinctSql)),
     "a_bloom_join" -> (bloomJoin, Some(bloomJoinSql)),
+    "a_kmv_window" -> (kmvWindow, Some(kmvWindowSql)),
     "a_range_frames" -> (rangeFrames, Some(rangeFramesSql)),
     "a_topk_per_group" -> (topkPerGroup, Some(topkPerGroupSql)),
     "a_quartiles" -> (quartiles, Some(quartilesSql)),

@@ -85,6 +85,41 @@ class SketchesSpec extends AnyFunSuite {
     assert(viaSpark == whole.toSeq)
   }
 
+  test("kmv: same aggregator runs in a streaming windowed aggregation") {
+    // the a_kmv_window shape under Structured Streaming: per-window
+    // distinct-user sketches with k longs of state per window, and the
+    // streaming answer equals the batch answer on the same rows
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = (0 until 300).map(i =>
+      (t(f"2024-01-01 00:${i / 60 % 5}%02d:${i % 60}%02d"), (i % 97).toLong))
+    val agged = input.toDS().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .select(window(col("ts"), "5 minutes").as("w"),
+        TextOps.h60(col("user_id").cast("string")).as("h"))
+      .groupBy(col("w"))
+      .agg(Sketches.kmvDistinct(col("h"), 64).as("kmv_users"))
+    input.addData(rows: _*)
+    val q = agged.writeStream.format("memory").queryName("kmv_stream_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("kmv_stream_out")
+      .select(col("w.start").cast("long"), col("kmv_users"))
+      .as[(Long, Double)].collect().toMap
+    val batch = rows.toDF("ts", "user_id")
+      .select(window(col("ts"), "5 minutes").as("w"),
+        TextOps.h60(col("user_id").cast("string")).as("h"))
+      .groupBy(col("w"))
+      .agg(Sketches.kmvDistinct(col("h"), 64).as("kmv_users"))
+      .select(col("w.start").cast("long"), col("kmv_users"))
+      .as[(Long, Double)].collect().toMap
+    assert(streamed == batch && batch.nonEmpty)
+    // 97 distinct users > k=64: every window is in the estimation branch
+    assert(batch.values.forall(v => v > 50 && v < 200))
+  }
+
   test("kmv set ops: union is exact, jaccard/intersection track truth") {
     val k = 256
     val aVals = (0 until 4000).map(i => TextOps.hash60(s"a-$i"))
