@@ -127,6 +127,31 @@ class LayerStore(spark: SparkSession, val root: String,
   def currentVersion(name: String, zoom: Int): Option[String] =
     currentPtr(name, zoom).map(_._2)
 
+  /** Retained (sequence, version-dir) pairs, oldest first — the
+    * time-travel listing. Every entry is readable via [[readVersion]]
+    * until [[retainVersions]] newer publishes GC it. A pointer whose
+    * file vanishes mid-listing (publish-time GC race) is simply
+    * omitted: it was already outside the retention window. */
+  def publishedVersions(name: String, zoom: Int): Seq[(Long, String)] =
+    pointerEntries(name, zoom).sortBy(_._1).flatMap { case (s, p) =>
+      try Some((s, new String(Files.readAllBytes(p), "UTF-8").trim))
+      catch { case _: java.io.IOException => None }
+    }
+
+  /** Snapshot read pinned at publish sequence `seq` (time travel, the
+    * reference's layer-history read within our retention window —
+    * Delta/Iceberg "VERSION AS OF"). Same pruned-scan path as [[read]];
+    * sequences older than the retention window raise NoSuchElementException
+    * with the surviving range, they are never silently remapped. */
+  def readVersion(name: String, zoom: Int, seq: Long): DataFrame = {
+    val retained = publishedVersions(name, zoom)
+    val v = retained.collectFirst { case (`seq`, dir) => dir }.getOrElse(
+      throw new NoSuchElementException(
+        s"layer ($name, $zoom) has no retained sequence $seq; " +
+          s"retained: ${retained.map(_._1).mkString("[", ", ", "]")}"))
+    readPath(s"${zoomDir(name, zoom)}/$v")
+  }
+
   /** Resolves to the LIVE version dir only. An unpublished layer maps
     * to a non-existent path (clean "path does not exist" error) rather
     * than the zoom dir itself — falling back to the zoom dir would make
@@ -374,8 +399,12 @@ class LayerStore(spark: SparkSession, val root: String,
     * pinned to the resolved version dir: it stays valid across ONE
     * subsequent merge/write (previous version retained), giving readers
     * a point-in-time snapshot instead of a mid-swap mixture. */
-  def read(name: String, zoom: Int): DataFrame = {
-    val path = dataPath(name, zoom)
+  def read(name: String, zoom: Int): DataFrame =
+    readPath(dataPath(name, zoom))
+
+  /** Sidecar-schema'd parquet read of one version dir (shared by the
+    * live [[read]] and the pinned [[readVersion]]). */
+  private def readPath(path: String): DataFrame = {
     val schema = {
       val f = Paths.get(s"$path/_attributes.json")
       if (Files.exists(f))

@@ -29,6 +29,38 @@ object MiscQueries {
     s"""WITH $pxCte
        |SELECT tile_col, tile_row, px, py, v FROM pxa""".stripMargin
 
+  /** Time travel: write band A (sequence 1), merge a masked band-B
+    * overlay (sequence 2), then read BOTH retained sequences back
+    * pinned by `readVersion` — history must be byte-stable, so the
+    * oracle states each snapshot relationally (seq 1 = the original
+    * band, seq 2 = the cell-wise incoming-wins merge, same CASE as the
+    * r_merge_upsert oracle). The "VERSION AS OF" read every warehouse
+    * catalog owes its users, over the fenced pointer-sequence store. */
+  val timeTravel: Q = (s, dir) => {
+    val store = new graft.catalog.LayerStore(s, tmpCatalog(dir) + "_tt")
+    val existing = tilesA(s, dir)
+    val incoming = tilesA(s, dir).withColumnRenamed("cells", "qa")
+      .join(tilesB(s, dir), Seq("tile_col", "tile_row"))
+      .where(col("tile_col") < 2)
+      .select(col("tile_col"), col("tile_row"),
+        graft.ops.Raster.maskCells(col("cells"), col("qa"), 1L).as("cells"))
+    store.write(existing, "band_tt", 9)
+    store.merge(incoming, "band_tt", 9)
+    val seqs = store.publishedVersions("band_tt", 9).map(_._1)
+    seqs.map(q => graft.ops.Raster
+        .pixelize(store.readVersion("band_tt", 9, q), TS)
+        .withColumn("seq", lit(q)))
+      .reduce(_ unionByName _)
+  }
+
+  val timeTravelSql: String =
+    s"""WITH $pxCte
+       |SELECT CAST(1 AS BIGINT) AS seq, tile_col, tile_row, px, py, v FROM pxa
+       |UNION ALL
+       |SELECT 2, tile_col, tile_row, px, py,
+       |       CASE WHEN tile_col < 2 AND (CAST(va AS BIGINT) & 1) = 0 THEN vb ELSE va END
+       |FROM pxk""".stripMargin
+
   /** S10: point read of one tile after a catalog write (the tile-server
     * path, ServeLayerAsMap.scala:33,111). */
   val pointRead: Q = (s, dir) => {
@@ -230,6 +262,7 @@ object MiscQueries {
     "m_stratified_split" -> (stratifiedSplit, Some(stratifiedSplitSql)),
     "c_catalog_roundtrip" -> (catalogRoundtrip, Some(catalogRoundtripSql)),
     "c_point_read" -> (pointRead, Some(pointReadSql)),
+    "c_time_travel" -> (timeTravel, Some(timeTravelSql)),
     "c_bbox_read" -> (bboxRead, Some(bboxReadSql)),
     "c_spacetime_range" -> (spacetimeRange, Some(spacetimeRangeSql)),
     "m_audio_features" -> (audioFeatures, Some(audioFeaturesSql)),

@@ -81,6 +81,30 @@ class LayerStoreSpec extends AnyFunSuite {
     assert(versions.length == 2, s"expected current+previous, got ${versions.mkString(",")}")
   }
 
+  test("time travel: readVersion pins any retained sequence, GC'd ones fail loudly") {
+    val store = new LayerStore(spark, java.nio.file.Files.createTempDirectory("graft_store").toString,
+      retainVersions = 3)
+    store.write(tiles(0), "tt", 2)    // seq 1
+    store.merge(tiles(100), "tt", 2)  // seq 2
+    store.merge(tiles(200), "tt", 2)  // seq 3
+    val seqs = store.publishedVersions("tt", 2).map(_._1)
+    assert(seqs == Seq(1L, 2L, 3L))
+    // each retained sequence reads its own point-in-time content
+    def maxCell(df: org.apache.spark.sql.DataFrame) =
+      df.select(max(array_max($"cells"))).head().getDouble(0)
+    assert(maxCell(store.readVersion("tt", 2, 1)) < 100.0)
+    assert(maxCell(store.readVersion("tt", 2, 2)) == 100.0 + 2 * (TS - 1))
+    assert(maxCell(store.readVersion("tt", 2, 3)) == 200.0 + 2 * (TS - 1))
+    // live read == newest retained sequence
+    assert(maxCell(store.read("tt", 2)) == maxCell(store.readVersion("tt", 2, 3)))
+    // one more publish slides the window: seq 1 is GC'd and must not
+    // be silently remapped to some surviving version
+    store.merge(tiles(300), "tt", 2)  // seq 4 -> retained {2,3,4}
+    assert(store.publishedVersions("tt", 2).map(_._1) == Seq(2L, 3L, 4L))
+    val e = intercept[NoSuchElementException](store.readVersion("tt", 2, 1))
+    assert(e.getMessage.contains("no retained sequence 1"))
+  }
+
   test("crash-orphaned version dirs are never read and are GC'd by the next publish") {
     val store = freshStore()
     store.write(tiles(0), "o", 1)
