@@ -79,38 +79,41 @@ object Media {
     * headers — the undecodable-row contract must absorb those, not
     * fail the task). */
   def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
-    try {
-      Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
-        val w = img.getWidth
-        val h = img.getHeight
-        val raster = img.getRaster
-        val indexed = img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
-        val nb = raster.getNumBands
-        val grayShift = // 16-bit gray -> 8-bit
-          if (!indexed && nb < 3 && img.getColorModel.getComponentSize(0) > 8) 8 else 0
-        val out = new Array[Int](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            out(y * w + x) =
-              if (indexed) {
-                val rgb = img.getRGB(x, y)
-                val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
-                (r * 299 + g * 587 + b * 114 + 500) / 1000
-              } else if (nb >= 3) {
-                val r = raster.getSample(x, y, 0)
-                val g = raster.getSample(x, y, 1)
-                val b = raster.getSample(x, y, 2)
-                (r * 299 + g * 587 + b * 114 + 500) / 1000
-              } else raster.getSample(x, y, 0) >> grayShift
-            x += 1
-          }
-          y += 1
-        }
-        (w, h, out)
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes))).map(grayPlane)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The luminance-plane reduction shared by single-image and
+    * multi-frame decode (see [[decodeGray]] for the per-kind rules). */
+  private def grayPlane(img: BufferedImage): (Int, Int, Array[Int]) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val indexed = img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
+    val nb = raster.getNumBands
+    val grayShift = // 16-bit gray -> 8-bit
+      if (!indexed && nb < 3 && img.getColorModel.getComponentSize(0) > 8) 8 else 0
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(y * w + x) =
+          if (indexed) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+            (r * 299 + g * 587 + b * 114 + 500) / 1000
+          } else if (nb >= 3) {
+            val r = raster.getSample(x, y, 0)
+            val g = raster.getSample(x, y, 1)
+            val b = raster.getSample(x, y, 2)
+            (r * 299 + g * 587 + b * 114 + 500) / 1000
+          } else raster.getSample(x, y, 0) >> grayShift
+        x += 1
       }
-    } catch { case scala.util.control.NonFatal(_) => None }
+      y += 1
+    }
+    (w, h, out)
+  }
 
   /** Wrap a text table as a media table with REAL PNG payloads: per
     * document, a (len%64+1) x (len%48+1) grayscale image whose pixels
@@ -288,7 +291,8 @@ object Media {
     * n_frames equal chunks and keep every k-th chunk (plumbing twin of
     * ffmpeg frame extraction — the JDK has no video codec, so the
     * chunks are raw bytes, not decoded frames; schema and fan-out are
-    * the real shape). */
+    * the real shape). For a REAL multi-frame container path, see
+    * [[encodeGifAnim]] / [[decodeGrayFrames]] / [[sampleDecodedFrames]]. */
   def sampleFrames(media: Dataset[MediaRow], everyK: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
@@ -299,5 +303,125 @@ object Media {
         (r.doc_id, f, if (from < r.media.length) r.media.slice(from, until) else Array.empty[Byte])
       }
     }.toDF("doc_id", "frame", "frame_bytes")
+  }
+
+  // -------------------------------------------------------------------
+  // Multi-frame media: REAL animated-GIF container. The JDK ships no
+  // video codec, but its GIF READER handles multi-image streams — so
+  // the closest honest stand-in for frame extraction is an animated
+  // GIF: a real container with N indexed frames, decoded frame-by-frame
+  // through ImageIO. The WRITER below is ours (the JDK's GIF writer
+  // was measured mangling small grayscale frames — see MiscSpec):
+  // GIF89a, one global identity-gray palette, and literal LZW (clear
+  // codes every <=253 literals keep the stream at 9 bits — the
+  // standard "uncompressed GIF" construction). Identity palette +
+  // literal codes make the container lossless, so the SQL oracle can
+  // predict every decoded pixel — the same trick the PNG and WAV gates
+  // use.
+  // -------------------------------------------------------------------
+
+  /** Deterministic pixel `i` of frame `frame` for document `docId` —
+    * the contract the frame-sampling oracle replays. */
+  def synthFramePixel(docId: Long, frame: Int, i: Long): Int =
+    ((docId * 31 + frame * 97 + i) % 256).toInt
+
+  /** Encode w x h 8-bit grayscale planes as one animated GIF89a. */
+  def encodeGifAnim(w: Int, h: Int, frames: Seq[Int => Int]): Array[Byte] = {
+    require(frames.nonEmpty, "animated GIF needs at least one frame")
+    val out = new ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(w); u16(h)
+    out.write(0xF7); out.write(0); out.write(0) // GCT: 256 entries; bg 0; aspect 0
+    var c = 0
+    while (c < 256) { out.write(c); out.write(c); out.write(c); c += 1 } // identity gray
+    frames.foreach { pix =>
+      out.write(0x21); out.write(0xF9); out.write(4) // graphic control ext
+      out.write(0); u16(4); out.write(0); out.write(0) // no disposal, 40ms, no transp
+      out.write(0x2C); u16(0); u16(0); u16(w); u16(h); out.write(0) // full-frame desc, no LCT
+      out.write(8) // LZW min code size -> 9-bit codes; clear=256, EOI=257
+      val data = new ByteArrayOutputStream()
+      var acc = 0L; var nbits = 0
+      def put(code: Int): Unit = {
+        acc |= (code.toLong << nbits); nbits += 9
+        while (nbits >= 8) { data.write((acc & 0xFF).toInt); acc >>= 8; nbits -= 8 }
+      }
+      put(256)
+      var sinceClear = 0
+      var i = 0
+      val total = w * h
+      while (i < total) {
+        put(pix(i) & 0xFF); i += 1; sinceClear += 1
+        // the decoder adds a table entry per literal after the first;
+        // clear before entry 512 would widen the codes past 9 bits
+        if (sinceClear == 253 && i < total) { put(256); sinceClear = 0 }
+      }
+      put(257)
+      if (nbits > 0) data.write((acc & 0xFF).toInt)
+      val bytes = data.toByteArray
+      var off = 0
+      while (off < bytes.length) { // 255-byte sub-blocks
+        val len = math.min(255, bytes.length - off)
+        out.write(len); out.write(bytes, off, len); off += len
+      }
+      out.write(0) // image-data terminator
+    }
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** REAL multi-frame decode: every image in the container through the
+    * JDK reader, each reduced to a luminance plane (palette-resolved,
+    * like [[decodeGray]]). None for undecodable bytes — same contract. */
+  def decodeGrayFrames(bytes: Array[Byte]): Option[Vector[(Int, Int, Array[Int])]] =
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          Some((0 until n).map(i => grayPlane(reader.read(i))).toVector)
+        } finally reader.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Wrap a text table as an animated-media table with REAL GIF
+    * payloads: (len%16+2) x (len%12+2) frames following
+    * [[synthFramePixel]], doc_id%16+1 frames per document. */
+  def videoFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), length(col("text")).cast("int").as("len"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, len) =>
+          val w = len % 16 + 2
+          val h = len % 12 + 2
+          val nf = (id % 16 + 1).toInt
+          MediaRow(id,
+            encodeGifAnim(w, h, (0 until nf).map(f => (i: Int) => synthFramePixel(id, f, i))),
+            "image/gif", w, h, nf)
+        }
+      }
+  }
+
+  /** Real frame extraction: decode the container, keep every k-th
+    * frame, summarize each kept frame from its DECODED plane (first
+    * pixel + whole-plane sum — the oracle predicts both). Executor-side
+    * batches, no shuffle; undecodable rows drop. */
+  def sampleDecodedFrames(media: Dataset[MediaRow], everyK: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      decodeGrayFrames(r.media).toSeq.flatMap { frames =>
+        frames.zipWithIndex.collect { case ((w, h, px), f) if f % everyK == 0 =>
+          var s = 0L
+          var i = 0
+          while (i < px.length) { s += px(i); i += 1 }
+          (r.doc_id, f, w, h, px(0), s)
+        }
+      }
+    }.toDF("doc_id", "frame", "width", "height", "p0", "psum")
   }
 }

@@ -61,6 +61,32 @@ object MiscQueries {
        |       CASE WHEN tile_col < 2 AND (CAST(va AS BIGINT) & 1) = 0 THEN vb ELSE va END
        |FROM pxk""".stripMargin
 
+  /** Real frame extraction over a real multi-frame container: animated
+    * GIFs synthesized per document (our GIF89a writer, identity-gray
+    * palette + literal LZW — lossless by construction), decoded
+    * frame-by-frame through the JDK reader, every 2nd frame kept and
+    * summarized from its DECODED plane. The oracle predicts first pixel
+    * and whole-plane sum per kept frame from the synthFramePixel
+    * formula — hash-matching proves the container, the multi-frame
+    * reader, the palette resolution and the sampling stride all at
+    * once. */
+  val frameSample: Q = (s, dir) => {
+    val vids = graft.multimodal.Media.videoFromDocuments(table(s, dir, "documents"))
+    graft.multimodal.Media.sampleDecodedFrames(vids, 2)
+  }
+
+  val frameSampleSql: String =
+    """WITH d AS (SELECT doc_id, CAST(length(text) AS INT) AS len FROM documents),
+      |p AS (SELECT doc_id, len % 16 + 2 AS w, len % 12 + 2 AS h,
+      |             CAST(doc_id % 16 + 1 AS INT) AS nf FROM d),
+      |f0 AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS fr FROM p),
+      |f AS (SELECT doc_id, w, h, CAST(fr AS INT) AS frame FROM f0 WHERE fr % 2 = 0),
+      |px AS (SELECT doc_id, frame, w, h, unnest(range(0, w * h)) AS i FROM f)
+      |SELECT doc_id, frame, w AS width, h AS height,
+      |       CAST((doc_id * 31 + frame * 97) % 256 AS INT) AS p0,
+      |       CAST(SUM((doc_id * 31 + frame * 97 + i) % 256) AS BIGINT) AS psum
+      |FROM px GROUP BY 1, 2, 3, 4, 5""".stripMargin
+
   /** S10: point read of one tile after a catalog write (the tile-server
     * path, ServeLayerAsMap.scala:33,111). */
   val pointRead: Q = (s, dir) => {
@@ -263,6 +289,7 @@ object MiscQueries {
     "c_catalog_roundtrip" -> (catalogRoundtrip, Some(catalogRoundtripSql)),
     "c_point_read" -> (pointRead, Some(pointReadSql)),
     "c_time_travel" -> (timeTravel, Some(timeTravelSql)),
+    "m_frame_sample" -> (frameSample, Some(frameSampleSql)),
     "c_bbox_read" -> (bboxRead, Some(bboxReadSql)),
     "c_spacetime_range" -> (spacetimeRange, Some(spacetimeRangeSql)),
     "m_audio_features" -> (audioFeatures, Some(audioFeaturesSql)),

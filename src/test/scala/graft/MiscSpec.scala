@@ -93,6 +93,37 @@ class MiscSpec extends AnyFunSuite {
     assert(byDoc == expected)
   }
 
+  test("multimodal: animated GIF round-trip — every frame's decoded plane is exact") {
+    import graft.multimodal.Media
+    // our GIF89a writer (identity palette + literal LZW) against the
+    // JDK's own multi-frame reader: bit-exact planes, per frame —
+    // including sizes that cross the 253-literal clear boundary
+    for ((w, h, nf) <- Seq((3, 2, 1), (17, 13, 4), (16, 16, 3))) {
+      val frames = (0 until nf).map(f => (i: Int) => Media.synthFramePixel(42L, f, i))
+      val gif = Media.encodeGifAnim(w, h, frames)
+      val Some(decoded) = Media.decodeGrayFrames(gif)
+      assert(decoded.length == nf, s"${w}x$h")
+      decoded.zipWithIndex.foreach { case ((dw, dh, px), f) =>
+        assert((dw, dh) == (w, h))
+        assert(px.toSeq == (0 until w * h).map(i => Media.synthFramePixel(42L, f, i)), s"frame $f of ${w}x$h")
+      }
+    }
+    // undecodable bytes keep the None contract
+    assert(Media.decodeGrayFrames(Array[Byte](9, 9, 9)).isEmpty)
+    // sampleDecodedFrames keeps every k-th frame with plane-true summaries
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(6)
+    val vids = Media.videoFromDocuments(docs)
+    val sampled = Media.sampleDecodedFrames(vids, everyK = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(4), r.getLong(5))).toMap
+    val expected = vids.collect().flatMap { r =>
+      (0 until r.n_frames by 2).map { f =>
+        val plane = (0 until r.width * r.height).map(i => Media.synthFramePixel(r.doc_id, f, i))
+        (r.doc_id, f) -> ((plane.head, plane.map(_.toLong).sum))
+      }
+    }.toMap
+    assert(sampled == expected && sampled.nonEmpty)
+  }
+
   test("ml: confusion-count gate has teeth — seeded per-class bands at sf0.01") {
     // m_ml_confusion is rows-only in the driver gate (SGD boundary
     // floats); this spec is its declared backstop: the SAME query at the
