@@ -138,6 +138,28 @@ class LayerStore(spark: SparkSession, val root: String,
       catch { case _: java.io.IOException => None }
     }
 
+  /** Changed tiles between two retained sequences — the CDC read over
+    * the version store: full-outer join of the pinned snapshots on the
+    * tile key, emitting (tile_col, tile_row, kind) with kind in
+    * {added, removed, changed}. Spark's SQL NaN semantics (NaN equals
+    * NaN in comparisons) make NoData-preserving tiles compare equal
+    * instead of spuriously "changed". Downstream incremental jobs
+    * re-process only these keys instead of the whole layer — at scale
+    * the difference between an incremental refresh and a full rebuild. */
+  def readDiff(name: String, zoom: Int, fromSeq: Long, toSeq: Long): DataFrame = {
+    val a = readVersion(name, zoom, fromSeq)
+      .select(col("tile_col"), col("tile_row"), col("cells").as("cells_from"))
+    val b = readVersion(name, zoom, toSeq)
+      .select(col("tile_col"), col("tile_row"), col("cells").as("cells_to"))
+    a.join(b, Seq("tile_col", "tile_row"), "full_outer")
+      .withColumn("kind",
+        when(col("cells_from").isNull, lit("added"))
+          .when(col("cells_to").isNull, lit("removed"))
+          .when(col("cells_from") =!= col("cells_to"), lit("changed")))
+      .where(col("kind").isNotNull)
+      .select(col("tile_col"), col("tile_row"), col("kind"))
+  }
+
   /** Snapshot read pinned at publish sequence `seq` (time travel, the
     * reference's layer-history read within our retention window —
     * Delta/Iceberg "VERSION AS OF"). Same pruned-scan path as [[read]];

@@ -61,6 +61,30 @@ object MiscQueries {
        |       CASE WHEN tile_col < 2 AND (CAST(va AS BIGINT) & 1) = 0 THEN vb ELSE va END
        |FROM pxk""".stripMargin
 
+  /** CDC over the version store: which tiles changed between two
+    * publishes. Same write+merge setup as c_time_travel, then
+    * `readDiff(1, 2)` — the incoming overlay only touches tiles with
+    * tile_col < 2 and only where the mask admits a genuinely different
+    * value, which is exactly the relational statement the oracle makes.
+    * Incremental consumers re-read these keys only. */
+  val versionDiff: Q = (s, dir) => {
+    val store = new graft.catalog.LayerStore(s, tmpCatalog(dir) + "_vd")
+    val existing = tilesA(s, dir)
+    val incoming = tilesA(s, dir).withColumnRenamed("cells", "qa")
+      .join(tilesB(s, dir), Seq("tile_col", "tile_row"))
+      .where(col("tile_col") < 2)
+      .select(col("tile_col"), col("tile_row"),
+        graft.ops.Raster.maskCells(col("cells"), col("qa"), 1L).as("cells"))
+    store.write(existing, "band_vd", 9)
+    store.merge(incoming, "band_vd", 9)
+    store.readDiff("band_vd", 9, 1L, 2L)
+  }
+
+  val versionDiffSql: String =
+    s"""WITH $pxCte
+       |SELECT DISTINCT tile_col, tile_row, 'changed' AS kind FROM pxk
+       |WHERE tile_col < 2 AND (CAST(va AS BIGINT) & 1) = 0 AND vb <> va""".stripMargin
+
   /** Real frame extraction over a real multi-frame container: animated
     * GIFs synthesized per document (our GIF89a writer, identity-gray
     * palette + literal LZW — lossless by construction), decoded
@@ -290,6 +314,7 @@ object MiscQueries {
     "c_point_read" -> (pointRead, Some(pointReadSql)),
     "c_time_travel" -> (timeTravel, Some(timeTravelSql)),
     "m_frame_sample" -> (frameSample, Some(frameSampleSql)),
+    "c_version_diff" -> (versionDiff, Some(versionDiffSql)),
     "c_bbox_read" -> (bboxRead, Some(bboxReadSql)),
     "c_spacetime_range" -> (spacetimeRange, Some(spacetimeRangeSql)),
     "m_audio_features" -> (audioFeatures, Some(audioFeaturesSql)),

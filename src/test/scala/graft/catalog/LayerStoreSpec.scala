@@ -105,6 +105,32 @@ class LayerStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no retained sequence 1"))
   }
 
+  test("version diff: added/removed/changed tile kinds, NaN-stable") {
+    val store = freshStore()
+    // seq 1: four tiles; (1,1) only partially covered so its cells
+    // array carries NaN — republishing it identically must NOT read as
+    // a change (SQL NaN-equals-NaN semantics)
+    val partial = Raster.assemble(
+      (for (tc <- 0 to 1; tr <- 0 to 1; px <- 0 until TS; py <- 0 until TS
+            if !(tc == 1 && tr == 1) || px > py)
+        yield (tc, tr, px, py, (px + py).toDouble)).toDF("tile_col", "tile_row", "px", "py", "v"), TS, TS)
+    store.write(partial, "vd", 3)
+    // seq 2: tile (0,0) changed, (1,1) identical (NaN pattern
+    // included), (2,2) new, (0,1)/(1,0) absent
+    val changed = Raster.assemble(
+      (for (px <- 0 until TS; py <- 0 until TS)
+        yield (0, 0, px, py, 500.0 + px)).toDF("tile_col", "tile_row", "px", "py", "v"), TS, TS)
+    val same = store.read("vd", 3).where($"tile_col" === 1 && $"tile_row" === 1)
+    val added = Raster.assemble(
+      (for (px <- 0 until TS; py <- 0 until TS if px > py) // partial: NaN cells
+        yield (2, 2, px, py, 7.0)).toDF("tile_col", "tile_row", "px", "py", "v"), TS, TS)
+    store.write(changed.unionByName(same).unionByName(added), "vd", 3)
+    val diff = store.readDiff("vd", 3, 1L, 2L)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(diff == Map((0, 0) -> "changed", (2, 2) -> "added",
+      (0, 1) -> "removed", (1, 0) -> "removed"))
+  }
+
   test("crash-orphaned version dirs are never read and are GC'd by the next publish") {
     val store = freshStore()
     store.write(tiles(0), "o", 1)
