@@ -46,10 +46,15 @@ object MiscQueries {
         graft.ops.Raster.maskCells(col("cells"), col("qa"), 1L).as("cells"))
     store.write(existing, "band_tt", 9)
     store.merge(incoming, "band_tt", 9)
-    val seqs = store.publishedVersions("band_tt", 9).map(_._1)
-    seqs.map(q => graft.ops.Raster
+    // last two retained sequences, POSITION-labeled 1/2: the scratch
+    // store accumulates publishes when one process reruns the query
+    // (QBench reps), so absolute sequence numbers drift while the
+    // oracle's statement (pre-merge, post-merge) does not
+    val seqs = store.publishedVersions("band_tt", 9).map(_._1).takeRight(2)
+    seqs.zipWithIndex.map { case (q, idx) => graft.ops.Raster
         .pixelize(store.readVersion("band_tt", 9, q), TS)
-        .withColumn("seq", lit(q)))
+        .withColumn("seq", lit(idx + 1L))
+      }
       .reduce(_ unionByName _)
   }
 
@@ -77,7 +82,11 @@ object MiscQueries {
         graft.ops.Raster.maskCells(col("cells"), col("qa"), 1L).as("cells"))
     store.write(existing, "band_vd", 9)
     store.merge(incoming, "band_vd", 9)
-    store.readDiff("band_vd", 9, 1L, 2L)
+    // last two retained sequences, not literal 1/2: the scratch store
+    // accumulates publishes when one process runs the query repeatedly
+    // (QBench reps), and older sequences are GC'd by retention
+    val seqs = store.publishedVersions("band_vd", 9).map(_._1).takeRight(2)
+    store.readDiff("band_vd", 9, seqs.head, seqs.last)
   }
 
   val versionDiffSql: String =
