@@ -46,5 +46,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[graft.ops.Sketches.KmvDistinct].getName, "kmv_distinct"),
+      GraftExtensions.kmvDistinctBuilder))
+  }
+}
+
+object GraftExtensions {
+  /** `kmv_distinct(hash_col, k)` as a SQL aggregate: the typed
+    * KmvDistinct Aggregator wrapped as a ScalaAggregator expression —
+    * the same registration path `spark.udf.register(udaf(...))` takes,
+    * but available declaratively via spark.sql.extensions. `k` must be
+    * a foldable integer (it sizes the aggregation buffer at plan time). */
+  val kmvDistinctBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, s"kmv_distinct(hash, k) takes 2 arguments, got ${args.length}")
+    require(args(1).foldable, "kmv_distinct's k must be a literal")
+    val k = args(1).eval(null).asInstanceOf[Number].intValue
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    new org.apache.spark.sql.execution.aggregate.ScalaAggregator[Long, Array[Long], Double](
+      Seq(args(0)), new graft.ops.Sketches.KmvDistinct(k),
+      ExpressionEncoder[Long](), ExpressionEncoder[Array[Long]](),
+      true, true, 0, 0, Some("kmv_distinct")).toAggregateExpression()
   }
 }

@@ -50,4 +50,23 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(c == 1.0)
   }
+
+  test("SQL frontend aggregates through the registered KMV sketch") {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("kmv_distinct",
+      GraftExtensions.kmvDistinctBuilder, "scala_udf")
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .createOrReplaceTempView("li_ext")
+    val viaSql = spark.sql(
+      """SELECT l_returnflag,
+        |       kmv_distinct(conv(substring(md5(cast(cast(l_partkey AS string) AS binary)), 1, 15), 16, 10), 64) AS nd
+        |FROM li_ext GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaDf = spark.table("li_ext")
+      .select($"l_returnflag", graft.text.TextOps.h60($"l_partkey".cast("string")).as("h"))
+      .groupBy($"l_returnflag")
+      .agg(graft.ops.Sketches.kmvDistinct($"h", 64).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaSql == viaDf && viaDf.nonEmpty)
+  }
 }
