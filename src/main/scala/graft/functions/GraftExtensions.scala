@@ -62,7 +62,11 @@ object GraftExtensions {
   val kmvDistinctBuilder: Seq[Expression] => Expression = { args =>
     require(args.length == 2, s"kmv_distinct(hash, k) takes 2 arguments, got ${args.length}")
     require(args(1).foldable, "kmv_distinct's k must be a literal")
-    val k = args(1).eval(null).asInstanceOf[Number].intValue
+    val k = args(1).eval(null) match {
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"kmv_distinct's k must be a non-null integer literal, got ${Option(other).getOrElse("NULL")}")
+    }
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     new org.apache.spark.sql.execution.aggregate.ScalaAggregator[Long, Array[Long], Double](
       Seq(args(0)), new graft.ops.Sketches.KmvDistinct(k),

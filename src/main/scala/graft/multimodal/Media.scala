@@ -90,8 +90,8 @@ object Media {
     val raster = img.getRaster
     val indexed = img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
     val nb = raster.getNumBands
-    val grayShift = // 16-bit gray -> 8-bit
-      if (!indexed && nb < 3 && img.getColorModel.getComponentSize(0) > 8) 8 else 0
+    val chShift = // 16-bit samples -> 8-bit, gray AND per-RGB-channel
+      if (!indexed && img.getColorModel.getComponentSize(0) > 8) 8 else 0
     val out = new Array[Int](w * h)
     var y = 0
     while (y < h) {
@@ -103,11 +103,11 @@ object Media {
             val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
             (r * 299 + g * 587 + b * 114 + 500) / 1000
           } else if (nb >= 3) {
-            val r = raster.getSample(x, y, 0)
-            val g = raster.getSample(x, y, 1)
-            val b = raster.getSample(x, y, 2)
+            val r = raster.getSample(x, y, 0) >> chShift
+            val g = raster.getSample(x, y, 1) >> chShift
+            val b = raster.getSample(x, y, 2) >> chShift
             (r * 299 + g * 587 + b * 114 + 500) / 1000
-          } else raster.getSample(x, y, 0) >> grayShift
+          } else raster.getSample(x, y, 0) >> chShift
         x += 1
       }
       y += 1
@@ -375,17 +375,23 @@ object Media {
     * like [[decodeGray]]). None for undecodable bytes — same contract. */
   def decodeGrayFrames(bytes: Array[Byte]): Option[Vector[(Int, Int, Array[Int])]] =
     try {
+      // close the stream on every path (including no-reader): this runs
+      // once per ROW on executors, and an unclosed ImageInputStream
+      // holds its cache buffer (or temp file + fd, if something flips
+      // the global useCache back on) until finalization
       val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
-      val readers = ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) None
-      else {
-        val reader = readers.next()
-        try {
-          reader.setInput(iis)
-          val n = reader.getNumImages(true)
-          Some((0 until n).map(i => grayPlane(reader.read(i))).toVector)
-        } finally reader.dispose()
-      }
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            Some((0 until n).map(i => grayPlane(reader.read(i))).toVector)
+          } finally reader.dispose()
+        }
+      } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Wrap a text table as an animated-media table with REAL GIF

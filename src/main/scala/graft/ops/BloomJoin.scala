@@ -45,29 +45,31 @@ object BloomJoin {
     * its HIGH half, forced odd (a unit mod 2^k, so the nh positions
     * stay distinct). The halves must be independent: with a
     * power-of-two mask, a stride derived from the low bits would make
-    * any base collision a collision at EVERY probe. */
-  @inline private def pos(h: Long, i: Int, mask: Int): Int = {
+    * any base collision a collision at EVERY probe. All-Long
+    * arithmetic: an Int `bits.length * 64` would overflow past 2^26
+    * longs and silently address only a slice of a large filter. */
+  @inline private def pos(h: Long, i: Int, mask: Long): Long = {
     val m = fmix64(h)
     val h2 = (m >>> 32) | 1L
-    (((m + i * h2) & Long.MaxValue) & mask).toInt
+    ((m + i * h2) & Long.MaxValue) & mask
   }
 
   def setHash(bits: Array[Long], h: Long, nh: Int): Unit = {
-    val mask = bits.length * 64 - 1
+    val mask = bits.length.toLong * 64 - 1
     var i = 0
     while (i < nh) {
       val p = pos(h, i, mask)
-      bits(p >>> 6) |= 1L << (p & 63)
+      bits((p >>> 6).toInt) |= 1L << (p & 63).toInt
       i += 1
     }
   }
 
   def mightContain(bits: Array[Long], h: Long, nh: Int): Boolean = {
-    val mask = bits.length * 64 - 1
+    val mask = bits.length.toLong * 64 - 1
     var i = 0
     while (i < nh) {
       val p = pos(h, i, mask)
-      if ((bits(p >>> 6) & (1L << (p & 63))) == 0L) return false
+      if ((bits((p >>> 6).toInt) & (1L << (p & 63).toInt)) == 0L) return false
       i += 1
     }
     true
@@ -75,9 +77,10 @@ object BloomJoin {
 
   /** Longs for ~`bitsPerKey` bits per expected key, power-of-two sized
     * (the probe masks instead of dividing). bitsPerKey=16 with nh=4
-    * gives ~0.24% false positives. */
+    * gives ~0.24% false positives. Capped at 2^28 longs (2 GiB of
+    * bits) — beyond that the filter should be sharded, not grown. */
   def numLongsFor(expectedKeys: Long, bitsPerKey: Int = 16): Int = {
-    val bits = math.max(64L, expectedKeys * bitsPerKey)
+    val bits = math.min(math.max(64L, expectedKeys * bitsPerKey), 1L << 34)
     var m = 64L
     while (m < bits) m <<= 1
     (m / 64).toInt
@@ -128,6 +131,17 @@ object BloomJoin {
       copy(child = newChild)
   }
 
+  /** The hashed form both sides must share. Hashing the CANONICAL
+    * STRING of the key instead of its raw bytes: Spark's xxhash64
+    * hashes an INT (4 bytes) and a BIGINT (8 bytes) of the same value
+    * differently, so raw-typed hashing of an int fact key against a
+    * bigint dim key would miss EVERY bit — a false negative the exact
+    * join can never repair (it only removes false positives). The
+    * string cast makes equal values hash equal across numeric widths,
+    * exactly like the equi-join's implicit cast makes them compare
+    * equal. */
+  def keyHash(key: Column): Column = xxhash64(key.cast("string"))
+
   /** Build the dim-side filter and return the probe predicate for any
     * 64-bit-hash column. Exposed separately from [[prunedLeftSemi]] so
     * the same bits can prune several scans (e.g. both join inputs of a
@@ -135,13 +149,13 @@ object BloomJoin {
   def buildFilter(dim: DataFrame, dimKey: Column,
                   numLongs: Int, nh: Int = 4): Array[Long] = {
     val agg = udaf(new BloomBitsAgg(numLongs, nh), Encoders.scalaLong)
-    dim.select(xxhash64(dimKey).as("h")).where(col("h").isNotNull)
+    dim.select(keyHash(dimKey).as("h")).where(col("h").isNotNull)
       .agg(agg(col("h"))).head.getSeq[Long](0).toArray
   }
 
   def probe(bits: Array[Long], factKey: Column, nh: Int = 4): Column =
     GraftSqlShim.column(BloomMightContain(
-      GraftSqlShim.expression(xxhash64(factKey)), bits, nh))
+      GraftSqlShim.expression(keyHash(factKey)), bits, nh))
 
   /** `fact LEFT SEMI JOIN dim ON factKey = dimKey`, Bloom-pruned.
     * Result is bitwise the plain semi-join (false positives removed by

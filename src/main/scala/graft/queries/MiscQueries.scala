@@ -36,14 +36,22 @@ object MiscQueries {
     * band, seq 2 = the cell-wise incoming-wins merge, same CASE as the
     * r_merge_upsert oracle). The "VERSION AS OF" read every warehouse
     * catalog owes its users, over the fenced pointer-sequence store. */
-  val timeTravel: Q = (s, dir) => {
-    val store = new graft.catalog.LayerStore(s, tmpCatalog(dir) + "_tt")
-    val existing = tilesA(s, dir)
+  /** The (existing, incoming) overlay pair c_time_travel and
+    * c_version_diff both publish: band A as the base, masked band B
+    * over tile_col < 2 as the merge — ONE definition, since both
+    * oracles state the same CASE over it. */
+  private def overlayPair(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val incoming = tilesA(s, dir).withColumnRenamed("cells", "qa")
       .join(tilesB(s, dir), Seq("tile_col", "tile_row"))
       .where(col("tile_col") < 2)
       .select(col("tile_col"), col("tile_row"),
         graft.ops.Raster.maskCells(col("cells"), col("qa"), 1L).as("cells"))
+    (tilesA(s, dir), incoming)
+  }
+
+  val timeTravel: Q = (s, dir) => {
+    val store = new graft.catalog.LayerStore(s, tmpCatalog(dir) + "_tt")
+    val (existing, incoming) = overlayPair(s, dir)
     store.write(existing, "band_tt", 9)
     store.merge(incoming, "band_tt", 9)
     // last two retained sequences, POSITION-labeled 1/2: the scratch
@@ -74,12 +82,7 @@ object MiscQueries {
     * Incremental consumers re-read these keys only. */
   val versionDiff: Q = (s, dir) => {
     val store = new graft.catalog.LayerStore(s, tmpCatalog(dir) + "_vd")
-    val existing = tilesA(s, dir)
-    val incoming = tilesA(s, dir).withColumnRenamed("cells", "qa")
-      .join(tilesB(s, dir), Seq("tile_col", "tile_row"))
-      .where(col("tile_col") < 2)
-      .select(col("tile_col"), col("tile_row"),
-        graft.ops.Raster.maskCells(col("cells"), col("qa"), 1L).as("cells"))
+    val (existing, incoming) = overlayPair(s, dir)
     store.write(existing, "band_vd", 9)
     store.merge(incoming, "band_vd", 9)
     // last two retained sequences, not literal 1/2: the scratch store

@@ -171,6 +171,17 @@ class BloomJoinSpec extends AnyFunSuite {
     assert(pruned == plain && plain.nonEmpty)
   }
 
+  test("mixed-width numeric keys cannot produce false negatives") {
+    // raw-typed xxhash64 hashes INT and BIGINT of the same value
+    // differently; keyHash's canonical string form keeps the bloom
+    // prefilter aligned with the equi-join's implicit cast
+    val fact = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v") // k: INT
+    val dim = Seq(1L, 3L).toDF("dk") // dk: BIGINT
+    val got = BloomJoin.prunedLeftSemi(fact, $"k", dim, $"dk")
+      .select($"v").as[String].collect().toSet
+    assert(got == Set("a", "c"))
+  }
+
   test("probe is a codegen filter below the exchange") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val dim = spark.read.parquet(s"$sf/part.parquet").where($"p_size" === 1)
