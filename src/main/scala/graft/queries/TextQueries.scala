@@ -769,6 +769,85 @@ object TextQueries {
       |  CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '^[0-9]{4,}$'))) AS INT) AS n_digit_runs
       |FROM documents""".stripMargin
 
+  /** Inverted-index build (term → document frequency + capped postings
+    * list): the retrieval-side artifact a corpus pipeline publishes next
+    * to the corpus itself. ONE term-keyed Exchange — the ranking window
+    * and the aggregation share the same hash partitioning — and the
+    * postings list is capped to the 10 smallest doc_ids inside that
+    * pass, so no per-term state grows with corpus size (df stays a
+    * counter; a hot term's postings stop at the cap). */
+  val invertedIndex: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(
+          sort_array(collect_list(when(col("rn") <= 10, col("doc_id")))),
+          x => x.cast("string")), ",").as("postings"))
+  }
+
+  val invertedIndexSql: String =
+    s"""WITH $docsCte,
+       |t AS (SELECT DISTINCT doc_id, u.term FROM docs, unnest(toks) u(term)),
+       |r AS (SELECT term, doc_id,
+       |        row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+       |      FROM t)
+       |SELECT term, COUNT(*) AS df,
+       |       array_to_string(list_transform(
+       |         list_sort(list(doc_id) FILTER (WHERE rn <= 10)),
+       |         x -> CAST(x AS VARCHAR)), ',') AS postings
+       |FROM r GROUP BY 1""".stripMargin
+
+  /** Bigram collocation mining (the lift = exp(PMI) table a corpus
+    * analyst derives before building phrase vocabularies): adjacent-pair
+    * counts against unigram expectations. Every count is an exact
+    * integer off a token-keyed aggregation whose key space is the
+    * vocabulary, not the corpus; lift is ONE fixed-order chain of double
+    * multiplies/divides over those integers, so it is bit-deterministic
+    * in any engine that does not reassociate floats. The unigram side
+    * joins twice (head word, tail word) and broadcasts whenever the
+    * vocabulary fits an executor. */
+  val collocations: Q = (s, dir) => {
+    val t = docs(s, dir)
+    val uni = t.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val big = t.where(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("a"),
+          element_at(col("toks"), i + 1).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val totals = broadcast(
+      uni.agg(sum(col("c")).cast("long").as("n_tok"))
+        .crossJoin(big.agg(sum(col("n_ab")).cast("long").as("n_big"))))
+    big.where(col("n_ab") >= 20)
+      .join(broadcast(uni.select(col("w").as("a"), col("c").as("c_a"))), Seq("a"))
+      .join(broadcast(uni.select(col("w").as("b"), col("c").as("c_b"))), Seq("b"))
+      .crossJoin(totals)
+      .select(col("a"), col("b"), col("n_ab"), col("c_a"), col("c_b"),
+        (col("n_ab").cast("double") * col("n_tok").cast("double")
+          * col("n_tok").cast("double") / col("n_big").cast("double")
+          / col("c_a").cast("double") / col("c_b").cast("double")).as("lift"))
+  }
+
+  val collocationsSql: String =
+    s"""WITH $docsCte,
+       |uni AS (SELECT u.w, COUNT(*) AS c FROM docs, unnest(toks) u(w) GROUP BY 1),
+       |big AS (SELECT toks[CAST(r.i AS INT)] AS a, toks[CAST(r.i AS INT) + 1] AS b
+       |        FROM docs, unnest(range(1, len(toks))) r(i)),
+       |bg AS (SELECT a, b, COUNT(*) AS n_ab FROM big GROUP BY 1, 2),
+       |tot AS (SELECT CAST((SELECT SUM(c) FROM uni) AS BIGINT) AS n_tok,
+       |               CAST((SELECT SUM(n_ab) FROM bg) AS BIGINT) AS n_big)
+       |SELECT bg.a, bg.b, bg.n_ab, ua.c AS c_a, ub.c AS c_b,
+       |       CAST(bg.n_ab AS DOUBLE) * CAST(n_tok AS DOUBLE)
+       |         * CAST(n_tok AS DOUBLE) / CAST(n_big AS DOUBLE)
+       |         / CAST(ua.c AS DOUBLE) / CAST(ub.c AS DOUBLE) AS lift
+       |FROM bg JOIN uni ua ON bg.a = ua.w JOIN uni ub ON bg.b = ub.w, tot
+       |WHERE bg.n_ab >= 20""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
     "t_lsh_verify" -> (lshVerify, Some(lshVerifySql)),
     "t_dedup_clusters" -> (dedupClusters, Some(dedupClustersSql)),
@@ -793,5 +872,7 @@ object TextQueries {
     "t_quality_filter" -> (qualityFilter, Some(qualityFilterSql)),
     "t_corpus_prep" -> (corpusPrep, Some(corpusPrepSql)),
     "t_chunk_dedup" -> (chunkDedup, Some(chunkDedupSql)),
+    "t_inverted_index" -> (invertedIndex, Some(invertedIndexSql)),
+    "t_collocations" -> (collocations, Some(collocationsSql)),
   )
 }
