@@ -67,7 +67,7 @@ class LayerStore(spark: SparkSession, val root: String,
 
   import java.nio.file.{Files, Paths, Path, StandardCopyOption, NoSuchFileException}
 
-  private def zoomDir(name: String, zoom: Int) =
+  private[catalog] def zoomDir(name: String, zoom: Int) =
     s"$root/tiles/layer_name=$name/zoom=$zoom"
 
   private val PtrRe = "_ptr-(\\d{8})".r
@@ -282,7 +282,7 @@ class LayerStore(spark: SparkSession, val root: String,
     }
   }
 
-  private def writeTo(tiles: DataFrame, path: String): Unit =
+  private[catalog] def writeTo(tiles: DataFrame, path: String): Unit =
     tiles
       .repartition(col("tile_col"), col("tile_row"))
       .sortWithinPartitions(zorder(col("tile_col").cast("int"), col("tile_row").cast("int")))
@@ -298,7 +298,7 @@ class LayerStore(spark: SparkSession, val root: String,
     * effective width widens to keep the sidecar O(MaxBins). */
   private val MaxBins = 65536
 
-  private def writeAttrs(path: String, tileSize: Int, crs: String, binWidth: Double): Unit = {
+  private[catalog] def writeAttrs(path: String, tileSize: Int, crs: String, binWidth: Double): Unit = {
     val tiles = spark.read.parquet(path)
     val schemaJson = tiles.schema.json // read() supplies it -> no footer-inference job
     // layers without a flat `cells` column (e.g. a zipped multiband
@@ -426,7 +426,7 @@ class LayerStore(spark: SparkSession, val root: String,
 
   /** Sidecar-schema'd parquet read of one version dir (shared by the
     * live [[read]] and the pinned [[readVersion]]). */
-  private def readPath(path: String): DataFrame = {
+  private[catalog] def readPath(path: String): DataFrame = {
     val schema = {
       val f = Paths.get(s"$path/_attributes.json")
       if (Files.exists(f))

@@ -80,6 +80,38 @@ object MiscQueries {
     * tile_col < 2 and only where the mask admits a genuinely different
     * value, which is exactly the relational statement the oracle makes.
     * Incremental consumers re-read these keys only. */
+  /** Cross-layer atomic snapshot (CatalogTxn): band A and its masked
+    * overlay commit as ONE transaction; a plain per-layer writer then
+    * clobbers the overlay layer with raw band B. `readAtomic` must
+    * return the transaction's consistent pair — the txn-pinned versions
+    * — while only per-layer reads see the clobber. The oracle states
+    * the committed pair directly: layer 'a' = band A, layer 'b' = the
+    * masked overlay (tile_col < 2, QA bit 1 clear; pixelize drops the
+    * NaN-masked cells). If readAtomic ever followed the live pointer
+    * instead of the log, layer 'b' would surface all of band B and the
+    * row set would diverge. Rerun-safe: each rerun appends a fresh
+    * transaction and the newest record wins. */
+  val txnSnapshot: Q = (s, dir) => {
+    val store = new graft.catalog.LayerStore(s, tmpCatalog(dir) + "_tx")
+    val txn = new graft.catalog.CatalogTxn(store)
+    val (existing, incoming) = overlayPair(s, dir)
+    txn.commit(Seq(
+      graft.catalog.TxnWrite("txn_a", 9, existing),
+      graft.catalog.TxnWrite("txn_b", 9, incoming)))
+    store.write(tilesB(s, dir), "txn_b", 9) // non-txn clobber
+    val snap = txn.readAtomic(Seq("txn_a" -> 9, "txn_b" -> 9))
+    graft.ops.Raster.pixelize(snap("txn_a" -> 9), TS).withColumn("layer", lit("a"))
+      .unionByName(
+        graft.ops.Raster.pixelize(snap("txn_b" -> 9), TS).withColumn("layer", lit("b")))
+  }
+
+  val txnSnapshotSql: String =
+    s"""WITH $pxCte
+       |SELECT tile_col, tile_row, px, py, v, 'a' AS layer FROM pxa
+       |UNION ALL
+       |SELECT tile_col, tile_row, px, py, vb, 'b'
+       |FROM pxk WHERE tile_col < 2 AND (CAST(va AS BIGINT) & 1) = 0""".stripMargin
+
   val versionDiff: Q = (s, dir) => {
     val store = new graft.catalog.LayerStore(s, tmpCatalog(dir) + "_vd")
     val (existing, incoming) = overlayPair(s, dir)
@@ -324,6 +356,7 @@ object MiscQueries {
     "m_stratified_split" -> (stratifiedSplit, Some(stratifiedSplitSql)),
     "c_catalog_roundtrip" -> (catalogRoundtrip, Some(catalogRoundtripSql)),
     "c_point_read" -> (pointRead, Some(pointReadSql)),
+    "c_txn_snapshot" -> (txnSnapshot, Some(txnSnapshotSql)),
     "c_time_travel" -> (timeTravel, Some(timeTravelSql)),
     "m_frame_sample" -> (frameSample, Some(frameSampleSql)),
     "c_version_diff" -> (versionDiff, Some(versionDiffSql)),
