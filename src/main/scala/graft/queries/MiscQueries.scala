@@ -95,10 +95,10 @@ object MiscQueries {
     val store = new graft.catalog.LayerStore(s, tmpCatalog(dir) + "_tx")
     val txn = new graft.catalog.CatalogTxn(store)
     val (existing, incoming) = overlayPair(s, dir)
-    txn.commit(Seq(
-      graft.catalog.TxnWrite("txn_a", 9, existing),
-      graft.catalog.TxnWrite("txn_b", 9, incoming)))
-    store.write(tilesB(s, dir), "txn_b", 9) // non-txn clobber
+    txn.commit(Seq( // attrs skipped: the gate tests txn semantics, not sidecars
+      graft.catalog.TxnWrite("txn_a", 9, existing, withAttributes = false),
+      graft.catalog.TxnWrite("txn_b", 9, incoming, withAttributes = false)))
+    store.write(tilesB(s, dir), "txn_b", 9, withAttributes = false) // non-txn clobber
     val snap = txn.readAtomic(Seq("txn_a" -> 9, "txn_b" -> 9))
     graft.ops.Raster.pixelize(snap("txn_a" -> 9), TS).withColumn("layer", lit("a"))
       .unionByName(
