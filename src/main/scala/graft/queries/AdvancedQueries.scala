@@ -394,6 +394,35 @@ object AdvancedQueries {
        |       COUNT(*) AS n_items
        |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Salted-replicated join gate (`Skew.saltedJoin`): the skewed-fact
+    * vs mid-size-dim shape where the dim is too big to broadcast whole
+    * and one hot key would pin a sort-merge reducer. The fact side is
+    * lineitem keyed on 3-hot-key l_returnflag; each fact row takes a
+    * pseudo-random salt, the dim explodes across all 8 salts, and the
+    * equi-join runs on (key, salt). The result must be row-identical
+    * to the plain inner join — stated by the oracle — and the output
+    * re-aggregates with DECIMAL sums so salt-dependent row order can
+    * never perturb a float fold. */
+  val saltedJoinAgg: Q = (s, dir) => {
+    val li = table(s, dir, "lineitem")
+    val dim = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("flag_n"))
+    graft.ops.Skew
+      .saltedJoin(li.select(col("l_returnflag"), col("l_linestatus"), col("l_quantity")),
+        dim, "l_returnflag", 8)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(24,6)")).cast("double").as("sum_qty"),
+        max(col("flag_n")).as("flag_n"))
+  }
+
+  val saltedJoinAggSql: String =
+    s"""WITH dim AS (SELECT l_returnflag, COUNT(*) AS flag_n FROM lineitem GROUP BY 1)
+       |SELECT l.l_returnflag, l.l_linestatus, COUNT(*) AS n,
+       |       CAST(SUM(CAST(l.l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty,
+       |       MAX(d.flag_n) AS flag_n
+       |FROM lineitem l JOIN dim d USING (l_returnflag)
+       |GROUP BY 1, 2""".stripMargin
+
   /** lag/lead window family over the event stream: inter-event gaps —
     * the sessionization primitive (q_session_windows groups by the same
     * 30-minute break this query exposes per row). All integer epoch-us
@@ -537,6 +566,7 @@ object AdvancedQueries {
     "a_ranking_windows" -> (rankingWindows, Some(rankingWindowsSql)),
     "a_pivot" -> (pivot, Some(pivotSql)),
     "a_salted_agg" -> (saltedFlagAgg, Some(saltedFlagAggSql)),
+    "a_salted_join" -> (saltedJoinAgg, Some(saltedJoinAggSql)),
     "a_lag_delta" -> (lagDelta, Some(lagDeltaSql)),
   )
 }

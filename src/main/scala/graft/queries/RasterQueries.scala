@@ -229,6 +229,50 @@ object RasterQueries {
     Raster.pixelize(Raster.rasterizePolygons(feats, TS, TS), TS)
   }
 
+  /** Vector point-in-polygon spatial join (grid-binned, never
+    * all-pairs): customers become points on the same plane the diamond
+    * polygons of r_rasterize_poly live on; `Spatial.gridJoin` bins
+    * polygons to the cells their bbox covers and equi-joins points by
+    * their single cell, with the REAL even-odd ray cast as the exact
+    * test. For diamonds, even-odd containment is exactly taxicab
+    * |dx|+|dy| < r — which the oracle states directly — and the
+    * coordinate lattices keep every point strictly off every boundary
+    * (fractional parts: point .5, |dx|+|dy| .625 or .125, r .5), so
+    * the two formulations cannot disagree at float precision. */
+  val pointInPoly: Q = (s, dir) => {
+    val polys = table(s, dir, "part").select(
+      col("p_partkey").as("fid"),
+      ((col("p_partkey") % 40) + 8.25).as("cx"),
+      ((col("p_size") % 30) + 8.125).as("cy"),
+      ((col("p_partkey") % 5) + 1.5).as("r"))
+      .select(col("fid"),
+        array(col("cx") - col("r"), col("cx"), col("cx") + col("r"), col("cx")).as("xs"),
+        array(col("cy"), col("cy") - col("r"), col("cy"), col("cy") + col("r")).as("ys"))
+    val points = table(s, dir, "customer").select(
+      col("c_custkey").as("pid"),
+      ((col("c_custkey") % 48) + 0.5).as("px"),
+      ((col("c_custkey") % 37) + 0.5).as("py"))
+    graft.ops.Spatial.gridJoin(points, polys, cell = 8.0)
+      .groupBy(col("fid"))
+      .agg(count(lit(1)).as("n_points"), sum(col("pid")).as("pid_sum"))
+  }
+
+  val pointInPolySql: String =
+    s"""WITH pts AS (
+       |  SELECT c_custkey AS pid,
+       |         (c_custkey % 48) + 0.5 AS px,
+       |         (c_custkey % 37) + 0.5 AS py
+       |  FROM customer),
+       |pol AS (
+       |  SELECT p_partkey AS fid,
+       |         (p_partkey % 40) + 8.25 AS cx,
+       |         (p_size % 30) + 8.125 AS cy,
+       |         (p_partkey % 5) + 1.5 AS r
+       |  FROM part)
+       |SELECT fid, COUNT(*) AS n_points, CAST(SUM(pid) AS BIGINT) AS pid_sum
+       |FROM pol JOIN pts ON ABS(px - cx) + ABS(py - cy) < r
+       |GROUP BY 1""".stripMargin
+
   val rasterizePolySql: String =
     s"""WITH polys AS (
        |  SELECT p_partkey AS fid,
@@ -359,6 +403,7 @@ object RasterQueries {
     "r_merge_upsert" -> (mergeUpsert, Some(mergeUpsertSql)),
     "r_rasterize" -> (rasterize, Some(rasterizeSql)),
     "r_rasterize_poly" -> (rasterizePoly, Some(rasterizePolySql)),
+    "r_point_in_poly" -> (pointInPoly, Some(pointInPolySql)),
     "r_normalize" -> (normalize, Some(normalizeSql)),
   )
 }
