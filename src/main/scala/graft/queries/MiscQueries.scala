@@ -112,6 +112,30 @@ object MiscQueries {
        |SELECT tile_col, tile_row, px, py, vb, 'b'
        |FROM pxk WHERE tile_col < 2 AND (CAST(va AS BIGINT) & 1) = 0""".stripMargin
 
+  /** Compaction under the oracle: write + merge leave a multi-file
+    * version (the small-file problem a long upsert history causes);
+    * `compact` rewrites the live version into target-sized files and
+    * republishes. The read-back must be EXACTLY the merged layer —
+    * compaction is a physical rewrite with zero logical effect, which
+    * the oracle states as the same incoming-wins CASE as the merge
+    * gates. Rerun-safe: re-merging the same masked overlay is
+    * idempotent (incoming-wins where defined), and compact republishes
+    * like any other write. */
+  val compactRoundtrip: Q = (s, dir) => {
+    val store = new graft.catalog.LayerStore(s, tmpCatalog(dir) + "_cp")
+    val (existing, incoming) = overlayPair(s, dir)
+    store.write(existing, "band_cp", 9, withAttributes = false)
+    store.merge(incoming, "band_cp", 9, withAttributes = false)
+    store.compact("band_cp", 9)
+    graft.ops.Raster.pixelize(store.read("band_cp", 9), TS)
+  }
+
+  val compactRoundtripSql: String =
+    s"""WITH $pxCte
+       |SELECT tile_col, tile_row, px, py,
+       |       CASE WHEN tile_col < 2 AND (CAST(va AS BIGINT) & 1) = 0 THEN vb ELSE va END AS v
+       |FROM pxk""".stripMargin
+
   val versionDiff: Q = (s, dir) => {
     val store = new graft.catalog.LayerStore(s, tmpCatalog(dir) + "_vd")
     val (existing, incoming) = overlayPair(s, dir)
@@ -357,6 +381,7 @@ object MiscQueries {
     "c_catalog_roundtrip" -> (catalogRoundtrip, Some(catalogRoundtripSql)),
     "c_point_read" -> (pointRead, Some(pointReadSql)),
     "c_txn_snapshot" -> (txnSnapshot, Some(txnSnapshotSql)),
+    "c_compact" -> (compactRoundtrip, Some(compactRoundtripSql)),
     "c_time_travel" -> (timeTravel, Some(timeTravelSql)),
     "m_frame_sample" -> (frameSample, Some(frameSampleSql)),
     "c_version_diff" -> (versionDiff, Some(versionDiffSql)),

@@ -139,6 +139,15 @@ object PixelStream {
     * event-time interval. Both sides carry watermarks, so join state is
     * purged once the watermark passes the interval — the unbounded-state
     * trap of naive stream joins is structurally impossible here. */
+  /** Stream-static enrichment join — the per-event dimension lookup an
+    * ingest path needs (tile → zone, sensor → calibration). Stateless:
+    * the static side is re-resolved and broadcast per micro-batch, so
+    * a dimension refresh on disk is picked up by the next batch and no
+    * watermark or join state accumulates. Works identically on batch
+    * frames (the broadcast hash join is the same plan). */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys)
+
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    watermark: String = "10 minutes",
                    interval: String = "5 minutes"): DataFrame = {

@@ -46,6 +46,23 @@ class PixelStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join broadcasts the dimension per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PixelEvent]
+    val dim = Seq((0, "core"), (9, "edge")).toDF("tile_col", "zone")
+    val q = enrich(input.toDS().toDF(), dim, Seq("tile_col"))
+      .writeStream.format("memory").queryName("enriched_out")
+      .outputMode("append").start()
+    try {
+      input.addData(PixelEvent(0, 0, 0, 0, 1.0), PixelEvent(9, 9, 1, 1, 2.0),
+        PixelEvent(5, 5, 0, 0, 3.0)) // 5 has no dim row: inner join drops it
+      q.processAllAvailable()
+      val rows = spark.table("enriched_out")
+        .select($"tile_col", $"zone").as[(Int, String)].collect().toSet
+      assert(rows == Set((0, "core"), (9, "edge")))
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark run on a streamed events table") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
