@@ -230,8 +230,8 @@ object RasterQueries {
   }
 
   /** Vector point-in-polygon spatial join (grid-binned, never
-    * all-pairs): customers become points on the same plane the diamond
-    * polygons of r_rasterize_poly live on; `Spatial.gridJoin` bins
+    * all-pairs): customers become points on a plane of diamond
+    * polygons (r_rasterize_poly's shapes, spread out); `Spatial.gridJoin` bins
     * polygons to the cells their bbox covers and equi-joins points by
     * their single cell, with the REAL even-odd ray cast as the exact
     * test. For diamonds, even-odd containment is exactly taxicab
@@ -240,19 +240,23 @@ object RasterQueries {
     * (fractional parts: point .5, |dx|+|dy| .625 or .125, r .5), so
     * the two formulations cannot disagree at float precision. */
   val pointInPoly: Q = (s, dir) => {
+    // co-prime moduli spread the lattice over a ~150x140 plane: spatial
+    // workloads grow in EXTENT, and a fixed tiny plane would make every
+    // point hit hundreds of polygons at sf0.1 — a density no grid (or
+    // real-world dataset) has, degenerating the cell join to all-pairs
     val polys = table(s, dir, "part").select(
       col("p_partkey").as("fid"),
-      ((col("p_partkey") % 40) + 8.25).as("cx"),
-      ((col("p_size") % 30) + 8.125).as("cy"),
+      ((col("p_partkey") % 149) + 8.25).as("cx"),
+      ((col("p_partkey") % 139) + 8.125).as("cy"),
       ((col("p_partkey") % 5) + 1.5).as("r"))
       .select(col("fid"),
         array(col("cx") - col("r"), col("cx"), col("cx") + col("r"), col("cx")).as("xs"),
         array(col("cy"), col("cy") - col("r"), col("cy"), col("cy") + col("r")).as("ys"))
     val points = table(s, dir, "customer").select(
       col("c_custkey").as("pid"),
-      ((col("c_custkey") % 48) + 0.5).as("px"),
-      ((col("c_custkey") % 37) + 0.5).as("py"))
-    graft.ops.Spatial.gridJoin(points, polys, cell = 8.0)
+      ((col("c_custkey") % 163) + 0.5).as("px"),
+      ((col("c_custkey") % 157) + 0.5).as("py"))
+    graft.ops.Spatial.gridJoin(points, polys, cell = 4.0)
       .groupBy(col("fid"))
       .agg(count(lit(1)).as("n_points"), sum(col("pid")).as("pid_sum"))
   }
@@ -260,13 +264,13 @@ object RasterQueries {
   val pointInPolySql: String =
     s"""WITH pts AS (
        |  SELECT c_custkey AS pid,
-       |         (c_custkey % 48) + 0.5 AS px,
-       |         (c_custkey % 37) + 0.5 AS py
+       |         (c_custkey % 163) + 0.5 AS px,
+       |         (c_custkey % 157) + 0.5 AS py
        |  FROM customer),
        |pol AS (
        |  SELECT p_partkey AS fid,
-       |         (p_partkey % 40) + 8.25 AS cx,
-       |         (p_size % 30) + 8.125 AS cy,
+       |         (p_partkey % 149) + 8.25 AS cx,
+       |         (p_partkey % 139) + 8.125 AS cy,
        |         (p_partkey % 5) + 1.5 AS r
        |  FROM part)
        |SELECT fid, COUNT(*) AS n_points, CAST(SUM(pid) AS BIGINT) AS pid_sum
