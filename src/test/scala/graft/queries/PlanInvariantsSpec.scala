@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase.spark
+
+/** Plan discipline as an enforced invariant, not a reviewed artifact:
+  * every registered gate query is planned against sf0.001 and checked
+  * for the anti-patterns the plans/ snapshots are audited for by hand.
+  * Catches the regression class where a join key type change or a lost
+  * alias silently turns an equi-join into a cross product. */
+class PlanInvariantsSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val plans: Map[String, String] =
+    Registry.suites.map { case (name, (fn, _)) =>
+      name -> fn(spark, sf).queryExecution.executedPlan.toString
+    }
+
+  test("no gate query plans a CartesianProduct") {
+    val offenders = plans.collect {
+      case (name, p) if p.contains("CartesianProduct") => name
+    }
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
+  // The ANN/classifier family broadcasts a constant-size side (the 8
+  // query vectors / numClasses centroids) against the corpus scan with
+  // a non-equi or absent condition — BNLJ there IS the intended plan
+  // (see the plans/ audit). Everywhere else a non-Cross BNLJ means a
+  // real join predicate fell out of the equi-join path.
+  private val bnljByDesign =
+    Set("s_ann_brute", "s_ann_lsh", "s_ann_ivf", "s_ann_pq", "s_ann_quantized",
+      "s_ann_media", "m_knn_confusion", "m_centroid_confusion")
+
+  test("BroadcastNestedLoopJoin appears only where it is the designed plan") {
+    val offenders = plans.collect {
+      case (name, p) if !bnljByDesign(name) && p.contains("BroadcastNestedLoopJoin") &&
+        p.linesIterator.exists(l => l.contains("BroadcastNestedLoopJoin") && !l.contains("Cross")) => name
+    }
+    assert(offenders.isEmpty, s"non-Cross BNLJ in: ${offenders.mkString(", ")}")
+  }
+
+  test("declared zero-Exchange queries stay zero-Exchange") {
+    for (name <- Seq("t_quality_filter", "s_quantize_err")) {
+      val n = "(?<!Broadcast)Exchange".r.findAllIn(plans(name)).size
+      assert(n == 0, s"$name grew $n Exchange nodes")
+    }
+  }
+
+  test("the inverted index keeps its single term-keyed shuffle") {
+    val n = "(?<!Broadcast)Exchange".r.findAllIn(plans("t_inverted_index")).size
+    assert(n == 1, s"t_inverted_index has $n shuffle Exchanges (window and agg must share one)")
+  }
+}
