@@ -53,6 +53,11 @@ class CatalogTxn(store: LayerStore) {
     val keys = writes.map(w => (w.name, w.zoom))
     require(keys.distinct.size == keys.size,
       "a transaction may write each (layer, zoom) at most once")
+    // the record format is TSV lines — a tab or newline in a layer name
+    // would corrupt the log for every later reader
+    writes.foreach(w => require(!w.name.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"layer name ${w.name.flatMap(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString)} " +
+        "contains control characters"))
     val ordered = writes.sortBy(w => (w.name, w.zoom)).toList
     withLocks(ordered) {
       val bindings = ordered.map { w =>
@@ -86,47 +91,72 @@ class CatalogTxn(store: LayerStore) {
       try { Files.createLink(txnDir.resolve(f"_txn-$seq%08d"), tmp); true }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
     try {
-      var seq = log.lastOption.map(_._1).getOrElse(0L) + 1
+      // next sequence comes from the FILENAME max alone — commit cost
+      // must not grow with log length, and no record content is needed
+      var seq = recordSeqsDesc.headOption.getOrElse(0L) + 1
       while (!tryLink(seq)) seq += 1 // raced another commit's CAS: next slot
       seq
     } finally { Files.deleteIfExists(tmp): Unit }
   }
 
-  /** Committed transactions, oldest first: (sequence, bindings). */
-  def log: Seq[(Long, Seq[((String, Int), String)])] = {
+  /** Record sequences, newest first, from filenames only (no I/O per
+    * record beyond the directory listing). */
+  private def recordSeqsDesc: Seq[Long] = {
     val d = txnDir.toFile
     if (!d.exists()) return Seq.empty
     Option(d.listFiles()).getOrElse(Array.empty).iterator.flatMap { f =>
-      f.getName match {
-        case TxnRe(s) =>
-          try {
-            val bs = new String(Files.readAllBytes(f.toPath), "UTF-8")
-              .split("\n").iterator.filter(_.nonEmpty).map { line =>
-                val Array(n, z, v) = line.split("\t")
-                ((n, z.toInt), v)
-              }.toSeq
-            Some((s.toLong, bs))
-          } catch { case _: java.io.IOException => None } // mid-GC listing race
-        case _ => None
-      }
-    }.toSeq.sortBy(_._1)
+      f.getName match { case TxnRe(s) => Some(s.toLong); case _ => None }
+    }.toSeq.sortBy(-_)
   }
+
+  private def readRecord(seq: Long): Option[Seq[((String, Int), String)]] =
+    try {
+      val raw = new String(Files.readAllBytes(txnDir.resolve(f"_txn-$seq%08d")), "UTF-8")
+      Some(raw.split("\n").iterator.filter(_.nonEmpty).map { line =>
+        line.split("\t", -1) match {
+          case Array(n, z, v) => ((n, z.toInt), v)
+          case _ => throw new IllegalStateException(
+            f"corrupt transaction record _txn-$seq%08d: unparseable line " +
+              s"'${line.take(80)}' — the log needs manual repair")
+        }
+      }.toSeq)
+    } catch { case _: java.io.IOException => None } // listing race: treat as absent
+
+  /** Committed transactions, oldest first: (sequence, bindings). Reads
+    * the whole log — audit/debug surface; the hot paths below don't. */
+  def log: Seq[(Long, Seq[((String, Int), String)])] =
+    recordSeqsDesc.reverse.flatMap(s => readRecord(s).map(s -> _))
 
   /** Cross-layer consistent read: each requested layer at the version
     * the newest log record (with sequence <= `asOf`, if pinned) bound
-    * it to; layers no transaction ever touched fall back to their own
-    * live pointer. All resolutions come from one listing of the log,
-    * so the result is a single committed catalog state — never a mix
-    * of pre- and post-commit layers, whatever per-layer writers did in
-    * between. */
+    * it to. Records are read newest-first and only until every
+    * requested layer resolves — cost is bounded by how far back the
+    * requested layers' last commits are, not by log length. A layer
+    * NO transaction ever touched falls back to its own live pointer
+    * (it is per-layer-managed; the log has no opinion about it) — but
+    * a layer whose txn history starts AFTER `asOf` fails loudly: its
+    * live state did not exist in the catalog-log state being pinned,
+    * and serving it would leak the future into a snapshot. */
   def readAtomic(layers: Seq[(String, Int)],
                  asOf: Option[Long] = None): Map[(String, Int), DataFrame] = {
-    val records = log.filter(r => asOf.forall(r._1 <= _))
+    val want = layers.toSet
+    val resolved = scala.collection.mutable.Map.empty[(String, Int), (Long, String)]
+    val afterAsOf = scala.collection.mutable.Set.empty[(String, Int)]
+    // exit only when every layer RESOLVES: a layer seen in a post-asOf
+    // record may still resolve from an older record deeper in the log
+    val it = recordSeqsDesc.iterator
+    while (it.hasNext && resolved.size < want.size) {
+      val seq = it.next()
+      readRecord(seq).foreach { bs =>
+        bs.foreach { case (k, v) =>
+          if (want(k) && !resolved.contains(k))
+            if (asOf.forall(seq <= _)) resolved.getOrElseUpdate(k, (seq, v)): Unit
+            else afterAsOf.add(k): Unit
+        }
+      }
+    }
     layers.map { k =>
-      val pinned = records.reverseIterator.flatMap { case (seq, bs) =>
-        bs.collectFirst { case (`k`, v) => (seq, v) }
-      }.nextOption()
-      val df = pinned match {
+      val df = resolved.get(k) match {
         case Some((seq, v)) =>
           val p = s"${store.zoomDir(k._1, k._2)}/$v"
           if (!Files.isDirectory(Paths.get(p)))
@@ -134,6 +164,10 @@ class CatalogTxn(store: LayerStore) {
               s"transaction $seq pinned version $v of $k, but later publishes GC'd it " +
                 "— raise retainVersions to cover your longest snapshot reader")
           store.readPath(p)
+        case None if afterAsOf(k) =>
+          throw new IllegalStateException(
+            s"layer $k has no committed state at sequence <= ${asOf.get}: its first " +
+              "transaction is newer than the pinned snapshot")
         case None => store.read(k._1, k._2)
       }
       k -> df

@@ -808,8 +808,8 @@ object TextQueries {
     * vocabulary, not the corpus; lift is ONE fixed-order chain of double
     * multiplies/divides over those integers, so it is bit-deterministic
     * in any engine that does not reassociate floats. The unigram side
-    * joins twice (head word, tail word) and broadcasts whenever the
-    * vocabulary fits an executor. */
+    * joins twice (head word, tail word); AQE broadcasts it when it
+    * fits and shuffle-joins when a vocabulary outgrows the executor. */
   val collocations: Q = (s, dir) => {
     val t = docs(s, dir)
     val uni = t.select(explode(col("toks")).as("w"))
@@ -823,9 +823,13 @@ object TextQueries {
     val totals = broadcast(
       uni.agg(sum(col("c")).cast("long").as("n_tok"))
         .crossJoin(big.agg(sum(col("n_ab")).cast("long").as("n_big"))))
+    // no broadcast hint on the vocabulary joins: AQE broadcasts them
+    // when they fit and falls back to a shuffle join when a corpus's
+    // vocabulary outgrows the executor — a forced hint would turn that
+    // case into a driver OOM instead
     big.where(col("n_ab") >= 20)
-      .join(broadcast(uni.select(col("w").as("a"), col("c").as("c_a"))), Seq("a"))
-      .join(broadcast(uni.select(col("w").as("b"), col("c").as("c_b"))), Seq("b"))
+      .join(uni.select(col("w").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("c").as("c_b")), Seq("b"))
       .crossJoin(totals)
       .select(col("a"), col("b"), col("n_ab"), col("c_a"), col("c_b"),
         (col("n_ab").cast("double") * col("n_tok").cast("double")

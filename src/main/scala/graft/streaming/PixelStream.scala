@@ -134,11 +134,6 @@ object PixelStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_window.start").as("sess_start"), col("n_events"))
 
-  /** Stream-stream interval join: enrich a pixel/event stream with a
-    * second stream keyed the same way, matching within a bounded
-    * event-time interval. Both sides carry watermarks, so join state is
-    * purged once the watermark passes the interval — the unbounded-state
-    * trap of naive stream joins is structurally impossible here. */
   /** Stream-static enrichment join — the per-event dimension lookup an
     * ingest path needs (tile → zone, sensor → calibration). Stateless:
     * the static side is re-resolved and broadcast per micro-batch, so
@@ -148,6 +143,11 @@ object PixelStream {
   def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys)
 
+  /** Stream-stream interval join: enrich a pixel/event stream with a
+    * second stream keyed the same way, matching within a bounded
+    * event-time interval. Both sides carry watermarks, so join state is
+    * purged once the watermark passes the interval — the unbounded-state
+    * trap of naive stream joins is structurally impossible here. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    watermark: String = "10 minutes",
                    interval: String = "5 minutes"): DataFrame = {

@@ -71,6 +71,26 @@ class CatalogTxnSpec extends AnyFunSuite {
     assert(e.getMessage.contains("GC'd"))
   }
 
+  test("a layer whose txn history starts after asOf fails loudly, never leaks the future") {
+    val store = freshStore()
+    val txn = new CatalogTxn(store)
+    val s1 = txn.commit(Seq(TxnWrite("a", 1, tiles(0))))
+    txn.commit(Seq(TxnWrite("late", 1, tiles(100)))) // first-ever write, seq 2
+    val e = intercept[IllegalStateException](
+      txn.readAtomic(Seq("a" -> 1, "late" -> 1), asOf = Some(s1)))
+    assert(e.getMessage.contains("no committed state"))
+    // but a layer with an older record deeper in the log still resolves
+    val s3 = txn.commit(Seq(TxnWrite("a", 1, tiles(7))))
+    val snap = txn.readAtomic(Seq("a" -> 1), asOf = Some(s3 - 1))
+    assert(v00(snap("a" -> 1)) == 0.0)
+  }
+
+  test("control characters in layer names are rejected before anything publishes") {
+    val txn = new CatalogTxn(freshStore())
+    intercept[IllegalArgumentException](txn.commit(Seq(TxnWrite("bad\tname", 1, tiles(0)))))
+    intercept[IllegalArgumentException](txn.commit(Seq(TxnWrite("bad\nname", 1, tiles(0)))))
+  }
+
   test("duplicate (layer, zoom) in one transaction is rejected") {
     val txn = new CatalogTxn(freshStore())
     intercept[IllegalArgumentException](
