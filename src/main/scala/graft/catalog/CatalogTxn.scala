@@ -127,6 +127,20 @@ class CatalogTxn(store: LayerStore) {
   def log: Seq[(Long, Seq[((String, Int), String)])] =
     recordSeqsDesc.reverse.flatMap(s => readRecord(s).map(s -> _))
 
+  /** Retire log records older than the newest `keep`. Snapshot
+    * validity is already bounded by `LayerStore.retainVersions` — the
+    * versions an old record pins are long GC'd — so past records are
+    * audit weight, not capability. A layer whose every record is
+    * retired reads like one no transaction ever touched (live-pointer
+    * fallback). Returns the number of records removed; concurrent
+    * readers treat a record deleted mid-scan as absent, the same as
+    * the publish-time GC races elsewhere in the store. */
+  def vacuumLog(keep: Int = 64): Int = {
+    require(keep >= 1, "must keep at least the newest record")
+    recordSeqsDesc.drop(keep)
+      .count(s => Files.deleteIfExists(txnDir.resolve(f"_txn-$s%08d")))
+  }
+
   /** Cross-layer consistent read: each requested layer at the version
     * the newest log record (with sequence <= `asOf`, if pinned) bound
     * it to. Records are read newest-first and only until every

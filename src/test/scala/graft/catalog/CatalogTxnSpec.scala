@@ -91,6 +91,20 @@ class CatalogTxnSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](txn.commit(Seq(TxnWrite("bad\nname", 1, tiles(0)))))
   }
 
+  test("vacuumLog retires old records; a fully-retired layer reads as untouched") {
+    val store = freshStore()
+    val txn = new CatalogTxn(store)
+    txn.commit(Seq(TxnWrite("v", 1, tiles(0))))
+    txn.commit(Seq(TxnWrite("w", 1, tiles(1))))
+    val s3 = txn.commit(Seq(TxnWrite("w", 1, tiles(2))))
+    assert(txn.vacuumLog(keep = 1) == 2)
+    assert(txn.log.map(_._1) == Seq(s3))
+    // v's only record was retired: live-pointer fallback, not an error
+    assert(v00(txn.readAtomic(Seq("v" -> 1))("v" -> 1)) == 0.0)
+    // the sequence counter keeps monotone continuity past the vacuum
+    assert(txn.commit(Seq(TxnWrite("v", 1, tiles(9)))) == s3 + 1)
+  }
+
   test("duplicate (layer, zoom) in one transaction is rejected") {
     val txn = new CatalogTxn(freshStore())
     intercept[IllegalArgumentException](
