@@ -26,4 +26,22 @@ object Sampling {
     val fractions = counts.map { case (k, n) => k -> math.min(1.0, minCount / n) }
     df.stat.sampleBy(labelCol, fractions, seed)
   }
+
+  /** Efraimidis–Spirakis weighted-priority key: ln(u)/w with u derived
+    * from the portable 60-bit hash of a stable id, so the sample is a
+    * pure function of the data — reproducible across engines, runs and
+    * cluster sizes (no RNG state, no partition-order dependence). The
+    * top-k rows by this key per stratum are a weighted-without-
+    * replacement sample of that stratum (the domain-mixing step of a
+    * training-data pipeline: heavier docs proportionally likelier, but
+    * never duplicated). u = (h60(id)+1)/2^60 ∈ (0,1]; dividing by 2^60
+    * (a power of two) is exact in IEEE doubles, so both engines see the
+    * same u bit-for-bit and the only cross-engine wiggle is the last
+    * ulp of ln — order-relevant only on a near-tie between two hashes. */
+  def priorityKey(id: org.apache.spark.sql.Column, weight: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    log((graft.text.TextOps.h60(id.cast("string")) + 1).cast("double") / lit(1.152921504606846976e18)) / weight
+
+  /** SQL twin of [[priorityKey]] (DuckDB). */
+  def priorityKeySql(idExpr: String, weightExpr: String): String =
+    s"ln((${graft.text.TextOps.h60Sql(s"CAST($idExpr AS VARCHAR)")} + 1) / 1152921504606846976.0) / $weightExpr"
 }

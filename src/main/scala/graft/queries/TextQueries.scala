@@ -852,6 +852,113 @@ object TextQueries {
        |FROM bg JOIN uni ua ON bg.a = ua.w JOIN uni ub ON bg.b = ub.w, tot
        |WHERE bg.n_ab >= 20""".stripMargin
 
+  /** Deterministic weighted sampling (domain mixing): the 5 best
+    * Efraimidis–Spirakis priorities per source, weight = document
+    * length — the "sample heavier docs proportionally more, never
+    * twice" step a pipeline runs when blending domains into a training
+    * mix. The priority is a pure function of doc_id (no RNG state), so
+    * the sample is reproducible across engines, reruns and cluster
+    * sizes; see [[graft.ml.Sampling.priorityKey]]. The ranking window
+    * is PARTITIONED by source — every stratum is its own task, nothing
+    * single-partitions, and at 100 TB a stratum outgrowing a task is
+    * the [[graft.ops.Ranking]] regime (same note as a_topk_per_group). */
+  val weightedSample: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("p").desc, col("doc_id"))
+    table(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        graft.ml.Sampling.priorityKey(col("doc_id"), col("n_chars")).as("p"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5)
+      .select(col("source"), col("doc_id"), col("n_chars"), col("rnk"))
+  }
+
+  val weightedSampleSql: String =
+    s"""WITH s AS (SELECT source, doc_id, n_chars,
+       |  ${graft.ml.Sampling.priorityKeySql("doc_id", "n_chars")} AS p
+       |FROM documents)
+       |SELECT source, doc_id, n_chars, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT source, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY source ORDER BY p DESC, doc_id) AS rnk
+       |  FROM s) WHERE rnk <= 5""".stripMargin
+
+  /** Bigram language-model scoring (the KenLM-perplexity shape of
+    * quality filtering): train conditional bigram probabilities on the
+    * corpus itself (p(b|a) = c(a b) / c(a ·)), then score every
+    * document by the sum of its bigram log-probabilities. Each
+    * per-bigram ln lands in a DECIMAL(18,6) BEFORE the per-doc sum, so
+    * the aggregation is order-free and engine-exact: the only
+    * cross-engine wiggle is the last ulp of ln against a 1e-6 grid
+    * (odds ~1e-10 per row; the decimal→double finish is exact at these
+    * magnitudes, same argument as Fixtures.dsum). Docs with fewer than
+    * 2 tokens keep a defined score of 0.0 via the outer join — the
+    * short-doc rule t_repetition adopted from round-5 ADVICE. Scale
+    * shape: both model aggregations key on vocabulary-bounded spaces
+    * (bigram, context word), not the corpus; the model joins back
+    * occurrence-side with AQE free to broadcast when it fits and
+    * shuffle when a vocabulary outgrows the executor (same trade as
+    * t_collocations); then ONE doc-keyed aggregation. */
+  val lmScore: Q = (s, dir) => {
+    val big = docs(s, dir).where(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("a"),
+            element_at(col("toks"), i + 1).as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val bg = big.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val ctx = big.groupBy(col("a")).agg(count(lit(1)).as("n_a"))
+    val lp = log(col("n_ab").cast("double") / col("n_a").cast("double"))
+      .cast("decimal(18,6)")
+    val scored = big.join(bg, Seq("a", "b")).join(ctx, Seq("a"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_big"), sum(lp).cast("double").as("sum_lp"))
+    table(s, dir, "documents").select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        coalesce(col("sum_lp"), lit(0.0)).as("sum_lp"))
+  }
+
+  val lmScoreSql: String =
+    s"""WITH $docsCte,
+       |big AS (SELECT doc_id, toks[CAST(r.i AS INT)] AS a,
+       |               toks[CAST(r.i AS INT) + 1] AS b
+       |        FROM docs, unnest(range(1, len(toks))) r(i)),
+       |bg AS (SELECT a, b, COUNT(*) AS n_ab FROM big GROUP BY 1, 2),
+       |ctx AS (SELECT a, COUNT(*) AS n_a FROM big GROUP BY 1),
+       |sc AS (SELECT big.doc_id, COUNT(*) AS n_big,
+       |         CAST(SUM(CAST(ln(CAST(bg.n_ab AS DOUBLE) / CAST(ctx.n_a AS DOUBLE))
+       |                       AS DECIMAL(18,6))) AS DOUBLE) AS sum_lp
+       |       FROM big JOIN bg USING (a, b) JOIN ctx USING (a)
+       |       GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(sc.n_big, 0) AS n_big,
+       |       COALESCE(sc.sum_lp, 0.0) AS sum_lp
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
+
+  /** PII-style redaction: mask a term denylist (the fixture corpus's
+    * stand-in for emails/phone numbers), keeping the audit count — the
+    * scrub stage a compliance pipeline runs before training. Pure
+    * map-side transform, zero Exchange; the gate hashes the redacted
+    * text itself, so both engines must agree on every replaced byte.
+    * \b and alternation behave identically in Java regex and RE2;
+    * DuckDB's regexp_replace needs the 'g' flag to match Java's
+    * replace-all semantics. */
+  val redact: Q = (s, dir) => {
+    val pat = "\\b(customer|supplier|part)\\b"
+    val red = regexp_replace(col("text"), pat, "[PII]")
+    table(s, dir, "documents").select(col("doc_id"),
+      regexp_count(col("text"), lit(pat)).as("n_masked"),
+      md5(red.cast("binary")).as("redacted_md5"),
+      length(red).as("n_chars_redacted"))
+  }
+
+  val redactSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\b(customer|supplier|part)\b')) AS INT) AS n_masked,
+      |  md5(regexp_replace(text, '\b(customer|supplier|part)\b', '[PII]', 'g')) AS redacted_md5,
+      |  CAST(length(regexp_replace(text, '\b(customer|supplier|part)\b', '[PII]', 'g')) AS INT) AS n_chars_redacted
+      |FROM documents""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
     "t_lsh_verify" -> (lshVerify, Some(lshVerifySql)),
     "t_dedup_clusters" -> (dedupClusters, Some(dedupClustersSql)),
@@ -878,5 +985,8 @@ object TextQueries {
     "t_chunk_dedup" -> (chunkDedup, Some(chunkDedupSql)),
     "t_inverted_index" -> (invertedIndex, Some(invertedIndexSql)),
     "t_collocations" -> (collocations, Some(collocationsSql)),
+    "t_weighted_sample" -> (weightedSample, Some(weightedSampleSql)),
+    "t_lm_score" -> (lmScore, Some(lmScoreSql)),
+    "t_redact" -> (redact, Some(redactSql)),
   )
 }

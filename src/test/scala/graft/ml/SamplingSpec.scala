@@ -37,4 +37,32 @@ class SamplingSpec extends AnyFunSuite {
     val minOrig = emb.groupBy($"label").count().agg(min($"count")).head().getLong(0)
     assert(counts.forall(_ <= minOrig * 2)) // loose Bernoulli bound
   }
+
+  /** Driver-side twin of [[Sampling.priorityKey]]: the exact E-S math
+    * off java MD5, so the Column expression can't drift silently. */
+  private def priorityRef(id: Long, w: Double): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    val h = java.lang.Long.parseLong(hex, 16)
+    // StrictMath, not Math: Spark's Log expression evaluates via
+    // StrictMath.log for platform-independent plans
+    StrictMath.log((h + 1).toDouble / 1.152921504606846976e18) / w
+  }
+
+  test("priorityKey matches the driver-side E-S formula bit-for-bit") {
+    val rows = Seq((1L, 10.0), (2L, 10.0), (42L, 250.0), (9999L, 3.0))
+    val got = rows.toDF("id", "w")
+      .select($"id", $"w", Sampling.priorityKey($"id", $"w").as("p"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    rows.foreach { case (id, w) =>
+      assert(got((id, w)) == priorityRef(id, w), s"drift at id=$id w=$w")
+    }
+  }
+
+  test("priorityKey favors heavier rows: same hash, higher weight, higher key") {
+    val p1 = priorityRef(7L, 1.0)
+    val p10 = priorityRef(7L, 10.0)
+    assert(p10 > p1) // ln(u) < 0, so a larger weight pulls the key toward 0
+  }
 }

@@ -44,6 +44,54 @@ class QuerySignalsSpec extends AnyFunSuite {
     assert(out(0L) == ((2L, 1L, 0.5)) && out(1L) == ((2L, 1L, 0.5)))
   }
 
+  test("lm score: hand-computed bigram logprobs; short docs keep 0.0") {
+    // model over the whole corpus: c(a,b)=2, c(b,a)=1, c(a,c)=1
+    //                              ctx: a->3, b->1
+    // doc0 "a b":      1 bigram,  ln(2/3)           -> -0.405465
+    // doc1 "a b a c":  3 bigrams, ln(2/3)+ln(1)+ln(1/3) -> -1.504077
+    // doc2 "x", doc3 "": no bigrams, retained at 0.0 (outer-join rule)
+    val dir = docsDir(Seq(0L -> "a b", 1L -> "a b a c", 2L -> "x", 3L -> ""))
+    val out = TextQueries.lmScore(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.size == 4) // nothing dropped
+    assert(out(0L) == ((1L, -0.405465)))
+    assert(out(1L) == ((3L, -1.504077))) // exact decimal sum, then one cast
+    assert(out(2L) == ((0L, 0.0)) && out(3L) == ((0L, 0.0)))
+  }
+
+  test("redact masks whole words only and counts every replacement") {
+    val dir = docsDir(Seq(0L -> "customer parts part x partner customer"))
+    val r = TextQueries.redact(spark, dir).head()
+    val expected = "[PII] parts [PII] x partner [PII]"
+    assert(r.getInt(1) == 3) // 'parts'/'partner' survive the \b fence
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getString(2) == md5)
+    assert(r.getInt(3) == expected.length)
+  }
+
+  test("weighted sample: top-5 per source matches the brute-force E-S ranking") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    val rows = (0L until 60L).map(i =>
+      (i, "t", s"src${i % 3}", 20L + (i * 37) % 400)) // 3 strata, spread weights
+    rows.toDF("doc_id", "text", "source", "n_chars").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = TextQueries.weightedSample(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    // brute-force: same hash + formula on the driver
+    def h60(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16)
+    val want = rows.groupBy(_._3).flatMap { case (src, rs) =>
+      rs.map { case (id, _, _, w) =>
+        (src, id, StrictMath.log((h60(id) + 1).toDouble / 1.152921504606846976e18) / w)
+      }.sortBy { case (_, id, p) => (-p, id) }.take(5).zipWithIndex
+        .map { case ((s, id, _), i) => (s, id, i + 1) }
+    }.toSet
+    assert(got.length == 15 && got.toSet == want)
+  }
+
   private val Sf = "/root/testdata/sf0.001"
 
   test("quantize census: per-element error bound and guaranteed saturation") {
