@@ -935,6 +935,42 @@ object TextQueries {
        |       COALESCE(sc.sum_lp, 0.0) AS sum_lp
        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
 
+  /** TextRank keyword ranking (Mihalcea & Tarau, EMNLP 2004): PageRank
+    * over the adjacent-word co-occurrence graph — the graph-centrality
+    * twin of t_tfidf's frequency ranking, and the suite's second graph
+    * operator next to connected components. Three power iterations
+    * with [[TextOps.pageRank]]'s order-free float discipline; the
+    * oracle UNROLLS the same three iterations as chained CTEs, so the
+    * fixed iteration count is what makes the query oracle-checkable. */
+  val textrank: Q = (s, dir) =>
+    TextOps.pageRank(
+      docs(s, dir).where(size(col("toks")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("a"),
+            element_at(col("toks"), i + 1).as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b")),
+      iters = 3)
+
+  val textrankSql: String = {
+    val iters = (1 to 3).map { k =>
+      s"""c$k AS (SELECT e.y AS w,
+         |  CAST(SUM(CAST(rr.r / CAST(d.deg AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS in_r
+         |  FROM e JOIN r${k - 1} rr ON e.x = rr.w JOIN deg d ON e.x = d.x GROUP BY 1),
+         |r$k AS (SELECT w, CAST(0.15 AS DOUBLE) / n_nodes
+         |  + CAST(0.85 AS DOUBLE) * in_r AS r FROM c$k, nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $docsCte,
+       |pr AS (SELECT toks[CAST(i.i AS INT)] AS a, toks[CAST(i.i AS INT) + 1] AS b
+       |       FROM docs, unnest(range(1, len(toks))) i(i)),
+       |e AS (SELECT DISTINCT x, y
+       |      FROM (SELECT a AS x, b AS y FROM pr UNION ALL SELECT b, a FROM pr)),
+       |deg AS (SELECT x, COUNT(*) AS deg FROM e GROUP BY 1),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM deg),
+       |r0 AS (SELECT x AS w, CAST(1.0 AS DOUBLE) / n_nodes AS r FROM deg, nn),
+       |$iters
+       |SELECT w, r FROM r3""".stripMargin
+  }
+
   /** PII-style redaction: mask a term denylist (the fixture corpus's
     * stand-in for emails/phone numbers), keeping the audit count — the
     * scrub stage a compliance pipeline runs before training. Pure
@@ -988,5 +1024,6 @@ object TextQueries {
     "t_weighted_sample" -> (weightedSample, Some(weightedSampleSql)),
     "t_lm_score" -> (lmScore, Some(lmScoreSql)),
     "t_redact" -> (redact, Some(redactSql)),
+    "t_textrank" -> (textrank, Some(textrankSql)),
   )
 }

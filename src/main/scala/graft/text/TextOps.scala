@@ -322,4 +322,57 @@ object TextOps {
           "clusters may be under-merged; raise maxIter")
     labels.select(col("node"), col("label").as("cluster"))
   }
+
+  /** Fixed-iteration PageRank over an undirected edge list (`a`, `b`) —
+    * the ranking stage of TextRank-style keyword extraction (Mihalcea &
+    * Tarau, EMNLP 2004) and of link-graph quality scoring in corpus
+    * curation. Power iteration with damping 0.85, a FIXED iteration
+    * count (so the result is a closed-form arithmetic function of the
+    * graph, oracle-checkable by unrolling), and order-free float
+    * discipline: each neighbor contribution r/deg lands in a
+    * DECIMAL(28,12) BEFORE the per-node sum, so the aggregation cannot
+    * depend on partition order, and the rank update is one fixed-order
+    * double chain (0.15/n + 0.85*in_r). The graph-size constant rides
+    * along as a broadcast single-row crossJoin — no driver action in
+    * the plan. Each iteration is one vocabulary/node-keyed join + one
+    * aggregation; AQE broadcasts the rank table while it fits and
+    * shuffle-joins when the graph outgrows the executor. The iteration
+    * count is a constant (not data-dependent), so the analyzed plan is
+    * bounded and there is no checkpoint cadence to manage (contrast
+    * [[connectedComponents]], whose round count grows with diameter).
+    * The symmetric edge list and the degree table are LAZY local
+    * checkpoints: every iteration re-reads both, and without the
+    * truncation the plan embeds the distinct() subtree 2x per
+    * iteration (62 Exchange nodes at iters=3 vs ~15 after). Lazy, not
+    * eager, so building the query plans no jobs; the blocks land on
+    * first execution and are scoped to the checkpoint RDDs' lifetime
+    * (same storage trade connectedComponents makes for its edge list). */
+  def pageRank(edges: org.apache.spark.sql.DataFrame, iters: Int = 3): org.apache.spark.sql.DataFrame = {
+    val sym = edges.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(edges.select(col("b").as("x"), col("a").as("y")))
+      .distinct().localCheckpoint(false)
+    val deg = sym.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
+    val nRow = broadcast(deg.agg(count(lit(1)).cast("double").as("n_nodes")))
+    var r = deg.crossJoin(nRow)
+      .select(col("x").as("w"), (lit(1.0) / col("n_nodes")).as("r"))
+    for (k <- 1 to iters) {
+      val contrib = sym
+        .join(r.select(col("w").as("x"), col("r")), Seq("x"))
+        .join(deg, Seq("x"))
+        .select(col("y").as("w"),
+          (col("r") / col("deg").cast("double")).cast("decimal(28,12)").as("c"))
+      val next = contrib.groupBy(col("w"))
+        .agg(sum(col("c")).cast("double").as("in_r"))
+        .crossJoin(nRow)
+        .select(col("w"),
+          (lit(0.15) / col("n_nodes") + lit(0.85) * col("in_r")).as("r"))
+      // lazy checkpoint BETWEEN iterations: the final plan stays one
+      // iteration deep instead of nesting all prior iterations; the
+      // last iteration is returned un-truncated so callers (and the
+      // plans/ audit) still see the real join+agg shape
+      r = if (k == iters) next else next.localCheckpoint(false)
+    }
+    r
+  }
 }

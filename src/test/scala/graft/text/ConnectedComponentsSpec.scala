@@ -49,4 +49,27 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val got = TextOps.connectedComponents(edges).as[(Long, Long)].collect().toMap
     assert(got.size == n.toInt && got.values.forall(_ == 1L))
   }
+
+  test("pageRank: star center outranks leaves; symmetric nodes tie bit-for-bit") {
+    // star: center "c" <-> leaves l1..l6
+    val edges = (1 to 6).map(i => ("c", s"l$i")).toDF("a", "b")
+    val r = TextOps.pageRank(edges, iters = 3)
+      .as[(String, Double)].collect().toMap
+    assert(r.size == 7)
+    val leaves = (1 to 6).map(i => r(s"l$i"))
+    assert(leaves.distinct.size == 1) // exact symmetry, not approximate
+    assert(r("c") > leaves.head * 3)  // the hub dominates
+    // conservation: with every node reachable, total rank stays ~1
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank is deterministic across repartitionings") {
+    val base = (1 to 40).map(i => (s"w${i % 7}", s"w${(i * 3) % 11}"))
+      .filter { case (a, b) => a != b }
+    val r1 = TextOps.pageRank(base.toDF("a", "b"), 3)
+      .as[(String, Double)].collect().toMap
+    val r2 = TextOps.pageRank(base.toDF("a", "b").repartition(13), 3)
+      .as[(String, Double)].collect().toMap
+    assert(r1 == r2) // DECIMAL-landed contributions: partition order can't leak in
+  }
 }
