@@ -44,4 +44,32 @@ object Sampling {
   /** SQL twin of [[priorityKey]] (DuckDB). */
   def priorityKeySql(idExpr: String, weightExpr: String): String =
     s"ln((${graft.text.TextOps.h60Sql(s"CAST($idExpr AS VARCHAR)")} + 1) / 1152921504606846976.0) / $weightExpr"
+
+  /** Bounded top-k-by-priority as a mergeable Aggregator: the k best
+    * (priority desc, id asc) pairs, O(k) state per group in ANY
+    * grouping — which is what makes the weighted sample STREAMABLE: a
+    * streaming groupBy with this aggregator holds k pairs per stratum
+    * forever, no watermark needed, and complete-mode output converges
+    * to exactly the batch sample (StreamingSampleSpec). Merge is
+    * order-free (sorted union, take k), proven alongside the other
+    * aggregator laws. */
+  class TopKPriority(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[(Double, Long), Array[(Double, Long)], Seq[Long]] {
+    private def best(xs: Array[(Double, Long)]): Array[(Double, Long)] =
+      xs.distinct.sortBy { case (p, id) => (-p, id) }.take(k)
+    def zero: Array[(Double, Long)] = Array.empty
+    def reduce(b: Array[(Double, Long)], v: (Double, Long)): Array[(Double, Long)] = best(b :+ v)
+    def merge(a: Array[(Double, Long)], b: Array[(Double, Long)]): Array[(Double, Long)] = best(a ++ b)
+    def finish(b: Array[(Double, Long)]): Seq[Long] = best(b).map(_._2).toSeq
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** [[TopKPriority]] as an untyped aggregate column over (priority, id). */
+  def topKByPriority(k: Int)(priority: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.udaf(new TopKPriority(k),
+      org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))(priority, id)
 }

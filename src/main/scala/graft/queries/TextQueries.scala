@@ -935,6 +935,39 @@ object TextQueries {
        |       COALESCE(sc.sum_lp, 0.0) AS sum_lp
        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
 
+  /** Sequence packing (the concatenate-then-split layout of packed
+    * pretraining batches): documents are routed to one of 8 pack
+    * streams by the shared hash-bucket primitive, concatenated in
+    * doc_id order inside each stream, and cut every 256 tokens —
+    * `offset` is the token position where the doc starts in its
+    * stream, `seq_id` the packed sequence that position falls in.
+    * Pure integer arithmetic (cumulative window per bucket), so the
+    * gate is exact. Scale shape: one Exchange on the bucket key; the
+    * per-bucket running sum is a sort within each stream, and the
+    * stream COUNT is the scale knob — more data, more buckets, same
+    * per-task sort. */
+  val seqPack: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        TextOps.hashBucket(col("doc_id"), 8).as("bucket"))
+      .withColumn("offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", floor(col("offset") / 256))
+  }
+
+  val seqPackSql: String =
+    s"""WITH $docsCte,
+       |d AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+       |             ${TextOps.hashBucketSql("doc_id", 8)} AS bucket
+       |      FROM docs)
+       |SELECT doc_id, n_tokens, bucket,
+       |       CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+       |            - n_tokens AS BIGINT) AS "offset",
+       |       CAST((SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+       |            - n_tokens) // 256 AS BIGINT) AS seq_id
+       |FROM d""".stripMargin
+
   /** TextRank keyword ranking (Mihalcea & Tarau, EMNLP 2004): PageRank
     * over the adjacent-word co-occurrence graph — the graph-centrality
     * twin of t_tfidf's frequency ranking, and the suite's second graph
@@ -1025,5 +1058,6 @@ object TextQueries {
     "t_lm_score" -> (lmScore, Some(lmScoreSql)),
     "t_redact" -> (redact, Some(redactSql)),
     "t_textrank" -> (textrank, Some(textrankSql)),
+    "t_seq_pack" -> (seqPack, Some(seqPackSql)),
   )
 }
