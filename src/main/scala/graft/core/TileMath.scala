@@ -311,6 +311,47 @@ object TileMath {
     (sums, counts)
   }
 
+  /** Horn gradient-magnitude slope over a padded tile (pad >= 1): the
+    * standard 3x3 terrain kernel (Horn 1981; the focal-op family the
+    * reference reaches via GeoTrellis, ConvolveLayerExample.scala:62-73).
+    *
+    *   gx = ((tr + 2e + br) - (tl + 2w + bl)) / 8
+    *   gy = ((bl + 2s + br) - (tl + 2n + tr)) / 8
+    *   out = sqrt(gx^2 + gy^2)
+    *
+    * Defined only where the center and ALL 8 neighbors are data — a
+    * gradient estimated from a partial window is biased, so edge/hole
+    * cells become NoData (and drop at pixelize). With integral-valued
+    * cells every weighted sum is exact in IEEE754, so the result is
+    * bit-portable regardless of accumulation order. */
+  def hornSlope(padded: Array[Double], cols: Int, rows: Int, pad: Int): Array[Double] = {
+    val pc = cols + 2 * pad
+    val out = new Array[Double](cols * rows)
+    var y = 0
+    while (y < rows) {
+      var x = 0
+      while (x < cols) {
+        val cx = x + pad; val cy = y + pad
+        val c = padded(cx + cy * pc)
+        val tl = padded((cx - 1) + (cy - 1) * pc); val n = padded(cx + (cy - 1) * pc)
+        val tr = padded((cx + 1) + (cy - 1) * pc)
+        val w = padded((cx - 1) + cy * pc); val e = padded((cx + 1) + cy * pc)
+        val bl = padded((cx - 1) + (cy + 1) * pc); val s = padded(cx + (cy + 1) * pc)
+        val br = padded((cx + 1) + (cy + 1) * pc)
+        out(x + y * cols) =
+          if (isData(c) && isData(tl) && isData(n) && isData(tr) && isData(w)
+            && isData(e) && isData(bl) && isData(s) && isData(br)) {
+            val gx = ((tr + 2 * e + br) - (tl + 2 * w + bl)) / 8
+            val gy = ((bl + 2 * s + br) - (tl + 2 * n + tr)) / 8
+            math.sqrt(gx * gx + gy * gy)
+          } else Double.NaN
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Burn a half-open axis-aligned rectangle [x0,x1)x[y0,y1) (in global
     * pixel coords) into a tile keyed (tileCol, tileRow); incoming wins
     * (rasterize merge, RasterizeFeaturesRDD.scala:55-64). Mutates `a`. */

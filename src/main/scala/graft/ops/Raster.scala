@@ -132,6 +132,18 @@ object Raster {
       .select(col("tile_col"), col("tile_row"),
         focalMeanUdf(col("padded"), lit(cols), lit(rows), lit(radius), lit(radius), lit(circle)).as("cells"))
 
+  private val hornSlopeUdf = udf((padded: Seq[Double], cols: Int, rows: Int) =>
+    TileMath.hornSlope(padded.toArray, cols, rows, pad = 1).toSeq)
+
+  /** Horn slope (gradient magnitude) — the terrain member of the focal
+    * family (F1/F2): halo exchange at pad=1 (~1.1x wire), then the
+    * per-tile 3x3 kernel. Cells missing any of their 8 neighbors become
+    * NoData (see TileMath.hornSlope). */
+  def slope(tiles: DataFrame, cols: Int, rows: Int): DataFrame =
+    withHalo(tiles, cols, rows, pad = 1)
+      .select(col("tile_col"), col("tile_row"),
+        hornSlopeUdf(col("padded"), lit(cols), lit(rows)).as("cells"))
+
   case class FocalSC(wsum: Double, wn: Double)
 
   private val focalSumCountUdf = udf((padded: Seq[Double], cols: Int, rows: Int, pad: Int, r: Int) => {

@@ -545,7 +545,52 @@ object AdvancedQueries {
        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
        |GROUP BY 1""".stripMargin
 
+  /** Calendar gap-fill + last-observation-carried-forward interpolation:
+    * daily revenue per order priority, with every missing day
+    * materialized from a per-group date `sequence` and filled by an
+    * ignore-nulls `last` window (the time-series densify every
+    * monitoring/feature pipeline needs). The calendar builds
+    * distributed (sequence+explode — no driver range); the LOCF window
+    * partitions by group, so parallelism is group-bounded and no
+    * SinglePartition appears; output is calendar-bounded (~groups x
+    * days), independent of sf. Revenue lands in DECIMAL before the sum
+    * and LOCF only copies values, so both engines agree bitwise. */
+  val gapFill: Q = (s, dir) => {
+    val daily = table(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("prio"), col("o_orderdate").cast("date").as("d"))
+      .agg(dsum(dec2(col("o_totalprice"))).as("rev"))
+    val cal = daily.groupBy(col("prio"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("prio"), explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+    cal.join(daily, Seq("prio", "d"), "left")
+      .select(col("prio"), col("d"),
+        last(col("rev"), ignoreNulls = true)
+          .over(Window.partitionBy(col("prio")).orderBy(col("d"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("rev"),
+        col("rev").isNull.as("is_gap"))
+  }
+
+  // DuckDB's generate_series only takes constants (no lateral column
+  // args), so the twin offsets a constant 20000-day range from each
+  // group's min — the calendar is time-bounded, not sf-bounded.
+  val gapFillSql: String =
+    s"""WITH daily AS (
+       |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS d,
+       |         ${dsumSql(dec2Sql("o_totalprice"))} AS rev
+       |  FROM orders GROUP BY 1, 2),
+       |spans AS (SELECT prio, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+       |cal AS (
+       |  SELECT s.prio, CAST(s.d0 + r.i * (INTERVAL 1 DAY) AS DATE) AS d
+       |  FROM spans s JOIN range(0, 20000) r(i)
+       |    ON s.d0 + r.i * (INTERVAL 1 DAY) <= s.d1)
+       |SELECT c.prio, c.d,
+       |       LAST_VALUE(dy.rev IGNORE NULLS) OVER (PARTITION BY c.prio ORDER BY c.d
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev,
+       |       dy.rev IS NULL AS is_gap
+       |FROM cal c LEFT JOIN daily dy ON c.prio = dy.prio AND c.d = dy.d""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_gap_fill" -> (gapFill, Some(gapFillSql)),
     "a_kmv_distinct" -> (kmvDistinct, Some(kmvDistinctSql)),
     "a_bloom_join" -> (bloomJoin, Some(bloomJoinSql)),
     "a_kmv_window" -> (kmvWindow, Some(kmvWindowSql)),

@@ -58,20 +58,36 @@ object Fixtures {
   val revenueSql: String =
     s"${dec2Sql("l_extendedprice")} * (1 - ${dec2Sql("l_discount")})"
 
-  /** Events with the nanosecond `ts` column read as microseconds (Spark
-    * cannot read TIMESTAMP(NANOS) parquet natively): force an explicit
-    * schema reading ts as LONG nanos, then convert. The oracle twin is
-    * [[eventsCte]] (DuckDB reads TIMESTAMP_NS and truncates via CAST). */
+  /** Events reader, robust to the parquet timestamp physical type the
+    * generator used. TIMESTAMP(MICROS) (current testdata) reads
+    * natively; TIMESTAMP(NANOS) (earlier testdata generations) makes
+    * Spark's schema inference throw, in which case fall back to a
+    * forced LONG-nanos schema and convert. The oracle twin is
+    * [[eventsCte]] (DuckDB reads either and truncates via CAST). */
   def events(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    s.read.schema(schema).parquet(s"$dir/events.parquet")
-      // integer division: epoch-ns exceeds double's 2^53 mantissa, so
-      // floor(ns / 1000.0) would be off by ±1 us
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val path = s"$dir/events.parquet"
+    try {
+      val native = s.read.parquet(path) // schema inference throws on NANOS
+      native.schema("ts").dataType match {
+        case TimestampType => native
+        // parquet MICROS without isAdjustedToUTC infers as NTZ; every
+        // entry point pins the session timezone to UTC, so the cast
+        // re-labels the same instant (no value shift)
+        case TimestampNTZType => native.withColumn("ts", col("ts").cast(TimestampType))
+        case other => sys.error(s"unexpected ts type $other")
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        s.read.schema(schema).parquet(path)
+          // integer division: epoch-ns exceeds double's 2^53 mantissa, so
+          // floor(ns / 1000.0) would be off by ±1 us
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
   }
 
   val eventsCte: String =

@@ -144,6 +144,30 @@ object RasterQueries {
        |         / (s.stddev_v * SQRT((s.n_tot * f.wn - f.wn * f.wn) / (s.n_tot - 1))) AS gstar
        |FROM focal f CROSS JOIN stats s""".stripMargin
 
+  /** F1 family, terrain member: Horn slope (gradient magnitude) via the
+    * same halo exchange as focal mean, pad=1. Defined only where a cell
+    * has all 8 data neighbors (a partial-window gradient is biased), so
+    * the oracle keeps exactly the HAVING COUNT(*)=8 cells. Integral cell
+    * values make every weighted sum IEEE-exact in both engines. */
+  val slope: Q = (s, dir) =>
+    Raster.pixelize(Raster.slope(tilesA(s, dir), TS, TS), TS)
+
+  val slopeSql: String =
+    s"""WITH $pxCte,
+       |nb AS (
+       |  SELECT c.gx AS gx, c.gy AS gy,
+       |         SUM((p.gx - c.gx) * (2 - ABS(p.gy - c.gy)) * p.v) / 8 AS sx,
+       |         SUM((p.gy - c.gy) * (2 - ABS(p.gx - c.gx)) * p.v) / 8 AS sy,
+       |         COUNT(*) AS n
+       |  FROM pga c JOIN pga p
+       |    ON ABS(p.gx - c.gx) <= 1 AND ABS(p.gy - c.gy) <= 1
+       |       AND NOT (p.gx = c.gx AND p.gy = c.gy)
+       |  GROUP BY 1, 2)
+       |SELECT CAST(gx // $TS AS INT) AS tile_col, CAST(gy // $TS AS INT) AS tile_row,
+       |       CAST(gx % $TS AS INT) AS px, CAST(gy % $TS AS INT) AS py,
+       |       SQRT(sx * sx + sy * sy) AS v
+       |FROM nb WHERE n = 8""".stripMargin
+
   /** R6/A9: one pyramid level up — 2x2 block mean over data cells
     * (GeotiffToPyramid.scala:58-69). */
   val pyramid: Q = (s, dir) =>
@@ -401,6 +425,7 @@ object RasterQueries {
     "r_histogram_stats" -> (histogramStats, Some(histogramStatsSql)),
     "r_histogram_bins" -> (histogramBins, Some(histogramBinsSql)),
     "r_focal_mean" -> (focalMean, Some(focalMeanSql)),
+    "r_slope" -> (slope, Some(slopeSql)),
     "r_getis_ord" -> (getisOrd, Some(getisOrdSql)),
     "r_pyramid_up" -> (pyramid, Some(pyramidSql)),
     "r_zoom_resample_up" -> (zoomUp, Some(zoomUpSql)),

@@ -130,6 +130,24 @@ class TileMathSpec extends AnyFunSuite {
     assert(got((1, 0, 3, 2)) == (ts + 3).toDouble)
   }
 
+  test("hornSlope: exact gradient on a linear ramp, NoData on partial windows") {
+    // 3x3 tile, pad 1 -> padded 5x5 plane of v = 3x + 4y (global coords):
+    // Horn's estimator is exact on linear surfaces -> slope = 5 everywhere
+    val pc = 5
+    val padded = Array.tabulate(pc * pc)(i => 3.0 * (i % pc) + 4.0 * (i / pc))
+    val out = TileMath.hornSlope(padded, 3, 3, 1)
+    assert(out.length == 9)
+    assert(out.forall(_ == 5.0))
+    // knock out one padded corner: only the cell whose window uses it dies
+    val holed = padded.clone(); holed(0) = Double.NaN // global (0,0) = tl of cell (0,0)
+    val out2 = TileMath.hornSlope(holed, 3, 3, 1)
+    assert(out2(0).isNaN)
+    assert(out2.count(!_.isNaN) == 8)
+    // NaN center -> NaN even with 8 data neighbors
+    val centerHole = padded.clone(); centerHole(2 + 2 * pc) = Double.NaN
+    assert(TileMath.hornSlope(centerHole, 3, 3, 1)(1 + 1 * 3).isNaN)
+  }
+
   test("zorder interleave/deinterleave bijection (seeded sweep)") {
     val rnd = new scala.util.Random(42)
     (0 until 10000).foreach { _ =>

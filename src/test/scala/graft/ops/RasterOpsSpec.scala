@@ -226,6 +226,26 @@ class RasterOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"zipped features must be shuffle-free:\n$plan")
   }
 
+  test("slope: exact 5.0 on a cross-tile linear ramp, plane edges NoData") {
+    // full 2x2 tile grid of v = 3*gx + 4*gy: Horn is exact on linear
+    // surfaces, so every interior cell (incl. cells whose window spans a
+    // tile boundary via the halo) is exactly 5; plane-edge cells lack
+    // neighbors and drop
+    val ramp = (for {
+      tc <- 0 to 1; tr <- 0 to 1; px <- 0 until TS; py <- 0 until TS
+    } yield (tc, tr, px, py, 3.0 * (tc * TS + px) + 4.0 * (tr * TS + py)))
+      .toDF("tile_col", "tile_row", "px", "py", "v")
+    val got = Raster.pixelize(Raster.slope(Raster.assemble(ramp, TS, TS), TS, TS), TS)
+      .collect()
+      .map(r => (r.getInt(0) * TS + r.getInt(2), r.getInt(1) * TS + r.getInt(3)) -> r.getDouble(4))
+      .toMap
+    val n = 2 * TS // 8x8 plane -> 6x6 interior
+    assert(got.size == (n - 2) * (n - 2))
+    assert(got.values.forall(_ == 5.0))
+    assert(got.contains((TS - 1, TS)) && got.contains((TS, TS - 1))) // windows across both tile seams
+    assert(!got.contains((0, 3)) && !got.contains((n - 1, 4))) // plane edge dropped
+  }
+
   test("focalMean radius1 equals TileMath kernel on assembled layer") {
     val tiles = Raster.assemble(pixels, TS, TS)
     val got = Raster.pixelize(Raster.focalMean(tiles, TS, TS, 1), TS).collect()

@@ -107,6 +107,35 @@ class QuerySignalsSpec extends AnyFunSuite {
     }
   }
 
+  test("gap fill: contiguous per-group calendar, LOCF on gap days, observed days exact") {
+    val sf = "/root/testdata/sf0.001"
+    val out = AdvancedQueries.gapFill(spark, sf)
+      .select($"prio", $"d".cast("string"), $"rev", $"is_gap").collect()
+      .map(r => (r.getString(0), java.time.LocalDate.parse(r.getString(1)), r.getDouble(2), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    val daily = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy($"o_orderpriority", $"o_orderdate".cast("date").cast("string"))
+      .agg(Fixtures.dsum(Fixtures.dec2($"o_totalprice")).as("rev")).collect()
+      .map(r => (r.getString(0), java.time.LocalDate.parse(r.getString(1))) -> r.getDouble(2)).toMap
+    out.groupBy(_._1).foreach { case (prio, rows) =>
+      val seq = rows.sortBy(_._2)
+      // calendar is contiguous from the group's first observed day
+      seq.sliding(2).foreach { case Array(a, b) => assert(b._2 == a._2.plusDays(1)); case _ => }
+      // first day is observed (LOCF never reads before the span)
+      assert(!seq.head._4)
+      var carry = Double.NaN
+      seq.foreach { case (_, d, rev, isGap) =>
+        if (isGap) {
+          assert(!daily.contains((prio, d)))
+          assert(rev == carry, s"gap day $d must carry the last observation")
+        } else {
+          assert(rev == daily((prio, d)), s"observed day $d must keep its own revenue")
+          carry = rev
+        }
+      }
+    }
+  }
+
   test("centroid classifier: complete partition of the test split over real classes") {
     val e = spark.read.parquet(s"$Sf/embeddings.parquet")
     val labels = e.select($"label".cast("long")).distinct().as[Long].collect().toSet
