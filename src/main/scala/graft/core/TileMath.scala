@@ -352,6 +352,50 @@ object TileMath {
     out
   }
 
+  /** Lambertian hillshade over a padded tile: Horn gradient (see
+    * [[hornSlope]]) then illumination by a fixed light vector
+    * l = (-0.5, -0.5, sin 45°) — azimuth 315° (upper-left in pixel
+    * coords, y down), altitude 45°. That azimuth/altitude pair makes
+    * the horizontal components EXACTLY ±0.5 (cos 45° / √2 = 1/2), so
+    * with the surface normal n = (-gx, -gy, 1) the whole formula is
+    *
+    *   shade = max(0, (sin45 + 0.5*gx + 0.5*gy) / sqrt(1 + gx² + gy²))
+    *
+    * — one literal, two exact halvings, IEEE sqrt and one division:
+    * every step is deterministic and identically-ordered in the SQL
+    * oracle twin, so the gate hash-matches bitwise (no trig at query
+    * time; the only trig value is the compile-time literal). Same
+    * all-8-neighbors data rule as [[hornSlope]]. */
+  val Sin45: Double = 0.7071067811865476 // nearest double to sin(45°)
+  def hornHillshade(padded: Array[Double], cols: Int, rows: Int, pad: Int): Array[Double] = {
+    val pc = cols + 2 * pad
+    val out = new Array[Double](cols * rows)
+    var y = 0
+    while (y < rows) {
+      var x = 0
+      while (x < cols) {
+        val cx = x + pad; val cy = y + pad
+        val c = padded(cx + cy * pc)
+        val tl = padded((cx - 1) + (cy - 1) * pc); val n = padded(cx + (cy - 1) * pc)
+        val tr = padded((cx + 1) + (cy - 1) * pc)
+        val w = padded((cx - 1) + cy * pc); val e = padded((cx + 1) + cy * pc)
+        val bl = padded((cx - 1) + (cy + 1) * pc); val s = padded(cx + (cy + 1) * pc)
+        val br = padded((cx + 1) + (cy + 1) * pc)
+        out(x + y * cols) =
+          if (isData(c) && isData(tl) && isData(n) && isData(tr) && isData(w)
+            && isData(e) && isData(bl) && isData(s) && isData(br)) {
+            val gx = ((tr + 2 * e + br) - (tl + 2 * w + bl)) / 8
+            val gy = ((bl + 2 * s + br) - (tl + 2 * n + tr)) / 8
+            val lit = (Sin45 + 0.5 * gx + 0.5 * gy) / math.sqrt(1 + gx * gx + gy * gy)
+            if (lit > 0) lit else 0.0
+          } else Double.NaN
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Burn a half-open axis-aligned rectangle [x0,x1)x[y0,y1) (in global
     * pixel coords) into a tile keyed (tileCol, tileRow); incoming wins
     * (rasterize merge, RasterizeFeaturesRDD.scala:55-64). Mutates `a`. */

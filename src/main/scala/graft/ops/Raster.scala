@@ -144,6 +144,19 @@ object Raster {
       .select(col("tile_col"), col("tile_row"),
         hornSlopeUdf(col("padded"), lit(cols), lit(rows)).as("cells"))
 
+  private val hornHillshadeUdf = udf((padded: Seq[Double], cols: Int, rows: Int) =>
+    TileMath.hornHillshade(padded.toArray, cols, rows, pad = 1).toSeq)
+
+  /** Lambertian hillshade (azimuth 315°, altitude 45°) — the rendering
+    * member of the terrain family: same pad=1 halo as [[slope]], then
+    * the per-tile gradient+illumination kernel (TileMath.hornHillshade;
+    * trig collapses to one compile-time literal, so the gate
+    * hash-matches bitwise). */
+  def hillshade(tiles: DataFrame, cols: Int, rows: Int): DataFrame =
+    withHalo(tiles, cols, rows, pad = 1)
+      .select(col("tile_col"), col("tile_row"),
+        hornHillshadeUdf(col("padded"), lit(cols), lit(rows)).as("cells"))
+
   case class FocalSC(wsum: Double, wn: Double)
 
   private val focalSumCountUdf = udf((padded: Seq[Double], cols: Int, rows: Int, pad: Int, r: Int) => {

@@ -589,7 +589,59 @@ object AdvancedQueries {
        |       dy.rev IS NULL AS is_gap
        |FROM cal c LEFT JOIN daily dy ON c.prio = dy.prio AND c.d = dy.d""".stripMargin
 
+  /** Histogram-sketch quantile estimation — the third member of the
+    * approximate layer (KMV = distinct, CMS = frequency, this =
+    * quantiles): one fixed-width 100-bin histogram pass, then p50/p90/
+    * p99 by linear interpolation inside the covering bin. At 100 TB the
+    * full sort behind an exact percentile is unpayable; the histogram
+    * is one map-side-combined groupBy whose state is <= 100 rows
+    * regardless of input size. The interpolation is the same
+    * fixed-order double chain in both engines (exact integer counts,
+    * one division each), so even this ESTIMATE hash-matches bitwise.
+    * The cumulative window runs over <= 100 bin rows — bounded, like
+    * the histogram-bin collects the serving layer does. */
+  val histQuantile: Q = (s, dir) => {
+    val li = table(s, dir, "lineitem").select(col("l_extendedprice").cast("double").as("v"))
+    val stats = li.agg(min(col("v")).as("mn"), max(col("v")).as("mx"), count(lit(1)).as("n"))
+    val width = (col("mx") - col("mn")) / lit(100.0)
+    val hist = li.crossJoin(broadcast(stats))
+      .select(least(floor((col("v") - col("mn")) / width).cast("long"), lit(99L)).as("bin"),
+        col("mn"), col("mx"), col("n"))
+      .groupBy(col("bin"), col("mn"), col("mx"), col("n")).agg(count(lit(1)).as("nb"))
+    val cum = hist
+      .withColumn("cum", sum(col("nb")).over(
+        Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum0", col("cum") - col("nb"))
+    val ps = s.range(1).select(explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
+    val target = col("p") * col("n").cast("double")
+    cum.crossJoin(broadcast(ps))
+      .where(col("cum0").cast("double") < target && target <= col("cum").cast("double"))
+      .select(col("p"), col("bin"),
+        (col("mn") + width * col("bin").cast("double")
+          + width * ((target - col("cum0").cast("double")) / col("nb").cast("double"))).as("est"))
+  }
+
+  val histQuantileSql: String =
+    """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+      |st AS (SELECT MIN(v) AS mn, MAX(v) AS mx, COUNT(*) AS n FROM v),
+      |b AS (SELECT LEAST(CAST(FLOOR((v.v - st.mn) / ((st.mx - st.mn) / 100.0)) AS BIGINT), 99) AS bin,
+      |             st.mn, st.mx, st.n
+      |      FROM v, st),
+      |h AS (SELECT bin, mn, mx, n, COUNT(*) AS nb FROM b GROUP BY 1, 2, 3, 4),
+      |c AS (SELECT *, SUM(nb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM h),
+      |c2 AS (SELECT *, cum - nb AS cum0 FROM c),
+      |p AS (SELECT unnest([0.5, 0.9, 0.99]) AS p)
+      |SELECT p.p, c2.bin,
+      |       mn + ((mx - mn) / 100.0) * CAST(bin AS DOUBLE)
+      |          + ((mx - mn) / 100.0)
+      |            * ((p.p * CAST(n AS DOUBLE) - CAST(cum0 AS DOUBLE)) / CAST(nb AS DOUBLE)) AS est
+      |FROM c2, p
+      |WHERE CAST(cum0 AS DOUBLE) < p.p * CAST(n AS DOUBLE)
+      |  AND p.p * CAST(n AS DOUBLE) <= CAST(cum AS DOUBLE)""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_hist_quantile" -> (histQuantile, Some(histQuantileSql)),
     "a_gap_fill" -> (gapFill, Some(gapFillSql)),
     "a_kmv_distinct" -> (kmvDistinct, Some(kmvDistinctSql)),
     "a_bloom_join" -> (bloomJoin, Some(bloomJoinSql)),

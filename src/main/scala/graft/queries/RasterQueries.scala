@@ -168,6 +168,32 @@ object RasterQueries {
        |       SQRT(sx * sx + sy * sy) AS v
        |FROM nb WHERE n = 8""".stripMargin
 
+  /** Terrain family, rendering member: Lambertian hillshade. Light
+    * vector (-0.5, -0.5, sin45°) — the 315°/45° choice makes both
+    * horizontal components exactly ±0.5, so the shade expression is
+    * literal + exact-halving + sqrt + divide, identically ordered in
+    * both engines (TileMath.hornHillshade scaladoc). Same
+    * all-8-neighbors rule as r_slope. */
+  val hillshade: Q = (s, dir) =>
+    Raster.pixelize(Raster.hillshade(tilesA(s, dir), TS, TS), TS)
+
+  val hillshadeSql: String =
+    s"""WITH $pxCte,
+       |nb AS (
+       |  SELECT c.gx AS gx, c.gy AS gy,
+       |         SUM((p.gx - c.gx) * (2 - ABS(p.gy - c.gy)) * p.v) / 8 AS sx,
+       |         SUM((p.gy - c.gy) * (2 - ABS(p.gx - c.gx)) * p.v) / 8 AS sy,
+       |         COUNT(*) AS n
+       |  FROM pga c JOIN pga p
+       |    ON ABS(p.gx - c.gx) <= 1 AND ABS(p.gy - c.gy) <= 1
+       |       AND NOT (p.gx = c.gx AND p.gy = c.gy)
+       |  GROUP BY 1, 2)
+       |SELECT CAST(gx // $TS AS INT) AS tile_col, CAST(gy // $TS AS INT) AS tile_row,
+       |       CAST(gx % $TS AS INT) AS px, CAST(gy % $TS AS INT) AS py,
+       |       GREATEST(0, (${graft.core.TileMath.Sin45} + 0.5 * sx + 0.5 * sy)
+       |                     / SQRT(1 + sx * sx + sy * sy)) AS v
+       |FROM nb WHERE n = 8""".stripMargin
+
   /** R6/A9: one pyramid level up — 2x2 block mean over data cells
     * (GeotiffToPyramid.scala:58-69). */
   val pyramid: Q = (s, dir) =>
@@ -426,6 +452,7 @@ object RasterQueries {
     "r_histogram_bins" -> (histogramBins, Some(histogramBinsSql)),
     "r_focal_mean" -> (focalMean, Some(focalMeanSql)),
     "r_slope" -> (slope, Some(slopeSql)),
+    "r_hillshade" -> (hillshade, Some(hillshadeSql)),
     "r_getis_ord" -> (getisOrd, Some(getisOrdSql)),
     "r_pyramid_up" -> (pyramid, Some(pyramidSql)),
     "r_zoom_resample_up" -> (zoomUp, Some(zoomUpSql)),

@@ -670,7 +670,40 @@ object SimQueries {
        |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= $K""".stripMargin
   }
 
+  /** Seeded random sign projection (Achlioptas 2003 / JL lemma): 64-dim
+    * embeddings down to 16 dims via a ±1 matrix derived from the
+    * portable h60 hash — sign(m,j) = ±1 by h60("rp:m,j") parity — so
+    * the matrix is never stored or shipped: any engine (and any future
+    * run) regenerates it bit-identically from the seed string. The
+    * projection is the standard ANN/sketch prefilter when 4x fewer
+    * dimensions pay for a coarser first pass. Plan shape: ZERO
+    * Exchanges — one scan, one codegen'd projection; each output
+    * coordinate is a strict left-to-right 64-term double chain, which
+    * DuckDB's list_reduce reproduces bitwise. */
+  val randomProj: Q = (s, dir) => {
+    val dims = 16
+    val cols = (0 until dims).map { m =>
+      (0 until 64).map { j =>
+        val sign = if (graft.text.TextOps.hash60(s"rp:$m,$j") % 2 == 0) 1.0 else -1.0
+        element_at(col("embedding"), j + 1).cast("double") * lit(sign)
+      }.reduceLeft(_ + _).as(s"p$m")
+    }
+    table(s, dir, "embeddings").select(col("vec_id") +: cols: _*)
+  }
+
+  val randomProjSql: String = {
+    val dims = 16
+    val exprs = (0 until dims).map { m =>
+      s"""list_reduce(list_transform(range(1, 65),
+         |    j -> (CASE WHEN ${graft.text.TextOps.h60Sql(s"'rp:$m,' || CAST(j - 1 AS VARCHAR)")} % 2 = 0
+         |          THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE)),
+         |  (x, y) -> x + y) AS p$m""".stripMargin
+    }.mkString(",\n")
+    s"SELECT vec_id,\n$exprs\nFROM embeddings"
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "s_random_proj" -> (randomProj, Some(randomProjSql)),
     "s_ann_brute" -> (annBrute, Some(annBruteSql)),
     "s_ann_media" -> (annMedia, Some(annMediaSql)),
     "m_knn_confusion" -> (knnConfusion, Some(knnConfusionSql)),

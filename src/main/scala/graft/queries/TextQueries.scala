@@ -356,6 +356,44 @@ object TextQueries {
        |SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster
        |FROM r GROUP BY x""".stripMargin
 
+  /** Dedup survivorship — the final stage of the dedup pipeline: one
+    * KEEPER document per near-dup cluster, chosen by a quality policy
+    * (here: longest text, ties to the smallest doc_id — the "keep the
+    * most complete copy" rule crawl pipelines use). Docs in no cluster
+    * keep themselves. Scale shape: the keeper is found with a
+    * partial-aggregating groupBy(cluster) max(struct) — ONE row per
+    * cluster crosses the shuffle and a million-doc boilerplate cluster
+    * costs the same as a pair — not a row_number window, which would
+    * sort every member of the hottest cluster in one partition. */
+  val dedupKeeper: Q = (s, dir) => {
+    val cl = TextOps.connectedComponents(minhashLsh(s, dir).select(col("a"), col("b")))
+      .select(col("node").as("doc_id"), col("cluster"))
+    val d = table(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val labeled = d.join(cl, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"), col("n_chars"))
+    val keepers = labeled.groupBy(col("cluster"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("top"))
+      .select(col("cluster"), (-col("top.neg_id")).as("keeper"))
+    labeled.join(keepers, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), (col("doc_id") === col("keeper")).as("kept"))
+  }
+
+  val dedupKeeperSql: String =
+    s"""WITH RECURSIVE $docsCte,
+       |$sigsCte,
+       |$lshPairsCte,
+       |sym AS (SELECT a AS x, b AS y FROM lsh UNION SELECT b, a FROM lsh),
+       |r(x, y) AS (
+       |  SELECT x, y FROM sym
+       |  UNION
+       |  SELECT r.x, s.y FROM r JOIN sym s ON r.y = s.x),
+       |comp AS (SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster FROM r GROUP BY x),
+       |lab AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster, d.n_chars
+       |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+       |SELECT doc_id, cluster,
+       |       ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) = 1 AS kept
+       |FROM lab""".stripMargin
+
   /** Candidate verification — the stage after LSH in a real dedup
     * pipeline: edit distance over bounded 64-char prefixes confirms or
     * rejects each candidate pair. Verification is map-side per candidate
@@ -383,6 +421,42 @@ object TextQueries {
        |JOIN documents da ON da.doc_id = l.a
        |JOIN documents db ON db.doc_id = l.b
        |WHERE levenshtein(substr(da.text, 1, 64), substr(db.text, 1, 64)) <= 24""".stripMargin
+
+  /** Domain-mixture rebalance — downsample every source domain to a
+    * UNIFORM target mixture without upsampling (the "rebalance the
+    * crawl so no domain dominates" pass of corpus curation). With a
+    * uniform target the per-domain keep probability collapses to
+    * n_min/n_d, so the 2^20-scaled keep threshold is PURE INTEGER
+    * arithmetic ((n_min * 2^20) div n_d) and membership is the
+    * deterministic portable hash h60(doc_id) % 2^20 < thresh — the
+    * same doc survives in any engine, any run, any partitioning.
+    * Scale shape: one tiny groupBy(source) for counts, the single-row
+    * min broadcast back, the filter map-side, one closing groupBy. */
+  val mixtureSample: Q = (s, dir) => {
+    val d = table(s, dir, "documents").select(col("doc_id"), col("source"))
+    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val nMin = counts.agg(min(col("n_docs")).as("n_min"))
+    val th = counts.crossJoin(broadcast(nMin))
+      .select(col("source"), col("n_docs"),
+        expr("(n_min * 1048576) div n_docs").as("thresh"))
+    val kept = d.join(broadcast(th.select(col("source"), col("thresh"))), Seq("source"))
+      .where(TextOps.hashBucket(col("doc_id"), 1048576) < col("thresh"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    th.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("thresh"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  val mixtureSampleSql: String =
+    s"""WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+       |mn AS (SELECT MIN(n_docs) AS n_min FROM counts),
+       |th AS (SELECT source, n_docs, (n_min * 1048576) // n_docs AS thresh FROM counts, mn),
+       |k AS (SELECT d.source, COUNT(*) AS n_kept
+       |      FROM documents d JOIN th ON d.source = th.source
+       |      WHERE ${TextOps.hashBucketSql("d.doc_id", 1048576)} < th.thresh
+       |      GROUP BY 1)
+       |SELECT t.source, t.n_docs, t.thresh, COALESCE(k.n_kept, 0) AS n_kept
+       |FROM th t LEFT JOIN k ON t.source = k.source""".stripMargin
 
   /** Deterministic held-out split — hash-bucket sampling on the stable
     * doc key (80/10/10), reproducible across engines and runs: the split
@@ -1031,6 +1105,8 @@ object TextQueries {
   val all: Map[String, (Q, Option[String])] = Map(
     "t_lsh_verify" -> (lshVerify, Some(lshVerifySql)),
     "t_dedup_clusters" -> (dedupClusters, Some(dedupClustersSql)),
+    "t_dedup_keeper" -> (dedupKeeper, Some(dedupKeeperSql)),
+    "t_mixture_sample" -> (mixtureSample, Some(mixtureSampleSql)),
     "t_hash_split" -> (hashSplit, Some(hashSplitSql)),
     "t_tfidf" -> (tfidf, Some(tfidfSql)),
     "t_top_ngrams" -> (topNgrams, Some(topNgramsSql)),

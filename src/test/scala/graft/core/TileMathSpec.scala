@@ -148,6 +148,24 @@ class TileMathSpec extends AnyFunSuite {
     assert(TileMath.hornSlope(centerHole, 3, 3, 1)(1 + 1 * 3).isNaN)
   }
 
+  test("hornHillshade: flat plane lights at sin45, away-facing slope clamps to 0") {
+    val pc = 5
+    // flat plane: gradient 0 -> shade = Sin45 exactly (denominator 1)
+    val flat = Array.fill(pc * pc)(7.0)
+    val s1 = TileMath.hornHillshade(flat, 3, 3, 1)
+    assert(s1.forall(_ == TileMath.Sin45))
+    // ramp rising toward the light with gradient (-10, 0): numerator
+    // Sin45 - 5 < 0 -> clamped to 0 (self-shadowed face)
+    val away = Array.tabulate(pc * pc)(i => -10.0 * (i % pc))
+    assert(TileMath.hornHillshade(away, 3, 3, 1).forall(_ == 0.0))
+    // gradient (3,4): shade = (Sin45 + 3.5) / sqrt(26); NoData on holes
+    val ramp = Array.tabulate(pc * pc)(i => 3.0 * (i % pc) + 4.0 * (i / pc))
+    val s3 = TileMath.hornHillshade(ramp, 3, 3, 1)
+    assert(s3.forall(_ == (TileMath.Sin45 + 0.5 * 3 + 0.5 * 4) / math.sqrt(1 + 9.0 + 16.0)))
+    val holed = ramp.clone(); holed(0) = Double.NaN
+    assert(TileMath.hornHillshade(holed, 3, 3, 1)(0).isNaN)
+  }
+
   test("zorder interleave/deinterleave bijection (seeded sweep)") {
     val rnd = new scala.util.Random(42)
     (0 until 10000).foreach { _ =>

@@ -246,6 +246,22 @@ class RasterOpsSpec extends AnyFunSuite {
     assert(!got.contains((0, 3)) && !got.contains((n - 1, 4))) // plane edge dropped
   }
 
+  test("hillshade: constant shade on a cross-tile linear ramp, matches the kernel formula") {
+    val ramp = (for {
+      tc <- 0 to 1; tr <- 0 to 1; px <- 0 until TS; py <- 0 until TS
+    } yield (tc, tr, px, py, 3.0 * (tc * TS + px) + 4.0 * (tr * TS + py)))
+      .toDF("tile_col", "tile_row", "px", "py", "v")
+    val got = Raster.pixelize(Raster.hillshade(Raster.assemble(ramp, TS, TS), TS, TS), TS)
+      .collect()
+      .map(r => (r.getInt(0) * TS + r.getInt(2), r.getInt(1) * TS + r.getInt(3)) -> r.getDouble(4))
+      .toMap
+    val n = 2 * TS
+    assert(got.size == (n - 2) * (n - 2)) // plane edges lack neighbors
+    val want = (graft.core.TileMath.Sin45 + 0.5 * 3 + 0.5 * 4) / math.sqrt(1 + 9.0 + 16.0)
+    assert(got.values.forall(_ == want))
+    assert(got.contains((TS, TS))) // a window spanning both tile seams
+  }
+
   test("focalMean radius1 equals TileMath kernel on assembled layer") {
     val tiles = Raster.assemble(pixels, TS, TS)
     val got = Raster.pixelize(Raster.focalMean(tiles, TS, TS, 1), TS).collect()

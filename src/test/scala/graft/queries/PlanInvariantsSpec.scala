@@ -42,7 +42,7 @@ class PlanInvariantsSpec extends AnyFunSuite {
   }
 
   test("declared zero-Exchange queries stay zero-Exchange") {
-    for (name <- Seq("t_quality_filter", "s_quantize_err", "t_redact")) {
+    for (name <- Seq("t_quality_filter", "s_quantize_err", "t_redact", "s_random_proj")) {
       val n = "(?<!Broadcast)Exchange".r.findAllIn(plans(name)).size
       assert(n == 0, s"$name grew $n Exchange nodes")
     }

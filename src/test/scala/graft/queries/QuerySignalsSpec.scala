@@ -136,6 +136,67 @@ class QuerySignalsSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture sample: integer thresholds, keeps respect the hash rule, min source keeps most") {
+    val sf = "/root/testdata/sf0.001"
+    val out = TextQueries.mixtureSample(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val counts = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy($"source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == counts.keySet) // every domain represented, kept or not
+    val nMin = counts.values.min
+    out.foreach { case (src, (nDocs, thresh, nKept)) =>
+      assert(nDocs == counts(src))
+      assert(thresh == nMin * 1048576L / nDocs) // pure integer arithmetic
+      assert(nKept <= nDocs)
+    }
+    // the smallest domain's threshold is exactly 2^20: it keeps everything
+    val (minSrc, _) = counts.minBy(_._2)
+    assert(out(minSrc)._2 == 1048576L && out(minSrc)._3 == counts(minSrc))
+  }
+
+  test("dedup keeper: exactly one keeper per cluster and it has the longest text") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextQueries.dedupKeeper(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val nChars = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"n_chars").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == nChars.size) // complete partition of the corpus
+    rows.groupBy(_._2).foreach { case (cluster, members) =>
+      val keepers = members.filter(_._3)
+      assert(keepers.length == 1, s"cluster $cluster has ${keepers.length} keepers")
+      val maxLen = members.map(m => nChars(m._1)).max
+      assert(nChars(keepers.head._1) == maxLen)
+      assert(members.map(_._1).min == cluster) // label = min doc_id of the component
+    }
+  }
+
+  test("random projection: one row recomputed by hand from the seeded sign matrix") {
+    val sf = "/root/testdata/sf0.001"
+    val row = SimQueries.randomProj(spark, sf).where($"vec_id" === 7L).collect()(0)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .where($"vec_id" === 7L).select($"embedding").as[Seq[Float]].collect()(0)
+    for (m <- 0 until 16) {
+      var acc = 0.0
+      for (j <- 0 until 64) {
+        val sign = if (graft.text.TextOps.hash60(s"rp:$m,$j") % 2 == 0) 1.0 else -1.0
+        acc += emb(j).toDouble * sign
+      }
+      assert(row.getDouble(1 + m) == acc, s"dim $m")
+    }
+  }
+
+  test("hist quantile: three monotone estimates inside the data range") {
+    val sf = "/root/testdata/sf0.001"
+    val out = AdvancedQueries.histQuantile(spark, sf)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set(0.5, 0.9, 0.99))
+    val mnmx = spark.read.parquet(s"$sf/lineitem.parquet")
+      .agg(org.apache.spark.sql.functions.min($"l_extendedprice").cast("double"),
+        org.apache.spark.sql.functions.max($"l_extendedprice").cast("double")).collect()(0)
+    assert(out(0.5) <= out(0.9) && out(0.9) <= out(0.99))
+    assert(out(0.5) >= mnmx.getDouble(0) && out(0.99) <= mnmx.getDouble(1))
+  }
+
   test("centroid classifier: complete partition of the test split over real classes") {
     val e = spark.read.parquet(s"$Sf/embeddings.parquet")
     val labels = e.select($"label".cast("long")).distinct().as[Long].collect().toSet
