@@ -396,6 +396,53 @@ object TileMath {
     out
   }
 
+  /** D8 flow direction over a padded tile: the hydrology primitive
+    * (O'Callaghan & Mark 1984) — each cell drains toward the neighbor
+    * with the steepest positive distance-weighted drop. Direction codes
+    * by (dx, dy) with pixel y DOWN: 0=E(1,0) 1=SE(1,1) 2=S(0,1)
+    * 3=SW(-1,1) 4=W(-1,0) 5=NW(-1,-1) 6=N(0,-1) 7=NE(1,-1); ties take
+    * the LOWEST code (strict > while scanning in code order); cells
+    * with no positive drop (pits/flats) get -1. Diagonal weight is the
+    * 1/√2 literal [[Sin45]], so every drop is (exact integral diff) ×
+    * (one literal) — bit-portable. Same all-8-neighbors data rule as
+    * [[hornSlope]]. */
+  private val D8dx = Array(1, 1, 0, -1, -1, -1, 0, 1)
+  private val D8dy = Array(0, 1, 1, 1, 0, -1, -1, -1)
+  def d8FlowDir(padded: Array[Double], cols: Int, rows: Int, pad: Int): Array[Double] = {
+    val pc = cols + 2 * pad
+    val out = new Array[Double](cols * rows)
+    var y = 0
+    while (y < rows) {
+      var x = 0
+      while (x < cols) {
+        val cx = x + pad; val cy = y + pad
+        val c = padded(cx + cy * pc)
+        var allData = isData(c)
+        var d = 0
+        while (allData && d < 8) {
+          if (!isData(padded((cx + D8dx(d)) + (cy + D8dy(d)) * pc))) allData = false
+          d += 1
+        }
+        out(x + y * cols) =
+          if (allData) {
+            var best = 0.0; var bestDir = -1
+            d = 0
+            while (d < 8) {
+              val nv = padded((cx + D8dx(d)) + (cy + D8dy(d)) * pc)
+              val w = if (D8dx(d) == 0 || D8dy(d) == 0) 1.0 else Sin45
+              val drop = (c - nv) * w
+              if (drop > best) { best = drop; bestDir = d }
+              d += 1
+            }
+            bestDir.toDouble
+          } else Double.NaN
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Burn a half-open axis-aligned rectangle [x0,x1)x[y0,y1) (in global
     * pixel coords) into a tile keyed (tileCol, tileRow); incoming wins
     * (rasterize merge, RasterizeFeaturesRDD.scala:55-64). Mutates `a`. */

@@ -157,6 +157,17 @@ object Raster {
       .select(col("tile_col"), col("tile_row"),
         hornHillshadeUdf(col("padded"), lit(cols), lit(rows)).as("cells"))
 
+  private val d8FlowDirUdf = udf((padded: Seq[Double], cols: Int, rows: Int) =>
+    TileMath.d8FlowDir(padded.toArray, cols, rows, pad = 1).toSeq)
+
+  /** D8 flow direction — hydrology member of the terrain family: pad=1
+    * halo then the per-tile steepest-descent kernel (TileMath.d8FlowDir;
+    * codes 0-7 clockwise from E, -1 for pits). */
+  def flowDir(tiles: DataFrame, cols: Int, rows: Int): DataFrame =
+    withHalo(tiles, cols, rows, pad = 1)
+      .select(col("tile_col"), col("tile_row"),
+        d8FlowDirUdf(col("padded"), lit(cols), lit(rows)).as("cells"))
+
   case class FocalSC(wsum: Double, wn: Double)
 
   private val focalSumCountUdf = udf((padded: Seq[Double], cols: Int, rows: Int, pad: Int, r: Int) => {

@@ -640,7 +640,56 @@ object AdvancedQueries {
       |WHERE CAST(cum0 AS DOUBLE) < p.p * CAST(n AS DOUBLE)
       |  AND p.p * CAST(n AS DOUBLE) <= CAST(cum AS DOUBLE)""".stripMargin
 
+  /** Rolling z-score anomaly detection over each user's event stream —
+    * the monitoring primitive: mean/stddev of the PRECEDING 20 values
+    * (never the current one — no self-leakage), z = (v - mean)/std,
+    * flag |z| > 3. Sums run in DECIMAL so the rolling moments are
+    * order-exact; the z formula is one fixed-order double chain, so
+    * even the floating flags hash-match. Windows partition by user —
+    * the per-entity shape that scales (a global ordered stream would
+    * serialize); warm-up rows (< 5 prior values) and zero-variance
+    * windows are excluded deterministically in both engines. */
+  val anomaly: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-20, -1)
+    events(s, dir)
+      .withColumn("n_prev", count(col("value")).over(w))
+      .withColumn("s1", sum(dec2(col("value"))).over(w))
+      .withColumn("s2", sum(dec2(col("value")) * dec2(col("value"))).over(w))
+      .where(col("n_prev") >= 5)
+      .withColumn("mean_prev", col("s1").cast("double") / col("n_prev").cast("double"))
+      .withColumn("var_prev",
+        col("s2").cast("double") / col("n_prev").cast("double")
+          - col("mean_prev") * col("mean_prev"))
+      .where(col("var_prev") > 0)
+      .withColumn("z", (col("value") - col("mean_prev")) / sqrt(col("var_prev")))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("mean_prev"), col("z"), (abs(col("z")) > 3).as("is_anomaly"))
+  }
+
+  val anomalySql: String =
+    s"""WITH $eventsCte,
+       |roll AS (
+       |  SELECT event_id, user_id, value,
+       |         COUNT(value) OVER w AS n_prev,
+       |         SUM(${dec2Sql("value")}) OVER w AS s1,
+       |         SUM(${dec2Sql("value")} * ${dec2Sql("value")}) OVER w AS s2
+       |  FROM evts
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+       |m AS (
+       |  SELECT *, CAST(s1 AS DOUBLE) / CAST(n_prev AS DOUBLE) AS mean_prev
+       |  FROM roll WHERE n_prev >= 5),
+       |v AS (
+       |  SELECT *, CAST(s2 AS DOUBLE) / CAST(n_prev AS DOUBLE) - mean_prev * mean_prev AS var_prev
+       |  FROM m)
+       |SELECT event_id, user_id, value, mean_prev,
+       |       (value - mean_prev) / SQRT(var_prev) AS z,
+       |       ABS((value - mean_prev) / SQRT(var_prev)) > 3 AS is_anomaly
+       |FROM v WHERE var_prev > 0""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_anomaly" -> (anomaly, Some(anomalySql)),
     "a_hist_quantile" -> (histQuantile, Some(histQuantileSql)),
     "a_gap_fill" -> (gapFill, Some(gapFillSql)),
     "a_kmv_distinct" -> (kmvDistinct, Some(kmvDistinctSql)),

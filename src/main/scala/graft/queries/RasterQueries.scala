@@ -194,6 +194,41 @@ object RasterQueries {
        |                     / SQRT(1 + sx * sx + sy * sy)) AS v
        |FROM nb WHERE n = 8""".stripMargin
 
+  /** Terrain family, hydrology member: D8 flow direction. Codes 0-7
+    * clockwise from E (pixel y down), -1 for pits/flats; ties take the
+    * lowest code. Every drop is an exact integral difference times one
+    * literal weight (1 or Sin45), so argmax and ties are bit-identical
+    * in both engines. */
+  val flowDir: Q = (s, dir) =>
+    Raster.pixelize(Raster.flowDir(tilesA(s, dir), TS, TS), TS)
+
+  val flowDirSql: String =
+    s"""WITH $pxCte,
+       |nb AS (
+       |  SELECT c.gx AS gx, c.gy AS gy,
+       |         p.gx - c.gx AS dx, p.gy - c.gy AS dy,
+       |         (c.v - p.v) * (CASE WHEN p.gx = c.gx OR p.gy = c.gy
+       |                             THEN 1.0 ELSE ${graft.core.TileMath.Sin45} END) AS dr,
+       |         COUNT(*) OVER (PARTITION BY c.gx, c.gy) AS n
+       |  FROM pga c JOIN pga p
+       |    ON ABS(p.gx - c.gx) <= 1 AND ABS(p.gy - c.gy) <= 1
+       |       AND NOT (p.gx = c.gx AND p.gy = c.gy)),
+       |dircode AS (
+       |  SELECT gx, gy, n, dr,
+       |         CASE WHEN dx = 1 AND dy = 0 THEN 0 WHEN dx = 1 AND dy = 1 THEN 1
+       |              WHEN dx = 0 AND dy = 1 THEN 2 WHEN dx = -1 AND dy = 1 THEN 3
+       |              WHEN dx = -1 AND dy = 0 THEN 4 WHEN dx = -1 AND dy = -1 THEN 5
+       |              WHEN dx = 0 AND dy = -1 THEN 6 ELSE 7 END AS dir
+       |  FROM nb),
+       |best AS (
+       |  SELECT gx, gy, n, dr, dir,
+       |         ROW_NUMBER() OVER (PARTITION BY gx, gy ORDER BY dr DESC, dir) AS rn
+       |  FROM dircode)
+       |SELECT CAST(gx // $TS AS INT) AS tile_col, CAST(gy // $TS AS INT) AS tile_row,
+       |       CAST(gx % $TS AS INT) AS px, CAST(gy % $TS AS INT) AS py,
+       |       CAST(CASE WHEN dr > 0 THEN dir ELSE -1 END AS DOUBLE) AS v
+       |FROM best WHERE rn = 1 AND n = 8""".stripMargin
+
   /** R6/A9: one pyramid level up — 2x2 block mean over data cells
     * (GeotiffToPyramid.scala:58-69). */
   val pyramid: Q = (s, dir) =>
@@ -453,6 +488,7 @@ object RasterQueries {
     "r_focal_mean" -> (focalMean, Some(focalMeanSql)),
     "r_slope" -> (slope, Some(slopeSql)),
     "r_hillshade" -> (hillshade, Some(hillshadeSql)),
+    "r_flow_dir" -> (flowDir, Some(flowDirSql)),
     "r_getis_ord" -> (getisOrd, Some(getisOrdSql)),
     "r_pyramid_up" -> (pyramid, Some(pyramidSql)),
     "r_zoom_resample_up" -> (zoomUp, Some(zoomUpSql)),

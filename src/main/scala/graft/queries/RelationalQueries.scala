@@ -169,6 +169,45 @@ object RelationalQueries {
        |       CAST(${dec2Sql("value")} AS DOUBLE) AS value
        |FROM r WHERE rn = 1""".stripMargin
 
+  /** Ordered conversion funnel over the event stream — per user: the
+    * earliest view, the earliest click AFTER that view, the earliest
+    * purchase AFTER that click (strict event-order attribution, not
+    * mere presence). Plan shape: ONE user-keyed shuffle carries three
+    * SEQUENTIAL window aggregates (each conditional minimum references
+    * the previous stage's column) plus the closing per-user rollup —
+    * no self-joins, no per-stage scans, so at 100 TB the funnel costs
+    * one pass over events however many stages it has. */
+  val funnel: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+    events(s, dir)
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" && col("ts") > col("t1"), col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts") > col("t2"), col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+      .select(col("user_id"),
+        unix_micros(col("t1")).as("view_us"),
+        unix_micros(col("t2")).as("click_us"),
+        unix_micros(col("t3")).as("purchase_us"),
+        when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1).otherwise(0).as("stage"))
+  }
+
+  val funnelSql: String =
+    s"""WITH $eventsCte,
+       |s1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+       |                   OVER (PARTITION BY user_id) AS t1 FROM evts),
+       |s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+       |                   OVER (PARTITION BY user_id) AS t2 FROM s1),
+       |s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+       |                   OVER (PARTITION BY user_id) AS t3 FROM s2),
+       |g AS (SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3 FROM s3 GROUP BY 1)
+       |SELECT user_id, epoch_us(t1) AS view_us, epoch_us(t2) AS click_us,
+       |       epoch_us(t3) AS purchase_us,
+       |       CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+       |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage
+       |FROM g""".stripMargin
+
   /** P6 distinct + set ops: parts that ship but were never ordered above
     * qty 45 (EXCEPT), via dropDuplicates. */
   val setOps: Q = (s, dir) => {
@@ -356,6 +395,7 @@ object RelationalQueries {
     "q_top_suppliers" -> (topSuppliers, Some(topSuppliersSql)),
     "q_user_retention" -> (userRetention, Some(userRetentionSql)),
     "q_latest_per_key" -> (latestPerKey, Some(latestPerKeySql)),
+    "q_funnel" -> (funnel, Some(funnelSql)),
     "q_set_ops" -> (setOps, Some(setOpsSql)),
     "q_event_windows" -> (eventWindows, Some(eventWindowsSql)),
     "q_tumbling_window" -> (tumblingWindow, Some(tumblingWindowSql)),

@@ -153,8 +153,11 @@ object SimQueries {
     knnPredictions(s, dir)
       .groupBy(col("label"), col("pred")).agg(count(lit(1)).as("n"))
 
-  val knnConfusionSql: String =
-    s"""WITH s AS (SELECT vec_id, embedding, label,
+  /** Shared CTE chain producing per-test-point predictions
+    * (qid, label, nl) — the SQL twin of [[knnPredictions]]; reused by
+    * the confusion-matrix and PRF-report oracles. */
+  private val knnPredCtes: String =
+    s"""s AS (SELECT vec_id, embedding, label,
        |             ${graft.text.TextOps.hashBucketSql("vec_id", 10)} AS b
        |           FROM embeddings),
        |te AS (SELECT * FROM s WHERE b = 9),
@@ -171,8 +174,63 @@ object SimQueries {
        |pred AS (
        |  SELECT qid, label, nl,
        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, nl) AS r
-       |  FROM votes QUALIFY r = 1)
+       |  FROM votes QUALIFY r = 1)""".stripMargin
+
+  val knnConfusionSql: String =
+    s"""WITH $knnPredCtes
        |SELECT label, nl AS pred, COUNT(*) AS n FROM pred GROUP BY 1, 2""".stripMargin
+
+  /** Per-class precision / recall / F1 from the k-NN predictions — the
+    * evaluation report every classifier run ends with. Counts are exact
+    * integers; each metric is one division (and F1 one fixed-order
+    * chain), so the report hash-matches bitwise. Classes are the UNION
+    * of true and predicted labels (a class never predicted still gets
+    * its recall row; a class wrongly invented still gets its precision
+    * row), with absent counts defined to 0 and empty denominators to
+    * 0.0. */
+  val prfReport: Q = (s, dir) => {
+    val pred = knnPredictions(s, dir)
+    val byTrue = pred.groupBy(col("label").as("cls")).agg(count(lit(1)).as("n_true"))
+    val byPred = pred.groupBy(col("pred").as("cls")).agg(count(lit(1)).as("n_pred"))
+    val tp = pred.where(col("label") === col("pred"))
+      .groupBy(col("label").as("cls")).agg(count(lit(1)).as("tp"))
+    byTrue.join(byPred, Seq("cls"), "full").join(tp, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"))
+      .withColumn("prec",
+        when(col("n_pred") > 0, col("tp").cast("double") / col("n_pred").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("rec",
+        when(col("n_true") > 0, col("tp").cast("double") / col("n_true").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("f1",
+        when(col("prec") + col("rec") > 0,
+          lit(2.0) * col("prec") * col("rec") / (col("prec") + col("rec")))
+          .otherwise(lit(0.0)))
+  }
+
+  val prfReportSql: String =
+    s"""WITH $knnPredCtes,
+       |bt AS (SELECT label AS cls, COUNT(*) AS n_true FROM pred GROUP BY 1),
+       |bp AS (SELECT nl AS cls, COUNT(*) AS n_pred FROM pred GROUP BY 1),
+       |tpc AS (SELECT label AS cls, COUNT(*) AS tp FROM pred WHERE label = nl GROUP BY 1),
+       |j AS (
+       |  SELECT COALESCE(bt.cls, bp.cls) AS cls,
+       |         COALESCE(tpc.tp, 0) AS tp,
+       |         COALESCE(bp.n_pred, 0) AS n_pred,
+       |         COALESCE(bt.n_true, 0) AS n_true
+       |  FROM bt FULL JOIN bp ON bt.cls = bp.cls
+       |  LEFT JOIN tpc ON COALESCE(bt.cls, bp.cls) = tpc.cls),
+       |pr AS (
+       |  SELECT *,
+       |         CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) ELSE 0.0 END AS prec,
+       |         CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) ELSE 0.0 END AS rec
+       |  FROM j)
+       |SELECT cls, tp, n_pred, n_true, prec, rec,
+       |       CASE WHEN prec + rec > 0 THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END AS f1
+       |FROM pr""".stripMargin
 
   private val NBITS = 6
   private val DIM = 64
@@ -707,6 +765,7 @@ object SimQueries {
     "s_ann_brute" -> (annBrute, Some(annBruteSql)),
     "s_ann_media" -> (annMedia, Some(annMediaSql)),
     "m_knn_confusion" -> (knnConfusion, Some(knnConfusionSql)),
+    "m_prf_report" -> (prfReport, Some(prfReportSql)),
     "s_ann_lsh" -> (annLsh, Some(annLshSql)),
     "s_cosine_dedup" -> (cosineDedup, Some(cosineDedupSql)),
     "s_ann_ivf" -> (annIvf, Some(annIvfSql)),

@@ -166,6 +166,29 @@ class TileMathSpec extends AnyFunSuite {
     assert(TileMath.hornHillshade(holed, 3, 3, 1)(0).isNaN)
   }
 
+  test("d8FlowDir: ramp drains NW, flat is a pit, cardinal beats weighted diagonal") {
+    val pc = 5
+    // v = 3x + 4y rises toward +x+y -> steepest descent is NW (code 5):
+    // drops are -(3dx+4dy)*w; NW = 7*Sin45 ~ 4.95 beats N=4 and W=3
+    val ramp = Array.tabulate(pc * pc)(i => 3.0 * (i % pc) + 4.0 * (i / pc))
+    assert(TileMath.d8FlowDir(ramp, 3, 3, 1).forall(_ == 5.0))
+    // flat tile: no positive drop anywhere -> -1 (pit/flat)
+    assert(TileMath.d8FlowDir(Array.fill(pc * pc)(2.0), 3, 3, 1).forall(_ == -1.0))
+    // v = x: drop E? no (uphill): descent W (code 4) with drop 1; the
+    // SW/NW diagonals drop 1*Sin45 < 1 -> cardinal wins
+    val rx = Array.tabulate(pc * pc)(i => (i % pc).toDouble)
+    assert(TileMath.d8FlowDir(rx, 3, 3, 1).forall(_ == 4.0))
+    // tie between S and E (v = -min(x, y) style): craft center with two
+    // equal drops -> lowest code wins. v decreasing equally toward E and
+    // S: v = -(x + y) has all of E,SE,S positive: SE = 2*Sin45 ~ 1.41
+    // wins over E=S=1; codes: SE=1
+    val rd = Array.tabulate(pc * pc)(i => -((i % pc) + (i / pc)).toDouble)
+    assert(TileMath.d8FlowDir(rd, 3, 3, 1).forall(_ == 1.0))
+    // NoData neighbor -> NaN
+    val holed = ramp.clone(); holed(0) = Double.NaN
+    assert(TileMath.d8FlowDir(holed, 3, 3, 1)(0).isNaN)
+  }
+
   test("zorder interleave/deinterleave bijection (seeded sweep)") {
     val rnd = new scala.util.Random(42)
     (0 until 10000).foreach { _ =>

@@ -197,6 +197,69 @@ class QuerySignalsSpec extends AnyFunSuite {
     assert(out(0.5) >= mnmx.getDouble(0) && out(0.99) <= mnmx.getDouble(1))
   }
 
+  test("funnel: per-user stages match a brute-force event replay") {
+    val sf = "/root/testdata/sf0.001"
+    val out = RelationalQueries.funnel(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getInt(4)))).toMap
+    val evts = Fixtures.events(spark, sf)
+      .select($"user_id", $"event_type", org.apache.spark.sql.functions.unix_micros($"ts"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    evts.groupBy(_._1).foreach { case (user, rows) =>
+      val t1 = rows.filter(_._2 == "view").map(_._3).minOption
+      val t2 = t1.flatMap(t => rows.filter(r => r._2 == "click" && r._3 > t).map(_._3).minOption)
+      val t3 = t2.flatMap(t => rows.filter(r => r._2 == "purchase" && r._3 > t).map(_._3).minOption)
+      val stage = if (t3.isDefined) 3 else if (t2.isDefined) 2 else if (t1.isDefined) 1 else 0
+      assert(out(user) == ((t1, t2, t3, stage)), s"user $user")
+    }
+  }
+
+  test("anomaly: rolling stats recomputed brute-force for every flagged row of one user") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = AdvancedQueries.anomaly(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(rows.nonEmpty)
+    val user = Fixtures.events(spark, sf).select($"user_id").limit(1).as[Long].collect()(0)
+    val evts = Fixtures.events(spark, sf).where($"user_id" === user)
+      .select($"event_id", org.apache.spark.sql.functions.unix_micros($"ts"), $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(e => (e._2, e._1))
+    evts.zipWithIndex.foreach { case ((eid, _, v), i) =>
+      val prev = evts.slice(math.max(0, i - 20), i).map(_._3)
+      if (prev.length >= 5) {
+        // exact via scaled-integer (decimal) sums, like the query
+        val s1 = prev.map(x => math.round(x * 100)).sum
+        val s2 = prev.map(x => math.round(x * 100)).map(c => c * c).sum
+        val mean = (s1 / 100.0) / prev.length
+        val varp = (s2 / 10000.0) / prev.length - mean * mean
+        if (varp > 0) {
+          val z = (v - mean) / math.sqrt(varp)
+          val (gv, gm, gz, flag) = rows(eid)
+          assert(gv == v && gm == mean && gz == z && flag == (math.abs(z) > 3), s"event $eid")
+        } else assert(!rows.contains(eid))
+      } else assert(!rows.contains(eid))
+    }
+  }
+
+  test("prf report: internally consistent with the confusion matrix") {
+    val sf = "/root/testdata/sf0.001"
+    val conf = SimQueries.knnConfusion(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val prf = SimQueries.prfReport(spark, sf)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(prf.keySet == conf.keys.flatMap(k => Seq(k._1, k._2)).toSet)
+    prf.foreach { case (cls, (tp, nPred, nTrue, prec, rec, f1)) =>
+      assert(tp == conf.getOrElse((cls, cls), 0L))
+      assert(nPred == conf.collect { case ((_, p), n) if p == cls => n }.sum)
+      assert(nTrue == conf.collect { case ((t, _), n) if t == cls => n }.sum)
+      if (nPred > 0) assert(prec == tp.toDouble / nPred)
+      if (nTrue > 0) assert(rec == tp.toDouble / nTrue)
+      if (prec + rec > 0) assert(f1 == 2.0 * prec * rec / (prec + rec)) else assert(f1 == 0.0)
+    }
+  }
+
   test("centroid classifier: complete partition of the test split over real classes") {
     val e = spark.read.parquet(s"$Sf/embeddings.parquet")
     val labels = e.select($"label".cast("long")).distinct().as[Long].collect().toSet
