@@ -394,6 +394,51 @@ object TextQueries {
        |       ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) = 1 AS kept
        |FROM lab""".stripMargin
 
+  /** Triangle census of the near-dup candidate graph — the structural
+    * health check on a dedup run: transitivity (3·triangles / wedges)
+    * near 1 means candidate pairs chain into clean cliques (true dup
+    * clusters); low transitivity flags a too-loose LSH banding that
+    * bridges unrelated docs. Triangle join uses the standard
+    * orientation bound: edges are kept (a < b), paths extend only
+    * upward (a < b < c), so each triangle is counted exactly once and
+    * the join fan-out is bounded by the oriented degree (at corpus
+    * scale: orient by degree instead of id — same plan shape). Wedge
+    * count is a degree aggregation, no join. Output is one row of
+    * exact integers plus one division. */
+  val triangles: Q = (s, dir) => {
+    val e = minhashLsh(s, dir).select(col("a"), col("b")) // a < b by construction
+    val paths = e.select(col("a").as("x"), col("b").as("y"))
+      .join(e.select(col("a").as("y"), col("b").as("z")), Seq("y"))
+    val tri = paths.join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val wedges = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    tri.crossJoin(wedges)
+      .select(col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") > 0,
+          (lit(3.0) * col("n_triangles").cast("double")) / col("n_wedges").cast("double"))
+          .otherwise(lit(0.0)).as("transitivity"))
+  }
+
+  val trianglesSql: String =
+    s"""WITH $docsCte,
+       |$sigsCte,
+       |$lshPairsCte,
+       |e AS (SELECT a, b FROM lsh),
+       |tri AS (
+       |  SELECT COUNT(*) AS n_triangles
+       |  FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+       |wg AS (
+       |  SELECT CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+       |  FROM (SELECT a, COUNT(*) AS deg FROM sym GROUP BY 1))
+       |SELECT n_triangles, n_wedges,
+       |       CASE WHEN n_wedges > 0
+       |            THEN 3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+       |            ELSE 0.0 END AS transitivity
+       |FROM tri, wg""".stripMargin
+
   /** Candidate verification — the stage after LSH in a real dedup
     * pipeline: edit distance over bounded 64-char prefixes confirms or
     * rejects each candidate pair. Verification is map-side per candidate
@@ -1107,6 +1152,7 @@ object TextQueries {
     "t_dedup_clusters" -> (dedupClusters, Some(dedupClustersSql)),
     "t_dedup_keeper" -> (dedupKeeper, Some(dedupKeeperSql)),
     "t_mixture_sample" -> (mixtureSample, Some(mixtureSampleSql)),
+    "t_triangles" -> (triangles, Some(trianglesSql)),
     "t_hash_split" -> (hashSplit, Some(hashSplitSql)),
     "t_tfidf" -> (tfidf, Some(tfidfSql)),
     "t_top_ngrams" -> (topNgrams, Some(topNgramsSql)),
