@@ -688,7 +688,78 @@ object AdvancedQueries {
        |       ABS((value - mean_prev) / SQRT(var_prev)) > 3 AS is_anomaly
        |FROM v WHERE var_prev > 0""".stripMargin
 
+  /** Band (inequality-range) join rewritten as a binned EQUI-join — the
+    * pattern that keeps range joins scalable: Spark has no range-join
+    * optimization, so `fact JOIN dim ON lo <= v AND v < hi` plans a
+    * nested-loop scan of the fact per band. Instead each band explodes
+    * into the fixed-width bins it overlaps (bin = floor(v / W)), the
+    * join runs on the bin key (hash-partitionable, AQE-skew-handled),
+    * and the exact lo/hi predicate filters the few in-bin stragglers.
+    * Works when BOTH sides are huge — the same trick r_point_in_poly
+    * uses for spatial containment. Bin boundaries are exact integer
+    * floors of decimal-scaled prices, so band assignment is
+    * bit-deterministic. */
+  val bandJoin: Q = (s, dir) => {
+    val W = 10000L // bin width in whole currency units
+    val bandRows = Seq(
+      (0L, 0L, 20000L), (1L, 20000L, 40000L), (2L, 40000L, 60000L),
+      (3L, 60000L, 80000L), (4L, 80000L, 200000L))
+    val bands = s.range(1).select(explode(array(bandRows.map { case (id, lo, hi) =>
+      struct(lit(id).as("band_id"), lit(lo).as("lo"), lit(hi).as("hi"))
+    }: _*)).as("b")).select(col("b.band_id"), col("b.lo"), col("b.hi"))
+    val binned = bands.select(col("band_id"), col("lo"), col("hi"),
+      explode(sequence(expr("lo div " + W), expr("(hi - 1) div " + W))).as("bin"))
+    val li = table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), dec2(col("l_extendedprice")).as("p"))
+      .withColumn("bin", expr(s"CAST(p AS BIGINT) div $W"))
+    li.join(binned, Seq("bin"))
+      .where(col("p") >= col("lo") && col("p") < col("hi"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("p")).as("sum_price"))
+  }
+
+  val bandJoinSql: String =
+    s"""WITH bands(band_id, lo, hi) AS (VALUES
+       |  (0, 0, 20000), (1, 20000, 40000), (2, 40000, 60000),
+       |  (3, 60000, 80000), (4, 80000, 200000))
+       |SELECT CAST(b.band_id AS BIGINT) AS band_id, COUNT(*) AS n,
+       |       ${dsumSql(dec2Sql("l.l_extendedprice"))} AS sum_price
+       |FROM lineitem l JOIN bands b
+       |  ON ${dec2Sql("l.l_extendedprice")} >= b.lo
+       | AND ${dec2Sql("l.l_extendedprice")} < b.hi
+       |GROUP BY 1""".stripMargin
+
+  /** Single-scan data-profiling census — the first query anyone runs on
+    * an unknown 100 TB table: per column, row count, null count and
+    * exact distinct count, computed in ONE aggregate pass (Catalyst
+    * expands the multi-distinct into one Expand + aggregation — still
+    * one scan of the fact) and reshaped to long form with stack()
+    * (unpivot). At warehouse scale the exact distincts swap for the
+    * KMV sketch (a_kmv_distinct) without changing the query shape. */
+  val dataProfile: Q = (s, dir) => {
+    val cols = Seq("l_returnflag", "l_linestatus", "l_shipdate", "l_quantity", "l_discount")
+    val aggs = count(lit(1)).as("n") +:
+      cols.flatMap(c => Seq(
+        (count(lit(1)) - count(col(c))).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c")))
+    val one = table(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+    one.selectExpr("n", s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct)")
+      .select(col("col_name"), col("n"), col("n_null"), col("n_distinct"))
+  }
+
+  val dataProfileSql: String = {
+    val cols = Seq("l_returnflag", "l_linestatus", "l_shipdate", "l_quantity", "l_discount")
+    cols.map(c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+         |       COUNT(*) - COUNT($c) AS n_null,
+         |       COUNT(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin)
+      .mkString("\nUNION ALL\n")
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_band_join" -> (bandJoin, Some(bandJoinSql)),
+    "a_data_profile" -> (dataProfile, Some(dataProfileSql)),
     "a_anomaly" -> (anomaly, Some(anomalySql)),
     "a_hist_quantile" -> (histQuantile, Some(histQuantileSql)),
     "a_gap_fill" -> (gapFill, Some(gapFillSql)),

@@ -260,6 +260,14 @@ class QuerySignalsSpec extends AnyFunSuite {
     }
   }
 
+  test("band join plans as an EQUI join on the bin key, never a nested loop") {
+    val plan = AdvancedQueries.bandJoin(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must rewrite to a binned equi-join:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
+  }
+
   test("centroid classifier: complete partition of the test split over real classes") {
     val e = spark.read.parquet(s"$Sf/embeddings.parquet")
     val labels = e.select($"label".cast("long")).distinct().as[Long].collect().toSet
