@@ -376,7 +376,43 @@ object MiscQueries {
        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |FROM embeddings GROUP BY 1""".stripMargin
 
+  /** Schema evolution on the lake layout — the add-column migration
+    * every long-lived table eventually makes: v=1 files carry
+    * (key, price), a later writer adds `disc`; a mergeSchema read
+    * unions the file schemas and NULL-backfills the old files. The
+    * gate aggregates across both generations so null-backfill,
+    * partition-column discovery, and the union'd schema are all under
+    * the oracle. At scale this is metadata-only: no rewrite of v1
+    * files ever happens. */
+  val schemaMerge: Q = (s, dir) => {
+    val base = tmpCatalog(dir) + "_schevo"
+    val li = table(s, dir, "lineitem")
+    li.where(col("l_orderkey") % 2 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), dec2(col("l_extendedprice")).as("price"))
+      .write.mode("overwrite").parquet(s"$base/v=1")
+    li.where(col("l_orderkey") % 2 === 1)
+      .select(col("l_orderkey"), col("l_linenumber"), dec2(col("l_extendedprice")).as("price"),
+        dec2(col("l_discount")).as("disc"))
+      .write.mode("overwrite").parquet(s"$base/v=2")
+    s.read.option("mergeSchema", "true").parquet(base)
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n"), count(col("disc")).as("n_disc"),
+        dsum(col("price")).as("sum_price"),
+        dsum(coalesce(col("disc"), lit(0).cast("decimal(12,2)"))).as("sum_disc"))
+  }
+
+  val schemaMergeSql: String =
+    s"""SELECT 1 AS v, COUNT(*) AS n, 0 AS n_disc,
+       |       ${dsumSql(dec2Sql("l_extendedprice"))} AS sum_price, 0.0 AS sum_disc
+       |FROM lineitem WHERE l_orderkey % 2 = 0
+       |UNION ALL
+       |SELECT 2, COUNT(*), COUNT(*),
+       |       ${dsumSql(dec2Sql("l_extendedprice"))},
+       |       ${dsumSql(dec2Sql("l_discount"))}
+       |FROM lineitem WHERE l_orderkey % 2 = 1""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "c_schema_merge" -> (schemaMerge, Some(schemaMergeSql)),
     "m_stratified_split" -> (stratifiedSplit, Some(stratifiedSplitSql)),
     "c_catalog_roundtrip" -> (catalogRoundtrip, Some(catalogRoundtripSql)),
     "c_point_read" -> (pointRead, Some(pointReadSql)),

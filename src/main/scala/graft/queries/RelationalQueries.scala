@@ -208,6 +208,34 @@ object RelationalQueries {
        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage
        |FROM g""".stripMargin
 
+  /** SCD type-2 build — each event becomes a validity interval
+    * [valid_from, valid_to) per user, closed by the next event's
+    * timestamp (lead window), open (NULL) for the current row: the
+    * dimension-history layout every warehouse keeps. One user-keyed
+    * shuffle; deterministic interval edges via the event_id tiebreak. */
+  val scd2: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        dec2(col("value")).cast("double").as("value"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        unix_micros(col("next_ts")).as("valid_to_us"),
+        col("next_ts").isNull.as("is_current"))
+  }
+
+  val scd2Sql: String =
+    s"""WITH $eventsCte,
+       |iv AS (SELECT user_id, event_id, event_type, value, ts,
+       |         LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+       |       FROM evts)
+       |SELECT user_id, event_id, event_type,
+       |       CAST(${dec2Sql("value")} AS DOUBLE) AS value,
+       |       epoch_us(ts) AS valid_from_us,
+       |       epoch_us(next_ts) AS valid_to_us,
+       |       next_ts IS NULL AS is_current
+       |FROM iv""".stripMargin
+
   /** P6 distinct + set ops: parts that ship but were never ordered above
     * qty 45 (EXCEPT), via dropDuplicates. */
   val setOps: Q = (s, dir) => {
@@ -396,6 +424,7 @@ object RelationalQueries {
     "q_user_retention" -> (userRetention, Some(userRetentionSql)),
     "q_latest_per_key" -> (latestPerKey, Some(latestPerKeySql)),
     "q_funnel" -> (funnel, Some(funnelSql)),
+    "q_scd2" -> (scd2, Some(scd2Sql)),
     "q_set_ops" -> (setOps, Some(setOpsSql)),
     "q_event_windows" -> (eventWindows, Some(eventWindowsSql)),
     "q_tumbling_window" -> (tumblingWindow, Some(tumblingWindowSql)),
