@@ -168,6 +168,69 @@ object Raster {
       .select(col("tile_col"), col("tile_row"),
         d8FlowDirUdf(col("padded"), lit(cols), lit(rows)).as("cells"))
 
+  /** D8 flow ACCUMULATION over a flow-direction field: for every cell,
+    * the number of cells (itself included) whose flow path drains
+    * through it — the catchment-size raster hydrology builds on top of
+    * [[flowDir]]. Input: (gx, gy, dir) in global pixel coords, dir as
+    * emitted by the D8 kernel (0-7, -1 for pits); edges whose parent
+    * fell outside the emitted region drain off-layer and are dropped.
+    *
+    * Algorithm: distributed leaf peeling — each round, cells with no
+    * remaining upstream edge finalize (acc = 1 + delivered upstream
+    * sums), deliver their total downstream, and their edges leave the
+    * graph. Rounds = longest flow path, and since D8 descends STRICTLY
+    * in value the graph is acyclic and termination is structural.
+    * Same plan discipline as TextOps.connectedComponents: eager
+    * localCheckpoint every round (the two self-referencing joins would
+    * otherwise double the analyzed plan per round) and superseded
+    * checkpoint blocks freed explicitly. */
+  def flowAccumulation(flow: DataFrame, maxIter: Int = 64): DataFrame = {
+    def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
+    val dx = when(col("dir").isin(0, 1, 7), 1).when(col("dir").isin(3, 4, 5), -1).otherwise(0)
+    val dy = when(col("dir").isin(1, 2, 3), 1).when(col("dir").isin(5, 6, 7), -1).otherwise(0)
+    val nodes = flow.select(col("gx"), col("gy"))
+    val edges = flow.where(col("dir") >= 0)
+      .select(col("gx").as("cgx"), col("gy").as("cgy"),
+        (col("gx") + dx).as("pgx"), (col("gy") + dy).as("pgy"))
+      .join(nodes.select(col("gx").as("pgx"), col("gy").as("pgy")), Seq("pgx", "pgy"), "left_semi")
+    var partial = nodes.withColumn("acc", lit(1L)).localCheckpoint(true)
+    var rem = edges.localCheckpoint(true)
+    var prevRdds = checkpointRdds(partial) ++ checkpointRdds(rem)
+    var finals = List.empty[DataFrame]
+    var remCount = rem.count()
+    var it = 0
+    while (remCount > 0 && it < maxIter) {
+      val hasIncoming = rem.select(col("pgx").as("gx"), col("pgy").as("gy")).distinct()
+      val frontier = partial.join(hasIncoming, Seq("gx", "gy"), "left_anti").localCheckpoint(true)
+      finals ::= frontier
+      val delivered = frontier
+        .join(rem, frontier("gx") === rem("cgx") && frontier("gy") === rem("cgy"))
+        .groupBy(col("pgx").as("gx"), col("pgy").as("gy"))
+        .agg(sum(col("acc")).as("delta"))
+      partial = partial.join(hasIncoming, Seq("gx", "gy"), "left_semi")
+        .join(delivered, Seq("gx", "gy"), "left")
+        .select(col("gx"), col("gy"), (col("acc") + coalesce(col("delta"), lit(0L))).as("acc"))
+        .localCheckpoint(true)
+      rem = rem.join(frontier.select(col("gx").as("cgx"), col("gy").as("cgy")),
+        Seq("cgx", "cgy"), "left_anti").localCheckpoint(true)
+      remCount = rem.count()
+      // free ONLY the superseded partial/rem blocks; every frontier
+      // stays alive — it is part of the final result union
+      prevRdds.foreach(_.unpersist(blocking = false))
+      prevRdds = checkpointRdds(partial) ++ checkpointRdds(rem)
+      it += 1
+    }
+    if (remCount > 0)
+      org.slf4j.LoggerFactory.getLogger("graft.ops.Raster").warn(
+        s"flowAccumulation exited at maxIter=$maxIter with $remCount edges undelivered — " +
+          "accumulations downstream of them are partial; raise maxIter")
+    finals ::= partial // empty on clean exit; partial sums under maxIter bail
+    finals.reduce(_ unionByName _)
+  }
+
   case class FocalSC(wsum: Double, wn: Double)
 
   private val focalSumCountUdf = udf((padded: Seq[Double], cols: Int, rows: Int, pad: Int, r: Int) => {

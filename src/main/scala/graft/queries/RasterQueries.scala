@@ -202,8 +202,10 @@ object RasterQueries {
   val flowDir: Q = (s, dir) =>
     Raster.pixelize(Raster.flowDir(tilesA(s, dir), TS, TS), TS)
 
-  val flowDirSql: String =
-    s"""WITH $pxCte,
+  /** CTE chain ending in `fd(gx, gy, dir)` — the D8 field in global
+    * coords; shared by the r_flow_dir and r_flow_accum oracles. */
+  private val flowDirCtes: String =
+    s"""$pxCte,
        |nb AS (
        |  SELECT c.gx AS gx, c.gy AS gy,
        |         p.gx - c.gx AS dx, p.gy - c.gy AS dy,
@@ -223,11 +225,54 @@ object RasterQueries {
        |best AS (
        |  SELECT gx, gy, n, dr, dir,
        |         ROW_NUMBER() OVER (PARTITION BY gx, gy ORDER BY dr DESC, dir) AS rn
-       |  FROM dircode)
+       |  FROM dircode),
+       |fd AS (
+       |  SELECT gx, gy, CASE WHEN dr > 0 THEN dir ELSE -1 END AS dir
+       |  FROM best WHERE rn = 1 AND n = 8)""".stripMargin
+
+  val flowDirSql: String =
+    s"""WITH $flowDirCtes
        |SELECT CAST(gx // $TS AS INT) AS tile_col, CAST(gy // $TS AS INT) AS tile_row,
        |       CAST(gx % $TS AS INT) AS px, CAST(gy % $TS AS INT) AS py,
-       |       CAST(CASE WHEN dr > 0 THEN dir ELSE -1 END AS DOUBLE) AS v
-       |FROM best WHERE rn = 1 AND n = 8""".stripMargin
+       |       CAST(dir AS DOUBLE) AS v
+       |FROM fd""".stripMargin
+
+  /** Flow accumulation (catchment size) on top of the D8 field: Spark
+    * side runs the distributed leaf-peeling loop
+    * (Raster.flowAccumulation — rounds = longest flow path, eager
+    * per-round checkpoints); the oracle replays it as a recursive
+    * path walk and counts visits per cell. Edges draining to cells
+    * outside the emitted (interior) region leave the layer. */
+  val flowAccum: Q = (s, dir) => {
+    val fd = Raster.pixelize(Raster.flowDir(tilesA(s, dir), TS, TS), TS)
+      .select((col("tile_col") * TS + col("px")).cast("long").as("gx"),
+        (col("tile_row") * TS + col("py")).cast("long").as("gy"),
+        col("v").cast("int").as("dir"))
+    Raster.flowAccumulation(fd)
+      .select(expr(s"gx div $TS").cast("int").as("tile_col"),
+        expr(s"gy div $TS").cast("int").as("tile_row"),
+        (col("gx") % TS).cast("int").as("px"),
+        (col("gy") % TS).cast("int").as("py"),
+        col("acc").cast("double").as("v"))
+  }
+
+  val flowAccumSql: String =
+    s"""WITH RECURSIVE $flowDirCtes,
+       |e0 AS (
+       |  SELECT gx AS cgx, gy AS cgy,
+       |         gx + (CASE WHEN dir IN (0, 1, 7) THEN 1 WHEN dir IN (3, 4, 5) THEN -1 ELSE 0 END) AS pgx,
+       |         gy + (CASE WHEN dir IN (1, 2, 3) THEN 1 WHEN dir IN (5, 6, 7) THEN -1 ELSE 0 END) AS pgy
+       |  FROM fd WHERE dir >= 0),
+       |e AS (SELECT e0.* FROM e0 JOIN fd p ON e0.pgx = p.gx AND e0.pgy = p.gy),
+       |walk(sgx, sgy, cx, cy) AS (
+       |  SELECT cgx, cgy, pgx, pgy FROM e
+       |  UNION ALL
+       |  SELECT w.sgx, w.sgy, e.pgx, e.pgy FROM walk w JOIN e ON w.cx = e.cgx AND w.cy = e.cgy),
+       |vis AS (SELECT cx, cy, COUNT(*) AS c FROM walk GROUP BY 1, 2)
+       |SELECT CAST(f.gx // $TS AS INT) AS tile_col, CAST(f.gy // $TS AS INT) AS tile_row,
+       |       CAST(f.gx % $TS AS INT) AS px, CAST(f.gy % $TS AS INT) AS py,
+       |       CAST(1 + COALESCE(v.c, 0) AS DOUBLE) AS v
+       |FROM fd f LEFT JOIN vis v ON f.gx = v.cx AND f.gy = v.cy""".stripMargin
 
   /** R6/A9: one pyramid level up — 2x2 block mean over data cells
     * (GeotiffToPyramid.scala:58-69). */
@@ -489,6 +534,7 @@ object RasterQueries {
     "r_slope" -> (slope, Some(slopeSql)),
     "r_hillshade" -> (hillshade, Some(hillshadeSql)),
     "r_flow_dir" -> (flowDir, Some(flowDirSql)),
+    "r_flow_accum" -> (flowAccum, Some(flowAccumSql)),
     "r_getis_ord" -> (getisOrd, Some(getisOrdSql)),
     "r_pyramid_up" -> (pyramid, Some(pyramidSql)),
     "r_zoom_resample_up" -> (zoomUp, Some(zoomUpSql)),

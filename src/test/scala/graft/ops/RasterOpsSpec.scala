@@ -262,6 +262,24 @@ class RasterOpsSpec extends AnyFunSuite {
     assert(got.contains((TS, TS))) // a window spanning both tile seams
   }
 
+  test("flowAccumulation: chain, junction, pit and off-layer drain") {
+    // chain (0..4,0) draining E into a pit at (4,0): accs 1,2,3,4,5
+    // junction: (5,5)->E and (6,4)->S both into pit (6,5): acc 3
+    // off-layer: (10,0) drains E to (11,0) which is absent: acc 1
+    val field = Seq(
+      (0L, 0L, 0), (1L, 0L, 0), (2L, 0L, 0), (3L, 0L, 0), (4L, 0L, -1),
+      (5L, 5L, 0), (6L, 4L, 2), (6L, 5L, -1),
+      (10L, 0L, 0))
+      .toDF("gx", "gy", "dir")
+    val got = graft.ops.Raster.flowAccumulation(field)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == 9)
+    assert(got((0L, 0L)) == 1 && got((1L, 0L)) == 2 && got((2L, 0L)) == 3)
+    assert(got((3L, 0L)) == 4 && got((4L, 0L)) == 5)
+    assert(got((5L, 5L)) == 1 && got((6L, 4L)) == 1 && got((6L, 5L)) == 3)
+    assert(got((10L, 0L)) == 1)
+  }
+
   test("focalMean radius1 equals TileMath kernel on assembled layer") {
     val tiles = Raster.assemble(pixels, TS, TS)
     val got = Raster.pixelize(Raster.focalMean(tiles, TS, TS, 1), TS).collect()
