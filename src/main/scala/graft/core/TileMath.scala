@@ -396,6 +396,37 @@ object TileMath {
     out
   }
 
+  /** One Horn gradient component over a padded tile (comp 0 = gx,
+    * 1 = gy) — same window/NoData rule as [[hornSlope]]; both
+    * components NaN at exactly the same cells, so callers may filter
+    * on either. */
+  def hornGradient(padded: Array[Double], cols: Int, rows: Int, pad: Int, comp: Int): Array[Double] = {
+    val pc = cols + 2 * pad
+    val out = new Array[Double](cols * rows)
+    var y = 0
+    while (y < rows) {
+      var x = 0
+      while (x < cols) {
+        val cx = x + pad; val cy = y + pad
+        val c = padded(cx + cy * pc)
+        val tl = padded((cx - 1) + (cy - 1) * pc); val n = padded(cx + (cy - 1) * pc)
+        val tr = padded((cx + 1) + (cy - 1) * pc)
+        val w = padded((cx - 1) + cy * pc); val e = padded((cx + 1) + cy * pc)
+        val bl = padded((cx - 1) + (cy + 1) * pc); val s = padded(cx + (cy + 1) * pc)
+        val br = padded((cx + 1) + (cy + 1) * pc)
+        out(x + y * cols) =
+          if (isData(c) && isData(tl) && isData(n) && isData(tr) && isData(w)
+            && isData(e) && isData(bl) && isData(s) && isData(br)) {
+            if (comp == 0) ((tr + 2 * e + br) - (tl + 2 * w + bl)) / 8
+            else ((bl + 2 * s + br) - (tl + 2 * n + tr)) / 8
+          } else Double.NaN
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** D8 flow direction over a padded tile: the hydrology primitive
     * (O'Callaghan & Mark 1984) — each cell drains toward the neighbor
     * with the steepest positive distance-weighted drop. Direction codes

@@ -168,6 +168,26 @@ object Raster {
       .select(col("tile_col"), col("tile_row"),
         d8FlowDirUdf(col("padded"), lit(cols), lit(rows)).as("cells"))
 
+  private val hornGxUdf = udf((padded: Seq[Double], cols: Int, rows: Int) =>
+    TileMath.hornGradient(padded.toArray, cols, rows, 1, 0).toSeq)
+  private val hornGyUdf = udf((padded: Seq[Double], cols: Int, rows: Int) =>
+    TileMath.hornGradient(padded.toArray, cols, rows, 1, 1).toSeq)
+
+  /** Per-pixel Horn gradient components (gx, gy) off ONE pad=1 halo
+    * exchange — both kernels run in the same projection, so the wire
+    * cost is identical to [[slope]]; feeds aspect/curvature-style
+    * derivatives that need the vector, not just the magnitude. */
+  def gradientComponents(tiles: DataFrame, cols: Int, rows: Int): DataFrame =
+    withHalo(tiles, cols, rows, pad = 1)
+      .select(col("tile_col"), col("tile_row"),
+        hornGxUdf(col("padded"), lit(cols), lit(rows)).as("gxs"),
+        hornGyUdf(col("padded"), lit(cols), lit(rows)).as("gys"))
+      .select(col("tile_col"), col("tile_row"),
+        posexplode(arrays_zip(col("gxs"), col("gys"))).as(Seq("pos", "g")))
+      .select(col("tile_col"), col("tile_row"),
+        (col("pos") % cols).as("px"), (col("pos") / cols).cast("int").as("py"),
+        col("g.gxs").as("gx"), col("g.gys").as("gy"))
+
   /** D8 flow ACCUMULATION over a flow-direction field: for every cell,
     * the number of cells (itself included) whose flow path drains
     * through it — the catchment-size raster hydrology builds on top of

@@ -202,6 +202,37 @@ object RasterQueries {
   val flowDir: Q = (s, dir) =>
     Raster.pixelize(Raster.flowDir(tilesA(s, dir), TS, TS), TS)
 
+  /** Terrain family: aspect as the DOWNSLOPE UNIT VECTOR (ax, ay) =
+    * (-gx/|g|, -gy/|g|) — the trig-free formulation (atan2 differs by
+    * ulps across libms; the vector is sqrt+divide and hash-matches).
+    * ONE halo exchange feeds both gradient kernels in a single
+    * projection; flat cells drop (aspect undefined on flats — the
+    * NoData contract GIS aspect rasters use). */
+  val aspect: Q = (s, dir) => {
+    val g = Raster.gradientComponents(tilesA(s, dir), TS, TS)
+    val gmag = sqrt(col("gx") * col("gx") + col("gy") * col("gy"))
+    g.where(!isnan(col("gx")) && !(col("gx") === 0.0 && col("gy") === 0.0))
+      .select(col("tile_col"), col("tile_row"), col("px"), col("py"),
+        (-col("gx") / gmag).as("ax"), (-col("gy") / gmag).as("ay"))
+  }
+
+  val aspectSql: String =
+    s"""WITH $pxCte,
+       |nb AS (
+       |  SELECT c.gx AS gx, c.gy AS gy,
+       |         SUM((p.gx - c.gx) * (2 - ABS(p.gy - c.gy)) * p.v) / 8 AS sx,
+       |         SUM((p.gy - c.gy) * (2 - ABS(p.gx - c.gx)) * p.v) / 8 AS sy,
+       |         COUNT(*) AS n
+       |  FROM pga c JOIN pga p
+       |    ON ABS(p.gx - c.gx) <= 1 AND ABS(p.gy - c.gy) <= 1
+       |       AND NOT (p.gx = c.gx AND p.gy = c.gy)
+       |  GROUP BY 1, 2)
+       |SELECT CAST(gx // $TS AS INT) AS tile_col, CAST(gy // $TS AS INT) AS tile_row,
+       |       CAST(gx % $TS AS INT) AS px, CAST(gy % $TS AS INT) AS py,
+       |       -sx / SQRT(sx * sx + sy * sy) AS ax,
+       |       -sy / SQRT(sx * sx + sy * sy) AS ay
+       |FROM nb WHERE n = 8 AND NOT (sx = 0 AND sy = 0)""".stripMargin
+
   /** CTE chain ending in `fd(gx, gy, dir)` — the D8 field in global
     * coords; shared by the r_flow_dir and r_flow_accum oracles. */
   private val flowDirCtes: String =
@@ -535,6 +566,7 @@ object RasterQueries {
     "r_hillshade" -> (hillshade, Some(hillshadeSql)),
     "r_flow_dir" -> (flowDir, Some(flowDirSql)),
     "r_flow_accum" -> (flowAccum, Some(flowAccumSql)),
+    "r_aspect" -> (aspect, Some(aspectSql)),
     "r_getis_ord" -> (getisOrd, Some(getisOrdSql)),
     "r_pyramid_up" -> (pyramid, Some(pyramidSql)),
     "r_zoom_resample_up" -> (zoomUp, Some(zoomUpSql)),
