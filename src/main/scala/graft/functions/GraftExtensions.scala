@@ -50,10 +50,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[graft.ops.Sketches.KmvDistinct].getName, "kmv_distinct"),
       GraftExtensions.kmvDistinctBuilder))
+    // the portable-hash primitives every sampling/split/dedup query is
+    // built on, for SQL-only users: builders assemble the SAME
+    // codegen'd builtin tree the Column API builds (TextOps.h60), so
+    // SQL and DataFrame callers can never drift
+    e.injectFunction((
+      FunctionIdentifier("h60"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "h60"),
+      (args: Seq[Expression]) => GraftExtensions.h60Expr(args(0))))
+    e.injectFunction((
+      FunctionIdentifier("hash_bucket"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "hash_bucket"),
+      GraftExtensions.hashBucketBuilder))
   }
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Md5, Remainder, Substring}
+  import org.apache.spark.sql.types.{BinaryType, StringType}
+
+  /** Catalyst twin of `TextOps.h60` (same tree:
+    * conv(substring(md5(cast binary), 1, 15), 16, 10) cast long). */
+  def h60Expr(child: Expression): Expression =
+    Cast(Conv(Substring(Md5(Cast(child, BinaryType)),
+      Literal(1), Literal(15)), Literal(16), Literal(10)), LongType)
+
+  /** `hash_bucket(key, n)` = h60(cast(key as string)) % n — the shared
+    * split/sampling primitive (TextOps.hashBucket) for SQL callers. */
+  val hashBucketBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, s"hash_bucket(key, n) takes 2 arguments, got ${args.length}")
+    require(args(1).foldable, "hash_bucket's n must be a literal")
+    val n = args(1).eval(null) match {
+      case m: Number => m.longValue
+      case other => throw new IllegalArgumentException(
+        s"hash_bucket's n must be a non-null integer literal, got ${Option(other).getOrElse("NULL")}")
+    }
+    Remainder(h60Expr(Cast(args(0), StringType)), Literal(n))
+  }
   /** `kmv_distinct(hash_col, k)` as a SQL aggregate: the typed
     * KmvDistinct Aggregator wrapped as a ScalaAggregator expression —
     * the same registration path `spark.udf.register(udaf(...))` takes,

@@ -51,6 +51,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(c == 1.0)
   }
 
+  test("SQL h60/hash_bucket equal the JVM kernel and the Column API") {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("h60",
+      exprs => GraftExtensions.h60Expr(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("hash_bucket",
+      GraftExtensions.hashBucketBuilder, "scala_udf")
+    val r = spark.sql("SELECT h60('alpha') AS h, hash_bucket('alpha', 10) AS b").head()
+    assert(r.getLong(0) == graft.text.TextOps.hash60("alpha"))
+    assert(r.getLong(1) == graft.text.TextOps.hash60("alpha") % 10)
+  }
+
   test("SQL frontend aggregates through the registered KMV sketch") {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("kmv_distinct",
