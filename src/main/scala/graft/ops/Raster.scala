@@ -188,6 +188,24 @@ object Raster {
         (col("pos") % cols).as("px"), (col("pos") / cols).cast("int").as("py"),
         col("g.gxs").as("gx"), col("g.gys").as("gy"))
 
+  /** Fused terrain derivatives — gradient components AND the D8 code
+    * off ONE pad=1 halo exchange, all kernels in a single projection:
+    * at DEM scale the halo shuffle dominates, so slope / hillshade /
+    * aspect / flow direction should cost ONE exchange, not four.
+    * Returns per-pixel (gx, gy, d8); callers derive the scalar
+    * products (they are pure functions of the gradient). */
+  def terrainComponents(tiles: DataFrame, cols: Int, rows: Int): DataFrame =
+    withHalo(tiles, cols, rows, pad = 1)
+      .select(col("tile_col"), col("tile_row"),
+        hornGxUdf(col("padded"), lit(cols), lit(rows)).as("gxs"),
+        hornGyUdf(col("padded"), lit(cols), lit(rows)).as("gys"),
+        d8FlowDirUdf(col("padded"), lit(cols), lit(rows)).as("ds"))
+      .select(col("tile_col"), col("tile_row"),
+        posexplode(arrays_zip(col("gxs"), col("gys"), col("ds"))).as(Seq("pos", "g")))
+      .select(col("tile_col"), col("tile_row"),
+        (col("pos") % cols).as("px"), (col("pos") / cols).cast("int").as("py"),
+        col("g.gxs").as("gx"), col("g.gys").as("gy"), col("g.ds").as("d8"))
+
   /** D8 flow ACCUMULATION over a flow-direction field: for every cell,
     * the number of cells (itself included) whose flow path drains
     * through it — the catchment-size raster hydrology builds on top of

@@ -233,6 +233,69 @@ object RasterQueries {
        |       -sy / SQRT(sx * sx + sy * sy) AS ay
        |FROM nb WHERE n = 8 AND NOT (sx = 0 AND sy = 0)""".stripMargin
 
+  /** Terrain capstone — ALL single-pass terrain derivatives (slope,
+    * hillshade, downslope aspect vector, D8 code) from ONE halo
+    * exchange: at DEM scale the halo shuffle dominates, so the fused
+    * query costs the same wire as any single member. Scalars derive
+    * from the gradient with the same fixed-order formulas as their
+    * standalone gates; the oracle recomposes all four relationally, so
+    * the gate proves fusion == composition. Aspect is NULL on flats
+    * (undefined), matching r_aspect's drop rule. */
+  val terrain: Q = (s, dir) => {
+    val g = Raster.terrainComponents(tilesA(s, dir), TS, TS)
+    val gmag = sqrt(col("gx") * col("gx") + col("gy") * col("gy"))
+    val flat = col("gx") === 0.0 && col("gy") === 0.0
+    g.where(!isnan(col("gx")))
+      .select(col("tile_col"), col("tile_row"), col("px"), col("py"),
+        gmag.as("slope"),
+        greatest(lit(0.0), (lit(graft.core.TileMath.Sin45) + lit(0.5) * col("gx") + lit(0.5) * col("gy"))
+          / sqrt(lit(1.0) + col("gx") * col("gx") + col("gy") * col("gy"))).as("shade"),
+        when(!flat, -col("gx") / gmag).as("ax"),
+        when(!flat, -col("gy") / gmag).as("ay"),
+        col("d8").cast("int").as("d8"))
+  }
+
+  val terrainSql: String =
+    s"""WITH $pxCte,
+       |nb AS (
+       |  SELECT c.gx AS gx, c.gy AS gy,
+       |         p.gx - c.gx AS dx, p.gy - c.gy AS dy, p.v AS pv,
+       |         (c.v - p.v) * (CASE WHEN p.gx = c.gx OR p.gy = c.gy
+       |                             THEN 1.0 ELSE ${graft.core.TileMath.Sin45} END) AS dr,
+       |         COUNT(*) OVER (PARTITION BY c.gx, c.gy) AS n
+       |  FROM pga c JOIN pga p
+       |    ON ABS(p.gx - c.gx) <= 1 AND ABS(p.gy - c.gy) <= 1
+       |       AND NOT (p.gx = c.gx AND p.gy = c.gy)),
+       |grad AS (
+       |  SELECT gx, gy,
+       |         SUM(dx * (2 - ABS(dy)) * pv) / 8 AS sx,
+       |         SUM(dy * (2 - ABS(dx)) * pv) / 8 AS sy
+       |  FROM nb WHERE n = 8 GROUP BY 1, 2),
+       |dircode AS (
+       |  SELECT gx, gy, dr,
+       |         CASE WHEN dx = 1 AND dy = 0 THEN 0 WHEN dx = 1 AND dy = 1 THEN 1
+       |              WHEN dx = 0 AND dy = 1 THEN 2 WHEN dx = -1 AND dy = 1 THEN 3
+       |              WHEN dx = -1 AND dy = 0 THEN 4 WHEN dx = -1 AND dy = -1 THEN 5
+       |              WHEN dx = 0 AND dy = -1 THEN 6 ELSE 7 END AS dir
+       |  FROM nb WHERE n = 8),
+       |best AS (
+       |  SELECT gx, gy, dr, dir,
+       |         ROW_NUMBER() OVER (PARTITION BY gx, gy ORDER BY dr DESC, dir) AS rn
+       |  FROM dircode),
+       |fdx AS (SELECT gx, gy, CASE WHEN dr > 0 THEN dir ELSE -1 END AS d8
+       |        FROM best WHERE rn = 1)
+       |SELECT CAST(g.gx // $TS AS INT) AS tile_col, CAST(g.gy // $TS AS INT) AS tile_row,
+       |       CAST(g.gx % $TS AS INT) AS px, CAST(g.gy % $TS AS INT) AS py,
+       |       SQRT(sx * sx + sy * sy) AS slope,
+       |       GREATEST(0.0, (${graft.core.TileMath.Sin45} + 0.5 * sx + 0.5 * sy)
+       |                       / SQRT(1.0 + sx * sx + sy * sy)) AS shade,
+       |       CASE WHEN NOT (sx = 0 AND sy = 0)
+       |            THEN -sx / SQRT(sx * sx + sy * sy) END AS ax,
+       |       CASE WHEN NOT (sx = 0 AND sy = 0)
+       |            THEN -sy / SQRT(sx * sx + sy * sy) END AS ay,
+       |       CAST(f.d8 AS INT) AS d8
+       |FROM grad g JOIN fdx f ON g.gx = f.gx AND g.gy = f.gy""".stripMargin
+
   /** CTE chain ending in `fd(gx, gy, dir)` — the D8 field in global
     * coords; shared by the r_flow_dir and r_flow_accum oracles. */
   private val flowDirCtes: String =
@@ -567,6 +630,7 @@ object RasterQueries {
     "r_flow_dir" -> (flowDir, Some(flowDirSql)),
     "r_flow_accum" -> (flowAccum, Some(flowAccumSql)),
     "r_aspect" -> (aspect, Some(aspectSql)),
+    "r_terrain" -> (terrain, Some(terrainSql)),
     "r_getis_ord" -> (getisOrd, Some(getisOrdSql)),
     "r_pyramid_up" -> (pyramid, Some(pyramidSql)),
     "r_zoom_resample_up" -> (zoomUp, Some(zoomUpSql)),

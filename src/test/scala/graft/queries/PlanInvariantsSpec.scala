@@ -48,6 +48,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("the fused terrain capstone costs the same Exchanges as one member") {
+    def shuffles(name: String) =
+      "(?<!Broadcast)Exchange".r.findAllIn(plans(name)).size
+    assert(shuffles("r_terrain") == shuffles("r_slope"),
+      "fusing slope/hillshade/aspect/D8 must not add a shuffle over the single-member plan")
+  }
+
   test("the inverted index keeps its single term-keyed shuffle") {
     val n = "(?<!Broadcast)Exchange".r.findAllIn(plans("t_inverted_index")).size
     assert(n == 1, s"t_inverted_index has $n shuffle Exchanges (window and agg must share one)")
