@@ -14,6 +14,13 @@ import Fixtures._
 object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  // Shared window/chunk width. MUST stay above every eager SQL-string
+  // val that interpolates it: a forward reference to an uninitialized
+  // Int val silently reads 0 (this bit t_substring_dedup's oracle once
+  // — the Spark lambda read 16 lazily while the eager SQL string baked
+  // in 0-derived bounds).
+  private val ChunkTokens = 16
+
   private val docsCte =
     """docs AS (SELECT doc_id, text,
       |  list_filter(string_split(text, ' '), t -> t <> '') AS toks
@@ -393,6 +400,53 @@ object TextQueries {
        |SELECT doc_id, cluster,
        |       ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) = 1 AS kept
        |FROM lab""".stripMargin
+
+  /** Exact-substring (duplicated-span) dedup signal — STRIDE-1 sliding
+    * [[ChunkTokens]]-token windows, flagged when the window hash occurs
+    * in more than one distinct document (Lee et al. 2022's duplicated
+    * long spans; t_chunk_dedup's stride-w blocks miss spans straddling
+    * a block edge, this census does not). Scale shape: identical to
+    * chunk dedup — ONE groupBy on the 8-byte window hash, join back,
+    * per-doc rollup; the only cost delta is w× more windows per doc,
+    * which is the algorithm's honest price (the suffix-array
+    * formulation trades it for a global sort). Short docs stay in the
+    * output with zero windows (explode_outer + count of non-nulls). */
+  val substringDedup: Q = (s, dir) => {
+    val hashed = docs(s, dir)
+      .select(col("doc_id"), explode_outer(TextOps.windowHashes(col("toks"), ChunkTokens)).as("h"))
+    val nd = hashed.where(col("h").isNotNull)
+      .groupBy(col("h")).agg(count_distinct(col("doc_id")).as("nd"))
+    hashed.join(nd, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("h")).as("n_windows"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(col("n_windows") > 0,
+          col("n_dup").cast("double") / col("n_windows").cast("double"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
+  val substringDedupSql: String =
+    s"""WITH $docsCte,
+       |wh AS (
+       |  SELECT doc_id, ${TextOps.h60Sql("c")} AS h FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      range(1, len(toks) - ${ChunkTokens - 2}),
+       |      i -> array_to_string(list_slice(toks, i, i + ${ChunkTokens - 1}), ' '))) AS c
+       |    FROM docs)),
+       |nd AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM wh GROUP BY 1),
+       |agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |         CAST(SUM(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |  FROM wh JOIN nd USING (h) GROUP BY 1)
+       |SELECT d.doc_id,
+       |       COALESCE(a.n_windows, 0) AS n_windows,
+       |       COALESCE(a.n_dup, 0) AS n_dup,
+       |       CASE WHEN COALESCE(a.n_windows, 0) > 0
+       |            THEN CAST(a.n_dup AS DOUBLE) / CAST(a.n_windows AS DOUBLE)
+       |            ELSE 0.0 END AS dup_frac
+       |FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
 
   /** Triangle census of the near-dup candidate graph — the structural
     * health check on a dedup run: transitivity (3·triangles / wedges)
@@ -835,7 +889,7 @@ object TextQueries {
        |LEFT JOIN b ON d.doc_id = b.doc_id
        |LEFT JOIN t ON d.doc_id = t.doc_id""".stripMargin
 
-  private val ChunkTokens = 16
+  // (declared near the top of the object — see the guard comment there)
 
   /** Chunk-level (paragraph-style) cross-document dedup: split each doc
     * into fixed [[ChunkTokens]]-token windows, hash each window with the
@@ -1153,6 +1207,7 @@ object TextQueries {
     "t_dedup_keeper" -> (dedupKeeper, Some(dedupKeeperSql)),
     "t_mixture_sample" -> (mixtureSample, Some(mixtureSampleSql)),
     "t_triangles" -> (triangles, Some(trianglesSql)),
+    "t_substring_dedup" -> (substringDedup, Some(substringDedupSql)),
     "t_hash_split" -> (hashSplit, Some(hashSplitSql)),
     "t_tfidf" -> (tfidf, Some(tfidfSql)),
     "t_top_ngrams" -> (topNgrams, Some(topNgramsSql)),

@@ -63,6 +63,20 @@ object TextOps {
       i => concat_ws(" ", slice(ts, i * n + 1, lit(n))))
   }
 
+  /** Portable h60 hashes of every STRIDE-1 sliding w-token window —
+    * the unit of exact-substring dedup (Lee et al. 2022: duplicated
+    * long spans, not just duplicated blocks; contrast [[chunkTexts]]'
+    * stride-w blocks, which miss spans straddling a block edge). JVM
+    * kernel for the usual reason (one md5 per window beats w zipped
+    * HOF slices, all interpreted); docs shorter than w yield an empty
+    * list. */
+  def windowHashes(toks: Column, w: Int): Column = {
+    val f = udf((ts: Seq[String]) =>
+      if (ts == null || ts.length < w) Seq.empty[Long]
+      else (0 to ts.length - w).map(i => hash60(ts.slice(i, i + w).mkString(" "))))
+    f(toks)
+  }
+
   /** Row-wise repetition kernel: ONE O(len) pass per document computing
     * the Gopher-style quality pair [top-bigram fraction,
     * duplicate-trigram fraction] — the stateless STREAMABLE twin of the

@@ -260,6 +260,23 @@ class QuerySignalsSpec extends AnyFunSuite {
     }
   }
 
+  test("substring dedup catches a block-straddling shared span that chunk dedup misses") {
+    // the 16-token span sits at offset 0 in doc 0 but offset 8 in doc 1:
+    // stride-16 chunking never aligns a block on it in both docs, the
+    // stride-1 sliding census flags it in both
+    val span = (1 to 16).map(i => s"s$i").mkString(" ")
+    val pre = (1 to 8).map(i => s"p$i").mkString(" ")
+    val post = (1 to 8).map(i => s"q$i").mkString(" ")
+    val dir = docsDir(Seq(0L -> s"$span $post", 1L -> s"$pre $span"))
+    val chunk = TextQueries.chunkDedup(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap // n_shared
+    assert(chunk(0L) == 0 && chunk(1L) == 0, "aligned chunking must miss the straddling span")
+    val sub = TextQueries.substringDedup(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(sub(0L)._1 == 9 && sub(1L)._1 == 9) // 24 tokens -> 9 windows each
+    assert(sub(0L)._2 == 1 && sub(1L)._2 == 1, "sliding census must flag the shared span once per doc")
+  }
+
   test("band join plans as an EQUI join on the bin key, never a nested loop") {
     val plan = AdvancedQueries.bandJoin(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
