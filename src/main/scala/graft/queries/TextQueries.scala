@@ -448,6 +448,73 @@ object TextQueries {
        |            ELSE 0.0 END AS dup_frac
        |FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
 
+  /** Content-defined chunking census — the INSERTION-ROBUST dedup unit
+    * (the rsync/FastCDC idea applied to token streams): a chunk
+    * boundary falls wherever the hash of the trailing 4-token window
+    * is ≡ 0 (mod 16), so boundaries re-synchronize after an edit —
+    * one inserted token shifts every aligned block (t_chunk_dedup
+    * finds nothing) but only the chunk containing the edit here.
+    * Expected chunk length = the modulus (~16 tokens). Everything is
+    * derived from the portable h60, so chunking is identical in any
+    * engine. Scale shape: windows and boundaries are map-side; the
+    * cumulative boundary count partitions per doc; the cross-doc
+    * census is the same single chunk-hash groupBy as chunk dedup. */
+  val cdcChunks: Q = (s, dir) => {
+    val W = 4; val MOD = 16
+    val d = docs(s, dir)
+    val toksPos = d.select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
+    val bounds = d.select(col("doc_id"),
+        posexplode(TextOps.windowHashes(col("toks"), W)).as(Seq("s0", "wh")))
+      .where(col("wh") % MOD === 0)
+      .select(col("doc_id"), (col("s0") + (W - 1)).as("p"), lit(1L).as("flag"))
+    val wspec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val chunks = toksPos.join(bounds, Seq("doc_id", "p"), "left")
+      .withColumn("chunk_id", coalesce(sum(col("flag")).over(wspec), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(concat_ws(" ", transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+        x => x.getField("tok"))).as("ctext"))
+      .select(col("doc_id"), TextOps.h60(col("ctext")).as("h"))
+    val nd = chunks.groupBy(col("h")).agg(count_distinct(col("doc_id")).as("nd"))
+    val agg = chunks.join(nd, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+    table(s, dir, "documents").select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+  }
+
+  val cdcChunksSql: String =
+    s"""WITH $docsCte,
+       |tp AS (SELECT doc_id, r.i - 1 AS p, toks[r.i] AS tok
+       |       FROM docs, unnest(range(1, len(toks) + 1)) r(i)),
+       |bounds AS (
+       |  SELECT doc_id, i + 2 AS p FROM (
+       |    SELECT doc_id, r.i AS i,
+       |           ${TextOps.h60Sql("array_to_string(list_slice(toks, r.i, r.i + 3), ' ')")} AS wh
+       |    FROM docs, unnest(range(1, len(toks) - 2)) r(i))
+       |  WHERE wh % 16 = 0),
+       |chunked AS (
+       |  SELECT tp.doc_id, tp.p, tp.tok,
+       |         COALESCE(SUM(CASE WHEN b.p IS NOT NULL THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY tp.doc_id ORDER BY tp.p
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+       |  FROM tp LEFT JOIN bounds b ON tp.doc_id = b.doc_id AND tp.p = b.p),
+       |chunks AS (
+       |  SELECT doc_id, chunk_id,
+       |         ${TextOps.h60Sql("string_agg(tok, ' ' ORDER BY p)")} AS h
+       |  FROM chunked GROUP BY 1, 2),
+       |nd AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1),
+       |agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |         CAST(SUM(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+       |  FROM chunks JOIN nd USING (h) GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(a.n_chunks, 0) AS n_chunks,
+       |       COALESCE(a.n_shared, 0) AS n_shared
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+
   /** Triangle census of the near-dup candidate graph — the structural
     * health check on a dedup run: transitivity (3·triangles / wedges)
     * near 1 means candidate pairs chain into clean cliques (true dup
@@ -1208,6 +1275,7 @@ object TextQueries {
     "t_mixture_sample" -> (mixtureSample, Some(mixtureSampleSql)),
     "t_triangles" -> (triangles, Some(trianglesSql)),
     "t_substring_dedup" -> (substringDedup, Some(substringDedupSql)),
+    "t_cdc_chunks" -> (cdcChunks, Some(cdcChunksSql)),
     "t_hash_split" -> (hashSplit, Some(hashSplitSql)),
     "t_tfidf" -> (tfidf, Some(tfidfSql)),
     "t_top_ngrams" -> (topNgrams, Some(topNgramsSql)),

@@ -277,6 +277,25 @@ class QuerySignalsSpec extends AnyFunSuite {
     assert(sub(0L)._2 == 1 && sub(1L)._2 == 1, "sliding census must flag the shared span once per doc")
   }
 
+  test("CDC chunking re-synchronizes after an insertion; aligned chunking does not") {
+    // doc 1 = doc 0 with ONE token prepended: every aligned 16-block
+    // shifts (chunk dedup shares nothing), but content-defined
+    // boundaries depend only on local windows, so chunks after the
+    // first boundary are identical again
+    val body = (1 to 200).map(i => s"w$i").mkString(" ")
+    val dir = docsDir(Seq(0L -> body, 1L -> s"inserted $body"))
+    val aligned = TextQueries.chunkDedup(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap // n_shared
+    assert(aligned(0L) == 0 && aligned(1L) == 0)
+    val cdc = TextQueries.cdcChunks(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(cdc(0L)._1 > 2, "fixture must produce several CDC chunks")
+    assert(cdc(0L)._2 > 0 && cdc(1L)._2 > 0,
+      s"CDC chunks must re-synchronize past the insertion: $cdc")
+    // only the prefix chunk(s) before the first boundary can differ
+    assert(cdc(0L)._1 - cdc(0L)._2 <= 2 && cdc(1L)._1 - cdc(1L)._2 <= 2)
+  }
+
   test("band join plans as an EQUI join on the bin key, never a nested loop") {
     val plan = AdvancedQueries.bandJoin(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
