@@ -757,7 +757,51 @@ object AdvancedQueries {
       .mkString("\nUNION ALL\n")
   }
 
+  /** Rolling regression slope (trend detection): per user, the OLS
+    * slope of value against the event sequence index over the last 21
+    * events — the "is this metric drifting" primitive next to
+    * a_anomaly's level shocks. x is the per-user row number (small
+    * exact integers) and y lands in DECIMAL, so ALL four moment sums
+    * are exact and the slope is a single double division of exact
+    * operands: n·Σxy − Σx·Σy over n·Σxx − (Σx)² — bitwise portable.
+    * Windows partition per user; warm-up rows (< 5 points) drop. */
+  val rollingBeta: Q = (s, dir) => {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val w = ord.rowsBetween(-20, 0)
+    events(s, dir)
+      .withColumn("x", row_number().over(ord).cast("long"))
+      .withColumn("y", dec2(col("value")))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .where(col("n") >= 5)
+      .select(col("event_id"), col("user_id"), col("value"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")).as("beta"))
+  }
+
+  val rollingBetaSql: String =
+    s"""WITH $eventsCte,
+       |xs AS (
+       |  SELECT event_id, user_id, value, ts,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS x,
+       |         ${dec2Sql("value")} AS y
+       |  FROM evts),
+       |ms AS (
+       |  SELECT event_id, user_id, value,
+       |         COUNT(*) OVER w AS n, SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+       |         SUM(x * y) OVER w AS sxy, SUM(x * x) OVER w AS sxx
+       |  FROM xs
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY x
+       |               ROWS BETWEEN 20 PRECEDING AND CURRENT ROW))
+       |SELECT event_id, user_id, value,
+       |       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS beta
+       |FROM ms WHERE n >= 5""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_rolling_beta" -> (rollingBeta, Some(rollingBetaSql)),
     "a_band_join" -> (bandJoin, Some(bandJoinSql)),
     "a_data_profile" -> (dataProfile, Some(dataProfileSql)),
     "a_anomaly" -> (anomaly, Some(anomalySql)),
