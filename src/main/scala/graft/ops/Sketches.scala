@@ -17,11 +17,12 @@ import org.apache.spark.sql.functions.udaf
   * u_k estimates k/n and `(k-1)/u_k` is the unbiased cardinality
   * estimate. Relative error ~ 1/sqrt(k-2) (k=64 → ~13%).
   *
-  * Why KMV and not HyperLogLog here: "k smallest distinct values of a
-  * set" is ORDER-FREE and engine-portable — built on the shared
+  * KMV first: "k smallest distinct values of a set" is ORDER-FREE and
+  * engine-portable — built on the shared
   * [[graft.text.TextOps.h60]] portable hash, any ANSI engine reproduces
   * the estimate bit-for-bit with a window query (the DuckDB oracle
-  * twin), which HLL's register layout does not allow. Same estimator
+  * twin). [[HllSketchAgg]] below gets the same portability for
+  * HyperLogLog by rebuilding registers relationally. Same estimator
   * family the reference exposes through its sketch module; here it is
   * a Spark `Aggregator` with map-side partial combine: each partition
   * keeps its own k-bounded sorted array and partials merge in O(k), so
@@ -189,4 +190,82 @@ object Sketches {
     def intersectionEstimate(a: Array[Long], b: Array[Long], k: Int): Double =
       jaccard(a, b, k) * estimate(union(a, b, k), k)
   }
+
+  // -------------------------------------------------------------------
+  // HyperLogLog
+  // -------------------------------------------------------------------
+
+  /** HyperLogLog registers [Flajolet, Fusy, Gandouet, Meunier 2007]
+    * over h60 hashes — the constant-memory companion to KMV: m = 2^p
+    * registers of one byte each regardless of cardinality (KMV stores k
+    * longs), mergeable by element-wise max, estimate within ~1.04/√m.
+    *
+    * Made engine-portable the same way the KMV gate is: register index
+    * = top p hash bits, rho = leading-zero count of the remaining
+    * (60-p)-bit field + 1 — pure INTEGER functions of the shared
+    * portable hash — and "max rho per register" is order-free, so a
+    * relational twin rebuilds every register exactly. The harmonic-mean
+    * denominator Σ 2^(-M_j) scaled by 2^(60-p+1) is an exact BIGINT sum
+    * (each term a power of two, total < 2^62 for p ≥ 8), and the raw
+    * estimate α_m·m²/denom is a single rounding of exact operands, so
+    * the estimate itself hash-matches across engines (a_hll_distinct).
+    *
+    * Buffer is Array[Int] (not Array[Byte]: Spark encodes byte arrays
+    * as BinaryType, which the gate's `aggregate` HOF can't fold over;
+    * 2^p ints of partial state per group is still tiny and map-side
+    * combined). */
+  class HllSketchAgg(p: Int) extends Aggregator[Long, Array[Int], Seq[Int]] {
+    require(p >= 4 && p <= 16, s"p=$p out of range")
+    private val m = 1 << p
+    private val wBits = 60 - p
+
+    def zero: Array[Int] = new Array[Int](m)
+
+    def reduce(b: Array[Int], h: Long): Array[Int] = {
+      val idx = (h >>> wBits).toInt
+      val w = h & ((1L << wBits) - 1)
+      // leading zeros within the wBits-wide field, +1; w = 0 → wBits + 1
+      val rho = java.lang.Long.numberOfLeadingZeros(w) - (64 - wBits) + 1
+      if (rho > b(idx)) b(idx) = rho
+      b
+    }
+
+    def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    def finish(b: Array[Int]): Seq[Int] = b.toSeq
+    def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Int]] = ExpressionEncoder()
+  }
+
+  /** HLL register column over pre-hashed h60 values. */
+  def hllSketch(hash: Column, p: Int): Column =
+    udaf(new HllSketchAgg(p)).apply(hash)
+
+  /** Library-side estimate with the standard small-range correction
+    * (linear counting when raw ≤ 2.5m and empty registers remain).
+    * The correction takes a transcendental log, so it is NOT the
+    * bitwise-portable gate path — the gate emits the raw estimate plus
+    * the exact integer register summaries instead. */
+  def hllEstimate(regs: Seq[Int], p: Int): Double = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    var denom = 0.0
+    var zeros = 0
+    regs.foreach { r => denom += math.pow(2.0, -r.toDouble); if (r == 0) zeros += 1 }
+    val raw = alpha * m * m / denom
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+  }
+
+  /** Union = element-wise max (lossless: HLL(A ∪ B) exactly). */
+  def hllUnion(a: Seq[Int], b: Seq[Int]): Seq[Int] =
+    a.lazyZip(b).map(math.max)
 }

@@ -494,6 +494,86 @@ object AdvancedQueries {
        |       e.exact_supps, ss.kmv_supps
        |FROM e JOIN sp ON e.g = sp.g JOIN ss ON e.g = ss.g""".stripMargin
 
+  /** HyperLogLog distinct census beside the exact counts
+    * (Sketches.HllSketchAgg, p=8 → 256 one-byte registers): the
+    * constant-memory cardinality path when even KMV's k longs per group
+    * is too much state (per-token document frequencies at corpus
+    * scale). The oracle rebuilds the registers relationally — register
+    * = top-8 hash bits, rho = leading-zero count of the low 52-bit
+    * field + 1 via an integer bit-position join (no floating log) —
+    * and both engines emit the exact BIGINT harmonic denominator
+    * Σ 2^(53-M_j), the empty-register count, and the raw HLL estimate
+    * α·m²·2^53/denom (one IEEE rounding of exact operands, bitwise
+    * portable; powers of two scale exactly). */
+  val hllDistinct: Q = (s, dir) => {
+    def pieces(regs: String, suffix: String) = Seq(
+      expr(s"aggregate($regs, CAST(0 AS BIGINT), (acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), 53 - r))")
+        .as(s"denom_$suffix"),
+      expr(s"aggregate($regs, CAST(0 AS BIGINT), (acc, r) -> acc + IF(r = 0, 1, 0))")
+        .as(s"zeros_$suffix"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+    table(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"),
+        graft.text.TextOps.h60(col("l_partkey").cast("string")).as("hp"),
+        graft.text.TextOps.h60(col("l_suppkey").cast("string")).as("hs"))
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        graft.ops.Sketches.hllSketch(col("hp"), 8).as("rp"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        graft.ops.Sketches.hllSketch(col("hs"), 8).as("rs"))
+      .select(Seq(col("l_returnflag"), col("exact_parts"), col("exact_supps")) ++
+        pieces("rp", "parts") ++ pieces("rs", "supps"): _*)
+      .withColumn("hll_parts", alpha * lit(65536.0) * lit(9007199254740992.0) / col("denom_parts").cast("double"))
+      .withColumn("hll_supps", alpha * lit(65536.0) * lit(9007199254740992.0) / col("denom_supps").cast("double"))
+  }
+
+  /** Register rebuild for one key: CTE chain ending in a per-group
+    * (denom, zeros) table named `agg_<suffix>`. */
+  private def hllRegSql(keyExpr: String, suffix: String): String =
+    s"""raw_$suffix AS (
+       |  SELECT l_returnflag AS g,
+       |         ${graft.text.TextOps.h60Sql(s"CAST($keyExpr AS VARCHAR)")} AS h
+       |  FROM lineitem),
+       |wd_$suffix AS (
+       |  SELECT DISTINCT g, h >> 52 AS idx,
+       |         h & ((CAST(1 AS BIGINT) << 52) - 1) AS w
+       |  FROM raw_$suffix),
+       |bl_$suffix AS (
+       |  SELECT g, idx, w, MAX(b.range) AS topbit
+       |  FROM wd_$suffix JOIN range(0, 52) b ON (w >> b.range) > 0
+       |  GROUP BY 1, 2, 3),
+       |regs_$suffix AS (
+       |  SELECT wd.g, wd.idx,
+       |         MAX(CASE WHEN wd.w = 0 THEN 53 ELSE 52 - bl.topbit END) AS mr
+       |  FROM wd_$suffix wd LEFT JOIN bl_$suffix bl
+       |    ON wd.g = bl.g AND wd.idx = bl.idx AND wd.w = bl.w
+       |  GROUP BY 1, 2),
+       |full_$suffix AS (
+       |  SELECT gs.g, r.range AS idx, COALESCE(rg.mr, 0) AS mr
+       |  FROM (SELECT DISTINCT g FROM raw_$suffix) gs
+       |  CROSS JOIN range(0, 256) r
+       |  LEFT JOIN regs_$suffix rg ON rg.g = gs.g AND rg.idx = r.range),
+       |agg_$suffix AS (
+       |  SELECT g, SUM(CAST(1 AS BIGINT) << (53 - CAST(mr AS INT))) AS denom,
+       |         SUM(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS zeros
+       |  FROM full_$suffix GROUP BY g)""".stripMargin
+
+  val hllDistinctSql: String =
+    s"""WITH ${hllRegSql("l_partkey", "p")},
+       |${hllRegSql("l_suppkey", "s")},
+       |e AS (SELECT l_returnflag AS g,
+       |             COUNT(DISTINCT l_partkey) AS exact_parts,
+       |             COUNT(DISTINCT l_suppkey) AS exact_supps
+       |      FROM lineitem GROUP BY 1)
+       |SELECT e.g AS l_returnflag, e.exact_parts, e.exact_supps,
+       |       p.denom AS denom_parts, p.zeros AS zeros_parts,
+       |       s.denom AS denom_supps, s.zeros AS zeros_supps,
+       |       (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0))
+       |         * 65536.0 * power(2.0, 53) / CAST(p.denom AS DOUBLE) AS hll_parts,
+       |       (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0))
+       |         * 65536.0 * power(2.0, 53) / CAST(s.denom AS DOUBLE) AS hll_supps
+       |FROM e JOIN agg_p p ON e.g = p.g JOIN agg_s s ON e.g = s.g""".stripMargin
+
   /** KMV composed with event-time windows: distinct users per 5-minute
     * tumbling window, exact beside the sketch. The streaming shape of
     * "unique visitors per window" — the same Aggregator runs unchanged
@@ -808,6 +888,7 @@ object AdvancedQueries {
     "a_hist_quantile" -> (histQuantile, Some(histQuantileSql)),
     "a_gap_fill" -> (gapFill, Some(gapFillSql)),
     "a_kmv_distinct" -> (kmvDistinct, Some(kmvDistinctSql)),
+    "a_hll_distinct" -> (hllDistinct, Some(hllDistinctSql)),
     "a_bloom_join" -> (bloomJoin, Some(bloomJoinSql)),
     "a_kmv_window" -> (kmvWindow, Some(kmvWindowSql)),
     "a_range_frames" -> (rangeFrames, Some(rangeFramesSql)),

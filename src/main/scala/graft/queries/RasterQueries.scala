@@ -614,7 +614,50 @@ object RasterQueries {
        |FROM zones z JOIN pga g ON g.gx = z.gx AND g.gy = z.gy
        |GROUP BY 1""".stripMargin
 
+  /** Multi-source cost distance over band A (CostDistance.scala): entry
+    * cost 1 + (v % 4), sources where v % 17 = 0, 8-connectivity, cap 95.
+    * Spark runs the distributed per-tile Dijkstra + halo exchange; the
+    * oracle replays it as a recursive walk enumerating every path with
+    * partial sums ≤ cap and taking the per-cell minimum — prefix sums
+    * along a minimal path never exceed its total, so both engines emit
+    * exactly the cells with d ≤ cap. Integer costs keep it bitwise. */
+  val costDistance: Q = (s, dir) => {
+    val cells = Raster.pixelize(tilesA(s, dir), TS)
+      .select((col("tile_col") * TS + col("px")).cast("long").as("gx"),
+        (col("tile_row") * TS + col("py")).cast("long").as("gy"),
+        (lit(1) + col("v").cast("long") % 4).as("cost"),
+        (col("v").cast("long") % 17 === 0).as("src"))
+    graft.ops.CostDistance.costDistance(cells, TS, cap = 95L)
+      .select(expr(s"gx div $TS").cast("int").as("tile_col"),
+        expr(s"gy div $TS").cast("int").as("tile_row"),
+        (col("gx") % TS).cast("int").as("px"),
+        (col("gy") % TS).cast("int").as("py"),
+        col("dist").cast("double").as("v"))
+  }
+
+  val costDistanceSql: String =
+    s"""WITH RECURSIVE $pxCte,
+       |cellz AS (
+       |  SELECT gx, gy, 1 + (CAST(v AS BIGINT) % 4) AS cost,
+       |         (CAST(v AS BIGINT) % 17 = 0) AS src
+       |  FROM pga),
+       |walk(gx, gy, d) AS (
+       |  SELECT gx, gy, CAST(0 AS BIGINT) FROM cellz WHERE src
+       |  UNION
+       |  SELECT c.gx, c.gy, w.d + c.cost
+       |  FROM walk w JOIN cellz c
+       |    ON c.gx BETWEEN w.gx - 1 AND w.gx + 1
+       |   AND c.gy BETWEEN w.gy - 1 AND w.gy + 1
+       |   AND NOT (c.gx = w.gx AND c.gy = w.gy)
+       |  WHERE w.d + c.cost <= 95),
+       |best AS (SELECT gx, gy, MIN(d) AS d FROM walk GROUP BY 1, 2)
+       |SELECT CAST(gx // $TS AS INT) AS tile_col, CAST(gy // $TS AS INT) AS tile_row,
+       |       CAST(gx % $TS AS INT) AS px, CAST(gy % $TS AS INT) AS py,
+       |       CAST(d AS DOUBLE) AS v
+       |FROM best""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "r_cost_distance" -> (costDistance, Some(costDistanceSql)),
     "r_zonal_stats" -> (zonalStats, Some(zonalStatsSql)),
     "r_band_stack" -> (bandStack, Some(bandStackSql)),
     "r_multiband_ndvi" -> (multibandNdvi, Some(multibandNdviSql)),

@@ -134,6 +134,61 @@ class SketchesSpec extends AnyFunSuite {
     val inter = Sketches.KmvSketch.intersectionEstimate(sa, sb, k)
     assert(inter > 1000 && inter < 3000, s"intersection $inter")
   }
+
+  // ---------------------------------------------------------------- HLL
+
+  private def hllOf(hashes: Seq[Long], p: Int): Array[Int] = {
+    val a = new Sketches.HllSketchAgg(p)
+    hashes.foldLeft(a.zero)((b, h) => a.reduce(b, h))
+  }
+
+  test("hll: register index and rho decode the hash exactly") {
+    val a = new Sketches.HllSketchAgg(8)
+    // idx = top 8 of 60 bits; w = low 52. Craft h = (idx << 52) | w.
+    val h1 = (5L << 52) | (1L << 40) // w has bitlen 41 → rho = 52 - 41 + 1 = 12
+    val b = a.reduce(a.zero, h1)
+    assert(b(5) == 12 && b.count(_ != 0) == 1)
+    val h2 = 7L << 52 // w = 0 → rho = 53
+    val b2 = a.reduce(b, h2)
+    assert(b2(7) == 53)
+    // a smaller rho for the same register must not lower it
+    val h3 = (5L << 52) | (1L << 51) // rho = 1
+    assert(a.reduce(b2, h3)(5) == 12)
+  }
+
+  test("hll: merge law — any split/order gives the registers of the whole") {
+    val hashes = (0 until 2000).map(i => TextOps.hash60(s"hll-$i"): Long)
+    val a = new Sketches.HllSketchAgg(8)
+    val whole = hllOf(hashes, 8).toSeq
+    for (seed <- 0 until 20) {
+      val r = new scala.util.Random(seed)
+      val shuffled = r.shuffle(hashes)
+      val cut = 1 + r.nextInt(shuffled.length - 1)
+      val (l, rr) = shuffled.splitAt(cut)
+      assert(a.merge(hllOf(l, 8), hllOf(rr, 8)).toSeq == whole)
+    }
+  }
+
+  test("hll: estimate within the 1.04/sqrt(m) band; union is lossless") {
+    val n = 30000
+    val hashes = (0 until n).map(i => TextOps.hash60(s"key-$i"): Long)
+    val est = Sketches.hllEstimate(hllOf(hashes, 8).toSeq, 8)
+    assert(math.abs(est - n) / n < 0.2, s"est $est for n=$n")
+    // small range: linear counting keeps tiny sets near-exact
+    val tiny = (0 until 40).map(i => TextOps.hash60(s"t-$i"): Long)
+    val estTiny = Sketches.hllEstimate(hllOf(tiny, 8).toSeq, 8)
+    assert(math.abs(estTiny - 40) / 40 < 0.25, s"tiny est $estTiny")
+    // union of sketches == sketch of concatenation, exactly
+    val (ha, hb) = hashes.splitAt(n / 3)
+    assert(Sketches.hllUnion(hllOf(ha, 8).toSeq, hllOf(hb, 8).toSeq) == hllOf(hashes, 8).toSeq)
+  }
+
+  test("hll: distributed aggregation equals driver-side fold") {
+    val hashes = (0 until 5000).map(i => TextOps.hash60(s"v${i % 987}"): Long)
+    val viaSpark = hashes.toDF("h").repartition(7)
+      .agg(Sketches.hllSketch(col("h"), 8)).head.getSeq[Int](0).toSeq
+    assert(viaSpark == hllOf(hashes, 8).toSeq)
+  }
 }
 
 class BloomJoinSpec extends AnyFunSuite {
