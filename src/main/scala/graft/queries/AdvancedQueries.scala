@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import Fixtures._
@@ -494,6 +494,147 @@ object AdvancedQueries {
        |       e.exact_supps, ss.kmv_supps
        |FROM e JOIN sp ON e.g = sp.g JOIN ss ON e.g = ss.g""".stripMargin
 
+  /** Data-quality constraint census — the validation stage every
+    * ingest pipeline runs before training data is trusted: per rule,
+    * rows checked and rows violating. One conditional-aggregation scan
+    * per table covers the row-local rules (domain, range, outlier); the
+    * key rules are a duplicate census on one groupBy and FK orphan
+    * checks as broadcastable left-anti joins — no rule costs a second
+    * scan of its table. The synthetic lineitem "PK" actually carries
+    * duplicates, so the censed counts are non-trivial in both engines. */
+  val dqRules: Q = (s, dir) => {
+    val li = table(s, dir, "lineitem")
+    val ords = table(s, dir, "orders")
+    val cust = table(s, dir, "customer")
+    def one(rule: String, n: Column, v: Column)(src: DataFrame): DataFrame =
+      src.agg(n.cast("long").as("n_checked"), v.cast("long").as("n_violations"))
+        .select(lit(rule).as("rule"), col("n_checked"), col("n_violations"))
+    val rowRules = Seq(
+      one("discount_warn_gt_5pct", count(lit(1)),
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)))(li),
+      one("quantity_outlier_gt_45", count(lit(1)),
+        sum(when(col("l_quantity") > 45, 1L).otherwise(0L)))(li),
+      one("linestatus_domain", count(lit(1)),
+        sum(when(!col("l_linestatus").isin("O", "F"), 1L).otherwise(0L)))(li),
+      one("lineitem_pk_unique", sum(col("c")), coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L)))(
+        li.groupBy(col("l_orderkey"), col("l_linenumber")).agg(count(lit(1)).as("c"))))
+    def fk(rule: String, fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String): DataFrame =
+      fact.join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_anti")
+        .agg(count(lit(1)).cast("long").as("n_violations"))
+        .crossJoin(fact.agg(count(lit(1)).cast("long").as("n_checked")))
+        .select(lit(rule).as("rule"), col("n_checked"), col("n_violations"))
+    val fkOrders = fk("orders_custkey_fk", ords, "o_custkey", cust, "c_custkey")
+    val fkLineitem = fk("lineitem_orderkey_fk", li, "l_orderkey", ords, "o_orderkey")
+    (rowRules :+ fkOrders :+ fkLineitem).reduce(_ unionByName _)
+  }
+
+  val dqRulesSql: String =
+    """SELECT 'discount_warn_gt_5pct' AS rule, COUNT(*) AS n_checked,
+      |       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'quantity_outlier_gt_45', COUNT(*),
+      |       CAST(SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'linestatus_domain', COUNT(*),
+      |       CAST(SUM(CASE WHEN l_linestatus NOT IN ('O', 'F') THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem_pk_unique', CAST(SUM(c) AS BIGINT),
+      |       CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT)
+      |FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber) t
+      |UNION ALL
+      |SELECT 'orders_custkey_fk', (SELECT COUNT(*) FROM orders),
+      |       (SELECT COUNT(*) FROM orders o
+      |        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |UNION ALL
+      |SELECT 'lineitem_orderkey_fk', (SELECT COUNT(*) FROM lineitem),
+      |       (SELECT COUNT(*) FROM lineitem l
+      |        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))""".stripMargin
+
+  /** KMV synopsis ALGEBRA gate (Beyer et al., SIGMOD'07): for every
+    * pair of returnflag groups, the sketch-estimated union cardinality,
+    * Jaccard and intersection of their part-key sets — beside the exact
+    * values. The k-min set of a union is the k-min of the merged k-min
+    * sets, so two per-group sketches answer set questions no matter how
+    * the groups were partitioned — the reason a 100 TB profile keeps
+    * sketches, not keys. Sketch arithmetic is engine-portable: the
+    * oracle rebuilds each k-min set with a window, merges them with the
+    * same window, and repeats the count/len and (k-1)·2^60/h_k
+    * divisions in the same IEEE order. */
+  val kmvSetOps: Q = (s, dir) => {
+    val k = 128
+    val dk = table(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_partkey").as("pk"),
+        graft.text.TextOps.h60(col("l_partkey").cast("string")).as("h"))
+      .distinct()
+    val sketches = dk.groupBy(col("flag"))
+      .agg(graft.ops.Sketches.kmvSketch(col("h"), k).as("sk"),
+        countDistinct(col("pk")).as("nd"))
+    val inter = dk.as("x").join(dk.as("y"),
+        col("x.pk") === col("y.pk") && col("x.flag") < col("y.flag"))
+      .groupBy(col("x.flag").as("fa"), col("y.flag").as("fb"))
+      .agg(countDistinct(col("x.pk")).as("n_inter"))
+    val est = udf((a: Seq[Long], b: Seq[Long]) => {
+      val (aa, bb) = (a.toArray, b.toArray)
+      val u = graft.ops.Sketches.KmvSketch.union(aa, bb, k)
+      (graft.ops.Sketches.estimate(u, k),
+        graft.ops.Sketches.KmvSketch.jaccard(aa, bb, k),
+        graft.ops.Sketches.KmvSketch.intersectionEstimate(aa, bb, k))
+    })
+    val sa = sketches.select(col("flag").as("fa"), col("sk").as("ska"), col("nd").as("nda"))
+    val sb = sketches.select(col("flag").as("fb"), col("sk").as("skb"), col("nd").as("ndb"))
+    inter.join(sa, Seq("fa")).join(sb, Seq("fb"))
+      .withColumn("e", est(col("ska"), col("skb")))
+      .select(col("fa"), col("fb"),
+        (col("nda") + col("ndb") - col("n_inter")).as("exact_union"),
+        col("n_inter").as("exact_inter"),
+        (col("n_inter").cast("double") / (col("nda") + col("ndb") - col("n_inter")).cast("double")).as("exact_jaccard"),
+        col("e._1").as("kmv_union"), col("e._2").as("kmv_jaccard"), col("e._3").as("kmv_inter"))
+  }
+
+  val kmvSetOpsSql: String = {
+    val k = 128
+    s"""WITH dk AS (
+       |  SELECT DISTINCT l_returnflag AS flag, l_partkey AS pk,
+       |         ${graft.text.TextOps.h60Sql("CAST(l_partkey AS VARCHAR)")} AS h
+       |  FROM lineitem),
+       |km AS (SELECT flag, h FROM (
+       |         SELECT flag, h, row_number() OVER (PARTITION BY flag ORDER BY h) AS rn
+       |         FROM (SELECT DISTINCT flag, h FROM dk))
+       |       WHERE rn <= $k),
+       |nd AS (SELECT flag, COUNT(DISTINCT pk) AS nd FROM dk GROUP BY 1),
+       |prs AS (SELECT a.flag AS fa, b.flag AS fb, COUNT(DISTINCT a.pk) AS n_inter
+       |        FROM dk a JOIN dk b ON a.pk = b.pk AND a.flag < b.flag
+       |        GROUP BY 1, 2),
+       |-- merged k-min of each pair's two k-min sets
+       |u AS (SELECT fa, fb, h, row_number() OVER (PARTITION BY fa, fb ORDER BY h) AS rn,
+       |             COUNT(*) OVER (PARTITION BY fa, fb) AS un
+       |      FROM (SELECT DISTINCT p.fa, p.fb, km.h
+       |            FROM prs p JOIN km ON km.flag = p.fa OR km.flag = p.fb)),
+       |uk AS (SELECT fa, fb, h, rn FROM u WHERE rn <= $k),
+       |ucard AS (SELECT fa, fb, COUNT(*) AS ulen,
+       |                 MAX(CASE WHEN rn = $k THEN h END) AS hk,
+       |                 SUM(CASE WHEN EXISTS (SELECT 1 FROM km a WHERE a.flag = uk.fa AND a.h = uk.h)
+       |                           AND EXISTS (SELECT 1 FROM km b WHERE b.flag = uk.fb AND b.h = uk.h)
+       |                          THEN 1 ELSE 0 END) AS nboth
+       |          FROM uk GROUP BY 1, 2)
+       |SELECT p.fa, p.fb,
+       |       na.nd + nb.nd - p.n_inter AS exact_union,
+       |       p.n_inter AS exact_inter,
+       |       CAST(p.n_inter AS DOUBLE) / CAST(na.nd + nb.nd - p.n_inter AS DOUBLE) AS exact_jaccard,
+       |       CASE WHEN u.ulen < $k THEN CAST(u.ulen AS DOUBLE)
+       |            ELSE ${k - 1} * power(2.0, 60) / CAST(u.hk AS DOUBLE) END AS kmv_union,
+       |       CAST(u.nboth AS DOUBLE) / CAST(u.ulen AS DOUBLE) AS kmv_jaccard,
+       |       (CAST(u.nboth AS DOUBLE) / CAST(u.ulen AS DOUBLE)) *
+       |       (CASE WHEN u.ulen < $k THEN CAST(u.ulen AS DOUBLE)
+       |             ELSE ${k - 1} * power(2.0, 60) / CAST(u.hk AS DOUBLE) END) AS kmv_inter
+       |FROM prs p
+       |JOIN nd na ON na.flag = p.fa JOIN nd nb ON nb.flag = p.fb
+       |JOIN ucard u ON u.fa = p.fa AND u.fb = p.fb""".stripMargin
+  }
+
   /** HyperLogLog distinct census beside the exact counts
     * (Sketches.HllSketchAgg, p=8 → 256 one-byte registers): the
     * constant-memory cardinality path when even KMV's k longs per group
@@ -889,6 +1030,8 @@ object AdvancedQueries {
     "a_gap_fill" -> (gapFill, Some(gapFillSql)),
     "a_kmv_distinct" -> (kmvDistinct, Some(kmvDistinctSql)),
     "a_hll_distinct" -> (hllDistinct, Some(hllDistinctSql)),
+    "a_kmv_setops" -> (kmvSetOps, Some(kmvSetOpsSql)),
+    "a_dq_rules" -> (dqRules, Some(dqRulesSql)),
     "a_bloom_join" -> (bloomJoin, Some(bloomJoinSql)),
     "a_kmv_window" -> (kmvWindow, Some(kmvWindowSql)),
     "a_range_frames" -> (rangeFrames, Some(rangeFramesSql)),

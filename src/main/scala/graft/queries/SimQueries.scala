@@ -481,6 +481,48 @@ object SimQueries {
        |  FROM scored QUALIFY r = 1)
        |SELECT label, cl AS pred, COUNT(*) AS n FROM pred GROUP BY 1, 2""".stripMargin
 
+  /** Exact covariance/Gram moments of the embedding corpus
+    * (Similarity.GramAgg): for every dimension pair i ≤ j the row
+    * count, per-dim sums and product sum over int-quantized values
+    * q = floor(v·2^20) — the one-pass input to PCA/whitening. The
+    * whole corpus reduces into ONE mergeable 17 KB buffer (map-side
+    * combined, no per-pair shuffle; the d² expansion happens on the
+    * final single row against a broadcast (k → i,j) index). The oracle
+    * rebuilds the same moments relationally via a per-vector self-join
+    * — quadratic in d but exact, and every emitted value is an
+    * integer, so the gate is bitwise. */
+  val covariance: Q = (s, dir) => {
+    val d = 64
+    val idx = {
+      val rows = (for { i <- 0 until d; j <- i until d } yield (i, j))
+        .zipWithIndex.map { case ((i, j), k) => (k, i, j) }
+      s.createDataFrame(rows).toDF("k", "i", "j")
+    }
+    table(s, dir, "embeddings")
+      .agg(Similarity.gram(col("embedding"), d).as("g"))
+      .select(col("g.n").as("n"), col("g.sums").as("sums"),
+        posexplode(col("g.prods")).as(Seq("k", "sxy")))
+      .join(broadcast(idx), Seq("k"))
+      .select(col("i"), col("j"), col("n"),
+        element_at(col("sums"), col("i") + 1).as("sx"),
+        element_at(col("sums"), col("j") + 1).as("sy"),
+        col("sxy"))
+  }
+
+  val covarianceSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, CAST(gs - 1 AS INT) AS i,
+      |         CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) AS qx
+      |  FROM (SELECT vec_id, unnest(embedding) AS x,
+      |               generate_subscripts(embedding, 1) AS gs
+      |        FROM embeddings) z)
+      |SELECT a.i AS i, b.i AS j, COUNT(*) AS n,
+      |       CAST(SUM(a.qx) AS BIGINT) AS sx,
+      |       CAST(SUM(b.qx) AS BIGINT) AS sy,
+      |       CAST(SUM(a.qx * b.qx) AS BIGINT) AS sxy
+      |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |GROUP BY 1, 2""".stripMargin
+
   /** Int8 scalar-quantization census: the storage-compression pass an
     * embedding corpus takes before ANN at scale (4x smaller than
     * float32). Per vector: symmetric amax scaling, q_i = floor(x/amax
@@ -772,6 +814,7 @@ object SimQueries {
     "s_embed_stats" -> (vecDedup, Some(vecDedupSql)),
     "m_centroid_confusion" -> (centroidConfusion, Some(centroidConfusionSql)),
     "s_quantize_err" -> (quantizeErr, Some(quantizeErrSql)),
+    "s_covariance" -> (covariance, Some(covarianceSql)),
     "s_ann_quantized" -> (annQuantized, Some(annQuantizedSql)),
     "s_ann_pq" -> (annPq, Some(annPqSql)),
   )

@@ -274,6 +274,47 @@ object TextQueries {
        |       CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
        |FROM bits GROUP BY 1""".stripMargin
 
+  /** SimHash near-dup PAIRS at hamming ≤ 3, found without doc×doc: the
+    * 60-bit signature splits into 4 bands of 15 bits, and by pigeonhole
+    * any pair within hamming 3 agrees on at least one whole band — so
+    * candidates come from 4 band-key equi-joins (each a hash shuffle on
+    * a 15-bit key), then one exact bit_count verify. The oracle is the
+    * BRUTE-FORCE all-pairs scan, so a hash-match also PROVES the
+    * banding lost no pair (completeness, not just precision). At corpus
+    * scale the band join is the only shuffle and its fan-out is bounded
+    * by docs sharing 15 signature bits; exact-dup clusters should be
+    * collapsed by t_dedup_exact first to avoid quadratic bucket pairs. */
+  val simhashPairs: Q = (s, dir) => {
+    val sh = docs(s, dir).select(col("doc_id"), TextOps.simhash64(col("toks")).as("sh"))
+    val banded = sh.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          (shiftrightunsigned(col("sh"), b * 15).bitwiseAND(lit(0x7FFFL))).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("int").as("hamming"))
+      .where(col("hamming") <= 3)
+      .distinct()
+  }
+
+  val simhashPairsSql: String =
+    s"""WITH $docsCte,
+       |th AS (SELECT doc_id, $h60TokSql AS h FROM docs, unnest(toks) t(tok)),
+       |bits AS (
+       |  SELECT doc_id, b.b,
+       |         SUM(CASE WHEN (h >> CAST(b.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM th, range(0, 60) b(b) GROUP BY 1, 2),
+       |shs AS (SELECT doc_id,
+       |       CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM bits GROUP BY 1)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
   private val K = 16
 
   /** MinHash signatures, exploded to (doc_id, j, mh) rows. */
@@ -1290,6 +1331,7 @@ object TextQueries {
     "t_dedup_exact" -> (dedupExact, Some(dedupExactSql)),
     "t_ngram_jaccard" -> (ngramJaccard, Some(ngramJaccardSql)),
     "t_simhash" -> (simhash, Some(simhashSql)),
+    "t_simhash_pairs" -> (simhashPairs, Some(simhashPairsSql)),
     "t_minhash_sig" -> (minhashSig, Some(minhashSigSql)),
     "t_minhash_lsh" -> (minhashLsh, Some(minhashLshSql)),
     "t_repetition" -> (repetition, Some(repetitionSql)),

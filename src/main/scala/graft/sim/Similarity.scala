@@ -1,8 +1,9 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over embedding columns (`ARRAY<FLOAT>`):
   * brute-force cosine top-k as the exact baseline, and a sign-LSH
@@ -326,4 +327,65 @@ object Similarity {
     scored.withColumn("pr", row_number().over(w)).where(col("pr") <= k)
       .select(col("qid"), col("cid"), col("approx"), col("pr"))
   }
+
+  // -------------------------------------------------------------------
+  // Exact second moments (covariance / Gram matrix)
+  // -------------------------------------------------------------------
+
+  /** Accumulated second-moment state over int-quantized values: row
+    * count, per-dimension sums, upper-triangle products (i-major). */
+  case class GramOut(n: Long, sums: Seq[Long], prods: Seq[Long])
+
+  /** One-pass EXACT second-moment (Gram) accumulation over an embedding
+    * column — the input to covariance, PCA and whitening. Values are
+    * quantized q = floor(v · 2^20): float→double is exact, ×2^20 is an
+    * exact binary-exponent shift and floor is exact, so q is a pure
+    * integer function of the stored float that any engine reproduces
+    * bitwise; n, Σq_i and Σq_i·q_j then accumulate as exact BIGINTs
+    * and covariance entries are rationals of exact integers.
+    *
+    * Scale shape: the ONLY aggregation is this mergeable buffer —
+    * 1 + d + d(d+1)/2 longs (d=64 → ~17 KB) combined map-side, so a
+    * 100 TB corpus reduces to one partial buffer per partition and a
+    * per-PAIR shuffle never exists; the d² expansion happens on the
+    * final single row. Bounds: |q| ≤ 2^21 at unit-scale embeddings, so
+    * products stay < 2^42 and 2^63 holds past 10^6 rows per dimension
+    * pair; for cluster cardinalities swap accumulation to DECIMAL(38).
+    */
+  class GramAgg(d: Int) extends Aggregator[Seq[Float], Array[Long], GramOut] {
+    private val nProds = d * (d + 1) / 2
+    def zero: Array[Long] = new Array[Long](1 + d + nProds)
+
+    def reduce(b: Array[Long], v: Seq[Float]): Array[Long] = {
+      if (v == null) return b
+      require(v.length == d, s"embedding dim ${v.length} != $d")
+      val q = new Array[Long](d)
+      var i = 0
+      while (i < d) { q(i) = math.floor(v(i).toDouble * 1048576.0).toLong; i += 1 }
+      b(0) += 1L
+      i = 0
+      var k = 1 + d
+      while (i < d) {
+        b(1 + i) += q(i)
+        var j = i
+        while (j < d) { b(k) += q(i) * q(j); k += 1; j += 1 }
+        i += 1
+      }
+      b
+    }
+
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    def finish(b: Array[Long]): GramOut =
+      GramOut(b(0), b.slice(1, 1 + d).toSeq, b.drop(1 + d).toSeq)
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[GramOut] = ExpressionEncoder()
+  }
+
+  /** Gram-moment column over an `ARRAY<FLOAT>` embedding column. */
+  def gram(emb: Column, d: Int): Column = udaf(new GramAgg(d)).apply(emb)
 }

@@ -222,4 +222,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rT >= rL, f"trained recall $rT%.2f must be >= literal $rL%.2f")
     assert(rT > 0.2, f"trained recall $rT%.2f implausibly low")
   }
+
+  test("gram: moments equal a naive driver loop; merge is order/split-free") {
+    val d = 8
+    val rnd = new scala.util.Random(3)
+    val vecs = Seq.fill(200)(Array.fill(d)(rnd.nextFloat() - 0.5f))
+    def q(f: Float): Long = math.floor(f.toDouble * 1048576.0).toLong
+    // naive reference
+    val n = vecs.length.toLong
+    val sums = (0 until d).map(i => vecs.map(v => q(v(i))).sum)
+    val prods = for { i <- 0 until d; j <- i until d }
+      yield vecs.map(v => q(v(i)) * q(v(j))).sum
+    val agg = new Similarity.GramAgg(d)
+    val whole = vecs.foldLeft(agg.zero)((b, v) => agg.reduce(b, v.toSeq))
+    val out = agg.finish(whole)
+    assert(out.n == n && out.sums == sums && out.prods == prods)
+    // split/merge law
+    for (seed <- 0 until 10) {
+      val r = new scala.util.Random(seed)
+      val shuffled = r.shuffle(vecs)
+      val cut = 1 + r.nextInt(shuffled.length - 1)
+      val (l, rr) = shuffled.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)((b, v) => agg.reduce(b, v.toSeq)),
+        rr.foldLeft(agg.zero)((b, v) => agg.reduce(b, v.toSeq)))
+      assert(merged.toSeq == whole.toSeq)
+    }
+    // distributed == driver fold
+    val viaSpark = vecs.map(_.toSeq).toDF("embedding").repartition(5)
+      .agg(Similarity.gram(col("embedding"), d).as("g"))
+      .select("g.n", "g.sums", "g.prods").head()
+    assert(viaSpark.getLong(0) == n &&
+      viaSpark.getSeq[Long](1) == sums && viaSpark.getSeq[Long](2) == prods)
+  }
 }
