@@ -656,7 +656,58 @@ object RasterQueries {
        |       CAST(d AS DOUBLE) AS v
        |FROM best""".stripMargin
 
+  /** Region labeling (the GIS "region group" op): connected components
+    * of a mask raster under 4-connectivity, label = minimum global cell
+    * id of the region. The mask adjacency becomes an edge list (two
+    * shifted self-equi-joins, no neighborhood explode) and the labels
+    * come from the SAME pointer-jumping CC loop the dedup pipeline uses
+    * (TextOps.connectedComponents: O(log diameter) rounds, eager
+    * per-round checkpoints) — one engine primitive, two domains.
+    * Isolated mask cells keep their own id. The oracle replays min-
+    * label propagation as a recursive CTE, pruned to labels smaller
+    * than the receiving cell's id (the component minimum always
+    * survives the pruning, every other label is dominated). */
+  val regionLabel: Q = (s, dir) => {
+    val W = 4L * TS // global grid width
+    val m = Raster.pixelize(tilesA(s, dir), TS)
+      .where(col("v").cast("long") % 3 === 0)
+      .select((col("tile_col") * TS + col("px")).cast("long").as("gx"),
+        (col("tile_row") * TS + col("py")).cast("long").as("gy"))
+      .withColumn("id", col("gx") * W + col("gy"))
+    def shifted(dx: Int, dy: Int) = m.select(
+      (col("gx") + dx).as("gx"), (col("gy") + dy).as("gy"), col("id").as("b"))
+    val edges = m.join(shifted(1, 0), Seq("gx", "gy")).select(col("id").as("a"), col("b"))
+      .unionByName(m.join(shifted(0, 1), Seq("gx", "gy")).select(col("id").as("a"), col("b")))
+    val cc = graft.text.TextOps.connectedComponents(edges)
+    m.join(cc, m("id") === cc("node"), "left")
+      .select(expr(s"gx div $TS").cast("int").as("tile_col"),
+        expr(s"gy div $TS").cast("int").as("tile_row"),
+        (col("gx") % TS).cast("int").as("px"),
+        (col("gy") % TS).cast("int").as("py"),
+        coalesce(col("cluster"), col("id")).as("label"))
+  }
+
+  val regionLabelSql: String = {
+    val w = 4 * TS
+    s"""WITH RECURSIVE $pxCte,
+       |m AS (SELECT gx, gy, gx * $w + gy AS id FROM pga
+       |      WHERE CAST(v AS BIGINT) % 3 = 0),
+       |lab(gx, gy, lbl) AS (
+       |  SELECT gx, gy, id FROM m
+       |  UNION
+       |  SELECT c.gx, c.gy, l.lbl
+       |  FROM lab l JOIN m c
+       |    ON (ABS(c.gx - l.gx) + ABS(c.gy - l.gy)) = 1
+       |  WHERE l.lbl < c.gx * $w + c.gy),
+       |best AS (SELECT gx, gy, MIN(lbl) AS label FROM lab GROUP BY 1, 2)
+       |SELECT CAST(gx // $TS AS INT) AS tile_col, CAST(gy // $TS AS INT) AS tile_row,
+       |       CAST(gx % $TS AS INT) AS px, CAST(gy % $TS AS INT) AS py,
+       |       label
+       |FROM best""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "r_region_label" -> (regionLabel, Some(regionLabelSql)),
     "r_cost_distance" -> (costDistance, Some(costDistanceSql)),
     "r_zonal_stats" -> (zonalStats, Some(zonalStatsSql)),
     "r_band_stack" -> (bandStack, Some(bandStackSql)),

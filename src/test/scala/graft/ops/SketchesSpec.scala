@@ -183,6 +183,30 @@ class SketchesSpec extends AnyFunSuite {
     assert(Sketches.hllUnion(hllOf(ha, 8).toSeq, hllOf(hb, 8).toSeq) == hllOf(hashes, 8).toSeq)
   }
 
+  test("hll: same aggregator runs in a streaming windowed aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = (0 until 300).map(i =>
+      (t(f"2024-01-01 00:${i / 60 % 5}%02d:${i % 60}%02d"), (i % 97).toLong))
+    def agged(df: org.apache.spark.sql.DataFrame) = df
+      .select(window(col("ts"), "5 minutes").as("w"),
+        TextOps.h60(col("user_id").cast("string")).as("h"))
+      .groupBy(col("w"))
+      .agg(Sketches.hllSketch(col("h"), 8).as("regs"))
+      .select(col("w.start").cast("long").as("ws"), col("regs"))
+    input.addData(rows: _*)
+    val q = agged(input.toDS().toDF("ts", "user_id").withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("hll_stream_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("hll_stream_out")
+      .as[(Long, Seq[Int])].collect().toMap
+    val batch = agged(rows.toDF("ts", "user_id")).as[(Long, Seq[Int])].collect().toMap
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("hll: distributed aggregation equals driver-side fold") {
     val hashes = (0 until 5000).map(i => TextOps.hash60(s"v${i % 987}"): Long)
     val viaSpark = hashes.toDF("h").repartition(7)
