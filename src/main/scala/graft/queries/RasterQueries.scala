@@ -706,8 +706,47 @@ object RasterQueries {
        |FROM best""".stripMargin
   }
 
+  /** Per-region statistics over the labeled regions: region_label's
+    * output keyed back to band B — the analytics consumer of region
+    * grouping (object size/intensity censusing, e.g. field parcels in
+    * the land-use domain). One tile-key equi-join + one label-keyed
+    * aggregation on top of the CC loop; sums are exact (vb is an
+    * integral count and n_cells an integer), mean is one division of
+    * exact operands. */
+  val regionStats: Q = (s, dir) => {
+    val labeled = regionLabel(s, dir)
+    val b = Raster.pixelize(tilesB(s, dir), TS)
+      .select(col("tile_col"), col("tile_row"), col("px"), col("py"), col("v").as("vb"))
+    labeled.join(b, Seq("tile_col", "tile_row", "px", "py"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("vb")).cast("long").as("sum_b"),
+        (sum(col("vb")) / count(lit(1))).as("mean_b"))
+  }
+
+  val regionStatsSql: String = {
+    val w = 4 * TS
+    s"""WITH RECURSIVE $pxCte,
+       |m AS (SELECT gx, gy, gx * $w + gy AS id FROM pga
+       |      WHERE CAST(v AS BIGINT) % 3 = 0),
+       |lab(gx, gy, lbl) AS (
+       |  SELECT gx, gy, id FROM m
+       |  UNION
+       |  SELECT c.gx, c.gy, l.lbl
+       |  FROM lab l JOIN m c
+       |    ON (ABS(c.gx - l.gx) + ABS(c.gy - l.gy)) = 1
+       |  WHERE l.lbl < c.gx * $w + c.gy),
+       |best AS (SELECT gx, gy, MIN(lbl) AS label FROM lab GROUP BY 1, 2)
+       |SELECT b.label, COUNT(*) AS n_cells,
+       |       CAST(SUM(p.v) AS BIGINT) AS sum_b,
+       |       SUM(p.v) / COUNT(*) AS mean_b
+       |FROM best b JOIN pgb p ON p.gx = b.gx AND p.gy = b.gy
+       |GROUP BY 1""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
     "r_region_label" -> (regionLabel, Some(regionLabelSql)),
+    "r_region_stats" -> (regionStats, Some(regionStatsSql)),
     "r_cost_distance" -> (costDistance, Some(costDistanceSql)),
     "r_zonal_stats" -> (zonalStats, Some(zonalStatsSql)),
     "r_band_stack" -> (bandStack, Some(bandStackSql)),

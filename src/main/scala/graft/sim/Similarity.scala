@@ -388,4 +388,91 @@ object Similarity {
 
   /** Gram-moment column over an `ARRAY<FLOAT>` embedding column. */
   def gram(emb: Column, d: Int): Column = udaf(new GramAgg(d)).apply(emb)
+
+  /** Covariance matrix from Gram moments: C_ij = (n·Σq_iq_j − Σq_iΣq_j)
+    * / n² / 2^40 (the 2^40 undoes the two 2^20 quantizations). The
+    * numerator is computed exactly in BigDecimal before the one
+    * conversion to double, so the matrix is a deterministic function of
+    * the exact moments — no accumulation-order sensitivity anywhere. */
+  def covarianceFromGram(g: GramOut, d: Int): Array[Array[Double]] = {
+    require(g.sums.length == d && g.prods.length == d * (d + 1) / 2)
+    val n = BigDecimal(g.n)
+    val den = (n * n * BigDecimal(1099511627776L)).toDouble // n² · 2^40
+    val c = Array.ofDim[Double](d, d)
+    var k = 0
+    for (i <- 0 until d; j <- i until d) {
+      val num = (n * BigDecimal(g.prods(k)) -
+        BigDecimal(g.sums(i)) * BigDecimal(g.sums(j))).toDouble
+      c(i)(j) = num / den
+      c(j)(i) = c(i)(j)
+      k += 1
+    }
+    c
+  }
+
+  /** Symmetric eigendecomposition by cyclic Jacobi rotations —
+    * deterministic (fixed sweep order, fixed tolerance), O(d³) per
+    * sweep on the DRIVER over a d×d matrix: the scale contract is that
+    * the 100 TB pass is the one-buffer [[GramAgg]] reduction; the
+    * eigensolve touches only the d² summary. Returns (eigenvalues
+    * descending, eigenvectors as rows, matching order). */
+  def jacobiEigen(m: Array[Array[Double]], maxSweeps: Int = 64): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def offNorm: Double = {
+      var s = 0.0
+      for (i <- 0 until d; j <- i + 1 until d) s += a(i)(j) * a(i)(j)
+      s
+    }
+    val scale = math.max(1e-300, m.map(r => r.map(math.abs).max).max)
+    var sweep = 0
+    while (sweep < maxSweeps && offNorm > 1e-28 * scale * scale) {
+      for (p <- 0 until d; q <- p + 1 until d if math.abs(a(p)(q)) > 1e-300) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+          case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+          case x => x
+        }
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        for (i <- 0 until d) {
+          val aip = a(i)(p); val aiq = a(i)(q)
+          a(i)(p) = c * aip - s * aiq
+          a(i)(q) = s * aip + c * aiq
+        }
+        for (i <- 0 until d) {
+          val api = a(p)(i); val aqi = a(q)(i)
+          a(p)(i) = c * api - s * aqi
+          a(q)(i) = s * api + c * aqi
+        }
+        for (i <- 0 until d) {
+          val vip = v(i)(p); val viq = v(i)(q)
+          v(i)(p) = c * vip - s * viq
+          v(i)(q) = s * vip + c * viq
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    (order.map(i => a(i)(i)).toArray,
+      order.map(j => (0 until d).map(i => v(i)(j)).toArray).toArray)
+  }
+
+  /** PCA: top-k principal axes of the corpus covariance. One cluster
+    * pass (gram) + a driver-side d×d eigensolve. */
+  def pcaFromGram(g: GramOut, d: Int, topK: Int): (Array[Double], Array[Array[Double]]) = {
+    val (vals, vecs) = jacobiEigen(covarianceFromGram(g, d))
+    (vals.take(topK), vecs.take(topK))
+  }
+
+  /** Projection columns onto literal principal axes (same strict
+    * left-fold chain as the random-projection path — codegen'd, no
+    * interpreted lambdas in the per-row hot path). */
+  def pcaProjectCols(emb: Column, components: Array[Array[Double]]): Seq[Column] =
+    components.zipWithIndex.map { case (row, c) =>
+      row.zipWithIndex.map { case (w, j) =>
+        emb.getItem(j).cast("double") * lit(w)
+      }.reduceLeft(_ + _).as(s"pc$c")
+    }
 }

@@ -255,4 +255,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaSpark.getLong(0) == n &&
       viaSpark.getSeq[Long](1) == sums && viaSpark.getSeq[Long](2) == prods)
   }
+
+  test("pca: covariance from moments matches naive; eigensolve recovers the planted axis") {
+    val d = 6
+    val rnd = new scala.util.Random(11)
+    // planted dominant direction u (unnormalized) + small isotropic noise
+    val u = Array(0.6f, -0.3f, 0.45f, 0.15f, -0.5f, 0.25f)
+    val vecs = Seq.fill(800) {
+      val a = (rnd.nextGaussian() * 0.4).toFloat
+      Array.tabulate(d)(j => a * u(j) + (rnd.nextGaussian() * 0.02).toFloat)
+    }
+    val agg = new Similarity.GramAgg(d)
+    val g = agg.finish(vecs.foldLeft(agg.zero)((b, v) => agg.reduce(b, v.toSeq)))
+    val c = Similarity.covarianceFromGram(g, d)
+    // naive covariance of the QUANTIZED values, scaled back
+    def q(f: Float): Double = math.floor(f.toDouble * 1048576.0)
+    val n = vecs.length.toDouble
+    for (i <- 0 until d; j <- 0 until d) {
+      val (si, sj) = (vecs.map(v => q(v(i))).sum, vecs.map(v => q(v(j))).sum)
+      val sij = vecs.map(v => q(v(i)) * q(v(j))).sum
+      val naive = (n * sij - si * sj) / (n * n) / math.pow(2.0, 40.0)
+      assert(math.abs(c(i)(j) - naive) <= 1e-12 * (1.0 + math.abs(naive)), s"($i,$j)")
+    }
+    val (vals, vecsE) = Similarity.pcaFromGram(g, d, d)
+    // eigenvalues descending, trace preserved
+    assert(vals.zip(vals.tail).forall { case (a, b) => a >= b - 1e-15 })
+    val trace = (0 until d).map(i => c(i)(i)).sum
+    assert(math.abs(vals.sum - trace) <= 1e-9 * math.abs(trace))
+    // top axis aligns with the planted direction
+    val un = math.sqrt(u.map(x => x.toDouble * x).sum)
+    val cosTop = (0 until d).map(j => vecsE(0)(j) * u(j) / un).sum
+    assert(math.abs(cosTop) > 0.995, s"top-axis cos $cosTop")
+    // eigenvectors orthonormal
+    for (a <- 0 until d; b <- a until d) {
+      val dot = (0 until d).map(j => vecsE(a)(j) * vecsE(b)(j)).sum
+      val expect = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-9, s"<$a,$b> = $dot")
+    }
+    // projection columns: Spark projection equals driver dot products
+    val pcs = vecsE.take(2)
+    val proj = vecs.take(5).map(_.toSeq).toDF("embedding")
+      .select(Similarity.pcaProjectCols(col("embedding"), pcs): _*)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val expectProj = vecs.take(5).map { v =>
+      def dp(row: Array[Double]) =
+        (0 until d).map(j => v(j).toDouble * row(j)).reduceLeft(_ + _)
+      (dp(pcs(0)), dp(pcs(1)))
+    }
+    assert(proj.toSeq == expectProj)
+  }
 }
