@@ -668,13 +668,13 @@ object AdvancedQueries {
       .withColumn("hll_supps", alpha * lit(65536.0) * lit(9007199254740992.0) / col("denom_supps").cast("double"))
   }
 
-  /** Register rebuild for one key: CTE chain ending in a per-group
-    * (denom, zeros) table named `agg_<suffix>`. */
-  private def hllRegSql(keyExpr: String, suffix: String): String =
+  /** Register rebuild for one (source, group, key): CTE chain ending in
+    * a per-group (denom, zeros) table named `agg_<suffix>`. */
+  private def hllRegSql(src: String, gExpr: String, keyExpr: String, suffix: String): String =
     s"""raw_$suffix AS (
-       |  SELECT l_returnflag AS g,
+       |  SELECT $gExpr AS g,
        |         ${graft.text.TextOps.h60Sql(s"CAST($keyExpr AS VARCHAR)")} AS h
-       |  FROM lineitem),
+       |  FROM $src),
        |wd_$suffix AS (
        |  SELECT DISTINCT g, h >> 52 AS idx,
        |         h & ((CAST(1 AS BIGINT) << 52) - 1) AS w
@@ -700,8 +700,8 @@ object AdvancedQueries {
        |  FROM full_$suffix GROUP BY g)""".stripMargin
 
   val hllDistinctSql: String =
-    s"""WITH ${hllRegSql("l_partkey", "p")},
-       |${hllRegSql("l_suppkey", "s")},
+    s"""WITH ${hllRegSql("lineitem", "l_returnflag", "l_partkey", "p")},
+       |${hllRegSql("lineitem", "l_returnflag", "l_suppkey", "s")},
        |e AS (SELECT l_returnflag AS g,
        |             COUNT(DISTINCT l_partkey) AS exact_parts,
        |             COUNT(DISTINCT l_suppkey) AS exact_supps
@@ -742,6 +742,72 @@ object AdvancedQueries {
        |      FROM wi GROUP BY 1)
        |SELECT e.g AS win_start, e.exact_users, sk.kmv_users
        |FROM e JOIN sk ON e.g = sk.g""".stripMargin
+
+  /** HLL composed with event-time windows: constant-memory unique
+    * visitors per 5-minute window — 256 bytes of state per window no
+    * matter the cardinality, vs KMV's k longs (a_kmv_window) and exact
+    * countDistinct's full key shuffle. The same aggregator runs
+    * unchanged under Structured Streaming (SketchesSpec proves the
+    * streaming answer bitwise equal); the oracle rebuilds every
+    * window's registers relationally like a_hll_distinct. */
+  val hllWindow: Q = (s, dir) =>
+    events(s, dir)
+      .select(window(col("ts"), "5 minutes").as("w"),
+        col("user_id"),
+        graft.text.TextOps.h60(col("user_id").cast("string")).as("h"))
+      .groupBy(col("w"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        graft.ops.Sketches.hllSketch(col("h"), 8).as("r"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+        col("exact_users"),
+        expr("aggregate(r, CAST(0 AS BIGINT), (acc, x) -> acc + shiftleft(CAST(1 AS BIGINT), 53 - x))").as("denom_users"),
+        expr("aggregate(r, CAST(0 AS BIGINT), (acc, x) -> acc + IF(x = 0, 1, 0))").as("zeros_users"))
+      .withColumn("hll_users",
+        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0)
+          * lit(9007199254740992.0) / col("denom_users").cast("double"))
+
+  val hllWindowSql: String =
+    s"""WITH $eventsCte,
+       |wi AS (SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS win_start,
+       |              user_id FROM evts),
+       |${hllRegSql("wi", "win_start", "user_id", "u")},
+       |e AS (SELECT win_start AS g, COUNT(DISTINCT user_id) AS exact_users
+       |      FROM wi GROUP BY 1)
+       |SELECT e.g AS win_start, e.exact_users,
+       |       u.denom AS denom_users, u.zeros AS zeros_users,
+       |       (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0))
+       |         * 65536.0 * power(2.0, 53) / CAST(u.denom AS DOUBLE) AS hll_users
+       |FROM e JOIN agg_u u ON e.g = u.g""".stripMargin
+
+  /** percent_rank / cume_dist per returnflag over the quantity order —
+    * WITHOUT the per-group single-task window sort the naive SQL form
+    * (the oracle) pays. Because the ORDER BY key is a value column,
+    * both functions are pure functions of (group, value): rank =
+    * cumulative count below + 1 and cume_dist = cumulative count
+    * through. So the plan is a_quartiles' shape: one groupBy to the
+    * tiny (group, value) CDF table, a window over THAT (≤ distinct
+    * values rows), and a broadcast join back to the rows — at 100 TB
+    * the big table is touched by exactly one scan and one broadcast
+    * probe, vs the oracle's full sort of every group in one task. */
+  val distributionWindows: Q = (s, dir) => {
+    val li = table(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_quantity").as("qty"))
+    val cdf = li.groupBy(col("flag"), col("qty")).agg(count(lit(1)).as("c"))
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col("flag")).orderBy(col("qty"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("flag"))))
+    li.join(broadcast(cdf), Seq("flag", "qty"))
+      .select(col("flag"), col("qty"),
+        ((col("cum") - col("c")).cast("double") / (col("n") - 1).cast("double")).as("pr"),
+        (col("cum").cast("double") / col("n").cast("double")).as("cd"))
+  }
+
+  val distributionWindowsSql: String =
+    """SELECT l_returnflag AS flag, l_quantity AS qty,
+      |       percent_rank() OVER w AS pr,
+      |       cume_dist() OVER w AS cd
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)""".stripMargin
 
   /** Bloom-pruned semi-join: lineitem rows whose part is size-1 (a
     * ~2% dim selection), aggregated per returnflag. The Bloom pass
@@ -1032,6 +1098,8 @@ object AdvancedQueries {
     "a_hll_distinct" -> (hllDistinct, Some(hllDistinctSql)),
     "a_kmv_setops" -> (kmvSetOps, Some(kmvSetOpsSql)),
     "a_dq_rules" -> (dqRules, Some(dqRulesSql)),
+    "a_hll_window" -> (hllWindow, Some(hllWindowSql)),
+    "a_distribution_windows" -> (distributionWindows, Some(distributionWindowsSql)),
     "a_bloom_join" -> (bloomJoin, Some(bloomJoinSql)),
     "a_kmv_window" -> (kmvWindow, Some(kmvWindowSql)),
     "a_range_frames" -> (rangeFrames, Some(rangeFramesSql)),
