@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** Distributed global ranking without a single-partition Window.
@@ -144,5 +145,54 @@ object Ranking {
     }
     val res = spark.createDataFrame(rows, outSchema)
     res
+  }
+
+  /** Exact k-th smallest VALUES of a numeric column by two-phase
+    * range-partition selection — the scale path for exact quantiles
+    * over continuous keys, where the binned-CDF trick (a_quartiles)
+    * doesn't apply and a global sort-window would move everything
+    * through one task. Phase 1: range-repartition + local sort (one
+    * shuffle; partitions are value-ordered runs). Phase 2: one P-row
+    * per-partition count summary to the driver locates each rank's
+    * (partition, offset); phase 3 streams ONLY the owning partitions to
+    * the requested offsets. The k-th VALUE is well-defined under ties
+    * regardless of boundary placement, so the result is deterministic
+    * even though range boundaries come from sampling. Cost: one range
+    * shuffle + two local passes; driver sees P longs. */
+  def kthValues(df: DataFrame, valueCol: Column, ks: Seq[Long]): Seq[Double] = {
+    require(ks.nonEmpty && ks.forall(_ >= 1))
+    val parted = df.select(valueCol.cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .repartitionByRange(col("v")).sortWithinPartitions(col("v"))
+    val counts = parted.rdd
+      .mapPartitionsWithIndex((pid, it) => Iterator.single(pid -> {
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
+      }))
+      .collect().sortBy(_._1).map(_._2)
+    val total = counts.sum
+    require(ks.forall(_ <= total), s"rank out of range (n=$total)")
+    // rank -> (partition, 0-based offset)
+    val cum = counts.scanLeft(0L)(_ + _)
+    val targets: Map[Int, Seq[(Long, Long)]] = ks.map { k =>
+      val p = cum.indexWhere(_ >= k) - 1 // partition owning global rank k
+      (p, k, k - 1 - cum(p))
+    }
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._2)).toMap
+    val found = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      targets.get(pid) match {
+        case None => Iterator.empty
+        case Some(offs) =>
+          var i = 0L
+          val want = offs.iterator.buffered
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+          while (it.hasNext && want.hasNext) {
+            val v = it.next().getDouble(0)
+            while (want.hasNext && want.head._2 == i) out += ((want.next()._1, v))
+            i += 1
+          }
+          out.iterator
+      }
+    }.collect().toMap
+    ks.map(found)
   }
 }

@@ -809,6 +809,34 @@ object AdvancedQueries {
       |FROM lineitem
       |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)""".stripMargin
 
+  /** Exact global quartiles of a CONTINUOUS key (l_extendedprice —
+    * ~every value distinct, so a_quartiles' binned-CDF trick doesn't
+    * apply) via Ranking.kthValues: range-repartition + local sort, a
+    * P-row count summary to the driver, then a streamed pick of the
+    * owning partitions at the right offsets — no global single-task
+    * sort anywhere. The oracle pays the full sort (row_number window)
+    * and must agree on the selected values bitwise. */
+  val exactMedian: Q = (s, dir) => {
+    val li = table(s, dir, "lineitem")
+    val n = li.count()
+    def k(p: Double) = math.ceil(p * n).toLong
+    val sel = graft.ops.Ranking.kthValues(li, col("l_extendedprice"),
+      Seq(k(0.25), k(0.5), k(0.75)))
+    import s.implicits._
+    Seq((n, sel(0), sel(1), sel(2))).toDF("n", "p25", "median", "p75")
+  }
+
+  val exactMedianSql: String =
+    """WITH o AS (SELECT l_extendedprice AS v,
+      |                  row_number() OVER (ORDER BY l_extendedprice) AS rn
+      |           FROM lineitem),
+      |nn AS (SELECT COUNT(*) AS n FROM lineitem)
+      |SELECT nn.n AS n,
+      |       MAX(CASE WHEN rn = CAST(ceil(0.25 * nn.n) AS BIGINT) THEN v END) AS p25,
+      |       MAX(CASE WHEN rn = CAST(ceil(0.5 * nn.n) AS BIGINT) THEN v END) AS median,
+      |       MAX(CASE WHEN rn = CAST(ceil(0.75 * nn.n) AS BIGINT) THEN v END) AS p75
+      |FROM o, nn GROUP BY nn.n""".stripMargin
+
   /** Bloom-pruned semi-join: lineitem rows whose part is size-1 (a
     * ~2% dim selection), aggregated per returnflag. The Bloom pass
     * drops non-matching fact rows at the scan — before any exchange —
@@ -1100,6 +1128,7 @@ object AdvancedQueries {
     "a_dq_rules" -> (dqRules, Some(dqRulesSql)),
     "a_hll_window" -> (hllWindow, Some(hllWindowSql)),
     "a_distribution_windows" -> (distributionWindows, Some(distributionWindowsSql)),
+    "a_exact_median" -> (exactMedian, Some(exactMedianSql)),
     "a_bloom_join" -> (bloomJoin, Some(bloomJoinSql)),
     "a_kmv_window" -> (kmvWindow, Some(kmvWindowSql)),
     "a_range_frames" -> (rangeFrames, Some(rangeFramesSql)),

@@ -61,4 +61,18 @@ class RankingSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(tiles == Map(1 -> 50L, 2 -> 50L, 3 -> 50L, 4 -> 50L))
   }
+
+  test("kthValues: equals sorted indexing, duplicates and extremes included") {
+    val rnd = new scala.util.Random(5)
+    // heavy duplication: only ~60 distinct values across 5000 rows
+    val vals = Seq.fill(5000)((rnd.nextInt(60) - 30).toDouble / 7.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v").repartition(11)
+    val sorted = vals.sorted
+    val ks = Seq(1L, 2L, 1250L, 2500L, 2501L, 4999L, 5000L)
+    val got = Ranking.kthValues(df, $"v", ks)
+    assert(got == ks.map(k => sorted((k - 1).toInt)))
+    // repeated ranks allowed
+    assert(Ranking.kthValues(df, $"v", Seq(7L, 7L)) == Seq(sorted(6), sorted(6)))
+  }
 }
