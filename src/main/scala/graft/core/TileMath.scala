@@ -474,6 +474,105 @@ object TileMath {
     out
   }
 
+  /** Terrain index over a padded tile — the three classic local relief
+    * measures off the SAME 3x3 window the Horn kernels read (so all of
+    * them fuse onto one halo exchange):
+    *
+    *   comp 0  TPI (topographic position; Weiss 2001):
+    *             c - (sum of 8 neighbors) / 8
+    *   comp 1  TRI (terrain ruggedness; Riley et al. 1999):
+    *             sqrt(sum over 8 neighbors of (c - n_i)^2)
+    *   comp 2  Laplacian (4-neighbor discrete curvature):
+    *             (n + s + e + w) - 4c
+    *
+    * With integral-valued cells every sum/difference/square is exact in
+    * IEEE754 (order-free), TPI's /8 is a power-of-two scale, and TRI
+    * ends in one correctly-rounded sqrt — all three are bit-portable.
+    * Same all-8-neighbors data rule as [[hornSlope]]. */
+  def terrainIndex(padded: Array[Double], cols: Int, rows: Int, pad: Int, comp: Int): Array[Double] = {
+    val pc = cols + 2 * pad
+    val out = new Array[Double](cols * rows)
+    var y = 0
+    while (y < rows) {
+      var x = 0
+      while (x < cols) {
+        val cx = x + pad; val cy = y + pad
+        val c = padded(cx + cy * pc)
+        val tl = padded((cx - 1) + (cy - 1) * pc); val n = padded(cx + (cy - 1) * pc)
+        val tr = padded((cx + 1) + (cy - 1) * pc)
+        val w = padded((cx - 1) + cy * pc); val e = padded((cx + 1) + cy * pc)
+        val bl = padded((cx - 1) + (cy + 1) * pc); val s = padded(cx + (cy + 1) * pc)
+        val br = padded((cx + 1) + (cy + 1) * pc)
+        out(x + y * cols) =
+          if (isData(c) && isData(tl) && isData(n) && isData(tr) && isData(w)
+            && isData(e) && isData(bl) && isData(s) && isData(br)) {
+            if (comp == 0) c - (tl + n + tr + w + e + bl + s + br) / 8
+            else if (comp == 1) {
+              val d0 = c - tl; val d1 = c - n; val d2 = c - tr; val d3 = c - w
+              val d4 = c - e; val d5 = c - bl; val d6 = c - s; val d7 = c - br
+              math.sqrt(d0 * d0 + d1 * d1 + d2 * d2 + d3 * d3
+                + d4 * d4 + d5 * d5 + d6 * d6 + d7 * d7)
+            } else (n + s + e + w) - 4 * c
+          } else Double.NaN
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Focal mode (majority filter) over a padded tile — the standard
+    * post-classification smoothing pass for land-use class rasters:
+    * each cell becomes the most frequent value in its 3x3 window
+    * (center included), ties taking the SMALLEST value so the argmax is
+    * total-ordered. Cell values are expected to be small non-negative
+    * class codes (integral doubles). Defined only where all 9 window
+    * cells are data (mode over a partial window is biased at holes,
+    * same contract as [[hornSlope]]); pure integer compare/count, so
+    * bit-portable. */
+  def focalMode(padded: Array[Double], cols: Int, rows: Int, pad: Int): Array[Double] = {
+    val pc = cols + 2 * pad
+    val out = new Array[Double](cols * rows)
+    val win = new Array[Long](9)
+    var y = 0
+    while (y < rows) {
+      var x = 0
+      while (x < cols) {
+        val cx = x + pad; val cy = y + pad
+        var ok = true
+        var k = 0
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            val v = padded((cx + dx) + (cy + dy) * pc)
+            if (isData(v)) { win(k) = v.toLong; k += 1 } else ok = false
+            dx += 1
+          }
+          dy += 1
+        }
+        out(x + y * cols) =
+          if (ok) {
+            java.util.Arrays.sort(win)
+            // one pass over the sorted window: longest run, first-wins on
+            // ties = smallest value (sorted order)
+            var best = win(0); var bestN = 1
+            var cur = win(0); var curN = 1
+            var i = 1
+            while (i < 9) {
+              if (win(i) == cur) curN += 1 else { cur = win(i); curN = 1 }
+              if (curN > bestN) { best = cur; bestN = curN }
+              i += 1
+            }
+            best.toDouble
+          } else Double.NaN
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Burn a half-open axis-aligned rectangle [x0,x1)x[y0,y1) (in global
     * pixel coords) into a tile keyed (tileCol, tileRow); incoming wins
     * (rasterize merge, RasterizeFeaturesRDD.scala:55-64). Mutates `a`. */

@@ -290,6 +290,47 @@ object Raster {
         (col("i") / cols).cast("int").as("py"),
         col("sc.wsum").as("wsum"), col("sc.wn").as("wn"))
 
+  private val tpiUdf = udf((padded: Seq[Double], cols: Int, rows: Int) =>
+    TileMath.terrainIndex(padded.toArray, cols, rows, 1, 0).toSeq)
+  private val triUdf = udf((padded: Seq[Double], cols: Int, rows: Int) =>
+    TileMath.terrainIndex(padded.toArray, cols, rows, 1, 1).toSeq)
+  private val lapUdf = udf((padded: Seq[Double], cols: Int, rows: Int) =>
+    TileMath.terrainIndex(padded.toArray, cols, rows, 1, 2).toSeq)
+
+  /** Fused local-relief indices — TPI, TRI and the 4-neighbor Laplacian
+    * (TileMath.terrainIndex) off ONE pad=1 halo exchange, same fusion
+    * argument as [[terrainComponents]]: at DEM scale the halo shuffle
+    * dominates, so the three indices cost one exchange. Per-pixel
+    * output (tile_col, tile_row, px, py, tpi, tri, lap), NoData cells
+    * dropped. */
+  def terrainIndices(tiles: DataFrame, cols: Int, rows: Int): DataFrame =
+    withHalo(tiles, cols, rows, pad = 1)
+      .select(col("tile_col"), col("tile_row"),
+        tpiUdf(col("padded"), lit(cols), lit(rows)).as("tpis"),
+        triUdf(col("padded"), lit(cols), lit(rows)).as("tris"),
+        lapUdf(col("padded"), lit(cols), lit(rows)).as("laps"))
+      .select(col("tile_col"), col("tile_row"),
+        posexplode(arrays_zip(col("tpis"), col("tris"), col("laps"))).as(Seq("pos", "t")))
+      .where(!isnan(col("t.tpis")))
+      .select(col("tile_col"), col("tile_row"),
+        (col("pos") % cols).as("px"), (col("pos") / cols).cast("int").as("py"),
+        col("t.tpis").as("tpi"), col("t.tris").as("tri"), col("t.laps").as("lap"))
+
+  private val focalModeUdf = udf((padded: Seq[Double], cols: Int, rows: Int) =>
+    TileMath.focalMode(padded.toArray, cols, rows, 1).toSeq)
+
+  /** Majority (focal-mode) filter over a CLASS raster — the standard
+    * post-classification smoothing pass land-use maps run after the
+    * per-pixel classifier (the reference's SVM emits exactly such a
+    * class raster, TestClassifierSVM.scala:61-69): each cell takes the
+    * most frequent class in its 3x3 window, smallest class on ties
+    * (TileMath.focalMode). One pad=1 halo exchange then the per-tile
+    * kernel. */
+  def majorityFilter(tiles: DataFrame, cols: Int, rows: Int): DataFrame =
+    withHalo(tiles, cols, rows, pad = 1)
+      .select(col("tile_col"), col("tile_row"),
+        focalModeUdf(col("padded"), lit(cols), lit(rows)).as("cells"))
+
   private val downsampleUdf = udf((cells: Seq[Double], cols: Int, rows: Int) =>
     TileMath.downsample2(cells.toArray, cols, rows).toSeq)
 

@@ -744,7 +744,69 @@ object RasterQueries {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Terrain family, local-relief members: TPI (Weiss 2001), TRI
+    * (Riley et al. 1999) and the discrete 4-neighbor Laplacian, all
+    * fused off ONE pad=1 halo exchange (Raster.terrainIndices — the
+    * same fusion argument as r_terrain). Integral cells make TPI's
+    * /8 a power-of-two scale, TRI's squares exact and the Laplacian
+    * pure integer arithmetic, so all three hash-match bitwise. */
+  val terrainIdx: Q = (s, dir) =>
+    Raster.terrainIndices(tilesA(s, dir), TS, TS)
+
+  val terrainIdxSql: String =
+    s"""WITH $pxCte,
+       |nb AS (
+       |  SELECT c.gx AS gx, c.gy AS gy, c.v AS cv,
+       |         SUM(p.v) AS s8,
+       |         SUM((c.v - p.v) * (c.v - p.v)) AS sq,
+       |         SUM(CASE WHEN ABS(p.gx - c.gx) + ABS(p.gy - c.gy) = 1
+       |                  THEN p.v ELSE 0 END) AS s4,
+       |         COUNT(*) AS n
+       |  FROM pga c JOIN pga p
+       |    ON ABS(p.gx - c.gx) <= 1 AND ABS(p.gy - c.gy) <= 1
+       |       AND NOT (p.gx = c.gx AND p.gy = c.gy)
+       |  GROUP BY 1, 2, 3)
+       |SELECT CAST(gx // $TS AS INT) AS tile_col, CAST(gy // $TS AS INT) AS tile_row,
+       |       CAST(gx % $TS AS INT) AS px, CAST(gy % $TS AS INT) AS py,
+       |       cv - s8 / 8 AS tpi, SQRT(sq) AS tri, s4 - 4 * cv AS lap
+       |FROM nb WHERE n = 8""".stripMargin
+
+  /** Majority (focal-mode) filter over a class raster — the
+    * post-classification smoothing step of a land-use map (the
+    * reference's per-pixel SVM output is exactly such a raster,
+    * TestClassifierSVM.scala:61-69). Classes = value mod 8; the
+    * window includes the center, ties take the smallest class. Pure
+    * integer count/compare — bit-portable by construction. */
+  val majority: Q = (s, dir) => {
+    val classed = tilesA(s, dir).select(col("tile_col"), col("tile_row"),
+      transform(col("cells"), v =>
+        when(isnan(v), v).otherwise((v.cast("long") % 8).cast("double"))).as("cells"))
+    Raster.pixelize(Raster.majorityFilter(classed, TS, TS), TS)
+  }
+
+  val majoritySql: String =
+    s"""WITH $pxCte,
+       |cls AS (SELECT gx, gy, CAST(v AS BIGINT) % 8 AS c FROM pga),
+       |nb AS (
+       |  SELECT c.gx AS gx, c.gy AS gy, p.c AS pc
+       |  FROM cls c JOIN cls p
+       |    ON ABS(p.gx - c.gx) <= 1 AND ABS(p.gy - c.gy) <= 1),
+       |cnt AS (
+       |  SELECT gx, gy, pc, COUNT(*) AS n,
+       |         SUM(COUNT(*)) OVER (PARTITION BY gx, gy) AS tot
+       |  FROM nb GROUP BY 1, 2, 3),
+       |best AS (
+       |  SELECT gx, gy, pc,
+       |         ROW_NUMBER() OVER (PARTITION BY gx, gy ORDER BY n DESC, pc) AS rn
+       |  FROM cnt WHERE tot = 9)
+       |SELECT CAST(gx // $TS AS INT) AS tile_col, CAST(gy // $TS AS INT) AS tile_row,
+       |       CAST(gx % $TS AS INT) AS px, CAST(gy % $TS AS INT) AS py,
+       |       CAST(pc AS DOUBLE) AS v
+       |FROM best WHERE rn = 1""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "r_terrain_indices" -> (terrainIdx, Some(terrainIdxSql)),
+    "r_majority_filter" -> (majority, Some(majoritySql)),
     "r_region_label" -> (regionLabel, Some(regionLabelSql)),
     "r_region_stats" -> (regionStats, Some(regionStatsSql)),
     "r_cost_distance" -> (costDistance, Some(costDistanceSql)),
