@@ -38,27 +38,34 @@ object ChangeQueries {
        |  FROM lineitem WHERE l_shipdate $op TIMESTAMP '$cutoff 00:00:00'
        |  GROUP BY 1, 2, 3, 4)""".stripMargin
 
-  /** Change detection: per-cell delta between epochs over the full-outer
-    * cell space; change classes: appeared / disappeared / changed /
-    * stable. This is J6 (merge join) + P8 cell algebra with real
-    * temporal semantics. */
-  val changeDetect: Q = (s, dir) => {
+  /** Per-cell epoch pair (v1, v2) through the real tile machinery
+    * (assemble both epochs, full-outer tile join, cell zip) — the shared
+    * core of [[changeDetect]] and [[transitionMatrix]]. Cells absent in
+    * BOTH epochs are dropped; absent-in-one stays as NaN. */
+  private def cellPairs(s: SparkSession, dir: String): DataFrame = {
     val t1 = Raster.assemble(epochPixels(s, dir, before = true), TS, TS)
     val t2 = Raster.assemble(epochPixels(s, dir, before = false), TS, TS)
     val joined = t1.withColumnRenamed("cells", "c1")
       .join(t2.withColumnRenamed("cells", "c2"), Seq("tile_col", "tile_row"), "full_outer")
-    val delta = joined.select(col("tile_col"), col("tile_row"),
+    joined.select(col("tile_col"), col("tile_row"),
       zip_with(
         coalesce(col("c1"), array_repeat(lit(Double.NaN), TS * TS)),
         coalesce(col("c2"), array_repeat(lit(Double.NaN), TS * TS)),
         (a, b) => struct(a.as("v1"), b.as("v2"))).as("pairs"))
-    delta
       .select(col("tile_col"), col("tile_row"), posexplode(col("pairs")).as(Seq("i", "p")))
       .select(col("tile_col"), col("tile_row"),
         (col("i") % TS).cast("int").as("px"),
         (col("i") / TS).cast("int").as("py"),
         col("p.v1"), col("p.v2"))
       .where(not(isnan(col("v1")) && isnan(col("v2"))))
+  }
+
+  /** Change detection: per-cell delta between epochs over the full-outer
+    * cell space; change classes: appeared / disappeared / changed /
+    * stable. This is J6 (merge join) + P8 cell algebra with real
+    * temporal semantics. */
+  val changeDetect: Q = (s, dir) =>
+    cellPairs(s, dir)
       .select(col("tile_col"), col("tile_row"), col("px"), col("py"),
         when(isnan(col("v1")), lit("appeared"))
           .when(isnan(col("v2")), lit("disappeared"))
@@ -66,7 +73,6 @@ object ChangeQueries {
           .otherwise(lit("changed")).as("change"),
         when(isnan(col("v1")) || isnan(col("v2")), lit(0.0))
           .otherwise(col("v2") - col("v1")).as("delta"))
-  }
 
   val changeDetectSql: String =
     s"""WITH ${epochCteSql("e1", "<")},
@@ -84,6 +90,84 @@ object ChangeQueries {
        |FROM e1 FULL OUTER JOIN e2
        |  ON e1.tile_col = e2.tile_col AND e1.tile_row = e2.tile_row
        | AND e1.px = e2.px AND e1.py = e2.py""".stripMargin
+
+  /** Land-use TRANSITION MATRIX — the classic change-analysis product a
+    * land-use monitoring pipeline reports (the reference's update-
+    * detection mission, WorkflowExample.scala:26-175, stops at per-cell
+    * deltas; the cross-tab is what an analyst reads): classify each
+    * epoch's cell (class = value mod 8, -1 = no coverage), cross-
+    * tabulate over the full-outer cell space, count cells and net value
+    * change per (from, to) pair. One groupBy over [[cellPairs]] —
+    * output cardinality is classes², so the final aggregation is a
+    * broadcast-sized reduce no matter the raster size. */
+  val transitionMatrix: Q = (s, dir) =>
+    cellPairs(s, dir)
+      .groupBy(
+        when(isnan(col("v1")), lit(-1L)).otherwise(col("v1").cast("long") % 8).as("cls_from"),
+        when(isnan(col("v2")), lit(-1L)).otherwise(col("v2").cast("long") % 8).as("cls_to"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(when(isnan(col("v1")) || isnan(col("v2")), 0L)
+          .otherwise((col("v2") - col("v1")).cast("long"))).as("net_delta"))
+
+  val transitionMatrixSql: String =
+    s"""WITH ${epochCteSql("e1", "<")},
+       |${epochCteSql("e2", ">=")}
+       |SELECT COALESCE(CAST(e1.v AS BIGINT) % 8, -1) AS cls_from,
+       |       COALESCE(CAST(e2.v AS BIGINT) % 8, -1) AS cls_to,
+       |       COUNT(*) AS n_cells,
+       |       CAST(SUM(CASE WHEN e1.v IS NULL OR e2.v IS NULL THEN 0
+       |                     ELSE CAST(e2.v - e1.v AS BIGINT) END) AS BIGINT) AS net_delta
+       |FROM e1 FULL OUTER JOIN e2
+       |  ON e1.tile_col = e2.tile_col AND e1.tile_row = e2.tile_row
+       | AND e1.px = e2.px AND e1.py = e2.py
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Per-pixel TEMPORAL TREND — exact OLS slope of the pixel's value
+    * over its monthly time series (the remote-sensing greening/browning
+    * trend raster; the reference's SpaceTimeKey time axis §1.1 indexes
+    * epochs but never regresses over them). Month index and per-month
+    * sums are integers, so all five regression moments are exact
+    * BIGINTs; the slope is ONE double division — bit-portable. Two
+    * pixel-keyed aggregations, the second a near-free partial agg on a
+    * subset of the first's key. */
+  val pixelTrend: Q = (s, dir) => {
+    val pm = table(s, dir, "lineitem").groupBy(
+      (col("l_orderkey") % 4).cast("int").as("tile_col"),
+      (col("l_suppkey") % 4).cast("int").as("tile_row"),
+      (col("l_partkey") % TS).cast("int").as("px"),
+      (col("l_linenumber") % TS).cast("int").as("py"),
+      ((year(col("l_shipdate")) - 1992) * 12 + month(col("l_shipdate")) - 1).cast("long").as("t"))
+      .agg(sum(col("l_quantity")).cast("long").as("y"))
+    pm.groupBy(col("tile_col"), col("tile_row"), col("px"), col("py"))
+      .agg(
+        count(lit(1)).as("n_epochs"),
+        sum(col("t")).as("st"), sum(col("y")).as("sy"),
+        sum(col("t") * col("t")).as("stt"), sum(col("t") * col("y")).as("sty"))
+      .where(col("n_epochs") >= 2)
+      .select(col("tile_col"), col("tile_row"), col("px"), col("py"), col("n_epochs"),
+        ((col("n_epochs") * col("sty") - col("st") * col("sy")).cast("double")
+          / (col("n_epochs") * col("stt") - col("st") * col("st")).cast("double")).as("slope"))
+  }
+
+  val pixelTrendSql: String =
+    s"""WITH pm AS (
+       |  SELECT CAST(l_orderkey % 4 AS INT) AS tile_col,
+       |         CAST(l_suppkey % 4 AS INT) AS tile_row,
+       |         CAST(l_partkey % $TS AS INT) AS px,
+       |         CAST(l_linenumber % $TS AS INT) AS py,
+       |         CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1 AS BIGINT) AS t,
+       |         CAST(SUM(l_quantity) AS BIGINT) AS y
+       |  FROM lineitem GROUP BY 1, 2, 3, 4, 5),
+       |g AS (
+       |  SELECT tile_col, tile_row, px, py, COUNT(*) AS n_epochs,
+       |         CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(y) AS BIGINT) AS sy,
+       |         CAST(SUM(t * t) AS BIGINT) AS stt, CAST(SUM(t * y) AS BIGINT) AS sty
+       |  FROM pm GROUP BY 1, 2, 3, 4)
+       |SELECT tile_col, tile_row, px, py, n_epochs,
+       |       CAST(n_epochs * sty - st * sy AS DOUBLE)
+       |         / CAST(n_epochs * stt - st * st AS DOUBLE) AS slope
+       |FROM g WHERE n_epochs >= 2""".stripMargin
 
   /** Space-time layer (SpaceTimeKey §1.1): tiles keyed additionally by
     * month; per-key cell count + exact sums — the temporal axis the
@@ -106,6 +190,8 @@ object ChangeQueries {
 
   val all: Map[String, (Q, Option[String])] = Map(
     "x_change_detect" -> (changeDetect, Some(changeDetectSql)),
+    "x_transition_matrix" -> (transitionMatrix, Some(transitionMatrixSql)),
+    "x_pixel_trend" -> (pixelTrend, Some(pixelTrendSql)),
     "x_spacetime_stats" -> (spaceTimeStats, Some(spaceTimeStatsSql)),
   )
 }
