@@ -710,6 +710,61 @@ object TextQueries {
        |FROM ag, n
        |ORDER BY score DESC, term LIMIT 20""".stripMargin
 
+  /** Okapi BM25 retrieval scoring (k1=1.2, b=0.75) for a literal query
+    * term set — the ranking function the inverted-index surface
+    * (t_inverted_index) exists to serve. Exact integer tf/df/dl feed a
+    * fixed-order per-(doc, term) scalar chain; each term score lands in
+    * DECIMAL(18,6) BEFORE the per-doc sum, so the aggregation is
+    * order-free (the lmScore ln-on-grid argument). Scale shape: the
+    * posting filter is 4 literal terms (pushed to the scan side of the
+    * explode), df and corpus stats broadcast, ONE doc-keyed sum. */
+  val bm25Terms = Seq("spark", "join", "window", "hash")
+
+  val bm25: Q = (s, dir) => {
+    val d = docs(s, dir).select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val hits = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isin(bm25Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfs = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+      / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val denom = col("tf").cast("double") + lit(1.2) * (lit(0.25)
+      + lit(0.75) * col("dl").cast("double")
+        / (col("sum_dl").cast("double") / col("n_docs").cast("double")))
+    hits.join(broadcast(dfs), Seq("term")).crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (idf * (col("tf").cast("double") * lit(2.2)) / denom).cast("decimal(18,6)").as("sc"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("sc")).cast("double").as("bm25"))
+  }
+
+  val bm25Sql: String = {
+    val termList = bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH $docsCte,
+       |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM docs),
+       |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM d),
+       |hits AS (
+       |  SELECT doc_id, dl, u.term, COUNT(*) AS tf
+       |  FROM d, unnest(toks) u(term)
+       |  WHERE u.term IN ($termList)
+       |  GROUP BY 1, 2, 3),
+       |dfs AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY 1),
+       |sc AS (
+       |  SELECT h.doc_id,
+       |         CAST(ln((CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+       |                   / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+       |              * (CAST(h.tf AS DOUBLE) * 2.2)
+       |              / (CAST(h.tf AS DOUBLE) + 1.2 * (0.25
+       |                   + 0.75 * CAST(h.dl AS DOUBLE)
+       |                     / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+       |              AS DECIMAL(18,6)) AS sc
+       |  FROM hits h JOIN dfs f USING (term) CROSS JOIN stats s)
+       |SELECT doc_id, COUNT(*) AS n_terms_hit,
+       |       CAST(SUM(sc) AS DOUBLE) AS bm25
+       |FROM sc GROUP BY 1""".stripMargin
+  }
+
   /** BPE-ish token counting (whitespace tokens vs pre-tokenizer units —
     * the budget numbers an LLM data pipeline tracks per document). */
   val bpeCount: Q = (s, dir) =>
@@ -1319,6 +1374,7 @@ object TextQueries {
     "t_cdc_chunks" -> (cdcChunks, Some(cdcChunksSql)),
     "t_hash_split" -> (hashSplit, Some(hashSplitSql)),
     "t_tfidf" -> (tfidf, Some(tfidfSql)),
+    "t_bm25" -> (bm25, Some(bm25Sql)),
     "t_top_ngrams" -> (topNgrams, Some(topNgramsSql)),
     "t_cms_heavy" -> (cmsHeavy, Some(cmsHeavySql)),
     "t_decontaminate" -> (decontaminate, Some(decontaminateSql)),
