@@ -249,6 +249,46 @@ object AdvancedQueries {
        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
        |FROM orders WHERE o_custkey < 100""".stripMargin
 
+  /** Running DISTINCT count over a window — per customer, the number of
+    * distinct parts seen up to each line of their order stream. Spark
+    * has no DISTINCT window aggregate, so the engine uses the classic
+    * rewrite (first-occurrence flag via row_number over (customer,
+    * part), then a running sum); the DuckDB oracle uses its NATIVE
+    * `COUNT(DISTINCT ...) OVER` — two genuinely different algorithms
+    * agreeing row-for-row. The window order MUST be total for the
+    * frame to be well-defined: (orderkey, linenumber) is not unique in
+    * the synthetic lineitem, so partkey completes the key (equal-part
+    * duplicates then emit equal counts on the adjacent tied rows, so
+    * the output multiset is deterministic). Both windows partition on
+    * the customer key (high cardinality), never a single global sort. */
+  val runningDistinct: Q = (s, dir) => {
+    val li = table(s, dir, "lineitem")
+      .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .where(col("o_custkey") < 100)
+    // (orderkey, linenumber) is NOT unique in the synthetic lineitem, so
+    // partkey completes the total order; for equal-part duplicates the
+    // flag pair is (1, 0) on adjacent rows, so both rows emit the same
+    // running count and the output multiset stays deterministic
+    val ord = Seq(col("o_orderdate"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val firstSeen = Window.partitionBy(col("o_custkey"), col("l_partkey")).orderBy(ord: _*)
+    val running = Window.partitionBy(col("o_custkey")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.select(col("o_custkey"), col("o_orderdate"), col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"),
+      when(row_number().over(firstSeen) === 1, 1L).otherwise(0L).as("f"))
+      .select(col("o_custkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(col("f")).over(running).as("uniq_parts"))
+  }
+
+  val runningDistinctSql: String =
+    """SELECT o_custkey, l_orderkey, l_linenumber,
+      |       COUNT(DISTINCT l_partkey) OVER (
+      |         PARTITION BY o_custkey
+      |         ORDER BY o_orderdate, l_orderkey, l_linenumber, l_partkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS uniq_parts
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_custkey < 100""".stripMargin
+
   /** Exact quantiles with a scale-correct shape: instead of a per-group
     * global sort + row_number (one task per group at 100x), aggregate a
     * value histogram first — the shuffle carries only (group, distinct
@@ -1137,6 +1177,7 @@ object AdvancedQueries {
     "a_corr_moments" -> (corrMoments, Some(corrMomentsSql)),
     "a_grouping_sets" -> (groupingSets, Some(groupingSetsSql)),
     "a_running_total" -> (runningTotal, Some(runningTotalSql)),
+    "a_running_distinct" -> (runningDistinct, Some(runningDistinctSql)),
     "a_shipping_priority" -> (shippingPriority, Some(shippingPrioritySql)),
     "a_nation_pairs" -> (nationPairs, Some(nationPairsSql)),
     "a_having_distinct" -> (havingDistinct, Some(havingDistinctSql)),

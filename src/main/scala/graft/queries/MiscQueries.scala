@@ -411,7 +411,38 @@ object MiscQueries {
        |       ${dsumSql(dec2Sql("l_discount"))}
        |FROM lineitem WHERE l_orderkey % 2 = 1""".stripMargin
 
+  /** ORC round-trip — the second columnar format Spark ships natively
+    * (a warehouse engine must read the lake it's pointed at, whatever
+    * the format): write a typed lineitem projection (bigint, int,
+    * string, decimal, timestamp) as ORC, read it back, aggregate. The
+    * oracle computes the same aggregate straight from the parquet
+    * source, so the gate proves the ORC write→read cycle is lossless
+    * across all five types. */
+  val orcRoundtrip: Q = (s, dir) => {
+    val base = tmpCatalog(dir) + "_orc"
+    table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        dec2(col("l_extendedprice")).as("price"), col("l_shipdate"))
+      .write.mode("overwrite").orc(base)
+    s.read.orc(base)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        sum(col("l_linenumber").cast("long")).as("sum_line"),
+        dsum(col("price")).as("sum_price"),
+        max(col("l_shipdate")).as("max_ship"))
+  }
+
+  val orcRoundtripSql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |       CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+       |       CAST(SUM(l_linenumber) AS BIGINT) AS sum_line,
+       |       ${dsumSql(dec2Sql("l_extendedprice"))} AS sum_price,
+       |       MAX(l_shipdate) AS max_ship
+       |FROM lineitem GROUP BY 1""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "c_orc_roundtrip" -> (orcRoundtrip, Some(orcRoundtripSql)),
     "c_schema_merge" -> (schemaMerge, Some(schemaMergeSql)),
     "m_stratified_split" -> (stratifiedSplit, Some(stratifiedSplitSql)),
     "c_catalog_roundtrip" -> (catalogRoundtrip, Some(catalogRoundtripSql)),
