@@ -81,4 +81,39 @@ object Spatial {
       .where(pointInRingKernel(col("px"), col("py"), col("xs"), col("ys")))
       .drop("_gx", "_gy")
   }
+
+  /** One-left rotation of a ring's vertex array: (v1..vn) → (v2..vn, v1)
+    * — pairs each vertex with its successor (closing edge included). */
+  private def rotLeft(a: Column): Column =
+    concat(slice(a, lit(2), size(a) - 1), slice(a, 1, 1))
+
+  /** Simple-polygon measures as pure Column HOFs over INTEGER-valued
+    * vertex arrays (xs, ys as longs, counter-clockwise ring):
+    *
+    *   area2    = Σ (x_i·y_{i+1} − x_{i+1}·y_i)      (twice the signed
+    *              shoelace area — kept doubled so it stays a BIGINT)
+    *   perim_sq = Σ ((x_{i+1}−x_i)² + (y_{i+1}−y_i)²)  (squared edge
+    *              lengths — the exact-integer length census; callers
+    *              wanting metric perimeter pay per-edge sqrts)
+    *   cx6/cy6  = Σ (v_i + v_{i+1})·cross_i          (centroid
+    *              numerators; centroid = num / (3·area2))
+    *
+    * All four are integer sums — order-free exact — so the measures are
+    * bit-portable; the only float op is the caller's final centroid
+    * division. Per-row map work, no shuffle. */
+  def ringMeasures(xs: Column, ys: Column): Column = {
+    val e = arrays_zip(xs.as("x0"), ys.as("y0"),
+      rotLeft(xs).as("x1"), rotLeft(ys).as("y1"))
+    def cross(s: Column) =
+      s.getField("x0") * s.getField("y1") - s.getField("x1") * s.getField("y0")
+    def sumL(arr: Column): Column = aggregate(arr, lit(0L), (acc, v) => acc + v)
+    struct(
+      sumL(transform(e, cross(_))).as("area2"),
+      sumL(transform(e, s =>
+        (s.getField("x1") - s.getField("x0")) * (s.getField("x1") - s.getField("x0"))
+          + (s.getField("y1") - s.getField("y0")) * (s.getField("y1") - s.getField("y0"))))
+        .as("perim_sq"),
+      sumL(transform(e, s => (s.getField("x0") + s.getField("x1")) * cross(s))).as("cx6"),
+      sumL(transform(e, s => (s.getField("y0") + s.getField("y1")) * cross(s))).as("cy6"))
+  }
 }

@@ -944,6 +944,103 @@ object AdvancedQueries {
        |       dy.rev IS NULL AS is_gap
        |FROM cal c LEFT JOIN daily dy ON c.prio = dy.prio AND c.d = dy.d""".stripMargin
 
+  /** Gaps-and-islands: longest consecutive-day activity streak per
+    * user (retention analysis's classic hard query). Island id =
+    * date − row_number in days — consecutive days share it — then two
+    * tiny aggregations. Pure date/integer arithmetic, and the windows
+    * partition on user_id (high cardinality): scale-safe. */
+  val streaks: Q = (s, dir) => {
+    val d = Fixtures.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val rn = row_number().over(Window.partitionBy(col("user_id")).orderBy(col("d")))
+    d.withColumn("g", date_sub(col("d"), rn))
+      .groupBy(col("user_id"), col("g"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("max_streak"), count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("n_days"))
+  }
+
+  val streaksSql: String =
+    s"""WITH ${Fixtures.eventsCte},
+       |d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM evts),
+       |i AS (SELECT user_id, d,
+       |        d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS g
+       |      FROM d),
+       |st AS (SELECT user_id, g, COUNT(*) AS len FROM i GROUP BY 1, 2)
+       |SELECT user_id, MAX(len) AS max_streak, COUNT(*) AS n_streaks,
+       |       CAST(SUM(len) AS BIGINT) AS n_days
+       |FROM st GROUP BY 1""".stripMargin
+
+  /** Linear-interpolation gap fill — the numeric upgrade of
+    * [[gapFill]]'s LOCF: missing calendar days get the straight line
+    * between their known neighbors instead of the last value. The
+    * neighbor scan is the ignore-nulls window pair (last-preceding /
+    * first-following); the interpolation is one fixed-order double
+    * chain over exact integer counts and day distances, so even the
+    * interpolated values hash-match bitwise. Calendar endpoints are
+    * known days by construction, so the neighbor pair always exists at
+    * a gap. */
+  val interpolate: Q = (s, dir) => {
+    val daily = table(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("prio"), col("o_orderdate").cast("date").as("d"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val cal = daily.groupBy(col("prio"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("prio"), explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+    val wPrev = Window.partitionBy(col("prio")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("prio")).orderBy(col("d"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cal.join(daily, Seq("prio", "d"), "left")
+      .select(col("prio"), col("d"), col("n"),
+        last(when(col("n").isNotNull, col("d")), ignoreNulls = true).over(wPrev).as("pd"),
+        last(col("n"), ignoreNulls = true).over(wPrev).as("pn"),
+        first(when(col("n").isNotNull, col("d")), ignoreNulls = true).over(wNext).as("nd"),
+        first(col("n"), ignoreNulls = true).over(wNext).as("nn"))
+      .select(col("prio"), col("d"),
+        when(col("n").isNotNull, col("n").cast("double"))
+          .otherwise(col("pn").cast("double")
+            + (col("nn") - col("pn")).cast("double")
+              * datediff(col("d"), col("pd")).cast("double")
+              / datediff(col("nd"), col("pd")).cast("double")).as("v"),
+        col("n").isNull.as("is_gap"))
+  }
+
+  val interpolateSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |spans AS (SELECT prio, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+      |cal AS (
+      |  SELECT s.prio, CAST(s.d0 + r.i * (INTERVAL 1 DAY) AS DATE) AS d
+      |  FROM spans s JOIN range(0, 20000) r(i)
+      |    ON s.d0 + r.i * (INTERVAL 1 DAY) <= s.d1),
+      |j AS (SELECT c.prio, c.d, dy.n
+      |      FROM cal c LEFT JOIN daily dy ON c.prio = dy.prio AND c.d = dy.d),
+      |f AS (SELECT prio, d, n,
+      |        LAST_VALUE(CASE WHEN n IS NOT NULL THEN d END IGNORE NULLS) OVER (
+      |          PARTITION BY prio ORDER BY d
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+      |        LAST_VALUE(n IGNORE NULLS) OVER (
+      |          PARTITION BY prio ORDER BY d
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pn,
+      |        FIRST_VALUE(CASE WHEN n IS NOT NULL THEN d END IGNORE NULLS) OVER (
+      |          PARTITION BY prio ORDER BY d
+      |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+      |        FIRST_VALUE(n IGNORE NULLS) OVER (
+      |          PARTITION BY prio ORDER BY d
+      |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nn
+      |      FROM j)
+      |SELECT prio, d,
+      |       CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+      |            ELSE CAST(pn AS DOUBLE)
+      |                 + CAST(nn - pn AS DOUBLE)
+      |                   * CAST(date_diff('day', pd, d) AS DOUBLE)
+      |                   / CAST(date_diff('day', pd, nd) AS DOUBLE) END AS v,
+      |       n IS NULL AS is_gap
+      |FROM f""".stripMargin
+
   /** Histogram-sketch quantile estimation — the third member of the
     * approximate layer (KMV = distinct, CMS = frequency, this =
     * quantiles): one fixed-width 100-bin histogram pass, then p50/p90/
@@ -1178,6 +1275,8 @@ object AdvancedQueries {
     "a_grouping_sets" -> (groupingSets, Some(groupingSetsSql)),
     "a_running_total" -> (runningTotal, Some(runningTotalSql)),
     "a_running_distinct" -> (runningDistinct, Some(runningDistinctSql)),
+    "a_streaks" -> (streaks, Some(streaksSql)),
+    "a_interpolate" -> (interpolate, Some(interpolateSql)),
     "a_shipping_priority" -> (shippingPriority, Some(shippingPrioritySql)),
     "a_nation_pairs" -> (nationPairs, Some(nationPairsSql)),
     "a_having_distinct" -> (havingDistinct, Some(havingDistinctSql)),

@@ -441,8 +441,40 @@ object MiscQueries {
        |       MAX(l_shipdate) AS max_ship
        |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Dynamic partition overwrite — the in-place partition refresh every
+    * partitioned lake table lives by: a full partitioned write, then a
+    * second overwrite-mode write that touches ONLY the partitions
+    * present in its data (`partitionOverwriteMode=dynamic`), here the
+    * 'R' partition with doubled prices. The gate proves the untouched
+    * partitions survived and the refreshed one changed — static
+    * overwrite semantics (truncate-all) would fail it loudly. */
+  val partitionOverwrite: Q = (s, dir) => {
+    val base = tmpCatalog(dir) + "_dpo"
+    val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+      dec2(col("l_extendedprice")).as("price"), col("l_returnflag"))
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(base)
+    li.where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("price") * 2).cast("decimal(12,2)").as("price"),
+        col("l_returnflag"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("l_returnflag").parquet(base)
+    s.read.parquet(base)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("price")).as("sum_price"))
+  }
+
+  val partitionOverwriteSql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |       CAST(SUM(CAST(CASE WHEN l_returnflag = 'R'
+       |                          THEN 2 * ${dec2Sql("l_extendedprice")}
+       |                          ELSE ${dec2Sql("l_extendedprice")} END
+       |                     AS DECIMAL(24,6))) AS DOUBLE) AS sum_price
+       |FROM lineitem GROUP BY 1""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
     "c_orc_roundtrip" -> (orcRoundtrip, Some(orcRoundtripSql)),
+    "c_partition_overwrite" -> (partitionOverwrite, Some(partitionOverwriteSql)),
     "c_schema_merge" -> (schemaMerge, Some(schemaMergeSql)),
     "m_stratified_split" -> (stratifiedSplit, Some(stratifiedSplitSql)),
     "c_catalog_roundtrip" -> (catalogRoundtrip, Some(catalogRoundtripSql)),

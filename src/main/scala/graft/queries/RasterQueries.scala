@@ -804,7 +804,61 @@ object RasterQueries {
        |       CAST(pc AS DOUBLE) AS v
        |FROM best WHERE rn = 1""".stripMargin
 
+  /** Vector polygon measures — shoelace area, squared-perimeter census
+    * and centroid over integer-lattice quadrilaterals (the vector-side
+    * geometry a land-use system reports per feature: field areas,
+    * compactness). All measures are integer sums (Spatial.ringMeasures
+    * Column HOFs, no UDF, no shuffle); the only float op is the final
+    * centroid division, identically ordered in the oracle. */
+  val polyMeasures: Q = (s, dir) => {
+    val base = table(s, dir, "part").select(
+      col("p_partkey").as("fid"),
+      (col("p_partkey") % 149 + 10).cast("long").as("cx"),
+      (col("p_partkey") % 139 + 10).cast("long").as("cy"),
+      (col("p_partkey") % 7 + 1).cast("long").as("a"),
+      (col("p_partkey") % 5 + 1).cast("long").as("b"),
+      (col("p_partkey") % 9 + 1).cast("long").as("c"),
+      (col("p_partkey") % 4 + 1).cast("long").as("d"))
+    // irregular diamond E→N→W→S: counter-clockwise in y-up coords
+    val m = base.select(col("fid"),
+      graft.ops.Spatial.ringMeasures(
+        array(col("cx") + col("a"), col("cx"), col("cx") - col("c"), col("cx")),
+        array(col("cy"), col("cy") + col("b"), col("cy"), col("cy") - col("d"))).as("m"))
+    m.select(col("fid"), col("m.area2").as("area2"), col("m.perim_sq").as("perim_sq"),
+      (col("m.cx6").cast("double") / (lit(3.0) * col("m.area2").cast("double"))).as("cxc"),
+      (col("m.cy6").cast("double") / (lit(3.0) * col("m.area2").cast("double"))).as("cyc"))
+  }
+
+  val polyMeasuresSql: String =
+    """WITH base AS (
+      |  SELECT p_partkey AS fid,
+      |         CAST(p_partkey % 149 + 10 AS BIGINT) AS cx,
+      |         CAST(p_partkey % 139 + 10 AS BIGINT) AS cy,
+      |         CAST(p_partkey % 7 + 1 AS BIGINT) AS a,
+      |         CAST(p_partkey % 5 + 1 AS BIGINT) AS b,
+      |         CAST(p_partkey % 9 + 1 AS BIGINT) AS c,
+      |         CAST(p_partkey % 4 + 1 AS BIGINT) AS d
+      |  FROM part),
+      |pol AS (SELECT fid, [cx + a, cx, cx - c, cx] AS xs,
+      |               [cy, cy + b, cy, cy - d] AS ys FROM base),
+      |v AS (
+      |  SELECT fid, xs[CAST(r.i AS INT)] AS x0, ys[CAST(r.i AS INT)] AS y0,
+      |         xs[CAST(r.i % 4 AS INT) + 1] AS x1, ys[CAST(r.i % 4 AS INT) + 1] AS y1
+      |  FROM pol, range(1, 5) r(i)),
+      |g AS (
+      |  SELECT fid,
+      |         CAST(SUM(x0 * y1 - x1 * y0) AS BIGINT) AS area2,
+      |         CAST(SUM((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0)) AS BIGINT) AS perim_sq,
+      |         CAST(SUM((x0 + x1) * (x0 * y1 - x1 * y0)) AS BIGINT) AS cx6,
+      |         CAST(SUM((y0 + y1) * (x0 * y1 - x1 * y0)) AS BIGINT) AS cy6
+      |  FROM v GROUP BY 1)
+      |SELECT fid, area2, perim_sq,
+      |       CAST(cx6 AS DOUBLE) / (3.0 * CAST(area2 AS DOUBLE)) AS cxc,
+      |       CAST(cy6 AS DOUBLE) / (3.0 * CAST(area2 AS DOUBLE)) AS cyc
+      |FROM g""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "r_poly_measures" -> (polyMeasures, Some(polyMeasuresSql)),
     "r_terrain_indices" -> (terrainIdx, Some(terrainIdxSql)),
     "r_majority_filter" -> (majority, Some(majoritySql)),
     "r_region_label" -> (regionLabel, Some(regionLabelSql)),
