@@ -197,6 +197,57 @@ class TileMathSpec extends AnyFunSuite {
     }
   }
 
+  test("terrainIndex: TPI/TRI/Laplacian goldens on linear and bowl surfaces") {
+    val pc = 5
+    // linear ramp v = 3x + 4y: TPI and Laplacian vanish (plane = its
+    // neighbor mean, second derivative 0); TRI is the fixed rms of the
+    // 8 directional drops: diffs {±3, ±4, ±7, ±1} -> sum sq = 2*(9+16+49+1)
+    val ramp = Array.tabulate(pc * pc)(i => 3.0 * (i % pc) + 4.0 * (i / pc))
+    assert(TileMath.terrainIndex(ramp, 3, 3, 1, 0).forall(_ == 0.0))
+    assert(TileMath.terrainIndex(ramp, 3, 3, 1, 1).forall(_ == math.sqrt(150.0)))
+    assert(TileMath.terrainIndex(ramp, 3, 3, 1, 2).forall(_ == 0.0))
+    // paraboloid bowl v = x² + y² centered on the middle cell (2,2):
+    // Laplacian of x²+y² is 4 discretely (exact for quadratics)
+    val bowl = Array.tabulate(pc * pc)(i => {
+      val x = i % pc - 2.0; val y = i / pc - 2.0; x * x + y * y
+    })
+    assert(TileMath.terrainIndex(bowl, 3, 3, 1, 2).forall(_ == 4.0))
+    // center cell of the bowl: neighbors are the ring {1,2,1,2,1,2,1,2}
+    // -> mean 12/8, TPI = 0 - 1.5
+    assert(TileMath.terrainIndex(bowl, 3, 3, 1, 0)(1 + 1 * 3) == -1.5)
+    // NoData rule: hole kills exactly the windows that read it
+    val holed = ramp.clone(); holed(0) = Double.NaN
+    assert(TileMath.terrainIndex(holed, 3, 3, 1, 1)(0).isNaN)
+    assert(TileMath.terrainIndex(holed, 3, 3, 1, 1).count(!_.isNaN) == 8)
+  }
+
+  test("focalMode: majority with smallest-class ties, all-9 data rule") {
+    val pc = 5
+    // constant class plane -> mode is that class everywhere
+    val const = Array.fill(pc * pc)(3.0)
+    assert(TileMath.focalMode(const, 3, 3, 1).forall(_ == 3.0))
+    // checkerboard of 1/2: every 3x3 window holds 5 of one and 4 of the
+    // other; the majority follows the center's color
+    val checker = Array.tabulate(pc * pc)(i => ((i % pc + i / pc) % 2 + 1).toDouble)
+    val out = TileMath.focalMode(checker, 3, 3, 1)
+    for (y <- 0 until 3; x <- 0 until 3)
+      assert(out(x + y * 3) == checker((x + 1) + (y + 1) * pc))
+    // exact tie: cell (0,0)'s window is the padded top-left 3x3 block —
+    // laid out so it holds {1:4, 2:4, 9:1}; tie on count 4 -> smallest
+    // class 1 wins
+    val tie = Array(
+      1.0, 1.0, 2.0, 0.0, 0.0,
+      1.0, 2.0, 2.0, 0.0, 0.0,
+      1.0, 2.0, 9.0, 0.0, 0.0,
+      0.0, 0.0, 0.0, 0.0, 0.0,
+      0.0, 0.0, 0.0, 0.0, 0.0)
+    assert(TileMath.focalMode(tie, 3, 3, 1)(0) == 1.0)
+    // any NaN in the window -> NoData
+    val holed = const.clone(); holed(0) = Double.NaN
+    assert(TileMath.focalMode(holed, 3, 3, 1)(0).isNaN)
+    assert(TileMath.focalMode(holed, 3, 3, 1).count(!_.isNaN) == 8)
+  }
+
   test("zorder orders locally: adjacent cells near in key space") {
     assert(ZOrder.interleave(0, 0) == 0L)
     assert(ZOrder.interleave(1, 0) == 1L)

@@ -56,4 +56,28 @@ class SpatialSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(rows == Map(1L -> 1L, 2L -> 1L)) // pid 3 outside; no duplicates
   }
+
+  test("ringMeasures: shoelace goldens on CCW rectangle and L-shape") {
+    def measures(xs: Seq[Long], ys: Seq[Long]): (Long, Long, Long, Long) = {
+      val r = Seq((xs, ys)).toDF("xs", "ys")
+        .select(Spatial.ringMeasures(col("xs"), col("ys")).as("m"))
+        .select("m.area2", "m.perim_sq", "m.cx6", "m.cy6")
+        .head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // CCW 4x2 rectangle at origin: area 8, edges 4,2,4,2 -> perim_sq 40,
+    // centroid (2, 1) -> cx6 = 2*3*area2 = 96, cy6 = 1*3*16 = 48
+    val (a2, p2, cx6, cy6) = measures(Seq(0L, 4L, 4L, 0L), Seq(0L, 0L, 2L, 2L))
+    assert(a2 == 16L && p2 == 40L)
+    assert(cx6.toDouble / (3.0 * a2) == 2.0 && cy6.toDouble / (3.0 * a2) == 1.0)
+    // concave L (CCW): 4x4 square minus the 3x3 bite = area 7 -> area2 14
+    val (la2, lp2, _, _) = measures(
+      Seq(0L, 4L, 4L, 1L, 1L, 0L), Seq(0L, 0L, 1L, 1L, 4L, 4L))
+    assert(la2 == 14L)
+    // edges: 4,1,3,3,1,4 -> squares 16+1+9+9+1+16
+    assert(lp2 == 52L)
+    // CW ring flips the sign of area2 (orientation-signed)
+    val (cw, _, _, _) = measures(Seq(0L, 0L, 4L, 4L), Seq(0L, 2L, 2L, 0L))
+    assert(cw == -16L)
+  }
 }
