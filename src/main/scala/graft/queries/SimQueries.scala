@@ -802,6 +802,100 @@ object SimQueries {
     s"SELECT vec_id,\n$exprs\nFROM embeddings"
   }
 
+  private val MMR_C = 12 // retrieval depth fed to the diversifier
+  private val MMR_K = 6  // diversified picks
+
+  /** MMR-diversified re-ranking — retrieval depth C by quantized cosine
+    * to one query vector, then greedy Maximal Marginal Relevance picks
+    * K of them (Similarity.mmrSelect): the de-redundancy pass a
+    * training-data sampler runs so near-duplicate top hits don't crowd
+    * the budget. All similarities are exact integer dots over the int8
+    * column divided by sqrt'd norms — the same fixed-order chain in
+    * the Scala selector and the oracle's UNROLLED six selection steps
+    * (k is a constant, so the greedy loop is literal SQL) — and ties
+    * take the smallest vec_id, so the pick sequence is
+    * bit-deterministic. Scale shape: one corpus scan of the quantized
+    * column + a TakeOrdered C; the greedy loop runs on C rows, driver-
+    * bounded by construction. */
+  val mmrRerank: Q = (s, dir) => {
+    val base = table(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("amax", aggregate(col("e"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .where(col("amax") > 0)
+      .withColumn("q", transform(col("e"), x => floor(x / col("amax") * 127.0 + lit(0.5))))
+      .withColumn("rq2", aggregate(col("q"), lit(0L), (a, qi) => a + qi * qi))
+    val qv = base.where(col("vec_id") === 0)
+      .select(col("q").as("qq"), col("rq2").as("qrq2"))
+    val cands = base.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .withColumn("dotq",
+        aggregate(zip_with(col("q"), col("qq"), (a, b) => a * b), lit(0L), (a, x) => a + x))
+      .withColumn("rel", col("dotq").cast("double")
+        / (sqrt(col("qrq2").cast("double")) * sqrt(col("rq2").cast("double"))))
+      .orderBy(col("rel").desc, col("vec_id")).limit(MMR_C)
+      .select(col("vec_id"), col("rel"), col("q"), col("rq2").cast("double").as("rq2"))
+    // Spark's floor() yields BIGINT, so q is an array<long>; the selector
+    // works in integral doubles (exact under 2^53)
+    val rows = cands.collect().map(r =>
+      (r.getLong(0), r.getDouble(1),
+        r.getSeq[Long](2).toArray.map(_.toDouble), r.getDouble(3))).toSeq
+    val sel = Similarity.mmrSelect(rows, MMR_K)
+    import s.implicits._
+    sel.toDF("rank", "vec_id", "rel")
+  }
+
+  val mmrRerankSql: String = {
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${DIM + 1}),
+         |             i -> $a.qv[i] * $b.qv[i])), (x, y) -> x + y)
+         |           / (sqrt($a.rq2) * sqrt($b.rq2))""".stripMargin
+    val steps = (2 to MMR_K).map { i =>
+      val prev = s"p${i - 1}"
+      s"""s$i AS (
+         |  SELECT c.cid FROM cands c JOIN sims m ON m.a = c.cid
+         |  WHERE m.b IN (SELECT cid FROM $prev)
+         |    AND c.cid NOT IN (SELECT cid FROM $prev)
+         |  GROUP BY c.cid, c.rel
+         |  ORDER BY c.rel - MAX(m.sim) DESC, c.cid LIMIT 1),
+         |p$i AS (SELECT cid FROM $prev UNION ALL SELECT cid FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val unions = (2 to MMR_K).map(i => s"UNION ALL SELECT $i, cid FROM s$i").mkString(" ")
+    s"""WITH d AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |a AS (
+       |  SELECT vec_id, e,
+       |         list_reduce(list_prepend(0.0, list_transform(e, x -> abs(x))),
+       |           (x, y) -> greatest(x, y)) AS amax
+       |  FROM d),
+       |nz AS (
+       |  SELECT vec_id,
+       |         list_transform(e, x -> floor(x / amax * 127.0 + 0.5)) AS qv,
+       |         list_reduce(list_prepend(0.0,
+       |           list_transform(list_transform(e, x -> floor(x / amax * 127.0 + 0.5)),
+       |             v -> v * v)), (x, y) -> x + y) AS rq2
+       |  FROM a WHERE amax > 0),
+       |qv AS (SELECT qv, rq2 FROM nz WHERE vec_id = 0),
+       |rels AS (
+       |  SELECT c.vec_id AS cid,
+       |         ${dot("q", "c")} AS rel
+       |  FROM nz c, qv q WHERE c.vec_id <> 0),
+       |cands AS (SELECT cid, rel FROM rels ORDER BY rel DESC, cid LIMIT $MMR_C),
+       |sims AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |         ${dot("x", "y")} AS sim
+       |  FROM nz x JOIN nz y ON x.vec_id <> y.vec_id
+       |  WHERE x.vec_id IN (SELECT cid FROM cands)
+       |    AND y.vec_id IN (SELECT cid FROM cands)),
+       |s1 AS (SELECT cid FROM cands ORDER BY rel DESC, cid LIMIT 1),
+       |p1 AS (SELECT cid FROM s1),
+       |$steps,
+       |final AS (SELECT 1 AS rank, cid FROM s1 $unions)
+       |SELECT CAST(f.rank AS INT) AS rank, f.cid AS vec_id, c.rel
+       |FROM final f JOIN cands c USING (cid)""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
     "s_random_proj" -> (randomProj, Some(randomProjSql)),
     "s_ann_brute" -> (annBrute, Some(annBruteSql)),
@@ -817,5 +911,7 @@ object SimQueries {
     "s_covariance" -> (covariance, Some(covarianceSql)),
     "s_ann_quantized" -> (annQuantized, Some(annQuantizedSql)),
     "s_ann_pq" -> (annPq, Some(annPqSql)),
+    "s_mmr_rerank" -> (mmrRerank, Some(mmrRerankSql)),
   )
+
 }

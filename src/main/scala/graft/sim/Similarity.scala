@@ -475,4 +475,44 @@ object Similarity {
         emb.getItem(j).cast("double") * lit(w)
       }.reduceLeft(_ + _).as(s"pc$c")
     }
+
+  /** Greedy Maximal Marginal Relevance selection over a BOUNDED
+    * candidate set (the post-retrieval diversification step a
+    * training-data sampler runs on its top-C list — Carbonell &
+    * Goldstein 1998, with the λ=1/2 weights folded out so the argmax
+    * key is `rel − max-sim-to-picked`, one subtraction).
+    *
+    * Candidates are `(id, rel, q, rq2)` where `q` is an
+    * integer-quantized vector and `rq2` its squared norm: pairwise
+    * similarity is an EXACT integer dot over `q` divided by the two
+    * sqrt'd norms — the same fixed-order chain the SQL oracle states,
+    * so selection is bit-deterministic (ties take the smallest id).
+    * Runs on the driver by design: C is a query-time constant (like the
+    * nq·nprobe IVF collects), never corpus-sized. */
+  def mmrSelect(cands: Seq[(Long, Double, Array[Double], Double)], k: Int)
+      : Seq[(Int, Long, Double)] = {
+    def sim(a: (Long, Double, Array[Double], Double),
+            b: (Long, Double, Array[Double], Double)): Double = {
+      var d = 0.0; var i = 0
+      while (i < a._3.length) { d += a._3(i) * b._3(i); i += 1 }
+      d / (math.sqrt(a._4) * math.sqrt(b._4))
+    }
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Double], Double)]
+    val out = Seq.newBuilder[(Int, Long, Double)]
+    var rank = 1
+    while (rank <= k && picked.size < cands.size) {
+      var best: (Long, Double, Array[Double], Double) = null
+      var bestScore = Double.NegativeInfinity
+      for (c <- cands if !picked.exists(_._1 == c._1)) {
+        val score = if (picked.isEmpty) c._2 else c._2 - picked.map(p => sim(c, p)).max
+        if (score > bestScore || (score == bestScore && (best == null || c._1 < best._1))) {
+          best = c; bestScore = score
+        }
+      }
+      picked += best
+      out += ((rank, best._1, best._2))
+      rank += 1
+    }
+    out.result()
+  }
 }
