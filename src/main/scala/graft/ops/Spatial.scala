@@ -82,6 +82,37 @@ object Spatial {
       .drop("_gx", "_gy")
   }
 
+  /** Bounded nearest-neighbor join: for each point the nearest site
+    * within Euclidean radius `r` (ties → smallest site id) — the form
+    * of NN join that SCALES: both sides bin at cell = r, sites
+    * replicate to their 3x3 cell ring (constant 9x), points key to one
+    * cell, and the candidate equi-join provably contains every site
+    * within r of the point. Unbounded "nearest anywhere" needs
+    * data-dependent ring expansion — real engines (and this one) ship
+    * the radius-bounded form and let callers widen r. `points` needs
+    * (pid, px, py); `sites` needs (sid, sx, sy). Output: one row per
+    * matched point — (pid, px, py, sid, d2). Distances on
+    * integer-valued coordinates are exact. */
+  def nnWithin(points: DataFrame, sites: DataFrame, r: Double): DataFrame = {
+    val ring = explode(sequence(lit(-1L), lit(1L)))
+    val binned = sites
+      .withColumn("_dx", ring).withColumn("_dy", ring)
+      .withColumn("_gx", floor(col("sx") / r).cast("long") + col("_dx"))
+      .withColumn("_gy", floor(col("sy") / r).cast("long") + col("_dy"))
+      .drop("_dx", "_dy")
+    val cand = points
+      .withColumn("_gx", floor(col("px") / r).cast("long"))
+      .withColumn("_gy", floor(col("py") / r).cast("long"))
+      .join(binned, Seq("_gx", "_gy"))
+      .withColumn("d2", (col("px") - col("sx")) * (col("px") - col("sx"))
+        + (col("py") - col("sy")) * (col("py") - col("sy")))
+      .where(col("d2") <= lit(r * r))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("d2"), col("sid"))
+    cand.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("pid"), col("px"), col("py"), col("sid"), col("d2"))
+  }
+
   /** One-left rotation of a ring's vertex array: (v1..vn) → (v2..vn, v1)
     * — pairs each vertex with its successor (closing edge included). */
   private def rotLeft(a: Column): Column =

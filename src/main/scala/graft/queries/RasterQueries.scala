@@ -857,7 +857,48 @@ object RasterQueries {
       |       CAST(cy6 AS DOUBLE) / (3.0 * CAST(area2 AS DOUBLE)) AS cyc
       |FROM g""".stripMargin
 
+  /** Bounded nearest-neighbor spatial join (Spatial.nnWithin): each
+    * customer point finds its nearest supplier site within radius 8,
+    * ties to the smallest site id. The engine runs the grid-binned 3x3
+    * candidate join; the oracle brute-forces all pairs — completeness
+    * of the binning is exactly what the hash match proves. Integer
+    * lattice coords make every squared distance exact. */
+  val nnWithin: Q = (s, dir) => {
+    val points = table(s, dir, "customer").select(
+      col("c_custkey").as("pid"),
+      (col("c_custkey") % 163).cast("long").as("px"),
+      (col("c_custkey") % 157).cast("long").as("py"))
+    val sites = table(s, dir, "supplier").select(
+      col("s_suppkey").as("sid"),
+      (col("s_suppkey") % 151).cast("long").as("sx"),
+      (col("s_suppkey") % 149).cast("long").as("sy"))
+    graft.ops.Spatial.nnWithin(points, sites, r = 8.0)
+  }
+
+  val nnWithinSql: String =
+    """WITH pts AS (
+      |  SELECT c_custkey AS pid,
+      |         CAST(c_custkey % 163 AS BIGINT) AS px,
+      |         CAST(c_custkey % 157 AS BIGINT) AS py
+      |  FROM customer),
+      |st AS (
+      |  SELECT s_suppkey AS sid,
+      |         CAST(s_suppkey % 151 AS BIGINT) AS sx,
+      |         CAST(s_suppkey % 149 AS BIGINT) AS sy
+      |  FROM supplier),
+      |cand AS (
+      |  SELECT pid, px, py, sid,
+      |         (px - sx) * (px - sx) + (py - sy) * (py - sy) AS d2
+      |  FROM pts, st
+      |  WHERE (px - sx) * (px - sx) + (py - sy) * (py - sy) <= 64),
+      |best AS (
+      |  SELECT pid, px, py, sid, d2,
+      |         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY d2, sid) AS rn
+      |  FROM cand)
+      |SELECT pid, px, py, sid, d2 FROM best WHERE rn = 1""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "r_nn_within" -> (nnWithin, Some(nnWithinSql)),
     "r_poly_measures" -> (polyMeasures, Some(polyMeasuresSql)),
     "r_terrain_indices" -> (terrainIdx, Some(terrainIdxSql)),
     "r_majority_filter" -> (majority, Some(majoritySql)),

@@ -765,6 +765,44 @@ object TextQueries {
        |FROM sc GROUP BY 1""".stripMargin
   }
 
+  /** Two-corpus vocabulary shift — which terms distinguish one slice of
+    * the corpus from the rest (the domain-drift / source-comparison
+    * probe a data-mixing pipeline runs; Monroe et al. 2008's log-odds
+    * family): corpus A = English docs, corpus B = the rest. The engine
+    * emits the smoothed ODDS RATIO rather than its log — the same
+    * ranking, but a pure rational chain over exact counts (the
+    * t_collocations transcendental-dodge), so the gate hash-matches
+    * bitwise with no decimal quantization. ONE term-keyed conditional
+    * aggregation; totals broadcast. */
+  val corpusShift: Q = (s, dir) => {
+    val terms = table(s, dir, "documents")
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+    val g = terms.groupBy(col("w")).agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("n_b"))
+    val tot = broadcast(g.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb")))
+    g.where(col("n_a") + col("n_b") >= 20).crossJoin(tot)
+      .select(col("w").as("term"), col("n_a"), col("n_b"),
+        (((col("n_a").cast("double") + lit(0.5))
+          / ((col("ta") - col("n_a")).cast("double") + lit(0.5)))
+          / ((col("n_b").cast("double") + lit(0.5))
+            / ((col("tb") - col("n_b")).cast("double") + lit(0.5)))).as("odds_ratio"))
+  }
+
+  val corpusShiftSql: String =
+    s"""WITH dl AS (SELECT lang, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |            FROM documents),
+       |t AS (SELECT lang, u.w FROM dl, unnest(toks) u(w)),
+       |g AS (SELECT w,
+       |        CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |        CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       |      FROM t GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb FROM g)
+       |SELECT w AS term, n_a, n_b,
+       |       ((CAST(n_a AS DOUBLE) + 0.5) / (CAST(ta - n_a AS DOUBLE) + 0.5))
+       |         / ((CAST(n_b AS DOUBLE) + 0.5) / (CAST(tb - n_b AS DOUBLE) + 0.5)) AS odds_ratio
+       |FROM g, tot WHERE n_a + n_b >= 20""".stripMargin
+
   /** BPE-ish token counting (whitespace tokens vs pre-tokenizer units —
     * the budget numbers an LLM data pipeline tracks per document). */
   val bpeCount: Q = (s, dir) =>
@@ -1375,6 +1413,7 @@ object TextQueries {
     "t_hash_split" -> (hashSplit, Some(hashSplitSql)),
     "t_tfidf" -> (tfidf, Some(tfidfSql)),
     "t_bm25" -> (bm25, Some(bm25Sql)),
+    "t_corpus_shift" -> (corpusShift, Some(corpusShiftSql)),
     "t_top_ngrams" -> (topNgrams, Some(topNgramsSql)),
     "t_cms_heavy" -> (cmsHeavy, Some(cmsHeavySql)),
     "t_decontaminate" -> (decontaminate, Some(decontaminateSql)),
