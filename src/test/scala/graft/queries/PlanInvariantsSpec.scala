@@ -42,7 +42,8 @@ class PlanInvariantsSpec extends AnyFunSuite {
   }
 
   test("declared zero-Exchange queries stay zero-Exchange") {
-    for (name <- Seq("t_quality_filter", "s_quantize_err", "t_redact", "s_random_proj")) {
+    for (name <- Seq("t_quality_filter", "s_quantize_err", "t_redact", "s_random_proj",
+      "r_poly_measures")) {
       val n = "(?<!Broadcast)Exchange".r.findAllIn(plans(name)).size
       assert(n == 0, s"$name grew $n Exchange nodes")
     }
@@ -53,6 +54,8 @@ class PlanInvariantsSpec extends AnyFunSuite {
       "(?<!Broadcast)Exchange".r.findAllIn(plans(name)).size
     assert(shuffles("r_terrain") == shuffles("r_slope"),
       "fusing slope/hillshade/aspect/D8 must not add a shuffle over the single-member plan")
+    assert(shuffles("r_terrain_indices") == shuffles("r_slope"),
+      "the fused TPI/TRI/Laplacian must cost the same halo exchange as one member")
   }
 
   test("the inverted index keeps its single term-keyed shuffle") {
