@@ -1041,6 +1041,46 @@ object AdvancedQueries {
       |       n IS NULL AS is_gap
       |FROM f""".stripMargin
 
+  /** 2-D skyline (Pareto frontier) — the multi-criteria selection shape
+    * a data-curation pass uses ("no other part is at least as good on
+    * BOTH axes and better on one"): per part, maximize total quantity
+    * and order count. The engine runs the classic SWEEP — sort by
+    * (x desc, y desc), a point survives iff its y strictly exceeds the
+    * running max of y over points with LARGER x (and it is the best y
+    * within its own x) — one window over the distinct-pair set, no
+    * pairwise join. The oracle brute-forces dominance with NOT EXISTS:
+    * two different algorithms, exact integers. The sweep runs over the
+    * DISTINCT (x, y) pair set — that makes its order total (the frame
+    * is well-defined), and keeps every key sharing a frontier pair
+    * (a duplicate point does not strictly dominate its twin). Scale
+    * shape: the global-order window runs on the aggregated distinct
+    * pairs, not raw lineitem; the frontier join back is
+    * broadcast-sized. */
+  val skyline: Q = (s, dir) => {
+    val pts = table(s, dir, "lineitem").groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("x"),
+        count_distinct(col("l_orderkey")).as("y"))
+    val w = Window.orderBy(col("x").desc, col("y").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = pts.select(col("x"), col("y")).distinct()
+      .withColumn("prevmax", max(col("y")).over(w))
+      // survives iff no pair with larger x (or equal x, larger y —
+      // earlier in the sweep either way) reaches its y
+      .where(col("prevmax").isNull || col("prevmax") < col("y"))
+      .select(col("x"), col("y"))
+    pts.join(frontier, Seq("x", "y")).select(col("l_partkey"), col("x"), col("y"))
+  }
+
+  val skylineSql: String =
+    """WITH pts AS (
+      |  SELECT l_partkey, CAST(SUM(l_quantity) AS BIGINT) AS x,
+      |         COUNT(DISTINCT l_orderkey) AS y
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_partkey, x, y FROM pts p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts q
+      |  WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))""".stripMargin
+
   /** Histogram-sketch quantile estimation — the third member of the
     * approximate layer (KMV = distinct, CMS = frequency, this =
     * quantiles): one fixed-width 100-bin histogram pass, then p50/p90/
@@ -1277,6 +1317,7 @@ object AdvancedQueries {
     "a_running_distinct" -> (runningDistinct, Some(runningDistinctSql)),
     "a_streaks" -> (streaks, Some(streaksSql)),
     "a_interpolate" -> (interpolate, Some(interpolateSql)),
+    "a_skyline" -> (skyline, Some(skylineSql)),
     "a_shipping_priority" -> (shippingPriority, Some(shippingPrioritySql)),
     "a_nation_pairs" -> (nationPairs, Some(nationPairsSql)),
     "a_having_distinct" -> (havingDistinct, Some(havingDistinctSql)),

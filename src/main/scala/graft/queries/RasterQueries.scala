@@ -897,7 +897,42 @@ object RasterQueries {
       |  FROM cand)
       |SELECT pid, px, py, sid, d2 FROM best WHERE rn = 1""".stripMargin
 
+  /** Class-boundary edge census — landscape-ecology fragmentation
+    * metrics (FRAGSTATS-style edge density) over the class raster: for
+    * every 4-adjacent cell pair with differing classes, count edges per
+    * unordered class pair. The analysis a land-use map feeds into
+    * habitat-fragmentation reporting. Two coordinate-shifted
+    * equi-joins (right + down neighbor — each adjacency counted once),
+    * exact integer classes. Scale shape: hash joins on pixel coords
+    * (co-partitioned by AQE), output bounded by classes². */
+  val edgeCensus: Q = (s, dir) => {
+    val c = Raster.globalCoords(Fixtures.pixelsA(s, dir), TS, TS)
+      .select(col("gx"), col("gy"), (col("v").cast("long") % 8).as("cls"))
+    val right = c.select((col("gx") + 1).as("gx"), col("gy"), col("cls").as("cls2"))
+    val down = c.select(col("gx"), (col("gy") + 1).as("gy"), col("cls").as("cls2"))
+    c.join(right, Seq("gx", "gy"))
+      .unionByName(c.join(down, Seq("gx", "gy")))
+      .where(col("cls") =!= col("cls2"))
+      .select(least(col("cls"), col("cls2")).as("cls_a"),
+        greatest(col("cls"), col("cls2")).as("cls_b"))
+      .groupBy(col("cls_a"), col("cls_b"))
+      .agg(count(lit(1)).as("n_edges"))
+  }
+
+  val edgeCensusSql: String =
+    s"""WITH $pxCte,
+       |cl AS (SELECT gx, gy, CAST(v AS BIGINT) % 8 AS cls FROM pga),
+       |e AS (
+       |  SELECT a.cls AS c1, b.cls AS c2
+       |  FROM cl a JOIN cl b ON b.gx = a.gx + 1 AND b.gy = a.gy
+       |  UNION ALL
+       |  SELECT a.cls, b.cls
+       |  FROM cl a JOIN cl b ON b.gx = a.gx AND b.gy = a.gy + 1)
+       |SELECT LEAST(c1, c2) AS cls_a, GREATEST(c1, c2) AS cls_b, COUNT(*) AS n_edges
+       |FROM e WHERE c1 <> c2 GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "r_edge_census" -> (edgeCensus, Some(edgeCensusSql)),
     "r_nn_within" -> (nnWithin, Some(nnWithinSql)),
     "r_poly_measures" -> (polyMeasures, Some(polyMeasuresSql)),
     "r_terrain_indices" -> (terrainIdx, Some(terrainIdxSql)),

@@ -208,6 +208,32 @@ object RelationalQueries {
        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage
        |FROM g""".stripMargin
 
+  /** Event-transition (Markov) matrix — the user-journey summary
+    * funnel analysis generalizes to: for every CONSECUTIVE event pair
+    * in a user's stream ((ts, event_id) total order), count
+    * (from_type → to_type) transitions and the distinct users making
+    * each. One user-keyed window (lead) + one tiny groupBy; output
+    * bounded by event-type². */
+  val eventTransitions: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("n_users"))
+  }
+
+  val eventTransitionsSql: String =
+    s"""WITH $eventsCte,
+       |p AS (SELECT user_id, event_type AS from_type,
+       |             LEAD(event_type, 1) OVER (PARTITION BY user_id
+       |               ORDER BY ts, event_id) AS to_type
+       |      FROM evts)
+       |SELECT from_type, to_type, COUNT(*) AS n,
+       |       COUNT(DISTINCT user_id) AS n_users
+       |FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin
+
   /** SCD type-2 build — each event becomes a validity interval
     * [valid_from, valid_to) per user, closed by the next event's
     * timestamp (lead window), open (NULL) for the current row: the
@@ -424,6 +450,7 @@ object RelationalQueries {
     "q_user_retention" -> (userRetention, Some(userRetentionSql)),
     "q_latest_per_key" -> (latestPerKey, Some(latestPerKeySql)),
     "q_funnel" -> (funnel, Some(funnelSql)),
+    "q_event_transitions" -> (eventTransitions, Some(eventTransitionsSql)),
     "q_scd2" -> (scd2, Some(scd2Sql)),
     "q_set_ops" -> (setOps, Some(setOpsSql)),
     "q_event_windows" -> (eventWindows, Some(eventWindowsSql)),
