@@ -234,6 +234,118 @@ object RelationalQueries {
        |       COUNT(DISTINCT user_id) AS n_users
        |FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin
 
+  /** Market-basket co-occurrence (association rules): for every part
+    * pair bought in the same order, support / confidence / lift from
+    * exact counts. The pair join keys on the ORDER (bounded basket
+    * size → bounded fan-out per key, never item×item); per-item counts
+    * and the order total broadcast; ratios are the fixed-order rational
+    * chain (the collocations shape). */
+  val marketBasket: Q = (s, dir) => {
+    val items = table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey")
+          && col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p_a"), col("b.l_partkey").as("p_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val cnt = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    val tot = broadcast(items.agg(count_distinct(col("l_orderkey")).as("n_orders")))
+    pairs.where(col("n_ab") >= 3)
+      .join(cnt.select(col("l_partkey").as("p_a"), col("n").as("n_a")), Seq("p_a"))
+      .join(cnt.select(col("l_partkey").as("p_b"), col("n").as("n_b")), Seq("p_b"))
+      .crossJoin(tot)
+      .select(col("p_a"), col("p_b"), col("n_ab"), col("n_a"), col("n_b"),
+        (col("n_ab").cast("double") / col("n_a").cast("double")).as("conf_ab"),
+        (col("n_ab").cast("double") * col("n_orders").cast("double")
+          / col("n_a").cast("double") / col("n_b").cast("double")).as("lift"))
+  }
+
+  val marketBasketSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_partkey AS p_a, b.l_partkey AS p_b, COUNT(*) AS n_ab
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2),
+      |cnt AS (SELECT l_partkey, COUNT(*) AS n FROM items GROUP BY 1),
+      |tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items)
+      |SELECT p_a, p_b, n_ab, ca.n AS n_a, cb.n AS n_b,
+      |       CAST(n_ab AS DOUBLE) / CAST(ca.n AS DOUBLE) AS conf_ab,
+      |       CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
+      |         / CAST(ca.n AS DOUBLE) / CAST(cb.n AS DOUBLE) AS lift
+      |FROM pairs JOIN cnt ca ON ca.l_partkey = p_a
+      |           JOIN cnt cb ON cb.l_partkey = p_b
+      |           CROSS JOIN tot
+      |WHERE n_ab >= 3""".stripMargin
+
+  /** Cohort retention matrix — the classic retention triangle: users
+    * grouped by first-activity month, counted in every later month
+    * they return. Distinct (user, month) pairs → per-user min month →
+    * one (cohort, months-since) groupBy. All date/integer arithmetic. */
+  val cohortMatrix: Q = (s, dir) => {
+    val m = events(s, dir)
+      .select(col("user_id"),
+        ((year(col("ts")) - 2020) * 12 + month(col("ts")) - 1).as("m"))
+      .distinct()
+    val first = m.groupBy(col("user_id")).agg(min(col("m")).as("m0"))
+    m.join(first, Seq("user_id"))
+      .groupBy(col("m0").as("cohort_month"), (col("m") - col("m0")).as("months_since"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val cohortMatrixSql: String =
+    s"""WITH $eventsCte,
+       |m AS (SELECT DISTINCT user_id,
+       |        (year(ts) - 2020) * 12 + month(ts) - 1 AS m FROM evts),
+       |f AS (SELECT user_id, MIN(m) AS m0 FROM m GROUP BY 1)
+       |SELECT m0 AS cohort_month, m - m0 AS months_since, COUNT(*) AS n_users
+       |FROM m JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin
+
+  /** RFM segmentation — recency/frequency/monetary quartiles per
+    * customer, the warehouse segmentation classic: exact R (days since
+    * last order vs the global max date), F (order count), M (decimal
+    * spend); quartiles via ntile(4) with the customer key completing
+    * each sort (total order → both engines bucket identically, same
+    * n/k+remainder ntile rule). The ranking runs on the AGGREGATED
+    * per-customer set, one row per customer. */
+  val rfm: Q = (s, dir) => {
+    val o = table(s, dir, "orders")
+    val per = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_d"), count(lit(1)).as("f"),
+        sum(dec2(col("o_totalprice"))).as("m"))
+    val mx = broadcast(o.agg(max(col("o_orderdate")).as("gmax")))
+    val base = per.crossJoin(mx)
+      .select(col("o_custkey"), datediff(col("gmax"), col("last_d")).as("r"),
+        col("f"), col("m"))
+    base
+      .withColumn("r_q", ntile(4).over(Window.orderBy(col("r"), col("o_custkey"))))
+      .withColumn("f_q", ntile(4).over(Window.orderBy(col("f").desc, col("o_custkey"))))
+      .withColumn("m_q", ntile(4).over(Window.orderBy(col("m").desc, col("o_custkey"))))
+      .select(col("o_custkey"), col("r"), col("f"), col("m").cast("double").as("m"),
+        col("r_q"), col("f_q"), col("m_q"),
+        (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("segment"))
+  }
+
+  val rfmSql: String =
+    s"""WITH per AS (
+       |  SELECT o_custkey, MAX(o_orderdate) AS last_d, COUNT(*) AS f,
+       |         SUM(${dec2Sql("o_totalprice")}) AS m
+       |  FROM orders GROUP BY 1),
+       |mx AS (SELECT MAX(o_orderdate) AS gmax FROM orders),
+       |base AS (
+       |  SELECT o_custkey, date_diff('day', last_d, gmax) AS r, f, m
+       |  FROM per, mx),
+       |q AS (
+       |  SELECT o_custkey, r, f, m,
+       |         NTILE(4) OVER (ORDER BY r, o_custkey) AS r_q,
+       |         NTILE(4) OVER (ORDER BY f DESC, o_custkey) AS f_q,
+       |         NTILE(4) OVER (ORDER BY m DESC, o_custkey) AS m_q
+       |  FROM base)
+       |SELECT o_custkey, CAST(r AS INT) AS r, f, CAST(m AS DOUBLE) AS m,
+       |       r_q, f_q, m_q, r_q * 100 + f_q * 10 + m_q AS segment
+       |FROM q""".stripMargin
+
   /** SCD type-2 build — each event becomes a validity interval
     * [valid_from, valid_to) per user, closed by the next event's
     * timestamp (lead window), open (NULL) for the current row: the
@@ -451,6 +563,9 @@ object RelationalQueries {
     "q_latest_per_key" -> (latestPerKey, Some(latestPerKeySql)),
     "q_funnel" -> (funnel, Some(funnelSql)),
     "q_event_transitions" -> (eventTransitions, Some(eventTransitionsSql)),
+    "q_market_basket" -> (marketBasket, Some(marketBasketSql)),
+    "q_cohort_matrix" -> (cohortMatrix, Some(cohortMatrixSql)),
+    "q_rfm" -> (rfm, Some(rfmSql)),
     "q_scd2" -> (scd2, Some(scd2Sql)),
     "q_set_ops" -> (setOps, Some(setOpsSql)),
     "q_event_windows" -> (eventWindows, Some(eventWindowsSql)),
