@@ -601,6 +601,52 @@ object TextQueries {
        |            ELSE 0.0 END AS transitivity
        |FROM tri, wg""".stripMargin
 
+  /** Community detection by synchronous LABEL PROPAGATION (Raghavan et
+    * al. 2007) over the LSH candidate graph — the community view of the
+    * near-dup structure (connected components merge everything
+    * touching; label propagation splits weakly-joined clumps). Three
+    * synchronous rounds, each: every node takes the most frequent label
+    * among its NEIGHBORS, ties to the smallest label — the argmax is
+    * min(struct(-count, label)), pure integers, so rounds are
+    * bit-deterministic and the oracle can UNROLL them as literal SQL.
+    * Fixed-iteration by design (like t_textrank): plans stay three
+    * joins deep, no checkpoint machinery needed. */
+  val labelProp: Q = (s, dir) => {
+    val e = minhashLsh(s, dir).select(col("a"), col("b"))
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    var labels = sym.select(col("a").as("v")).distinct().withColumn("lbl", col("v"))
+    for (_ <- 1 to 3) {
+      labels = sym
+        .join(labels.select(col("v").as("b"), col("lbl")), Seq("b"))
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("a"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("best"))
+        .select(col("a").as("v"), col("best.l").as("lbl"))
+    }
+    labels.select(col("v").as("doc_id"), col("lbl").as("community"))
+  }
+
+  val labelPropSql: String = {
+    val rounds = (1 to 3).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"""c$i AS (
+         |  SELECT s.a, p.lbl, COUNT(*) AS cnt
+         |  FROM sym s JOIN $prev p ON p.v = s.b GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT a AS v, lbl FROM (
+         |    SELECT a, lbl, ROW_NUMBER() OVER (PARTITION BY a ORDER BY cnt DESC, lbl) AS rn
+         |    FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $docsCte,
+       |$sigsCte,
+       |$lshPairsCte,
+       |e AS (SELECT a, b FROM lsh),
+       |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+       |l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM sym),
+       |$rounds
+       |SELECT v AS doc_id, lbl AS community FROM l3""".stripMargin
+  }
+
   /** Candidate verification — the stage after LSH in a real dedup
     * pipeline: edit distance over bounded 64-char prefixes confirms or
     * rejects each candidate pair. Verification is map-side per candidate
@@ -1408,6 +1454,7 @@ object TextQueries {
     "t_dedup_keeper" -> (dedupKeeper, Some(dedupKeeperSql)),
     "t_mixture_sample" -> (mixtureSample, Some(mixtureSampleSql)),
     "t_triangles" -> (triangles, Some(trianglesSql)),
+    "t_label_prop" -> (labelProp, Some(labelPropSql)),
     "t_substring_dedup" -> (substringDedup, Some(substringDedupSql)),
     "t_cdc_chunks" -> (cdcChunks, Some(cdcChunksSql)),
     "t_hash_split" -> (hashSplit, Some(hashSplitSql)),
