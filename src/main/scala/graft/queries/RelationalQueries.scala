@@ -346,6 +346,105 @@ object RelationalQueries {
        |       r_q, f_q, m_q, r_q * 100 + f_q * 10 + m_q AS segment
        |FROM q""".stripMargin
 
+  /** Rolling active users (DAU/WAU) — the product-analytics staple:
+    * per calendar day, users active that day and within the trailing 7
+    * days. The engine EXPLODES each (user, day) into the 7 window days
+    * it contributes to, distincts, and counts — shuffle carries
+    * (user, day) pairs scaled by the window constant, no sliding
+    * count-distinct window (Spark has none, and a per-day self-join
+    * would rescan). The oracle states it as the trailing-range join —
+    * two formulations, exact integers. */
+  val activeUsers: Q = (s, dir) => {
+    val days = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val dau = days.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val wau = days
+      .select(col("user_id"), explode(sequence(col("d"),
+        date_add(col("d"), 6), expr("interval 1 day"))).as("wd"))
+      .distinct()
+      .groupBy(col("wd").as("d")).agg(count(lit(1)).as("wau"))
+    // report only days with actual activity (the calendar tail an
+    // exploded window adds past the last active day is noise)
+    dau.join(wau, Seq("d")).select(col("d"), col("dau"), col("wau"))
+  }
+
+  val activeUsersSql: String =
+    s"""WITH $eventsCte,
+       |days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM evts),
+       |dau AS (SELECT d, COUNT(*) AS dau FROM days GROUP BY 1),
+       |wau AS (
+       |  SELECT a.d, COUNT(DISTINCT b.user_id) AS wau
+       |  FROM (SELECT DISTINCT d FROM days) a
+       |  JOIN days b ON b.d <= a.d AND b.d >= a.d - INTERVAL 6 DAY
+       |  GROUP BY 1)
+       |SELECT d, dau, wau FROM dau JOIN wau USING (d)""".stripMargin
+
+  /** CDC MERGE apply — the Delta/Iceberg MERGE semantics as a gate:
+    * a deterministic change stream (inserts, updates, deletes with
+    * sequence numbers, keyed off order keys) applies onto a base
+    * snapshot; latest-sequence-wins per key, deletes drop the row,
+    * inserts add unseen keys. The engine resolves the winning change
+    * with one max(struct(seq, op, price)) partial agg per key (never a
+    * window sort) and full-outer-joins the base; the oracle states the
+    * same semantics with a ROW_NUMBER formulation. */
+  val applyCdc: Q = (s, dir) => {
+    val base = table(s, dir, "orders").where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("k"), dec2(col("o_totalprice")).as("price"))
+    // change stream: two generations — every key mod 3 gets a seq-1
+    // update; keys mod 6 ALSO get a seq-2 change (delete when mod 12)
+    // that must win over their seq-1 row
+    val o = table(s, dir, "orders")
+    val g1 = o.where(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("k"), lit("U").as("op"),
+        (dec2(col("o_totalprice")) * 2).cast("decimal(12,2)").as("price"),
+        lit(1).as("seq"))
+    val g2 = o.where(col("o_orderkey") % 6 === 0)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 12 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        (dec2(col("o_totalprice")) * 3).cast("decimal(12,2)").as("price"),
+        lit(2).as("seq"))
+    val ch = g1.unionByName(g2)
+    val winner = ch.groupBy(col("k"))
+      .agg(max(struct(col("seq"), col("op"), col("price"))).as("w"))
+      .select(col("k"), col("w.op").as("op"), col("w.price").as("cprice"))
+    base.join(winner, Seq("k"), "full_outer")
+      .where(col("op").isNull || col("op") =!= "D")
+      .select(col("k"),
+        coalesce(col("cprice"), col("price")).cast("double").as("price"),
+        when(col("op").isNull, lit("kept"))
+          .when(col("price").isNull, lit("inserted"))
+          .otherwise(lit("updated")).as("action"))
+  }
+
+  val applyCdcSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS k, ${dec2Sql("o_totalprice")} AS price
+       |  FROM orders WHERE o_orderkey % 2 = 0),
+       |ch AS (
+       |  SELECT o_orderkey AS k, 'U' AS op,
+       |         CAST(2 * ${dec2Sql("o_totalprice")} AS DECIMAL(12,2)) AS price,
+       |         1 AS seq
+       |  FROM orders WHERE o_orderkey % 3 = 0
+       |  UNION ALL
+       |  SELECT o_orderkey AS k,
+       |         CASE WHEN o_orderkey % 12 = 0 THEN 'D' ELSE 'U' END AS op,
+       |         CAST(3 * ${dec2Sql("o_totalprice")} AS DECIMAL(12,2)) AS price,
+       |         2 AS seq
+       |  FROM orders WHERE o_orderkey % 6 = 0),
+       |w AS (
+       |  SELECT k, op, price FROM (
+       |    SELECT k, op, price,
+       |           ROW_NUMBER() OVER (PARTITION BY k
+       |             ORDER BY seq DESC, op DESC, price DESC) AS rn
+       |    FROM ch) WHERE rn = 1)
+       |SELECT COALESCE(base.k, w.k) AS k,
+       |       CAST(COALESCE(w.price, base.price) AS DOUBLE) AS price,
+       |       CASE WHEN w.op IS NULL THEN 'kept'
+       |            WHEN base.price IS NULL THEN 'inserted'
+       |            ELSE 'updated' END AS action
+       |FROM base FULL OUTER JOIN w ON base.k = w.k
+       |WHERE w.op IS NULL OR w.op <> 'D'""".stripMargin
+
   /** SCD type-2 build — each event becomes a validity interval
     * [valid_from, valid_to) per user, closed by the next event's
     * timestamp (lead window), open (NULL) for the current row: the
@@ -566,6 +665,8 @@ object RelationalQueries {
     "q_market_basket" -> (marketBasket, Some(marketBasketSql)),
     "q_cohort_matrix" -> (cohortMatrix, Some(cohortMatrixSql)),
     "q_rfm" -> (rfm, Some(rfmSql)),
+    "q_active_users" -> (activeUsers, Some(activeUsersSql)),
+    "c_apply_cdc" -> (applyCdc, Some(applyCdcSql)),
     "q_scd2" -> (scd2, Some(scd2Sql)),
     "q_set_ops" -> (setOps, Some(setOpsSql)),
     "q_event_windows" -> (eventWindows, Some(eventWindowsSql)),
