@@ -34,6 +34,9 @@ object HilbertKey {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // range-join → binned equi-join rewrite (off unless
+    // spark.graft.rangeJoin.binWidth is set; see RangeJoinRule)
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
     e.injectFunction((
       FunctionIdentifier("zorder"),
       new ExpressionInfo(classOf[ZOrderKey].getName, "zorder"),
