@@ -1221,6 +1221,42 @@ object AdvancedQueries {
        | AND ${dec2Sql("l.l_extendedprice")} < b.hi
        |GROUP BY 1""".stripMargin
 
+  /** The RANGE-JOIN RULE under the correctness gate: the same band
+    * aggregation as [[bandJoin]], but written as the NAIVE inequality
+    * join — the rewrite to the binned equi-join is done by
+    * `plans.RangeJoinRule` (injected via `extraOptimizations`, width
+    * conf set only around materialization). The query asserts the
+    * rewrite actually fired (plan carries `_graft_bin`) and caches the
+    * materialized result so the conf never leaks into other gates; the
+    * oracle is the naive join — so the gate proves the declarative
+    * rewrite preserves exact semantics on real data. */
+  val rangeJoinRule: Q = (s, dir) => {
+    val bandRows = Seq(
+      (0L, 0L, 20000L), (1L, 20000L, 40000L), (2L, 40000L, 60000L),
+      (3L, 60000L, 80000L), (4L, 80000L, 200000L))
+    val bands = s.range(1).select(explode(array(bandRows.map { case (id, lo, hi) =>
+      struct(lit(id).as("band_id"), lit(lo).as("lo"), lit(hi).as("hi"))
+    }: _*)).as("b")).select(col("b.band_id"), col("b.lo"), col("b.hi"))
+    val li = table(s, dir, "lineitem")
+      .select(col("l_orderkey"), dec2(col("l_extendedprice")).as("p"))
+    val rule = graft.plans.RangeJoinRule
+    if (!s.experimental.extraOptimizations.contains(rule))
+      s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ rule
+    s.conf.set(rule.WidthConf, "10000")
+    try {
+      val joined = li.join(bands, col("p") >= col("lo") && col("p") < col("hi"))
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("p")).as("sum_price"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("_graft_bin"), "RangeJoinRule did not fire")
+      joined.persist()
+      joined.count() // materialize under the rule, then drop the conf
+      joined
+    } finally s.conf.unset(rule.WidthConf)
+  }
+
+  val rangeJoinRuleSql: String = bandJoinSql
+
   /** Single-scan data-profiling census — the first query anyone runs on
     * an unknown 100 TB table: per column, row count, null count and
     * exact distinct count, computed in ONE aggregate pass (Catalyst
@@ -1318,6 +1354,7 @@ object AdvancedQueries {
     "a_streaks" -> (streaks, Some(streaksSql)),
     "a_interpolate" -> (interpolate, Some(interpolateSql)),
     "a_skyline" -> (skyline, Some(skylineSql)),
+    "a_range_join_rule" -> (rangeJoinRule, Some(rangeJoinRuleSql)),
     "a_shipping_priority" -> (shippingPriority, Some(shippingPrioritySql)),
     "a_nation_pairs" -> (nationPairs, Some(nationPairsSql)),
     "a_having_distinct" -> (havingDistinct, Some(havingDistinctSql)),
