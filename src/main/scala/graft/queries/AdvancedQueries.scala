@@ -1257,6 +1257,93 @@ object AdvancedQueries {
 
   val rangeJoinRuleSql: String = bandJoinSql
 
+  /** Mode per group with a total-ordered tie-break: most frequent
+    * quantity per (returnflag, linestatus), ties to the smallest value
+    * — argmax as min(struct(-count, value)) partial agg, one row per
+    * group through the final shuffle (never a per-group window sort).
+    * The oracle uses the ROW_NUMBER formulation. */
+  val modePerGroup: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("q"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("q").as("v"))).as("best"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("best.v").as("mode_qty"), (-col("best.nc")).as("n"))
+
+  val modePerGroupSql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS q,
+      |         COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2, 3)
+      |SELECT l_returnflag, l_linestatus, q AS mode_qty, cnt AS n FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+      |                               ORDER BY cnt DESC, q) AS rn
+      |  FROM c) WHERE rn = 1""".stripMargin
+
+  /** Contribution analysis — each nation's share of global revenue plus
+    * its rank: DECIMAL-exact revenue sums, one broadcast total, share =
+    * one division. The rank window runs over ~25 aggregated rows. */
+  val contribution: Q = (s, dir) => {
+    val rev = table(s, dir, "lineitem")
+      .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(table(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(dsum(revenue).as("rev"))
+    val tot = broadcast(rev.agg(dsum(col("rev").cast("decimal(24,6)")).as("total")))
+    rev.crossJoin(tot)
+      .select(col("n_name"), col("rev"),
+        (col("rev") / col("total")).as("share"),
+        rank().over(Window.orderBy(col("rev").desc, col("n_name"))).as("rnk"))
+  }
+
+  val contributionSql: String =
+    s"""WITH rev AS (
+       |  SELECT n_name, ${dsumSql(revenueSql)} AS rev
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1),
+       |tot AS (SELECT ${dsumSql("rev")} AS total FROM rev)
+       |SELECT n_name, rev, rev / total AS share,
+       |       RANK() OVER (ORDER BY rev DESC, n_name) AS rnk
+       |FROM rev, tot""".stripMargin
+
+  /** Year-over-year growth — per nation and order year, revenue beside
+    * the prior year's (lag window over the aggregated year rows) and
+    * the growth ratio: the BI staple. Exact decimal sums; the ratio is
+    * one double division. */
+  val yoyGrowth: Q = (s, dir) => {
+    val rev = table(s, dir, "lineitem")
+      .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(table(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+      .agg(dsum(revenue).as("rev"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("yr"))
+    rev.withColumn("prev_rev", lag(col("rev"), 1).over(w))
+      .select(col("n_name"), col("yr"), col("rev"), col("prev_rev"),
+        when(col("prev_rev").isNotNull && col("prev_rev") =!= 0.0,
+          col("rev") / col("prev_rev")).as("growth"))
+  }
+
+  val yoyGrowthSql: String =
+    s"""WITH rev AS (
+       |  SELECT n_name, year(o_orderdate) AS yr, ${dsumSql(revenueSql)} AS rev
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2)
+       |SELECT n_name, CAST(yr AS INT) AS yr, rev,
+       |       LAG(rev, 1) OVER (PARTITION BY n_name ORDER BY yr) AS prev_rev,
+       |       CASE WHEN LAG(rev, 1) OVER (PARTITION BY n_name ORDER BY yr) IS NOT NULL
+       |             AND LAG(rev, 1) OVER (PARTITION BY n_name ORDER BY yr) <> 0.0
+       |            THEN rev / LAG(rev, 1) OVER (PARTITION BY n_name ORDER BY yr) END AS growth
+       |FROM rev""".stripMargin
+
   /** Single-scan data-profiling census — the first query anyone runs on
     * an unknown 100 TB table: per column, row count, null count and
     * exact distinct count, computed in ONE aggregate pass (Catalyst
@@ -1355,6 +1442,9 @@ object AdvancedQueries {
     "a_interpolate" -> (interpolate, Some(interpolateSql)),
     "a_skyline" -> (skyline, Some(skylineSql)),
     "a_range_join_rule" -> (rangeJoinRule, Some(rangeJoinRuleSql)),
+    "a_mode" -> (modePerGroup, Some(modePerGroupSql)),
+    "a_contribution" -> (contribution, Some(contributionSql)),
+    "a_yoy_growth" -> (yoyGrowth, Some(yoyGrowthSql)),
     "a_shipping_priority" -> (shippingPriority, Some(shippingPrioritySql)),
     "a_nation_pairs" -> (nationPairs, Some(nationPairsSql)),
     "a_having_distinct" -> (havingDistinct, Some(havingDistinctSql)),

@@ -931,7 +931,56 @@ object RasterQueries {
        |SELECT LEAST(c1, c2) AS cls_a, GREATEST(c1, c2) AS cls_b, COUNT(*) AS n_edges
        |FROM e WHERE c1 <> c2 GROUP BY 1, 2""".stripMargin
 
+  /** Line profile extraction — sample the raster along feature lines
+    * (the elevation-profile / transect tool): each line from `part`
+    * gets 17 evenly-spaced sample stations computed with pure INTEGER
+    * interpolation (gx = x0 + (t·dx) div N — floor division, no float
+    * rounding), joined to the pixel field; stations off data cells
+    * drop, like any transect over a partial raster. Scale shape: lines
+    * explode to a fixed station count, the value lookup is one
+    * hash equi-join on pixel coords. */
+  val lineProfile: Q = (s, dir) => {
+    val N = 16
+    val lines = table(s, dir, "part").select(
+      col("p_partkey").as("line_id"),
+      // deltas kept non-negative: Spark's `div` truncates toward zero
+      // while DuckDB's `//` floors, so a negative numerator would skew
+      // stations by one cell between the engines
+      (col("p_partkey") % 23).cast("long").as("x0"),
+      (col("p_partkey") % 19).cast("long").as("y0"),
+      (col("p_partkey") % 23 + col("p_partkey") % 41 + 1).cast("long").as("x1"),
+      (col("p_partkey") % 19 + col("p_partkey") % 37 + 1).cast("long").as("y1"))
+    val st = lines
+      .select(col("line_id"), col("x0"), col("y0"), col("x1"), col("y1"),
+        explode(sequence(lit(0), lit(N))).as("t"))
+      .select(col("line_id"), col("t"),
+        (col("x0") + expr(s"(t * (x1 - x0)) div $N")).as("gx"),
+        (col("y0") + expr(s"(t * (y1 - y0)) div $N")).as("gy"))
+    val px = Raster.globalCoords(Fixtures.pixelsA(s, dir), TS, TS)
+      .select(col("gx"), col("gy"), col("v"))
+    st.join(px, Seq("gx", "gy"))
+      .select(col("line_id"), col("t"), col("gx"), col("gy"), col("v"))
+  }
+
+  val lineProfileSql: String =
+    s"""WITH $pxCte,
+       |lines AS (
+       |  SELECT p_partkey AS line_id,
+       |         CAST(p_partkey % 23 AS BIGINT) AS x0,
+       |         CAST(p_partkey % 19 AS BIGINT) AS y0,
+       |         CAST(p_partkey % 23 + p_partkey % 41 + 1 AS BIGINT) AS x1,
+       |         CAST(p_partkey % 19 + p_partkey % 37 + 1 AS BIGINT) AS y1
+       |  FROM part),
+       |st AS (
+       |  SELECT line_id, CAST(r.t AS INT) AS t,
+       |         x0 + (r.t * (x1 - x0)) // 16 AS gx,
+       |         y0 + (r.t * (y1 - y0)) // 16 AS gy
+       |  FROM lines, range(0, 17) r(t))
+       |SELECT line_id, t, gx, gy, v
+       |FROM st JOIN pga USING (gx, gy)""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "r_line_profile" -> (lineProfile, Some(lineProfileSql)),
     "r_edge_census" -> (edgeCensus, Some(edgeCensusSql)),
     "r_nn_within" -> (nnWithin, Some(nnWithinSql)),
     "r_poly_measures" -> (polyMeasures, Some(polyMeasuresSql)),
