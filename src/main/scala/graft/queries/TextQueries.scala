@@ -647,6 +647,73 @@ object TextQueries {
        |SELECT v AS doc_id, lbl AS community FROM l3""".stripMargin
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010) — the unsupervised
+    * keyphrase baseline: candidate phrases are maximal stopword-free
+    * token runs (the gaps-and-islands trick on token positions), word
+    * score = degree/frequency from exact integer phrase statistics, and
+    * each word's rational score lands in DECIMAL(18,6) BEFORE the
+    * per-phrase sum so the aggregation is order-free (the lmScore
+    * argument — here the quantized value is a ratio of small ints, no
+    * transcendental at all). Top-20 phrases by score, ties on the
+    * phrase text. Scale shape: two vocabulary-keyed aggregations + one
+    * phrase-keyed rollup; the only global sort is the TakeOrdered 20. */
+  val rakeStop = Seq("the", "a")
+
+  val rake: Q = (s, dir) => {
+    val words = docs(s, dir)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "w")))
+      .where(!col("w").isin(rakeStop: _*))
+    val rn = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i")))
+    val pw = words.withColumn("run", col("i") - rn)
+    val plen = pw.groupBy(col("doc_id"), col("run")).agg(count(lit(1)).as("len"))
+    val pww = pw.join(plen, Seq("doc_id", "run"))
+    val wstat = pww.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+    pww.join(wstat, Seq("w"))
+      .select(col("doc_id"), col("run"), col("i"), col("w"),
+        (col("deg").cast("double") / col("freq").cast("double"))
+          .cast("decimal(18,6)").as("sc"))
+      .groupBy(col("doc_id"), col("run"))
+      .agg(sum(col("sc")).cast("double").as("score"),
+        concat_ws(" ", transform(sort_array(collect_list(struct(col("i"), col("w")))),
+          p => p.getField("w"))).as("phrase"),
+        count(lit(1)).as("n_words"))
+      // ties at the cutoff are always between IDENTICAL output rows
+      // (equal phrase text ⇒ equal words ⇒ equal n_words and score),
+      // so (score, phrase) is a sufficient deterministic order
+      .select(col("phrase"), col("n_words"), col("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(20)
+  }
+
+  val rakeSql: String = {
+    val stopList = rakeStop.map(w => s"'$w'").mkString(", ")
+    s"""WITH $docsCte,
+       |wd AS (
+       |  SELECT doc_id, CAST(u.i AS INT) - 1 AS i, toks[CAST(u.i AS INT)] AS w
+       |  FROM docs, unnest(range(1, len(toks) + 1)) u(i)
+       |  WHERE toks[CAST(u.i AS INT)] NOT IN ($stopList)),
+       |pw AS (
+       |  SELECT doc_id, i, w,
+       |         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS run
+       |  FROM wd),
+       |plen AS (SELECT doc_id, run, COUNT(*) AS len FROM pw GROUP BY 1, 2),
+       |pww AS (SELECT pw.*, plen.len FROM pw JOIN plen USING (doc_id, run)),
+       |wstat AS (SELECT w, COUNT(*) AS freq, CAST(SUM(len) AS BIGINT) AS deg
+       |          FROM pww GROUP BY 1),
+       |ph AS (
+       |  SELECT pww.doc_id, pww.run,
+       |         CAST(SUM(CAST(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)
+       |                       AS DECIMAL(18,6))) AS DOUBLE) AS score,
+       |         array_to_string(list(pww.w ORDER BY pww.i), ' ') AS phrase,
+       |         COUNT(*) AS n_words
+       |  FROM pww JOIN wstat USING (w)
+       |  GROUP BY 1, 2)
+       |SELECT phrase, n_words, score FROM ph
+       |ORDER BY score DESC, phrase LIMIT 20""".stripMargin
+  }
+
   /** Candidate verification — the stage after LSH in a real dedup
     * pipeline: edit distance over bounded 64-char prefixes confirms or
     * rejects each candidate pair. Verification is map-side per candidate
@@ -1455,6 +1522,7 @@ object TextQueries {
     "t_mixture_sample" -> (mixtureSample, Some(mixtureSampleSql)),
     "t_triangles" -> (triangles, Some(trianglesSql)),
     "t_label_prop" -> (labelProp, Some(labelPropSql)),
+    "t_rake" -> (rake, Some(rakeSql)),
     "t_substring_dedup" -> (substringDedup, Some(substringDedupSql)),
     "t_cdc_chunks" -> (cdcChunks, Some(cdcChunksSql)),
     "t_hash_split" -> (hashSplit, Some(hashSplitSql)),
