@@ -1344,6 +1344,71 @@ object AdvancedQueries {
        |            THEN rev / LAG(rev, 1) OVER (PARTITION BY n_name ORDER BY yr) END AS growth
        |FROM rev""".stripMargin
 
+  /** Gini coefficient of customer revenue — the inequality measure a
+    * marketplace reports: G = (2·Σ rank·x) / (n·Σ x) − (n+1)/n over
+    * revenues sorted ascending. Σ rank·x is DECIMAL-exact (integer
+    * rank × 2-dp revenue), so the estimate is two exact sums and one
+    * fixed-order scalar chain. The rank runs over the aggregated
+    * per-customer rows (Ranking.withGlobalRanks is the 100× path). */
+  val gini: Q = (s, dir) => {
+    val per = table(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(sum(dec2(col("o_totalprice"))).as("x"))
+    val ranked = per.withColumn("rnk",
+      row_number().over(Window.orderBy(col("x"), col("o_custkey"))).cast("long"))
+    ranked.agg(
+      count(lit(1)).as("n"),
+      dsum(col("x").cast("decimal(24,6)")).as("sum_x"),
+      sum(col("rnk") * col("x").cast("decimal(24,6)")).cast("double").as("sum_rx"))
+      .select(col("n"), col("sum_x"),
+        (lit(2.0) * col("sum_rx") / (col("n").cast("double") * col("sum_x"))
+          - (col("n").cast("double") + lit(1.0)) / col("n").cast("double")).as("gini"))
+  }
+
+  val giniSql: String =
+    s"""WITH per AS (
+       |  SELECT o_custkey, SUM(${dec2Sql("o_totalprice")}) AS x
+       |  FROM orders GROUP BY 1),
+       |rk AS (
+       |  SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS BIGINT) AS rnk
+       |  FROM per),
+       |g AS (
+       |  SELECT COUNT(*) AS n,
+       |         ${dsumSql("x")} AS sum_x,
+       |         CAST(SUM(rnk * CAST(x AS DECIMAL(24,6))) AS DOUBLE) AS sum_rx
+       |  FROM rk)
+       |SELECT n, sum_x,
+       |       2.0 * sum_rx / (CAST(n AS DOUBLE) * sum_x)
+       |         - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+       |FROM g""".stripMargin
+
+  /** Benford first-digit census — the fraud/data-quality screen:
+    * observed first-significant-digit counts of order totals beside
+    * their share of rows. Pure string/integer extraction and one
+    * rational share — the DQ-rules family's distributional member. */
+  val benford: Q = (s, dir) => {
+    // first digit via floor→BIGINT→string: float-to-string formatting
+    // differs across engines (scientific notation), and decimal→int
+    // casts round in DuckDB but truncate in Spark — floor first, then
+    // the integer's leading character is engine-identical
+    val d1 = substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+    val counts = table(s, dir, "orders")
+      .groupBy(d1.cast("int").as("digit")).agg(count(lit(1)).as("n"))
+    val tot = broadcast(counts.agg(sum(col("n")).as("total")))
+    counts.crossJoin(tot)
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("total").cast("double")).as("frac"))
+  }
+
+  val benfordSql: String =
+    """WITH c AS (
+      |  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+      |                     1, 1) AS INT) AS digit,
+      |         COUNT(*) AS n
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+      |SELECT digit, n, CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS frac
+      |FROM c, t""".stripMargin
+
   /** Single-scan data-profiling census — the first query anyone runs on
     * an unknown 100 TB table: per column, row count, null count and
     * exact distinct count, computed in ONE aggregate pass (Catalyst
@@ -1445,6 +1510,8 @@ object AdvancedQueries {
     "a_mode" -> (modePerGroup, Some(modePerGroupSql)),
     "a_contribution" -> (contribution, Some(contributionSql)),
     "a_yoy_growth" -> (yoyGrowth, Some(yoyGrowthSql)),
+    "a_gini" -> (gini, Some(giniSql)),
+    "a_benford" -> (benford, Some(benfordSql)),
     "a_shipping_priority" -> (shippingPriority, Some(shippingPrioritySql)),
     "a_nation_pairs" -> (nationPairs, Some(nationPairsSql)),
     "a_having_distinct" -> (havingDistinct, Some(havingDistinctSql)),
