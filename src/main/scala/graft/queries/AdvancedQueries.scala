@@ -1351,14 +1351,20 @@ object AdvancedQueries {
     * fixed-order scalar chain. The rank runs over the aggregated
     * per-customer rows (Ranking.withGlobalRanks is the 100× path). */
   val gini: Q = (s, dir) => {
-    val per = table(s, dir, "orders").groupBy(col("o_custkey"))
+    // bounded cohort + 2-dp products: Σ rank·x must stay under 2^53 in
+    // UNSCALED decimal units, or the final decimal→double cast can
+    // differ by an ulp between Java BigDecimal and DuckDB's int128
+    // path (the Fixtures.dsum magnitude argument, squared here by the
+    // rank factor)
+    val per = table(s, dir, "orders").where(col("o_custkey") < 1000)
+      .groupBy(col("o_custkey"))
       .agg(sum(dec2(col("o_totalprice"))).as("x"))
     val ranked = per.withColumn("rnk",
       row_number().over(Window.orderBy(col("x"), col("o_custkey"))).cast("long"))
     ranked.agg(
       count(lit(1)).as("n"),
-      dsum(col("x").cast("decimal(24,6)")).as("sum_x"),
-      sum(col("rnk") * col("x").cast("decimal(24,6)")).cast("double").as("sum_rx"))
+      dsum(col("x")).as("sum_x"),
+      sum(col("rnk") * col("x")).cast("double").as("sum_rx"))
       .select(col("n"), col("sum_x"),
         (lit(2.0) * col("sum_rx") / (col("n").cast("double") * col("sum_x"))
           - (col("n").cast("double") + lit(1.0)) / col("n").cast("double")).as("gini"))
@@ -1367,14 +1373,14 @@ object AdvancedQueries {
   val giniSql: String =
     s"""WITH per AS (
        |  SELECT o_custkey, SUM(${dec2Sql("o_totalprice")}) AS x
-       |  FROM orders GROUP BY 1),
+       |  FROM orders WHERE o_custkey < 1000 GROUP BY 1),
        |rk AS (
        |  SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS BIGINT) AS rnk
        |  FROM per),
        |g AS (
        |  SELECT COUNT(*) AS n,
        |         ${dsumSql("x")} AS sum_x,
-       |         CAST(SUM(rnk * CAST(x AS DECIMAL(24,6))) AS DOUBLE) AS sum_rx
+       |         CAST(SUM(rnk * x) AS DOUBLE) AS sum_rx
        |  FROM rk)
        |SELECT n, sum_x,
        |       2.0 * sum_rx / (CAST(n AS DOUBLE) * sum_x)
