@@ -979,7 +979,70 @@ object RasterQueries {
        |SELECT line_id, t, gx, gy, v
        |FROM st JOIN pga USING (gx, gy)""".stripMargin
 
+  /** DBSCAN core-point clustering (Ester et al. 1996), grid-binned:
+    * density cores (≥ 3 neighbors within eps² = 8) cluster by
+    * connectivity over the core-core ε-graph — the density analog of
+    * the dedup pipeline's near-dup clustering, and the third user of
+    * the shared pointer-jumping CC primitive (dedup clusters, region
+    * label, now spatial density). Candidate pairs come from cell = 3
+    * binning (3x3 ring replication — covers eps = √8 < 3 — never
+    * point×point); the brute-force oracle re-derives cores and closes
+    * the min-label recursion, so the hash match proves BOTH binning
+    * completeness and the cluster labeling. Border points are out of
+    * scope by declaration (core clustering). */
+  val dbscanCore: Q = (s, dir) => {
+    val pts = table(s, dir, "customer").select(
+      col("c_custkey").as("pid"),
+      (col("c_custkey") % 163).cast("long").as("px"),
+      (col("c_custkey") % 157).cast("long").as("py"))
+    val a = pts.select(col("pid").as("qid"), col("px").as("qx"), col("py").as("qy"),
+      expr("px div 3").as("cx"), expr("py div 3").as("cy"))
+    val b = pts
+      .withColumn("dx", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("dy", explode(sequence(lit(-1L), lit(1L))))
+      .select(col("pid").as("cid"), col("px").as("sx"), col("py").as("sy"),
+        (expr("px div 3") + col("dx")).as("cx"), (expr("py div 3") + col("dy")).as("cy"))
+    val pairs = a.join(b, Seq("cx", "cy"))
+      .where(col("qid") =!= col("cid"))
+      .withColumn("d2", (col("qx") - col("sx")) * (col("qx") - col("sx"))
+        + (col("qy") - col("sy")) * (col("qy") - col("sy")))
+      .where(col("d2") <= 8)
+    val cores = pairs.groupBy(col("qid")).agg(count(lit(1)).as("nn"))
+      .where(col("nn") >= 3).select(col("qid"))
+    val edges = pairs.select(col("qid").as("a"), col("cid").as("b"))
+      .where(col("a") < col("b"))
+      .join(cores.select(col("qid").as("a")), Seq("a"))
+      .join(cores.select(col("qid").as("b")), Seq("b"))
+    val cc = graft.text.TextOps.connectedComponents(edges)
+    cores.select(col("qid").as("pid"))
+      .join(cc.select(col("node").as("pid"), col("cluster")), Seq("pid"), "left")
+      .select(col("pid"), coalesce(col("cluster"), col("pid")).as("cluster"))
+  }
+
+  val dbscanCoreSql: String =
+    """WITH RECURSIVE pts AS (
+      |  SELECT c_custkey AS pid,
+      |         CAST(c_custkey % 163 AS BIGINT) AS px,
+      |         CAST(c_custkey % 157 AS BIGINT) AS py
+      |  FROM customer),
+      |nb AS (
+      |  SELECT p.pid AS qid, q.pid AS cid
+      |  FROM pts p JOIN pts q ON p.pid <> q.pid
+      |  WHERE (p.px - q.px) * (p.px - q.px) + (p.py - q.py) * (p.py - q.py) <= 8),
+      |cores AS (SELECT qid FROM nb GROUP BY 1 HAVING COUNT(*) >= 3),
+      |e AS (
+      |  SELECT qid AS a, cid AS b FROM nb
+      |  WHERE qid < cid
+      |    AND qid IN (SELECT qid FROM cores) AND cid IN (SELECT qid FROM cores)),
+      |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+      |lab(v, lbl) AS (
+      |  SELECT qid, qid FROM cores
+      |  UNION
+      |  SELECT s.b, l.lbl FROM lab l JOIN sym s ON s.a = l.v WHERE l.lbl < s.b)
+      |SELECT v AS pid, MIN(lbl) AS cluster FROM lab GROUP BY 1""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "r_dbscan_core" -> (dbscanCore, Some(dbscanCoreSql)),
     "r_line_profile" -> (lineProfile, Some(lineProfileSql)),
     "r_edge_census" -> (edgeCensus, Some(edgeCensusSql)),
     "r_nn_within" -> (nnWithin, Some(nnWithinSql)),
