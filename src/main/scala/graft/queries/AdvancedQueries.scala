@@ -1486,7 +1486,45 @@ object AdvancedQueries {
        |       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS beta
        |FROM ms WHERE n >= 5""".stripMargin
 
+  /** Hierarchy flattening (root + depth per node) — the recursive-CTE
+    * query class Spark SQL cannot express natively (org charts, BOM
+    * explosions, folder trees). The tree is synthesized on customer:
+    * parent(k) = k div 3, a root when that is 0 — strictly decreasing,
+    * so acyclic by construction. The Spark side resolves every node by
+    * POINTER DOUBLING: start from (k → parent, hop=1) and repeatedly
+    * compose the table with itself (j := j∘j, d := d + d∘j), so a chain
+    * of depth D resolves in ⌈log₂ D⌉ self-joins — 6 fixed rounds cover
+    * depth 64, i.e. keys up to 3^64, at ANY data scale; each round is
+    * ONE equi-join shuffle of a 3-column table, never a per-level walk.
+    * Roots map to themselves with hop 0, so converged rows are a
+    * fixpoint and extra rounds are no-ops. The oracle is DuckDB's
+    * actual WITH RECURSIVE walking each chain one level at a time —
+    * two entirely different algorithms, same rows. */
+  val hierarchy: Q = (s, dir) => {
+    var f = table(s, dir, "customer")
+      .select(col("c_custkey").as("k"),
+        when(expr("c_custkey div 3") > 0, expr("c_custkey div 3"))
+          .otherwise(col("c_custkey")).as("j"),
+        when(expr("c_custkey div 3") > 0, lit(1)).otherwise(lit(0)).as("d"))
+    for (_ <- 1 to 6)
+      f = f.as("a")
+        .join(f.select(col("k").as("j"), col("j").as("jj"), col("d").as("dd")), Seq("j"))
+        .select(col("k"), col("jj").as("j"), (col("d") + col("dd")).as("d"))
+    f.select(col("k").as("c_custkey"), col("j").as("root"),
+      col("d").cast("int").as("depth"))
+  }
+
+  val hierarchySql: String =
+    """WITH RECURSIVE walk AS (
+      |  SELECT c_custkey AS k, c_custkey AS cur, 0 AS depth FROM customer
+      |  UNION ALL
+      |  SELECT k, cur // 3, depth + 1 FROM walk WHERE cur // 3 > 0)
+      |SELECT k AS c_custkey, MAX_BY(cur, depth) AS root,
+      |       CAST(MAX(depth) AS INT) AS depth
+      |FROM walk GROUP BY 1""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_hierarchy" -> (hierarchy, Some(hierarchySql)),
     "a_rolling_beta" -> (rollingBeta, Some(rollingBetaSql)),
     "a_band_join" -> (bandJoin, Some(bandJoinSql)),
     "a_data_profile" -> (dataProfile, Some(dataProfileSql)),

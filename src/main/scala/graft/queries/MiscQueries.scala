@@ -472,7 +472,83 @@ object MiscQueries {
        |                     AS DECIMAL(24,6))) AS DOUBLE) AS sum_price
        |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Exact ROC-AUC by tie-aware rank statistics (Mann-Whitney U) — the
+    * threshold-free classifier metric next to m_prf_report's fixed
+    * confusion. Score = n_chars, label = (lang = 'en'): a real
+    * length-vs-language signal in the corpus. Formulated WITHOUT a
+    * global per-row rank: rows first collapse to score groups (one
+    * combiner-friendly Exchange), then 2·U1 = Σ_s p_s·(2·N_<s + n_s)
+    * needs only a prefix sum over the DISTINCT-score table — the
+    * single-partition window runs on |scores| rows, not |rows| (at
+    * corpus scale scores are discrete/binned, so this stays tiny; the
+    * tie handling is exactly the average-rank convention). The final
+    * AUC is ONE IEEE division of two exactly-represented integers, so
+    * both engines agree bitwise. */
+  val auc: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val g = table(s, dir, "documents")
+      .select(col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .groupBy(col("score"))
+      .agg(sum(col("y")).as("p"), sum(lit(1L) - col("y")).as("n"))
+    val below = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("nlt", coalesce(sum(col("n")).over(below), lit(0L)))
+      .agg(sum(col("p") * (lit(2) * col("nlt") + col("n"))).as("u2"),
+        sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("u2").cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+  }
+
+  val aucSql: String =
+    """WITH g AS (
+      |  SELECT n_chars AS score,
+      |         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p,
+      |         SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n
+      |  FROM documents GROUP BY 1),
+      |c AS (
+      |  SELECT p, n,
+      |         COALESCE(SUM(n) OVER (ORDER BY score
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nlt
+      |  FROM g),
+      |u AS (SELECT CAST(SUM(p * (2 * nlt + n)) AS BIGINT) AS u2,
+      |             CAST(SUM(p) AS BIGINT) AS n_pos,
+      |             CAST(SUM(n) AS BIGINT) AS n_neg
+      |      FROM c)
+      |SELECT n_pos, n_neg,
+      |       CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+      |FROM u""".stripMargin
+
+  /** Calibration (reliability) bins — does the score's magnitude track
+    * the empirical positive rate? Ten fixed-width bins on the score,
+    * per-bin count, mean score and observed positive fraction. Pure
+    * integer aggregation (the only floats are per-bin scalar divisions
+    * of exact integer sums), zero windows, one Exchange on the bin key
+    * — the cheapest possible eval sweep at any scale. */
+  val calibration: Q = (s, dir) =>
+    table(s, dir, "documents")
+      .select(least(expr("n_chars div 50"), lit(9L)).cast("int").as("bin"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        col("n_chars"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_chars"),
+        (sum(col("y")).cast("double") / count(lit(1)).cast("double"))
+          .as("frac_pos"))
+
+  val calibrationSql: String =
+    """SELECT CAST(LEAST(n_chars // 50, 9) AS INT) AS bin,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_chars,
+      |       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / CAST(COUNT(*) AS DOUBLE) AS frac_pos
+      |FROM documents GROUP BY 1""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "m_auc" -> (auc, Some(aucSql)),
+    "m_calibration" -> (calibration, Some(calibrationSql)),
     "c_orc_roundtrip" -> (orcRoundtrip, Some(orcRoundtripSql)),
     "c_partition_overwrite" -> (partitionOverwrite, Some(partitionOverwriteSql)),
     "c_schema_merge" -> (schemaMerge, Some(schemaMergeSql)),

@@ -293,6 +293,28 @@ object SimQueries {
        |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
        |SELECT a, b, cos FROM pairs WHERE cos >= $DupThreshold""".stripMargin
 
+  /** k-NN graph over the LSH candidate buckets — [[Similarity.knnGraph]]:
+    * each vector's top-3 cosine neighbors among same-bucket candidates,
+    * the build step of graph-ANN indexes (NSW/HNSW layers start exactly
+    * here) and of embedding-side cluster pipelines. Same bucket join as
+    * s_cosine_dedup, but ranked per NODE (window partitioned by qid)
+    * instead of thresholded — so the gate additionally pins the
+    * deterministic per-node cut (ties on cid). */
+  val knnGraph: Q = (s, dir) =>
+    Similarity.knnGraph(table(s, dir, "embeddings"), Planes, K)
+
+  val knnGraphSql: String =
+    s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+       |pairs AS (
+       |  SELECT x.vec_id AS qid, y.vec_id AS cid,
+       |         ${cosSql("x.embedding", "y.embedding")} AS cos
+       |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+       |ranked AS (
+       |  SELECT qid, cid, cos,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
+       |  FROM pairs)
+       |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= $K""".stripMargin
+
   /** Exact duplicate vectors by full-precision content hash (dedup for
     * embedding tables): md5 over the comma-joined float renderings would
     * be format-fragile, so hash the sign+magnitude-stable double cast
@@ -897,6 +919,7 @@ object SimQueries {
   }
 
   val all: Map[String, (Q, Option[String])] = Map(
+    "s_knn_graph" -> (knnGraph, Some(knnGraphSql)),
     "s_random_proj" -> (randomProj, Some(randomProjSql)),
     "s_ann_brute" -> (annBrute, Some(annBruteSql)),
     "s_ann_media" -> (annMedia, Some(annMediaSql)),

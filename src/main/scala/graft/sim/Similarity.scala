@@ -199,6 +199,28 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** k-NN GRAPH over LSH buckets: for every vector, its top-k cosine
+    * neighbors among same-bucket candidates — the per-node view of
+    * [[cosineNearDupPairs]] (which keeps threshold pairs), and the
+    * build primitive of graph-ANN indexes and embedding-cluster
+    * pipelines. Candidates come from the hyperplane bucket join, never
+    * vector x vector; ranking is a window PER NODE (partitionBy qid —
+    * no global sort), ties broken on the neighbor id so the cut at k
+    * is deterministic. Nodes alone in their bucket emit no rows (no
+    * candidates — the recall/band trade documented on the LSH path). */
+  def knnGraph(vectors: DataFrame, planes: Array[Array[Double]], k: Int): DataFrame = {
+    val b = vectors.select(col("vec_id"), col("embedding"),
+      hyperplaneBucket(col("embedding"), planes).as("bucket"))
+    val pairs = b.select(col("bucket"), col("vec_id").as("qid"), col("embedding").as("ea"))
+      .join(b.select(col("bucket"), col("vec_id").as("cid"), col("embedding").as("eb")), Seq("bucket"))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("ea"), col("eb")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    pairs.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+  }
+
   // ---- Product quantization: persisted byte-codes index --------------
 
   /** Seeded two-decimal PQ codebook (m subspaces x k codes x sub dims)
