@@ -324,6 +324,43 @@ object TileMath {
     * cells become NoData (and drop at pixelize). With integral-valued
     * cells every weighted sum is exact in IEEE754, so the result is
     * bit-portable regardless of accumulation order. */
+  /** Generic kernel convolution over a padded tile: out(x,y) =
+    * Σ kernel(r)(c)·window(r,c), kernel row-major with r increasing
+    * DOWNWARD (pixel y down) and c rightward, window side 2·pad+1.
+    * Defined only where every window cell is data — a partial-window
+    * convolution is biased (same rule as [[hornSlope]]); zero-weight
+    * cells still require data. Accumulation order is fixed row-major,
+    * and with integer weights over integral cells every partial sum is
+    * IEEE-exact, so an orderless relational twin agrees bitwise. */
+  def convolve(padded: Array[Double], cols: Int, rows: Int, pad: Int,
+               kernel: Array[Double]): Array[Double] = {
+    val pc = cols + 2 * pad
+    val k = 2 * pad + 1
+    val out = new Array[Double](cols * rows)
+    var y = 0
+    while (y < rows) {
+      var x = 0
+      while (x < cols) {
+        var acc = 0.0
+        var ok = true
+        var dy = 0
+        while (ok && dy < k) {
+          var dx = 0
+          while (ok && dx < k) {
+            val v = padded((x + dx) + (y + dy) * pc)
+            if (!isData(v)) ok = false else acc += kernel(dx + dy * k) * v
+            dx += 1
+          }
+          dy += 1
+        }
+        out(x + y * cols) = if (ok) acc else Double.NaN
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   def hornSlope(padded: Array[Double], cols: Int, rows: Int, pad: Int): Array[Double] = {
     val pc = cols + 2 * pad
     val out = new Array[Double](cols * rows)

@@ -132,6 +132,25 @@ object Raster {
       .select(col("tile_col"), col("tile_row"),
         focalMeanUdf(col("padded"), lit(cols), lit(rows), lit(radius), lit(radius), lit(circle)).as("cells"))
 
+  private val convolveUdf = udf((padded: Seq[Double], cols: Int, rows: Int, pad: Int, kernel: Seq[Double]) =>
+    TileMath.convolve(padded.toArray, cols, rows, pad, kernel.toArray).toSeq)
+
+  /** Generic focal convolution with a caller-supplied square kernel
+    * (odd side; row index downward) — the user-defined-kernel member of
+    * the focal family: sharpen/emboss/Gaussian/edge kernels all ride
+    * the SAME pad=(side-1)/2 halo exchange as [[slope]], so a custom
+    * kernel costs exactly what the built-ins cost. Cells without a
+    * full data window become NoData (TileMath.convolve). */
+  def convolve(tiles: DataFrame, cols: Int, rows: Int, kernel: Array[Array[Double]]): DataFrame = {
+    require(kernel.length % 2 == 1 && kernel.forall(_.length == kernel.length),
+      "kernel must be square with odd side")
+    val pad = (kernel.length - 1) / 2
+    withHalo(tiles, cols, rows, pad)
+      .select(col("tile_col"), col("tile_row"),
+        convolveUdf(col("padded"), lit(cols), lit(rows), lit(pad),
+          typedLit(kernel.flatten.toSeq)).as("cells"))
+  }
+
   private val hornSlopeUdf = udf((padded: Seq[Double], cols: Int, rows: Int) =>
     TileMath.hornSlope(padded.toArray, cols, rows, pad = 1).toSeq)
 

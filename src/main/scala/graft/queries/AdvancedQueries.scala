@@ -1523,7 +1523,45 @@ object AdvancedQueries {
       |       CAST(MAX(depth) AS INT) AS depth
       |FROM walk GROUP BY 1""".stripMargin
 
+  /** Exponentially weighted moving average (α = 1/2) over each user's
+    * last-10 event values — the smoothing recursion every monitoring
+    * stack runs, made EXACT: values quantize to integer cents, and the
+    * fold acc' = acc/2 + x only ever divides by two, so every partial
+    * sum is a dyadic rational with ≤ 2⁹ in the denominator — exactly
+    * representable in a double, hence order-of-evaluation is the ONLY
+    * freedom and both engines fix it by folding the frame list left to
+    * right (Spark `aggregate` from 0.0 and DuckDB `list_reduce` from
+    * the first element agree after one step). Scale shape: one
+    * user-keyed Exchange; the frame list is ≤ 10 longs per row. */
+  val ewma: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-9, 0)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+      .withColumn("ewma",
+        aggregate(collect_list(col("cents")).over(w), lit(0.0),
+          (acc, x) => acc / 2 + x.cast("double")) / 100.0)
+      .select(col("event_id"), col("user_id"), col("ewma"))
+  }
+
+  val ewmaSql: String =
+    s"""WITH $eventsCte,
+       |l AS (
+       |  SELECT event_id, user_id,
+       |         -- elements must be DOUBLE: list_reduce casts each lambda
+       |         -- result back to the element type, so BIGINT elements
+       |         -- would round away the dyadic halves mid-fold
+       |         list(CAST(CAST(${dec2Sql("value")} * 100 AS BIGINT) AS DOUBLE))
+       |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS cs
+       |  FROM evts)
+       |SELECT event_id, user_id,
+       |       list_reduce(cs, (a, x) -> a / 2 + x) / 100.0 AS ewma
+       |FROM l""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_ewma" -> (ewma, Some(ewmaSql)),
     "a_hierarchy" -> (hierarchy, Some(hierarchySql)),
     "a_rolling_beta" -> (rollingBeta, Some(rollingBetaSql)),
     "a_band_join" -> (bandJoin, Some(bandJoinSql)),

@@ -168,6 +168,39 @@ object RasterQueries {
        |       SQRT(sx * sx + sy * sy) AS v
        |FROM nb WHERE n = 8""".stripMargin
 
+  /** User-defined focal kernel ([[Raster.convolve]]): a deliberately
+    * ASYMMETRIC integer 3x3 kernel (east weight 2, south weight 3), so
+    * the hash match also pins kernel ORIENTATION — a transposed or
+    * mirrored window would produce different rows. One kernel literal
+    * feeds both the Spark expression and the generated CASE weights in
+    * the oracle, so the two sides cannot drift. Integer weights over
+    * integral cells keep the orderless SQL SUM bitwise equal to the
+    * kernel's row-major fold. */
+  private val convKernel: Array[Array[Double]] =
+    Array(Array(0, 1, 0), Array(1, 4, 2), Array(0, 3, 0))
+
+  val convolve: Q = (s, dir) =>
+    Raster.pixelize(Raster.convolve(tilesA(s, dir), TS, TS, convKernel), TS)
+
+  val convolveSql: String = {
+    val cases = (for { r <- 0 until 3; c <- 0 until 3 } yield
+      s"WHEN p.gx - c.gx = ${c - 1} AND p.gy - c.gy = ${r - 1} THEN ${convKernel(r)(c).toInt}")
+      .mkString("\n       |                  ")
+    s"""WITH $pxCte,
+       |nb AS (
+       |  SELECT c.gx AS gx, c.gy AS gy,
+       |         SUM((CASE $cases
+       |                  ELSE 0 END) * p.v) AS wv,
+       |         COUNT(*) AS n
+       |  FROM pga c JOIN pga p
+       |    ON ABS(p.gx - c.gx) <= 1 AND ABS(p.gy - c.gy) <= 1
+       |  GROUP BY 1, 2)
+       |SELECT CAST(gx // $TS AS INT) AS tile_col, CAST(gy // $TS AS INT) AS tile_row,
+       |       CAST(gx % $TS AS INT) AS px, CAST(gy % $TS AS INT) AS py,
+       |       CAST(wv AS DOUBLE) AS v
+       |FROM nb WHERE n = 9""".stripMargin
+  }
+
   /** Terrain family, rendering member: Lambertian hillshade. Light
     * vector (-0.5, -0.5, sin45°) — the 315°/45° choice makes both
     * horizontal components exactly ±0.5, so the shade expression is
@@ -1063,6 +1096,7 @@ object RasterQueries {
     "r_histogram_bins" -> (histogramBins, Some(histogramBinsSql)),
     "r_focal_mean" -> (focalMean, Some(focalMeanSql)),
     "r_slope" -> (slope, Some(slopeSql)),
+    "r_convolve" -> (convolve, Some(convolveSql)),
     "r_hillshade" -> (hillshade, Some(hillshadeSql)),
     "r_flow_dir" -> (flowDir, Some(flowDirSql)),
     "r_flow_accum" -> (flowAccum, Some(flowAccumSql)),
