@@ -546,7 +546,57 @@ object MiscQueries {
       |         / CAST(COUNT(*) AS DOUBLE) AS frac_pos
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Chi-square independence test + Cramér's V between two categorical
+    * columns (lang x source) — the association census run before using
+    * a column as a stratification or split key. Entirely
+    * transcendental-free: chi² = Σ O²·N/(r·c) − N (algebraically equal
+    * to Σ(O−E)²/E when margins sum to N), every per-cell input is an
+    * exact integer below 2^53, the one division and one multiply are
+    * fixed-order scalars, and the cross-cell SUM happens in DECIMAL —
+    * so unlike ln-based metrics this gate is bitwise-deterministic
+    * with NO quantization dodge. Scale: two margin aggregations + the
+    * cell aggregation, margins broadcast back onto cells. */
+  val chi2: Q = (s, dir) => {
+    val d = table(s, dir, "documents")
+    val o = d.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val rx = d.groupBy(col("lang")).agg(count(lit(1)).as("rx"))
+    val cy = d.groupBy(col("source")).agg(count(lit(1)).as("cy"))
+    val tot = d.agg(count(lit(1)).as("n"),
+      countDistinct(col("lang")).as("r"), countDistinct(col("source")).as("c"))
+    val term = ((col("o") * col("o")).cast("double")
+      / (col("rx") * col("cy")).cast("double")
+      * col("n").cast("double")).cast("decimal(24,10)")
+    o.join(broadcast(rx), Seq("lang")).join(broadcast(cy), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(term).as("sq"), max(col("n")).as("n"),
+        max(col("r")).as("r"), max(col("c")).as("c"))
+      .select(col("n"),
+        ((col("r") - 1) * (col("c") - 1)).cast("int").as("dof"),
+        (col("sq").cast("double") - col("n").cast("double")).as("chi2"),
+        sqrt((col("sq").cast("double") - col("n").cast("double"))
+          / (col("n") * least(col("r") - 1, col("c") - 1)).cast("double"))
+          .as("cramers_v"))
+  }
+
+  val chi2Sql: String =
+    """WITH o AS (SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+      |rx AS (SELECT lang, COUNT(*) AS rx FROM documents GROUP BY 1),
+      |cy AS (SELECT source, COUNT(*) AS cy FROM documents GROUP BY 1),
+      |t AS (SELECT COUNT(*) AS n, COUNT(DISTINCT lang) AS r,
+      |             COUNT(DISTINCT source) AS c FROM documents),
+      |s AS (
+      |  SELECT CAST(SUM(CAST(CAST(o.o * o.o AS DOUBLE) / CAST(rx.rx * cy.cy AS DOUBLE)
+      |                        * CAST(t.n AS DOUBLE) AS DECIMAL(24,10))) AS DOUBLE) AS sq,
+      |         MAX(t.n) AS n, MAX(t.r) AS r, MAX(t.c) AS c
+      |  FROM o JOIN rx USING (lang) JOIN cy USING (source) CROSS JOIN t)
+      |SELECT n, CAST((r - 1) * (c - 1) AS INT) AS dof,
+      |       sq - CAST(n AS DOUBLE) AS chi2,
+      |       SQRT((sq - CAST(n AS DOUBLE))
+      |            / CAST(n * LEAST(r - 1, c - 1) AS DOUBLE)) AS cramers_v
+      |FROM s""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "m_chi2" -> (chi2, Some(chi2Sql)),
     "m_auc" -> (auc, Some(aucSql)),
     "m_calibration" -> (calibration, Some(calibrationSql)),
     "c_orc_roundtrip" -> (orcRoundtrip, Some(orcRoundtripSql)),

@@ -1515,7 +1515,95 @@ object TextQueries {
       |  CAST(length(regexp_replace(text, '\b(customer|supplier|part)\b', '[PII]', 'g')) AS INT) AS n_chars_redacted
       |FROM documents""".stripMargin
 
+  /** Per-source token-distribution Shannon entropy — the diversity
+    * census of a corpus slice (low entropy = templated/boilerplate
+    * source, a primary quality signal next to t_repetition). Uses
+    * H = ln N − (Σ c·ln c)/N so the only aggregation over floats is
+    * Σ c·ln c, where each ln c is quantized to DECIMAL(18,6) BEFORE
+    * the bigint-weighted, order-free DECIMAL sum (the lmScore
+    * discipline); ln N is likewise quantized so the final three-op
+    * scalar chain is identical in both engines. Scale shape: one
+    * (source, token) aggregation, then a source-keyed rollup. */
+  val entropy: Q = (s, dir) => {
+    val toks = docs(s, dir)
+      .join(table(s, dir, "documents").select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), explode(col("toks")).as("tok"))
+    val c = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    c.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c") * log(col("c").cast("double")).cast("decimal(18,6)")).as("slc"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        (log(col("n_tokens").cast("double")).cast("decimal(18,6)").cast("double")
+          - col("slc").cast("double") / col("n_tokens").cast("double")).as("entropy"))
+  }
+
+  val entropySql: String =
+    s"""WITH $docsCte,
+       |tk AS (SELECT d2.source, u.tok
+       |       FROM docs JOIN documents d2 USING (doc_id), unnest(docs.toks) u(tok)),
+       |c AS (SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+       |g AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |             COUNT(*) AS n_types,
+       |             SUM(c * CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,6))) AS slc
+       |      FROM c GROUP BY 1)
+       |SELECT source, n_tokens, n_types,
+       |       CAST(CAST(ln(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE)
+       |         - CAST(slc AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS entropy
+       |FROM g""".stripMargin
+
+  /** Population stability index between the corpus's first and second
+    * source cohorts over fixed n_chars bins — the drift metric run
+    * between two snapshots of a feed before retraining on it. Counts
+    * are add-one smoothed (so empty bins stay defined), each bin's
+    * (p_a − p_b)·ln(p_a/p_b) is a fixed-order scalar chain quantized
+    * to DECIMAL(18,6) before the cross-bin sums (per-row psi_term and
+    * the orderless window total). One conditional aggregation over the
+    * bin key; group sizes ride an orderless window sum. */
+  val psi: Q = (s, dir) => {
+    val grp = when(substring(col("source"), 4, 10).cast("int") < 10, lit("a"))
+      .otherwise(lit("b"))
+    val g = table(s, dir, "documents")
+      .select(least(expr("n_chars div 50"), lit(9L)).cast("int").as("bin"), grp.as("grp"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("grp") === "a", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("grp") === "b", 1L).otherwise(0L)).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wa = g.withColumn("na", sum(col("ca")).over(w))
+      .withColumn("nb", sum(col("cb")).over(w))
+    val pa = (col("ca") + 1).cast("double") / (col("na") + 10).cast("double")
+    val pb = (col("cb") + 1).cast("double") / (col("nb") + 10).cast("double")
+    wa.withColumn("term", ((pa - pb) * log(pa / pb)).cast("decimal(18,6)"))
+      .select(col("bin"), col("ca").as("n_a"), col("cb").as("n_b"),
+        col("term").cast("double").as("psi_term"),
+        sum(col("term")).over(w).cast("double").as("psi"))
+  }
+
+  val psiSql: String =
+    """WITH g AS (
+      |  SELECT CAST(LEAST(n_chars // 50, 9) AS INT) AS bin,
+      |         SUM(CASE WHEN CAST(SUBSTR(source, 4) AS INT) < 10 THEN 1 ELSE 0 END) AS ca,
+      |         SUM(CASE WHEN CAST(SUBSTR(source, 4) AS INT) < 10 THEN 0 ELSE 1 END) AS cb
+      |  FROM documents GROUP BY 1),
+      |w AS (
+      |  SELECT bin, ca, cb, SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb FROM g),
+      |t AS (
+      |  SELECT bin, ca, cb,
+      |         CAST((CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE)
+      |               - CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE))
+      |              * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE))
+      |                   / (CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE)))
+      |              AS DECIMAL(18,6)) AS term
+      |  FROM w)
+      |SELECT bin, ca AS n_a, cb AS n_b,
+      |       CAST(term AS DOUBLE) AS psi_term,
+      |       CAST(SUM(term) OVER () AS DOUBLE) AS psi
+      |FROM t""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "t_entropy" -> (entropy, Some(entropySql)),
+    "t_psi" -> (psi, Some(psiSql)),
     "t_lsh_verify" -> (lshVerify, Some(lshVerifySql)),
     "t_dedup_clusters" -> (dedupClusters, Some(dedupClustersSql)),
     "t_dedup_keeper" -> (dedupKeeper, Some(dedupKeeperSql)),
