@@ -69,6 +69,28 @@ class TileMathSpec extends AnyFunSuite {
     assert(out(1 + 1 * 3) == (2.0 + 4 + 6 + 8) / 4) // center NaN not counted
   }
 
+  test("convolve: asymmetric kernel golden, orientation and NoData rule") {
+    // 3x3 tile, pad 1; only the center cell has a full 3x3 data window.
+    val pad = 1; val pc = 5
+    val padded = TileMath.empty(pc, pc)
+    val vals = Array[Double](1, 2, 3, 4, 5, 6, 7, 8, 9)
+    for (y <- 0 until 3; x <- 0 until 3) padded((x + 1) + (y + 1) * pc) = vals(x + y * 3)
+    // kernel row 0 = NORTH row: center reads N=2 (w 1), W=4 (w 1),
+    // C=5 (w 4), E=6 (w 2), S=8 (w 3) -> 2 + 4 + 20 + 12 + 24 = 62
+    val k = Array[Double](0, 1, 0, 1, 4, 2, 0, 3, 0)
+    val out = convolve(padded, 3, 3, pad, k)
+    assert(out(1 + 1 * 3) == 62.0)
+    assert(out(0).isNaN && out(2).isNaN && out(8).isNaN) // edge windows incomplete
+    // a transposed kernel must differ (S weight 3 vs E weight 3):
+    val kT = Array[Double](0, 1, 0, 1, 4, 3, 0, 2, 0)
+    assert(convolve(padded, 3, 3, pad, kT)(1 + 1 * 3) == 2 + 4 + 20 + 18 + 16)
+    // NoData anywhere in the window kills the cell, even at weight 0:
+    // the NE corner of the center's window has kernel weight 0
+    val padded2 = padded.clone()
+    padded2(3 + 1 * pc) = Double.NaN
+    assert(convolve(padded2, 3, 3, pad, k)(1 + 1 * 3).isNaN)
+  }
+
   test("burnRect clips to tile and burns half-open rect") {
     val a = TileMath.empty(4, 4)
     burnRect(a, 4, 4, 1, 1, 5, 5, 7, 7, 9.0) // tile (1,1) covers global 4..8

@@ -304,6 +304,43 @@ class QuerySignalsSpec extends AnyFunSuite {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
   }
 
+  test("hierarchy: pointer doubling resolves a depth-10 chain like the recursive walk") {
+    // keys 3^0..3^10 form one chain of depth 10 (deeper than any sf dir
+    // provides); plus off-chain keys and the 0 root. The parent closure
+    // is included so every pointer resolves.
+    val seed = (0 to 10).map(j => math.pow(3, j).toLong) ++ Seq(7L, 25L, 0L)
+    val closure = scala.collection.mutable.Set[Long]()
+    def add(k: Long): Unit = if (closure.add(k) && k / 3 > 0) add(k / 3)
+    seed.foreach(add)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hier").toString
+    closure.toSeq.toDF("c_custkey").write.mode("overwrite")
+      .parquet(s"$dir/customer.parquet")
+    val got = AdvancedQueries.hierarchy(spark, dir)
+      .select($"c_custkey", $"root", $"depth".cast("long"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    def walk(k: Long): (Long, Long) = {
+      var cur = k; var d = 0L
+      while (cur / 3 > 0) { cur = cur / 3; d += 1 }
+      (cur, d)
+    }
+    assert(got.size == closure.size)
+    closure.foreach(k => assert(got(k) == walk(k), s"key $k"))
+    assert(got(59049L) == ((1L, 10L)))
+  }
+
+  test("auc: hand-computed tie-aware value on a crafted score/label table") {
+    // scores (n_chars) with labels (lang): (1,neg) (1,pos) (2,neg) (3,pos) (3,pos)
+    // U1 = 0.5 (tie at 1) + 2 + 2 = 4.5; AUC = 4.5 / (3*2) = 0.75
+    val dir = java.nio.file.Files.createTempDirectory("graft_auc").toString
+    Seq((0L, "x", "de", "s", 1L), (1L, "x", "en", "s", 1L), (2L, "x", "de", "s", 2L),
+      (3L, "x", "en", "s", 3L), (4L, "x", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = MiscQueries.auc(spark, dir).collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 0.75)
+  }
+
   test("centroid classifier: complete partition of the test split over real classes") {
     val e = spark.read.parquet(s"$Sf/embeddings.parquet")
     val labels = e.select($"label".cast("long")).distinct().as[Long].collect().toSet

@@ -147,6 +147,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("knn graph: per-node top-k equals brute force inside buckets, rank contract holds") {
+    import org.apache.spark.sql.expressions.Window
+    val planes = Similarity.hyperplanes(6, 64)
+    val k = 3
+    val g = Similarity.knnGraph(emb, planes, k).cache()
+    assert(g.count() > 0)
+    // rank is 1..k per node, dense from 1, no self-edges
+    assert(g.where($"rank" < 1 || $"rank" > k).count() == 0)
+    assert(g.where($"qid" === $"cid").count() == 0)
+    assert(g.groupBy($"qid").agg(org.apache.spark.sql.functions.max($"rank").as("m"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .where($"m" =!= $"n").count() == 0)
+    // against brute force restricted to same-bucket candidates
+    val b = emb.select($"vec_id", $"embedding",
+      Similarity.hyperplaneBucket($"embedding", planes).as("bk"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    val brute = b.as("x").join(b.as("y"),
+        $"x.bk" === $"y.bk" && $"x.vec_id" =!= $"y.vec_id")
+      .select($"x.vec_id".as("qid"), $"y.vec_id".as("cid"),
+        Similarity.cosine($"x.embedding", $"y.embedding").as("cos"))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .where($"rank" <= k)
+      .select($"qid", $"cid", $"rank").as[(Long, Long, Int)].collect().toSet
+    val got = g.select($"qid", $"cid", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(got == brute)
+  }
+
   test("persisted PQ index: probe + rerank reproduces the s_ann_pq gate exactly") {
     import org.apache.spark.sql.expressions.Window
     // same codebook as the gate query (shared seeded builder)
