@@ -1497,19 +1497,35 @@ object AdvancedQueries {
     * depth 64, i.e. keys up to 3^64, at ANY data scale; each round is
     * ONE equi-join shuffle of a 3-column table, never a per-level walk.
     * Roots map to themselves with hop 0, so converged rows are a
-    * fixpoint and extra rounds are no-ops. The oracle is DuckDB's
-    * actual WITH RECURSIVE walking each chain one level at a time —
-    * two entirely different algorithms, same rows. */
+    * fixpoint and extra rounds are no-ops. Each round eagerly
+    * localCheckpoints (the connectedComponents discipline,
+    * text/TextOps.scala): without it the self-join DOUBLES the logical
+    * plan per round — 2^6 scan leaves, every round recomputed from
+    * parquet — while the checkpoint keeps per-round plans O(1) and
+    * runs each round exactly once; superseded checkpoint blocks are
+    * freed as in the CC loop. The oracle is DuckDB's actual WITH
+    * RECURSIVE walking each chain one level at a time — two entirely
+    * different algorithms, same rows. */
   val hierarchy: Q = (s, dir) => {
+    def ckRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
     var f = table(s, dir, "customer")
       .select(col("c_custkey").as("k"),
         when(expr("c_custkey div 3") > 0, expr("c_custkey div 3"))
           .otherwise(col("c_custkey")).as("j"),
         when(expr("c_custkey div 3") > 0, lit(1)).otherwise(lit(0)).as("d"))
-    for (_ <- 1 to 6)
+      .localCheckpoint(true)
+    var prev = ckRdds(f)
+    for (_ <- 1 to 6) {
       f = f.as("a")
         .join(f.select(col("k").as("j"), col("j").as("jj"), col("d").as("dd")), Seq("j"))
         .select(col("k"), col("jj").as("j"), (col("d") + col("dd")).as("d"))
+        .localCheckpoint(true)
+      prev.foreach(_.unpersist(false))
+      prev = ckRdds(f)
+    }
     f.select(col("k").as("c_custkey"), col("j").as("root"),
       col("d").cast("int").as("depth"))
   }
