@@ -72,6 +72,80 @@ object RelationalQueries {
        |JOIN region ON n_regionkey = r_regionkey
        |GROUP BY 1""".stripMargin
 
+  /** TPC-H Q7 shape (volume shipping): revenue flowing between two
+    * nations in either direction, by the SUPPLIER and CUSTOMER nation
+    * roles and ship year — the one query where the same dimension
+    * (nation) joins twice under different roles, so alias hygiene is
+    * what the gate pins. Both nation sides and the customer/supplier
+    * dims broadcast; the fact scans once. */
+  val volumeShipping: Q = (s, dir) => {
+    val n1 = broadcast(table(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(table(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    table(s, dir, "lineitem")
+      .join(broadcast(table(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(table(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+        || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(revenue).as("revenue"))
+  }
+
+  val volumeShippingSql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+       |       ${dsumSql(revenueSql)} AS revenue
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q8 shape (market share): of all revenue shipped to ASIA
+    * customers, the fraction supplied from one nation, per ship year —
+    * a conditional-fraction aggregate over a star join. Numerator and
+    * denominator are both exact DECIMAL sums; the share is ONE IEEE
+    * division per year row. */
+  val marketShare: Q = (s, dir) =>
+    table(s, dir, "lineitem")
+      .join(broadcast(table(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(table(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))),
+        col("c_nationkey") === col("c_nk"))
+      .join(broadcast(table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(dsum(when(col("s_nationkey") === 7, revenue).otherwise(lit(0))).as("nation_rev"),
+        dsum(revenue).as("total_rev"))
+      .select(col("o_year"), col("nation_rev"), col("total_rev"),
+        (col("nation_rev") / col("total_rev")).as("mkt_share"))
+
+  val marketShareSql: String =
+    s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       |       ${dsumSql(s"CASE WHEN s_nationkey = 7 THEN $revenueSql ELSE 0 END")} AS nation_rev,
+       |       ${dsumSql(revenueSql)} AS total_rev,
+       |       ${dsumSql(s"CASE WHEN s_nationkey = 7 THEN $revenueSql ELSE 0 END")}
+       |         / ${dsumSql(revenueSql)} AS mkt_share
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |GROUP BY 1""".stripMargin
+
   /** Semi/anti join pair: every customer flagged by order existence. */
   val semiAntiJoin: Q = (s, dir) => {
     val c = table(s, dir, "customer")
@@ -655,6 +729,8 @@ object RelationalQueries {
     "q_pricing_summary" -> (pricingSummary, Some(pricingSummarySql)),
     "q_revenue_by_segment" -> (revenueBySegment, Some(revenueBySegmentSql)),
     "q_revenue_by_region" -> (revenueByRegion, Some(revenueByRegionSql)),
+    "q_volume_shipping" -> (volumeShipping, Some(volumeShippingSql)),
+    "q_market_share" -> (marketShare, Some(marketShareSql)),
     "q_semi_anti_join" -> (semiAntiJoin, Some(semiAntiJoinSql)),
     "q_outer_order_counts" -> (outerOrderCounts, Some(outerOrderCountsSql)),
     "q_top_suppliers" -> (topSuppliers, Some(topSuppliersSql)),

@@ -58,6 +58,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
       "the fused TPI/TRI/Laplacian must cost the same halo exchange as one member")
   }
 
+  test("generic convolution rides the same halo exchange as the built-in kernels") {
+    def shuffles(name: String) =
+      "(?<!Broadcast)Exchange".r.findAllIn(plans(name)).size
+    assert(shuffles("r_convolve") == shuffles("r_slope"),
+      "a user kernel must cost exactly what the built-in focal ops cost")
+  }
+
   test("the inverted index keeps its single term-keyed shuffle") {
     val n = "(?<!Broadcast)Exchange".r.findAllIn(plans("t_inverted_index")).size
     assert(n == 1, s"t_inverted_index has $n shuffle Exchanges (window and agg must share one)")
