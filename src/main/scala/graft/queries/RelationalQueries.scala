@@ -643,6 +643,36 @@ object RelationalQueries {
        | AND r.r_ts >= l.ts - INTERVAL 5 MINUTE
        | AND r.r_ts <= l.ts + INTERVAL 5 MINUTE""".stripMargin
 
+  /** Left-OUTER batch twin of the stream-stream interval join: the
+    * same shared function with joinType=leftOuter — in streaming the
+    * null row for an unmatched left event is emitted when the right
+    * watermark passes ts + interval; in batch it falls out of the same
+    * plan directly, so one gate pins the outer semantics both modes
+    * share. Sparse left side (event_id % 10 == 0) keeps genuine
+    * unmatched rows in play at every sf. */
+  val intervalJoinOuterTwin: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val l = ev.where(col("event_id") % 10 === 0 && col("value") > 200)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val r = ev.where(col("event_id") % 10 === 5 && col("value") > 200)
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.streaming.PixelStream.intervalJoin(l, r, "user_id", joinType = "leftOuter")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"), unix_micros(col("r_ts")).as("r_ts_us"), col("r_value"))
+  }
+
+  val intervalJoinOuterTwinSql: String =
+    s"""WITH $eventsCte,
+       |l AS (SELECT user_id, ts, event_id, value FROM evts
+       |      WHERE event_id % 10 = 0 AND value > 200),
+       |r AS (SELECT user_id, ts AS r_ts, value AS r_value FROM evts
+       |      WHERE event_id % 10 = 5 AND value > 200)
+       |SELECT l.user_id, l.event_id, epoch_us(l.ts) AS ts_us, l.value,
+       |       epoch_us(r.r_ts) AS r_ts_us, r.r_value
+       |FROM l LEFT JOIN r ON r.user_id = l.user_id
+       | AND r.r_ts >= l.ts - INTERVAL 5 MINUTE
+       | AND r.r_ts <= l.ts + INTERVAL 5 MINUTE""".stripMargin
+
   /** §2.8 session windows (gap 10 min) per user — batch equivalent of
     * session_window; oracle is the classic gaps-and-islands rewrite. */
   val sessionWindows: Q = (s, dir) =>
@@ -750,6 +780,7 @@ object RelationalQueries {
     "q_sliding_window" -> (slidingWindow, Some(slidingWindowSql)),
     "q_session_windows" -> (sessionWindows, Some(sessionWindowsSql)),
     "q_interval_join" -> (intervalJoinTwin, Some(intervalJoinTwinSql)),
+    "q_interval_join_outer" -> (intervalJoinOuterTwin, Some(intervalJoinOuterTwinSql)),
     "q_json_extract" -> (jsonExtract, Some(jsonExtractSql)),
     "q_word_count" -> (wordCount, Some(wordCountSql)),
     "q_extent_union" -> (extentUnion, Some(extentUnionSql)),

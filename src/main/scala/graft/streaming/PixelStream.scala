@@ -150,14 +150,20 @@ object PixelStream {
     * trap of naive stream joins is structurally impossible here. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    watermark: String = "10 minutes",
-                   interval: String = "5 minutes"): DataFrame = {
+                   interval: String = "5 minutes",
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark)
     val r = right.select(col(key).as("r_key"), col("ts").as("r_ts"),
       col("value").as("r_value")).withWatermark("r_ts", watermark)
+    // leftOuter is legal in streaming because BOTH sides carry a
+    // watermark and the condition time-bounds r_ts against ts: unmatched
+    // left rows emit with nulls once the right watermark passes
+    // ts + interval (Structured Streaming's outer interval-join rule).
     l.join(r,
       col(key) === col("r_key") &&
         col("r_ts") >= col("ts") - expr(s"INTERVAL $interval") &&
-        col("r_ts") <= col("ts") + expr(s"INTERVAL $interval"))
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $interval"),
+      joinType)
       .drop("r_key")
   }
 

@@ -151,6 +151,39 @@ class PixelStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits the unmatched row with nulls after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val lhs = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val rhs = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = intervalJoin(
+      lhs.toDS().toDF("user_id", "ts", "value"),
+      rhs.toDS().toDF("user_id", "ts", "value"),
+      key = "user_id", joinType = "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("ssj_outer_out")
+      .outputMode("append").start()
+    try {
+      lhs.addData(
+        (1L, t("2024-01-01 00:10:00"), 1.0), // will match
+        (3L, t("2024-01-01 00:10:00"), 9.0)) // never matches
+      rhs.addData((1L, t("2024-01-01 00:12:00"), 2.0))
+      q.processAllAvailable()
+      // push both watermarks far past ts + interval so the null row fires
+      lhs.addData((99L, t("2024-01-01 03:00:00"), 0.0))
+      rhs.addData((99L, t("2024-01-01 03:00:00"), 0.0))
+      q.processAllAvailable()
+      lhs.addData((98L, t("2024-01-01 06:00:00"), 0.0))
+      rhs.addData((98L, t("2024-01-01 06:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_outer_out").where($"user_id" <= 3L)
+        .select($"user_id", $"value", $"r_value")
+        .collect().map(r => (r.getLong(0), r.getDouble(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(rows == Set((1L, 1.0, Some(2.0)), (3L, 9.0, None)),
+        s"got $rows")
+    } finally q.stop()
+  }
+
   test("reassemble emits the partial tile with NaN holes after a wall-clock timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[PixelEvent]
