@@ -24,8 +24,12 @@ def main():
     only = set(args[2:])
 
     if not skip_run:
+        # forward the query filter: Verify runs only the named queries
+        # (still dumps the full oracle_sql.json), so iterating on a few
+        # queries skips the other ~190 Spark jobs
+        names = " ".join(sorted(only))
         r = subprocess.run(
-            ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}'],
+            ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir} {names}'.rstrip()],
             cwd="/root/repo", capture_output=True, text=True, timeout=1800)
         if "[success]" not in r.stdout:
             print(r.stdout[-4000:]); print(r.stderr[-4000:])
