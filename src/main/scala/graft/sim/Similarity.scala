@@ -498,6 +498,49 @@ object Similarity {
       }.reduceLeft(_ + _).as(s"pc$c")
     }
 
+  /** Parametric OPQ rotation (Ge et al., CVPR 2013): the full PCA
+    * basis, with components ALLOCATED to subspaces so the variance
+    * product is balanced — decorrelate first, then spread the
+    * eigenvalues greedily (each component, in descending order, joins
+    * the non-full subspace with the smallest log-variance sum). The
+    * balancing is the part that matters: naive eigenvalue order dumps
+    * the entire signal into subspace 0, whose k codes then quantize
+    * WORSE than no rotation at all (measured in SimilaritySpec).
+    * One [[gram]] pass + the driver-side d² eigensolve produce the
+    * matrix; [[rotate]] applies it map-side, and training/encode/probe
+    * run UNCHANGED on the rotated column. Float-order sensitive
+    * (eigensolve), so spec-verified like the trained codebook; the
+    * literal-codebook gate keeps the oracle. */
+  def opqRotationFromGram(g: GramOut, d: Int, m: Int): Array[Array[Double]] = {
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val sub = d / m
+    val (vals, vecs) = pcaFromGram(g, d, d)
+    // greedy product balancing = LPT bin balancing on log-eigenvalues;
+    // sizes must be NON-NEGATIVE for "join the lightest bucket" to
+    // balance (raw logs of sub-1 eigenvalues are negative, which makes
+    // the fullest bucket look lightest and degenerates to contiguous
+    // slicing), so shift by the smallest log — only ratios matter to
+    // the product balance
+    val floorLog = math.log(math.max(vals.last, 1e-12))
+    val size = vals.map(v => math.log(math.max(v, 1e-12)) - floorLog)
+    val buckets = Array.fill(m)(List.empty[Int])
+    val logSum = new Array[Double](m)
+    vals.indices.foreach { i =>
+      val open = (0 until m).filter(b => buckets(b).length < sub)
+      val b = open.minBy(logSum)
+      buckets(b) = i :: buckets(b)
+      logSum(b) += size(i)
+    }
+    buckets.flatMap(_.reverse.map(vecs))
+  }
+
+  /** Apply an orthonormal rotation to the embedding column (float
+    * storage kept so every downstream PQ/ANN path sees the same
+    * schema). Map-side literal-weight folds — zero Exchange. */
+  def rotate(vectors: DataFrame, r: Array[Array[Double]]): DataFrame =
+    vectors.withColumn("embedding",
+      array(pcaProjectCols(col("embedding"), r).map(_.cast("float")): _*))
+
   /** Greedy Maximal Marginal Relevance selection over a BOUNDED
     * candidate set (the post-retrieval diversification step a
     * training-data sampler runs on its top-C list — Carbonell &

@@ -250,6 +250,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rT > 0.2, f"trained recall $rT%.2f implausibly low")
   }
 
+  test("opq rotation: PCA-rotated PQ beats plain PQ on correlated dimensions") {
+    // correlated corpus with structure that CROSSES subspace
+    // boundaries: dim j and dim j+32 share a latent, so every plain PQ
+    // subspace sees 8 independent latents (hopeless for 8 codes) while
+    // the balanced PCA rotation packs each subspace with 4 signal + 4
+    // noise components (easy for 8 codes). Correlation WITHIN a
+    // subspace would be the opposite case — plain PQ already exploits
+    // it and rotation has nothing to win.
+    val d = 64; val m = 8; val k = 8; val sub = d / m
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(512) {
+      val a = Array.fill(d / 2)(rnd.nextFloat() * 2 - 1)
+      Array.tabulate(d)(j =>
+        if (j < d / 2) a(j)
+        else (0.9f * a(j - d / 2) + 0.1f * (rnd.nextFloat() * 2 - 1)))
+    }
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "embedding").cache()
+    val g = df.agg(Similarity.gram($"embedding", d).as("g"))
+      .select($"g.n", $"g.sums", $"g.prods").head()
+    val gout = Similarity.GramOut(g.getLong(0), g.getSeq[Long](1), g.getSeq[Long](2))
+    val rot = Similarity.opqRotationFromGram(gout, d, m)
+    // orthonormal rows
+    for (i <- 0 until d) {
+      val n2 = rot(i).map(x => x * x).sum
+      assert(math.abs(n2 - 1.0) < 1e-9, s"row $i norm $n2")
+    }
+    val rotated = Similarity.rotate(df, rot).cache()
+
+    def mseOf(data: org.apache.spark.sql.DataFrame): Double = {
+      val cb = Similarity.trainPqCodebook(data, m, k, iters = 10)
+      val rows = data.sort($"vec_id").select($"embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      rows.map { v =>
+        (0 until m).map { mi =>
+          (0 until k).map { c =>
+            (0 until sub).map { j => val t = v(mi * sub + j) - cb(mi)(c)(j); t * t }.sum
+          }.min
+        }.sum
+      }.sum / rows.length
+    }
+    val plain = mseOf(df)
+    val opq = mseOf(rotated)
+    assert(opq < plain * 0.8,
+      f"rotated-PQ MSE $opq%.5f must clearly beat plain $plain%.5f on correlated dims")
+  }
+
   test("gram: moments equal a naive driver loop; merge is order/split-free") {
     val d = 8
     val rnd = new scala.util.Random(3)
