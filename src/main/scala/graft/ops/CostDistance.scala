@@ -94,17 +94,10 @@ object CostDistance {
     import spark.implicits._
     val ts = tileSize.toLong
 
-    def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.analyzed.collect {
-        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-      }
-
-    var state = cells
+    var (state, prevRdds) = Materialize.checkpointFresh(cells
       .select(col("gx").cast("long").as("gx"), col("gy").cast("long").as("gy"),
         col("cost").cast("long").as("cost"),
-        when(col("src"), 0L).otherwise(-1L).as("dist"))
-      .localCheckpoint(true)
-    var prevRdds = checkpointRdds(state)
+        when(col("src"), 0L).otherwise(-1L).as("dist")))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -130,11 +123,11 @@ object CostDistance {
             Cell(gx, gy, cost, dist, halo)
           }, cap))
         .toDF()
-        .localCheckpoint(true)
-      changed = relaxed.agg(sum(col("changed"))).first().getLong(0)
-      state = relaxed.select(col("gx"), col("gy"), col("cost"), col("dist"))
+      val (ck, ckRdds) = Materialize.checkpointFresh(relaxed)
+      changed = ck.agg(sum(col("changed"))).first().getLong(0)
+      state = ck.select(col("gx"), col("gy"), col("cost"), col("dist"))
       prevRdds.foreach(_.unpersist(blocking = false))
-      prevRdds = checkpointRdds(relaxed)
+      prevRdds = ckRdds
       it += 1
     }
     if (changed > 0)

@@ -237,15 +237,14 @@ object Raster {
     * sums), deliver their total downstream, and their edges leave the
     * graph. Rounds = longest flow path, and since D8 descends STRICTLY
     * in value the graph is acyclic and termination is structural.
-    * Same plan discipline as TextOps.connectedComponents: eager
-    * localCheckpoint every round (the two self-referencing joins would
-    * otherwise double the analyzed plan per round) and superseded
-    * checkpoint blocks freed explicitly. */
+    * Same plan discipline as TextOps.connectedComponents:
+    * Materialize.checkpointFresh every round (the two self-referencing
+    * joins would otherwise double the analyzed plan per round, and a
+    * raw localCheckpoint would let the inherited size estimate's
+    * bit-length multiply per round — see the Materialize scaladoc)
+    * with superseded checkpoint blocks freed explicitly. */
   def flowAccumulation(flow: DataFrame, maxIter: Int = 64): DataFrame = {
-    def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.analyzed.collect {
-        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-      }
+    import graft.ops.Materialize.checkpointFresh
     val dx = when(col("dir").isin(0, 1, 7), 1).when(col("dir").isin(3, 4, 5), -1).otherwise(0)
     val dy = when(col("dir").isin(1, 2, 3), 1).when(col("dir").isin(5, 6, 7), -1).otherwise(0)
     val nodes = flow.select(col("gx"), col("gy"))
@@ -253,31 +252,34 @@ object Raster {
       .select(col("gx").as("cgx"), col("gy").as("cgy"),
         (col("gx") + dx).as("pgx"), (col("gy") + dy).as("pgy"))
       .join(nodes.select(col("gx").as("pgx"), col("gy").as("pgy")), Seq("pgx", "pgy"), "left_semi")
-    var partial = nodes.withColumn("acc", lit(1L)).localCheckpoint(true)
-    var rem = edges.localCheckpoint(true)
-    var prevRdds = checkpointRdds(partial) ++ checkpointRdds(rem)
+    var (partial, partialRdds) = checkpointFresh(nodes.withColumn("acc", lit(1L)))
+    var (rem, remRdds) = checkpointFresh(edges)
+    var prevRdds = partialRdds ++ remRdds
     var finals = List.empty[DataFrame]
     var remCount = rem.count()
     var it = 0
     while (remCount > 0 && it < maxIter) {
       val hasIncoming = rem.select(col("pgx").as("gx"), col("pgy").as("gy")).distinct()
-      val frontier = partial.join(hasIncoming, Seq("gx", "gy"), "left_anti").localCheckpoint(true)
+      val (frontier, _) = checkpointFresh(
+        partial.join(hasIncoming, Seq("gx", "gy"), "left_anti"))
       finals ::= frontier
       val delivered = frontier
         .join(rem, frontier("gx") === rem("cgx") && frontier("gy") === rem("cgy"))
         .groupBy(col("pgx").as("gx"), col("pgy").as("gy"))
         .agg(sum(col("acc")).as("delta"))
-      partial = partial.join(hasIncoming, Seq("gx", "gy"), "left_semi")
+      val (np, npRdds) = checkpointFresh(partial.join(hasIncoming, Seq("gx", "gy"), "left_semi")
         .join(delivered, Seq("gx", "gy"), "left")
-        .select(col("gx"), col("gy"), (col("acc") + coalesce(col("delta"), lit(0L))).as("acc"))
-        .localCheckpoint(true)
-      rem = rem.join(frontier.select(col("gx").as("cgx"), col("gy").as("cgy")),
-        Seq("cgx", "cgy"), "left_anti").localCheckpoint(true)
+        .select(col("gx"), col("gy"), (col("acc") + coalesce(col("delta"), lit(0L))).as("acc")))
+      partial = np
+      val (nr, nrRdds) = checkpointFresh(
+        rem.join(frontier.select(col("gx").as("cgx"), col("gy").as("cgy")),
+          Seq("cgx", "cgy"), "left_anti"))
+      rem = nr
       remCount = rem.count()
       // free ONLY the superseded partial/rem blocks; every frontier
       // stays alive — it is part of the final result union
       prevRdds.foreach(_.unpersist(blocking = false))
-      prevRdds = checkpointRdds(partial) ++ checkpointRdds(rem)
+      prevRdds = npRdds ++ nrRdds
       it += 1
     }
     if (remCount > 0)

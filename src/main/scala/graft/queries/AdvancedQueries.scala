@@ -1507,24 +1507,17 @@ object AdvancedQueries {
     * RECURSIVE walking each chain one level at a time — two entirely
     * different algorithms, same rows. */
   val hierarchy: Q = (s, dir) => {
-    def ckRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.analyzed.collect {
-        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-      }
-    var f = table(s, dir, "customer")
+    var (f, prev) = graft.ops.Materialize.checkpointFresh(table(s, dir, "customer")
       .select(col("c_custkey").as("k"),
         when(expr("c_custkey div 3") > 0, expr("c_custkey div 3"))
           .otherwise(col("c_custkey")).as("j"),
-        when(expr("c_custkey div 3") > 0, lit(1)).otherwise(lit(0)).as("d"))
-      .localCheckpoint(true)
-    var prev = ckRdds(f)
+        when(expr("c_custkey div 3") > 0, lit(1)).otherwise(lit(0)).as("d")))
     for (_ <- 1 to 6) {
-      f = f.as("a")
+      val (nf, nr) = graft.ops.Materialize.checkpointFresh(f.as("a")
         .join(f.select(col("k").as("j"), col("j").as("jj"), col("d").as("dd")), Seq("j"))
-        .select(col("k"), col("jj").as("j"), (col("d") + col("dd")).as("d"))
-        .localCheckpoint(true)
+        .select(col("k"), col("jj").as("j"), (col("d") + col("dd")).as("d")))
       prev.foreach(_.unpersist(false))
-      prev = ckRdds(f)
+      f = nf; prev = nr
     }
     f.select(col("k").as("c_custkey"), col("j").as("root"),
       col("d").cast("int").as("depth"))

@@ -1525,9 +1525,8 @@ object TextQueries {
     * scalar chain is identical in both engines. Scale shape: one
     * (source, token) aggregation, then a source-keyed rollup. */
   val entropy: Q = (s, dir) => {
-    val toks = docs(s, dir)
-      .join(table(s, dir, "documents").select(col("doc_id"), col("source")), Seq("doc_id"))
-      .select(col("source"), explode(col("toks")).as("tok"))
+    val toks = table(s, dir, "documents")
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
     val c = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
     c.groupBy(col("source"))
       .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
@@ -1538,9 +1537,10 @@ object TextQueries {
   }
 
   val entropySql: String =
-    s"""WITH $docsCte,
-       |tk AS (SELECT d2.source, u.tok
-       |       FROM docs JOIN documents d2 USING (doc_id), unnest(docs.toks) u(tok)),
+    s"""WITH tk AS (
+       |  SELECT source, u.tok
+       |  FROM documents,
+       |       unnest(list_filter(string_split(text, ' '), t -> t <> '')) u(tok)),
        |c AS (SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2),
        |g AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
        |             COUNT(*) AS n_types,

@@ -269,72 +269,78 @@ object TextOps {
   /** Connected components over an undirected edge list (`a`, `b`) —
     * the stage after near-dup candidate pairs in a real dedup pipeline:
     * pairs chain into clusters, and the keeper is one doc per cluster,
-    * not one per pair. Min-label propagation with pointer jumping
-    * (hash-to-min style): each round a node takes the minimum label
-    * among itself, its neighbors, and ITS LABEL'S label — the last step
-    * halves chain distances, so convergence is O(log diameter) rounds,
-    * not O(diameter) (a plain neighbor-min would need one round per hop
-    * down a path). Each round is two joins + one aggregation on the
-    * (deduplicated, cached) symmetric edge list — fully distributed;
-    * the driver sees only the per-round converged? count. Labels
-    * eagerly localCheckpoint EVERY round: cache() keeps the logical
-    * plan alive, and this plan doubles per round (two self-referencing
-    * joins), so by convergence Catalyst would be re-analyzing a plan
-    * with thousands of Exchange nodes -- a driver-side planning
-    * bottleneck that grows with graph diameter, i.e. with data scale.
-    * Checkpointing truncates the plan to a leaf, keeping per-round
-    * planning O(1). Deterministic:
-    * the component label IS the minimum node id. Returns
-    * (node, cluster) — the result stays cached (one small row per
-    * non-isolated node); callers looping over many graphs should
-    * unpersist it when done. */
+    * not one per pair.
+    *
+    * Alternating LARGE-STAR / SMALL-STAR contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014):
+    * large-star hangs every larger neighbor of u under
+    * m = min(Γ(u) ∪ u); small-star re-hangs u and its not-larger
+    * neighbors under m. Each phase is one aggregation + one join over
+    * the (shrinking) edge set, and the edge set converges to disjoint
+    * stars centered at each component's MINIMUM node in O(log²  n)
+    * rounds with high probability — on real graphs a handful. This
+    * replaced a min-label + pointer-jump loop whose label jumps turned
+    * out not to shortcut GRAPH distance: on the circulant ε-graph of
+    * r_dbscan_core at sf0.1 (15 000 nodes) it still had 177 labels
+    * moving at round 25 and needed 53 rounds (simulated; extra jump
+    * steps did not help), where the star algorithm converges in 7.
+    *
+    * Every phase materializes through
+    * [[graft.ops.Materialize.checkpointFresh]]: the self-referencing
+    * join would otherwise both double the analyzed plan per round and
+    * (via localCheckpoint's stats inheritance) multiply the size
+    * ESTIMATE's bit-length per round until BigInt stats arithmetic
+    * dominated the driver — see the Materialize scaladoc.
+    * Deterministic: the component label IS the minimum node id.
+    * Returns (node, cluster), one row per input-edge endpoint. */
   def connectedComponents(edges: org.apache.spark.sql.DataFrame,
                           maxIter: Int = 25): org.apache.spark.sql.DataFrame = {
-    // The RDD blocks behind a localCheckpoint are only reclaimed when
-    // the driver GCs the RDD reference (ContextCleaner); on a big graph
-    // with many rounds that lets O(rounds) full label-table copies pile
-    // up in executor storage. Free each superseded round's blocks
-    // explicitly by digging the checkpoint RDD out of the plan leaf.
-    def checkpointRdds(df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.analyzed.collect {
-        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-      }
-    val sym = edges.select(col("a").as("x"), col("b").as("y"))
-      .unionByName(edges.select(col("b").as("x"), col("a").as("y")))
-      .distinct().cache()
-    var labels = sym.select(col("x").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint(true)
-    var prevRdds = checkpointRdds(labels)
+    import graft.ops.Materialize.checkpointFresh
+    val nodes = edges.select(col("a").as("node"))
+      .unionByName(edges.select(col("b").as("node"))).distinct()
+    // one phase: hang the selected neighbors of each center u under
+    // m = min(neighborhood ∪ u). Every emitted edge is (m, v) with
+    // m < v, so the (a < b) normalization is free.
+    def star(e: org.apache.spark.sql.DataFrame, large: Boolean): org.apache.spark.sql.DataFrame = {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val m = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val joined = sym.join(m, Seq("u"))
+      val kept =
+        if (large)
+          joined.where(col("v") > col("u") && col("v") =!= col("m"))
+            .select(col("m").as("a"), col("v").as("b"))
+        else
+          joined.where(col("v") <= col("u") && col("v") =!= col("m"))
+            .select(col("m").as("a"), col("v").as("b"))
+            .unionByName(m.where(col("u") =!= col("m")) // u itself re-hangs
+              .select(col("m").as("a"), col("u").as("b")))
+      kept.distinct()
+    }
+    var (e, prevRdds) = checkpointFresh(
+      edges.select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+        .where(col("a") =!= col("b")).distinct())
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
-      val nbrMin = sym
-        .join(labels.select(col("node").as("y"), col("label").as("ylabel")), Seq("y"))
-        .groupBy(col("x").as("node")).agg(min(col("ylabel")).as("nbr"))
-      val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("label").as("old"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-      // pointer jump: follow the label to ITS label (path halving).
-      // The pre-round label rides along as `old`, so the convergence
-      // count below is a scan of the just-materialized checkpoint
-      // rows -- no extra join, no recompute.
-      val next = stepped
-        .join(stepped.select(col("node").as("label"), col("label").as("jump")), Seq("label"), "left")
-        .select(col("node"), col("old"),
-          least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      changed = next.where(col("old") =!= col("label")).count()
+      val (e2, r2) = checkpointFresh(star(star(e, large = true), large = false))
+      changed = e2.except(e).count() + e.except(e2).count()
       prevRdds.foreach(_.unpersist(blocking = false)) // superseded round's blocks
-      prevRdds = checkpointRdds(next)
-      labels = next.select(col("node"), col("label"))
+      prevRdds = r2
+      e = e2
       it += 1
     }
-    sym.unpersist()
     if (changed > 0)
       org.slf4j.LoggerFactory.getLogger("graft.text.TextOps").warn(
-        s"connectedComponents exited at maxIter=$maxIter with $changed labels still moving — " +
+        s"connectedComponents exited at maxIter=$maxIter with the edge set still contracting — " +
           "clusters may be under-merged; raise maxIter")
-    labels.select(col("node"), col("label").as("cluster"))
+    // at the fixed point stars are disjoint (one center per node); the
+    // min-agg only matters on a maxIter bail, where it keeps the output
+    // one row per node
+    val centers = e.groupBy(col("b").as("node")).agg(min(col("a")).as("cluster"))
+    nodes.join(centers, Seq("node"), "left")
+      .select(col("node"), coalesce(col("cluster"), col("node")).as("cluster"))
   }
 
   /** Fixed-iteration PageRank over an undirected edge list (`a`, `b`) —
