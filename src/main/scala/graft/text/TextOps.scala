@@ -325,7 +325,17 @@ object TextOps {
     var it = 0
     while (changed > 0 && it < maxIter) {
       val (e2, r2) = checkpointFresh(star(star(e, large = true), large = false))
-      changed = e2.except(e).count() + e.except(e2).count()
+      // the star map's fixed points are exactly the disjoint
+      // min-centered star sets, and (with a < b normalization) E is one
+      // iff every b has a unique parent AND no node is both parent and
+      // child (depth-1 forest whose root is its star's minimum). Testing
+      // THAT on e2 alone detects convergence the round it happens — no
+      // edge-set diff against the previous round, no verification round.
+      val stat = e2.agg(count(lit(1)).as("n"), countDistinct(col("b")).as("nb")).first()
+      changed =
+        if (stat.getLong(0) != stat.getLong(1)) 1L
+        else e2.select(col("a"))
+          .join(e2.select(col("b").as("a")), Seq("a"), "left_semi").count()
       prevRdds.foreach(_.unpersist(blocking = false)) // superseded round's blocks
       prevRdds = r2
       e = e2
