@@ -520,6 +520,49 @@ object MiscQueries {
       |       CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
       |FROM u""".stripMargin
 
+  /** Precision-recall curve over every distinct score threshold — the
+    * threshold-sweep view of the same score/label pair m_auc collapses
+    * to one number (predict positive where score ≥ t). Like the AUC,
+    * rows first collapse to score groups, then TP/FP are prefix sums
+    * over the DISTINCT-score table ordered descending — both frames
+    * share one sort; precision and recall are single IEEE divisions of
+    * exact integers per row. */
+  val prCurve: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val g = table(s, dir, "documents")
+      .select(col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .groupBy(col("score"))
+      .agg(sum(col("y")).as("p"), sum(lit(1L) - col("y")).as("n"))
+    val cum = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("tp", sum(col("p")).over(cum))
+      .withColumn("fp", sum(col("n")).over(cum))
+      .withColumn("n_pos", sum(col("p")).over(all))
+      .select(col("score"), col("tp"), col("fp"),
+        (col("tp").cast("double") / (col("tp") + col("fp")).cast("double")).as("precision"),
+        (col("tp").cast("double") / col("n_pos").cast("double")).as("recall"))
+  }
+
+  val prCurveSql: String =
+    """WITH g AS (
+      |  SELECT n_chars AS score,
+      |         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p,
+      |         SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n
+      |  FROM documents GROUP BY 1),
+      |c AS (
+      |  SELECT score,
+      |         SUM(p) OVER w AS tp, SUM(n) OVER w AS fp,
+      |         SUM(p) OVER () AS n_pos
+      |  FROM g
+      |  WINDOW w AS (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT score, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      |       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+      |       CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) AS recall
+      |FROM c""".stripMargin
+
   /** Calibration (reliability) bins — does the score's magnitude track
     * the empirical positive rate? Ten fixed-width bins on the score,
     * per-bin count, mean score and observed positive fraction. Pure
@@ -598,6 +641,7 @@ object MiscQueries {
   val all: Map[String, (Q, Option[String])] = Map(
     "m_chi2" -> (chi2, Some(chi2Sql)),
     "m_auc" -> (auc, Some(aucSql)),
+    "m_pr_curve" -> (prCurve, Some(prCurveSql)),
     "m_calibration" -> (calibration, Some(calibrationSql)),
     "c_orc_roundtrip" -> (orcRoundtrip, Some(orcRoundtripSql)),
     "c_partition_overwrite" -> (partitionOverwrite, Some(partitionOverwriteSql)),

@@ -293,6 +293,52 @@ object SimQueries {
        |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
        |SELECT a, b, cos FROM pairs WHERE cos >= $DupThreshold""".stripMargin
 
+  /** ANN quality census: recall@k of the LSH path against the exact
+    * brute-force top-k, per query — the metric that decides whether an
+    * approximate index is SAFE to serve (at corpus scale you run this
+    * on a query sample after every index build). Pure set arithmetic
+    * over the two gates' own results: hit counts are integers, recall
+    * is one IEEE division; queries whose bucket held no candidates
+    * surface as recall 0, not as missing rows. */
+  val annRecall: Q = (s, dir) => {
+    val brute = annBrute(s, dir).select(col("qid"), col("cid"))
+    val lsh = annLsh(s, dir).select(col("qid"), col("cid"))
+    val hits = brute.join(lsh, Seq("qid", "cid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    table(s, dir, "embeddings").where(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / K).as("recall"))
+  }
+
+  val annRecallSql: String =
+    s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+       |bscored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |         ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQ),
+       |bres AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS r
+       |    FROM bscored) WHERE r <= $K),
+       |lscored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |         ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQ),
+       |lres AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS r
+       |    FROM lscored) WHERE r <= $K),
+       |hits AS (
+       |  SELECT qid, COUNT(*) AS n_hits FROM bres JOIN lres USING (qid, cid) GROUP BY 1)
+       |SELECT e.vec_id AS qid, COALESCE(h.n_hits, 0) AS n_hits,
+       |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / $K.0 AS recall
+       |FROM embeddings e LEFT JOIN hits h ON e.vec_id = h.qid
+       |WHERE e.vec_id < $NQ""".stripMargin
+
   /** k-NN graph over the LSH candidate buckets — [[Similarity.knnGraph]]:
     * each vector's top-3 cosine neighbors among same-bucket candidates,
     * the build step of graph-ANN indexes (NSW/HNSW layers start exactly
@@ -919,6 +965,7 @@ object SimQueries {
   }
 
   val all: Map[String, (Q, Option[String])] = Map(
+    "s_ann_recall" -> (annRecall, Some(annRecallSql)),
     "s_knn_graph" -> (knnGraph, Some(knnGraphSql)),
     "s_random_proj" -> (randomProj, Some(randomProjSql)),
     "s_ann_brute" -> (annBrute, Some(annBruteSql)),
