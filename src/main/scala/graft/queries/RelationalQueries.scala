@@ -222,6 +222,42 @@ object RelationalQueries {
     * (the upsert/compaction read every changelog consumer runs).
     * Window partitioned by the key — no global ordering anywhere;
     * deterministic tie-break on event_id. */
+  /** Time-series resample to OHLC bars: per (user, hour) the opening /
+    * highest / lowest / closing value — the downsampling shape every
+    * metrics store runs. Open and close are min/max over
+    * (ts, event_id, cents) STRUCTS, so ties inside a bar break on the
+    * unique event id and the whole aggregation is order-free integer
+    * arithmetic (values as exact cents; one cast back per row). One
+    * Exchange on the bar key, full map-side combine. */
+  val ohlc: Q = (s, dir) => {
+    val cents = (dec2(col("value")) * 100).cast("long")
+    events(s, dir)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("bar"),
+        col("ts"), col("event_id"), cents.as("c"))
+      .groupBy(col("user_id"), col("bar"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("ts"), col("event_id"), col("c"))).getField("c").as("open_c"),
+        max(col("c")).as("high_c"), min(col("c")).as("low_c"),
+        max(struct(col("ts"), col("event_id"), col("c"))).getField("c").as("close_c"))
+      .select(col("user_id"), unix_timestamp(col("bar")).as("bar_sec"), col("n"),
+        (col("open_c").cast("double") / 100).as("open"),
+        (col("high_c").cast("double") / 100).as("high"),
+        (col("low_c").cast("double") / 100).as("low"),
+        (col("close_c").cast("double") / 100).as("close"))
+  }
+
+  val ohlcSql: String =
+    s"""WITH $eventsCte,
+       |c AS (SELECT user_id, date_trunc('hour', ts) AS bar, ts, event_id,
+       |             CAST(${dec2Sql("value")} * 100 AS BIGINT) AS c
+       |      FROM evts)
+       |SELECT user_id, CAST(epoch(bar) AS BIGINT) AS bar_sec, COUNT(*) AS n,
+       |       CAST(MIN(struct_pack(ts := ts, event_id := event_id, c := c)).c AS DOUBLE) / 100 AS "open",
+       |       CAST(MAX(c) AS DOUBLE) / 100 AS high,
+       |       CAST(MIN(c) AS DOUBLE) / 100 AS low,
+       |       CAST(MAX(struct_pack(ts := ts, event_id := event_id, c := c)).c AS DOUBLE) / 100 AS "close"
+       |FROM c GROUP BY 1, 2""".stripMargin
+
   val latestPerKey: Q = (s, dir) => {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
@@ -766,6 +802,7 @@ object RelationalQueries {
     "q_top_suppliers" -> (topSuppliers, Some(topSuppliersSql)),
     "q_user_retention" -> (userRetention, Some(userRetentionSql)),
     "q_latest_per_key" -> (latestPerKey, Some(latestPerKeySql)),
+    "q_ohlc" -> (ohlc, Some(ohlcSql)),
     "q_funnel" -> (funnel, Some(funnelSql)),
     "q_event_transitions" -> (eventTransitions, Some(eventTransitionsSql)),
     "q_market_basket" -> (marketBasket, Some(marketBasketSql)),
