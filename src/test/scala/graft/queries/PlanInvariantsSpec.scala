@@ -31,7 +31,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
   // real join predicate fell out of the equi-join path.
   private val bnljByDesign =
     Set("s_ann_brute", "s_ann_lsh", "s_ann_ivf", "s_ann_pq", "s_ann_quantized",
-      "s_ann_media", "m_knn_confusion", "m_centroid_confusion", "m_prf_report")
+      "s_ann_media", "m_knn_confusion", "m_centroid_confusion", "m_prf_report",
+      // composes the brute-force gate: same broadcast 8-query side
+      "s_ann_recall")
 
   test("BroadcastNestedLoopJoin appears only where it is the designed plan") {
     val offenders = plans.collect {
