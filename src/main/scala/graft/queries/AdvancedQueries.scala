@@ -296,6 +296,64 @@ object AdvancedQueries {
     * aggregated set. Discrete quantile (first value whose cumulative
     * count reaches ceil(p*n)) avoids interpolation arithmetic entirely,
     * so results are exact in both engines. */
+  /** CONTINUOUS (interpolated) percentiles — the PERCENTILE_CONT twin
+    * of a_quartiles' discrete cut, same scale-correct shape: collapse
+    * to a value histogram first, window over DISTINCT values only,
+    * then read the two bracketing ranks per percentile and interpolate.
+    * Exactness: position p·(n−1) is a dyadic×integer product, its
+    * floor/frac are exact, bracketing values are integral, and
+    * lo + (hi−lo)·frac is an exact chain both engines state in the
+    * same order — so even interpolated quantiles hash-match. */
+  val percentileCont: Q = (s, dir) => {
+    val h = table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = h.select(col("l_returnflag"), col("l_quantity"), col("cnt"),
+      sum(col("cnt")).over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))).as("cum"),
+      sum(col("cnt")).over(Window.partitionBy(col("l_returnflag"))).as("n"))
+    def vAt(rank: org.apache.spark.sql.Column) =
+      min(when(col("cum") >= rank, col("l_quantity"))).cast("double")
+    def loRank(p: Double) = floor(lit(p) * (col("n") - 1)) + 1
+    val agged = cum.groupBy(col("l_returnflag"))
+      .agg(max(col("n")).as("n"),
+        vAt(loRank(0.25)).as("lo25"), vAt(loRank(0.25) + 1).as("hi25"),
+        vAt(loRank(0.5)).as("lo50"), vAt(loRank(0.5) + 1).as("hi50"),
+        vAt(loRank(0.75)).as("lo75"), vAt(loRank(0.75) + 1).as("hi75"))
+    def interp(p: Double, lo: String, hi: String) = {
+      val pos = lit(p) * (col("n") - 1).cast("double")
+      val frac = pos - floor(pos)
+      (col(lo) + (coalesce(col(hi), col(lo)) - col(lo)) * frac)
+    }
+    agged.select(col("l_returnflag"), col("n"),
+      interp(0.25, "lo25", "hi25").as("p25"),
+      interp(0.5, "lo50", "hi50").as("p50"),
+      interp(0.75, "lo75", "hi75").as("p75"))
+  }
+
+  val percentileContSql: String = {
+    def v(rank: String) = s"CAST(MIN(CASE WHEN cum >= $rank THEN l_quantity END) AS DOUBLE)"
+    def lo(p: String) = s"floor($p * (n - 1)) + 1"
+    def interp(p: String, lo: String, hi: String) =
+      s"$lo + (COALESCE($hi, $lo) - $lo) * ($p * CAST(n - 1 AS DOUBLE) - floor($p * CAST(n - 1 AS DOUBLE)))"
+    s"""WITH h AS (SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+       |           FROM lineitem GROUP BY 1, 2),
+       |c AS (SELECT l_returnflag, l_quantity, cnt,
+       |        SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cum,
+       |        SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+       |      FROM h),
+       |a AS (SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+       |        ${v(lo("0.25"))} AS lo25, ${v(s"${lo("0.25")} + 1")} AS hi25,
+       |        ${v(lo("0.5"))} AS lo50, ${v(s"${lo("0.5")} + 1")} AS hi50,
+       |        ${v(lo("0.75"))} AS lo75, ${v(s"${lo("0.75")} + 1")} AS hi75
+       |      FROM c GROUP BY 1)
+       |SELECT l_returnflag, n,
+       |       ${interp("0.25", "lo25", "hi25")} AS p25,
+       |       ${interp("0.5", "lo50", "hi50")} AS p50,
+       |       ${interp("0.75", "lo75", "hi75")} AS p75
+       |FROM a""".stripMargin
+  }
+
   val quartiles: Q = (s, dir) => {
     val h = table(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_quantity"))
@@ -1590,6 +1648,7 @@ object AdvancedQueries {
     "a_range_frames" -> (rangeFrames, Some(rangeFramesSql)),
     "a_topk_per_group" -> (topkPerGroup, Some(topkPerGroupSql)),
     "a_quartiles" -> (quartiles, Some(quartilesSql)),
+    "a_percentile_cont" -> (percentileCont, Some(percentileContSql)),
     "a_corr_moments" -> (corrMoments, Some(corrMomentsSql)),
     "a_grouping_sets" -> (groupingSets, Some(groupingSetsSql)),
     "a_running_total" -> (runningTotal, Some(runningTotalSql)),
