@@ -229,16 +229,22 @@ object RelationalQueries {
     * unique event id and the whole aggregation is order-free integer
     * arithmetic (values as exact cents; one cast back per row). One
     * Exchange on the bar key, full map-side combine. */
+  /** The OHLC aggregate expressions over (ts, event_id, c) rows —
+    * shared by the batch gate and the streaming twin (OhlcStreamSpec),
+    * so the two modes cannot drift. */
+  def ohlcAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n"),
+    min(struct(col("ts"), col("event_id"), col("c"))).getField("c").as("open_c"),
+    max(col("c")).as("high_c"), min(col("c")).as("low_c"),
+    max(struct(col("ts"), col("event_id"), col("c"))).getField("c").as("close_c"))
+
   val ohlc: Q = (s, dir) => {
     val cents = (dec2(col("value")) * 100).cast("long")
     events(s, dir)
       .select(col("user_id"), date_trunc("hour", col("ts")).as("bar"),
         col("ts"), col("event_id"), cents.as("c"))
       .groupBy(col("user_id"), col("bar"))
-      .agg(count(lit(1)).as("n"),
-        min(struct(col("ts"), col("event_id"), col("c"))).getField("c").as("open_c"),
-        max(col("c")).as("high_c"), min(col("c")).as("low_c"),
-        max(struct(col("ts"), col("event_id"), col("c"))).getField("c").as("close_c"))
+      .agg(ohlcAggs.head, ohlcAggs.tail: _*)
       .select(col("user_id"), unix_timestamp(col("bar")).as("bar_sec"), col("n"),
         (col("open_c").cast("double") / 100).as("open"),
         (col("high_c").cast("double") / 100).as("high"),
