@@ -1601,7 +1601,164 @@ object TextQueries {
       |       CAST(SUM(term) OVER () AS DOUBLE) AS psi
       |FROM t""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Graph analytics over the near-dup candidate graph
+  // -------------------------------------------------------------------
+
+  /** PageRank centrality of the near-dup candidate graph — the "hub"
+    * census of a dedup run: a document with high rank sits at the
+    * center of a dense near-dup neighborhood (boilerplate templates,
+    * mirrored pages), exactly the docs a curation pass inspects first.
+    * Reuses [[TextOps.pageRank]] (TextRank's engine) on the DOC graph
+    * instead of the token graph: 3 fixed power iterations, damping
+    * 0.85, per-edge contributions quantized to DECIMAL(28,12) before
+    * the order-free sum, so the oracle UNROLLS the same arithmetic.
+    * Scale shape: per iteration one node-keyed join + one aggregation;
+    * rank-table size is O(nodes), the corpus never re-enters the loop. */
+  val docPagerank: Q = (s, dir) =>
+    TextOps.pageRank(minhashLsh(s, dir).select(col("a"), col("b")), iters = 3)
+      .select(col("w").as("doc_id"), col("r").as("rank_score"))
+
+  val docPagerankSql: String = {
+    val iters = (1 to 3).map { k =>
+      s"""c$k AS (SELECT e.y AS w,
+         |  CAST(SUM(CAST(rr.r / CAST(d.deg AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS in_r
+         |  FROM e JOIN r${k - 1} rr ON e.x = rr.w JOIN deg d ON e.x = d.x GROUP BY 1),
+         |r$k AS (SELECT w, CAST(0.15 AS DOUBLE) / n_nodes
+         |  + CAST(0.85 AS DOUBLE) * in_r AS r FROM c$k, nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $docsCte,
+       |$sigsCte,
+       |$lshPairsCte,
+       |e AS (SELECT DISTINCT x, y FROM
+       |      (SELECT a AS x, b AS y FROM lsh UNION ALL SELECT b, a FROM lsh)),
+       |deg AS (SELECT x, COUNT(*) AS deg FROM e GROUP BY 1),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM deg),
+       |r0 AS (SELECT x AS w, CAST(1.0 AS DOUBLE) / n_nodes AS r FROM deg, nn),
+       |$iters
+       |SELECT w AS doc_id, r AS rank_score FROM r3""".stripMargin
+  }
+
+  /** Multi-source BFS hop distance over the near-dup candidate graph —
+    * "how far is every doc from the seed set", the reachability query
+    * behind contamination spread analysis (seeds = known-bad docs; the
+    * hop distance says how aggressively to widen a removal). Distances
+    * are capped at [[BfsMaxHops]] so the oracle's recursive CTE has a
+    * structural termination bound on this CYCLIC graph (contrast
+    * a_hierarchy's acyclic forest). Spark side is FRONTIER-expanded:
+    * each round joins only the newly discovered nodes against the edge
+    * list (every node is expanded exactly once — the textbook
+    * distributed BFS), state is eager-checkpointed per round via
+    * [[graft.ops.Materialize.checkpointFresh]] so the analyzed plan
+    * stays O(1) per round, and the loop exits early the round the
+    * frontier empties. Unreachable-within-cap nodes are absent from
+    * the output in both engines. */
+  private val BfsMaxHops = 6
+
+  val bfsDist: Q = (s, dir) => {
+    import graft.ops.Materialize.checkpointFresh
+    val e = minhashLsh(s, dir).select(col("a"), col("b"))
+    // the edge list is re-read every round: lazy-checkpoint it once
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(false)
+    val seeds = sym.select(col("a").as("v")).distinct()
+      .where(col("v") % 5 === 0).withColumn("d", lit(0))
+    var (dist, distRdds) = checkpointFresh(seeds)
+    var (frontier, frontRdds) = checkpointFresh(dist)
+    var hop = 1
+    var frontierSize = frontier.count()
+    while (hop <= BfsMaxHops && frontierSize > 0) {
+      val cand = frontier.join(sym.select(col("a").as("v"), col("b")), Seq("v"))
+        .select(col("b").as("v")).distinct()
+        .join(dist, Seq("v"), "left_anti")
+        .withColumn("d", lit(hop))
+      val (nf, nfRdds) = checkpointFresh(cand)
+      val (nd, ndRdds) = checkpointFresh(dist.unionByName(nf))
+      frontierSize = nf.count()
+      (distRdds ++ frontRdds).foreach(_.unpersist(blocking = false))
+      distRdds = ndRdds; frontRdds = nfRdds
+      dist = nd; frontier = nf
+      hop += 1
+    }
+    dist.select(col("v").as("doc_id"), col("d").cast("int").as("dist"))
+  }
+
+  val bfsDistSql: String =
+    s"""WITH RECURSIVE $docsCte,
+       |$sigsCte,
+       |$lshPairsCte,
+       |sym AS (SELECT a, b FROM lsh UNION SELECT b, a FROM lsh),
+       |walk(v, d) AS (
+       |  SELECT DISTINCT a AS v, 0 AS d FROM sym WHERE a % 5 = 0
+       |  UNION
+       |  SELECT s.b, w.d + 1 FROM walk w JOIN sym s ON s.a = w.v
+       |  WHERE w.d < $BfsMaxHops)
+       |SELECT v AS doc_id, CAST(MIN(d) AS INT) AS dist
+       |FROM walk GROUP BY v""".stripMargin
+
+  /** LSH recall census — the text-side safe-to-deploy check mirroring
+    * s_ann_recall: of the ground-truth near-dup pairs (exact shingle
+    * Jaccard ≥ 0.5, the t_ngram_jaccard computation), what fraction
+    * did the MinHash-LSH banding surface as candidates? Output is one
+    * row of exact integers plus one division, so the gate hash-checks
+    * the recall arithmetic end to end across BOTH pipelines. Scale
+    * shape: the truth side is the capped-posting-list exact pass (an
+    * audit run over a sample at corpus scale), the candidate side the
+    * production banding; the final overlap join ships only (a, b)
+    * pairs. */
+  val lshRecall: Q = (s, dir) => {
+    val truth = ngramJaccard(s, dir).where(col("jaccard") >= 0.5)
+      .select(col("a"), col("b"))
+    val cand = minhashLsh(s, dir).select(col("a"), col("b"))
+    val hits = truth.join(cand.withColumn("hit", lit(1L)), Seq("a", "b"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    hits.crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .select(col("n_truth"), col("n_cand"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(col("n_truth") > 0,
+          col("n_hit").cast("double") / col("n_truth").cast("double"))
+          .otherwise(lit(1.0)).as("recall"))
+  }
+
+  val lshRecallSql: String =
+    s"""WITH $docsCte,
+       |$sigsCte,
+       |$lshPairsCte,
+       |jsh_all AS (
+       |  SELECT DISTINCT doc_id, ${TextOps.h60Sql("g.shs")} AS sh
+       |  FROM docs, unnest(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) g(shs)),
+       |jhot AS (SELECT sh FROM jsh_all GROUP BY sh HAVING COUNT(*) > $MaxShingleDf),
+       |jsh AS (SELECT * FROM jsh_all WHERE sh NOT IN (SELECT sh FROM jhot)),
+       |jsizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM jsh GROUP BY 1),
+       |jpairs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+       |  FROM jsh x JOIN jsh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT p.a, p.b FROM jpairs p
+       |  JOIN jsizes sa ON sa.doc_id = p.a
+       |  JOIN jsizes sb ON sb.doc_id = p.b
+       |  WHERE p.inter >= 2
+       |    AND CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter) >= 0.5),
+       |h AS (
+       |  SELECT COUNT(*) AS n_truth,
+       |         SUM(CASE WHEN l.a IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+       |  FROM truth t LEFT JOIN lsh l ON t.a = l.a AND t.b = l.b),
+       |nc AS (SELECT COUNT(*) AS n_cand FROM lsh)
+       |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+       |       CAST(n_cand AS BIGINT) AS n_cand,
+       |       CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+       |       CASE WHEN n_truth > 0
+       |            THEN CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+       |            ELSE 1.0 END AS recall
+       |FROM h, nc""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "t_pagerank" -> (docPagerank, Some(docPagerankSql)),
+    "t_bfs_dist" -> (bfsDist, Some(bfsDistSql)),
+    "t_lsh_recall" -> (lshRecall, Some(lshRecallSql)),
     "t_entropy" -> (entropy, Some(entropySql)),
     "t_psi" -> (psi, Some(psiSql)),
     "t_lsh_verify" -> (lshVerify, Some(lshVerifySql)),
