@@ -797,7 +797,83 @@ object RelationalQueries {
        |FROM (SELECT DISTINCT tile_col, tile_row FROM pxa)""".stripMargin
   }
 
+  /** TPC-H Q18 shape (large-volume orders): orders whose total quantity
+    * clears a threshold, rejoined to customer detail. The interesting
+    * engine move is the HAVING-filtered aggregate as a join input:
+    * Spark aggregates lineitem ONCE (partial map-side sums — quantity
+    * is integral-valued so the double sum is exact), the tiny surviving
+    * key set then drives the orders/customer joins, and AQE broadcasts
+    * it — the oracle runs the textbook IN-subquery formulation, so the
+    * hash-match proves the rewrite. No ORDER/LIMIT: the result is the
+    * full qualifying set (deterministic without a tie policy). */
+  val largeOrders: Q = (s, dir) => {
+    val qty = table(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .where(col("total_qty") > 250)
+    table(s, dir, "orders")
+      .join(qty, col("o_orderkey") === col("l_orderkey"))
+      .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_date"),
+        dec2(col("o_totalprice")).cast("double").as("o_totalprice"),
+        col("total_qty").cast("double").as("total_qty"))
+  }
+
+  val largeOrdersSql: String =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |       CAST(o_orderdate AS DATE) AS o_date,
+      |       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+      |       CAST(total_qty AS DOUBLE) AS total_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      |      FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250) q
+      |  ON o_orderkey = q.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  /** TPC-H Q21 shape (suppliers solely to blame): suppliers whose
+    * lineitem is the ONLY returned line ('R') on a multi-supplier
+    * finished order — the correlated EXISTS (another supplier was on
+    * the order) + NOT EXISTS (no other supplier's line was returned)
+    * pair. Spark runs the DECORRELATED plan: ONE per-order aggregate
+    * (distinct suppliers, distinct returned suppliers — both
+    * partial-aggregating counts over one lineitem shuffle) replaces
+    * both correlated subqueries, so lineitem is scanned twice and
+    * shuffled once instead of three self-join shuffles; the oracle
+    * keeps the textbook EXISTS/NOT EXISTS formulation, so the
+    * hash-match PROVES the decorrelation. Counts stay exact integers. */
+  val blameSupplier: Q = (s, dir) => {
+    val li = table(s, dir, "lineitem")
+    val perOrder = li.groupBy(col("l_orderkey").as("ok"))
+      .agg(countDistinct(col("l_suppkey")).as("n_sup"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("n_r_sup"))
+    li.where(col("l_returnflag") === "R")
+      .join(table(s, dir, "orders").where(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(perOrder, col("l_orderkey") === col("ok"))
+      .where(col("n_sup") > 1 && col("n_r_sup") === 1)
+      .join(broadcast(table(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  val blameSupplierSql: String =
+    """SELECT s_suppkey, s_name, COUNT(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "q_large_orders" -> (largeOrders, Some(largeOrdersSql)),
+    "q_blame_supplier" -> (blameSupplier, Some(blameSupplierSql)),
     "q_pricing_summary" -> (pricingSummary, Some(pricingSummarySql)),
     "q_revenue_by_segment" -> (revenueBySegment, Some(revenueBySegmentSql)),
     "q_revenue_by_region" -> (revenueByRegion, Some(revenueByRegionSql)),
