@@ -1627,7 +1627,45 @@ object AdvancedQueries {
        |       list_reduce(cs, (a, x) -> a / 2 + x) / 100.0 AS ewma
        |FROM l""".stripMargin
 
+  /** UNPIVOT (melt): the wide→long reshape every metrics pipeline runs
+    * before generic per-metric processing. Spark's native `unpivot`
+    * plans as a single Expand over the aggregated row set — each input
+    * row fans out to one row per value column with NO shuffle and no
+    * UDF; the oracle is the portable UNION ALL formulation. The
+    * aggregate feeding it keeps the money sums in the exact DECIMAL
+    * discipline, so the melted values hash-match bitwise. */
+  val unpivotMetrics: Q = (s, dir) => {
+    val agg = table(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).cast("double").as("sum_qty"),
+        dsum(dec2(col("l_extendedprice"))).as("sum_price"),
+        dsum(dec2(col("l_discount"))).as("sum_disc"),
+        dsum(dec2(col("l_tax"))).as("sum_tax"))
+    agg.unpivot(Array(col("l_returnflag")),
+      Array(col("sum_qty"), col("sum_price"), col("sum_disc"), col("sum_tax")),
+      "metric", "val")
+  }
+
+  val unpivotMetricsSql: String = {
+    val aggCte =
+      s"""agg AS (
+         |  SELECT l_returnflag,
+         |         CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+         |         ${dsumSql(dec2Sql("l_extendedprice"))} AS sum_price,
+         |         ${dsumSql(dec2Sql("l_discount"))} AS sum_disc,
+         |         ${dsumSql(dec2Sql("l_tax"))} AS sum_tax
+         |  FROM lineitem GROUP BY 1)""".stripMargin
+    s"""WITH $aggCte
+       |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM agg
+       |UNION ALL
+       |SELECT l_returnflag, 'sum_price', sum_price FROM agg
+       |UNION ALL
+       |SELECT l_returnflag, 'sum_disc', sum_disc FROM agg
+       |UNION ALL
+       |SELECT l_returnflag, 'sum_tax', sum_tax FROM agg""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_unpivot" -> (unpivotMetrics, Some(unpivotMetricsSql)),
     "a_ewma" -> (ewma, Some(ewmaSql)),
     "a_hierarchy" -> (hierarchy, Some(hierarchySql)),
     "a_rolling_beta" -> (rollingBeta, Some(rollingBetaSql)),

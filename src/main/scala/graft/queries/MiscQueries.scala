@@ -638,7 +638,79 @@ object MiscQueries {
       |            / CAST(n * LEAST(r - 1, c - 1) AS DOUBLE)) AS cramers_v
       |FROM s""".stripMargin
 
+  /** Closed-form multiple linear regression (OLS, 2 regressors +
+    * intercept) fitted ENTIRELY as a query: predict l_extendedprice
+    * from l_quantity and l_discount. One pass accumulates the 9 exact
+    * second-order moments (every product lands in DECIMAL before the
+    * order-free sum — the [[Fixtures.dsum]] discipline, so a 100 TB
+    * scan reduces to ONE mergeable moment row with map-side partial
+    * aggregation and zero extra shuffles), then the normal equations
+    * are solved on that single row by Cramer's rule in fixed-order
+    * double arithmetic — the identical expression tree in both engines,
+    * so even the final float math hash-matches. This is the scale shape
+    * ML-on-SQL regression wants: moments are associative state,
+    * coefficients are scalar post-processing; contrast SGD
+    * (m_ml_confusion), which is iteration-ordered by nature. */
+  val linreg: Q = (s, dir) => {
+    val q = dec2(col("l_quantity"))
+    val d = dec2(col("l_discount"))
+    val y = dec2(col("l_extendedprice"))
+    val m = table(s, dir, "lineitem").agg(
+      count(lit(1)).as("n"),
+      dsum(q).as("sx1"), dsum(d).as("sx2"), dsum(y).as("sy"),
+      dsum(q * q).as("s11"), dsum(q * d).as("s12"), dsum(d * d).as("s22"),
+      dsum(q * y).as("s1y"), dsum(d * y).as("s2y"))
+    val n = col("n").cast("double")
+    val (sx1, sx2, sy) = (col("sx1"), col("sx2"), col("sy"))
+    val (s11, s12, s22) = (col("s11"), col("s12"), col("s22"))
+    val (s1y, s2y) = (col("s1y"), col("s2y"))
+    val det = n * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2) +
+      sx2 * (sx1 * s12 - s11 * sx2)
+    val det0 = sy * (s11 * s22 - s12 * s12) - sx1 * (s1y * s22 - s12 * s2y) +
+      sx2 * (s1y * s12 - s11 * s2y)
+    val det1 = n * (s1y * s22 - s12 * s2y) - sy * (sx1 * s22 - s12 * sx2) +
+      sx2 * (sx1 * s2y - s1y * sx2)
+    val det2 = n * (s11 * s2y - s1y * s12) - sx1 * (sx1 * s2y - s1y * sx2) +
+      sy * (sx1 * s12 - s11 * sx2)
+    m.select(col("n"), (det0 / det).as("b0"), (det1 / det).as("b1"),
+      (det2 / det).as("b2"))
+  }
+
+  val linregSql: String = {
+    // the scalar algebra below MUST stay structurally identical to the
+    // Spark expressions above: double arithmetic is deterministic only
+    // per operation order
+    val dq = dec2Sql("l_quantity")
+    val dd = dec2Sql("l_discount")
+    val dy = dec2Sql("l_extendedprice")
+    s"""WITH m AS (
+       |  SELECT COUNT(*) AS n,
+       |         ${dsumSql(dq)} AS sx1, ${dsumSql(dd)} AS sx2, ${dsumSql(dy)} AS sy,
+       |         ${dsumSql(s"$dq * $dq")} AS s11, ${dsumSql(s"$dq * $dd")} AS s12,
+       |         ${dsumSql(s"$dd * $dd")} AS s22,
+       |         ${dsumSql(s"$dq * $dy")} AS s1y, ${dsumSql(s"$dd * $dy")} AS s2y
+       |  FROM lineitem),
+       |c AS (
+       |  SELECT n, sx1, sx2, sy, s11, s12, s22, s1y, s2y,
+       |         CAST(n AS DOUBLE) AS nd FROM m)
+       |SELECT n,
+       |  (sy * (s11 * s22 - s12 * s12) - sx1 * (s1y * s22 - s12 * s2y)
+       |    + sx2 * (s1y * s12 - s11 * s2y))
+       |  / (nd * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2)
+       |    + sx2 * (sx1 * s12 - s11 * sx2)) AS b0,
+       |  (nd * (s1y * s22 - s12 * s2y) - sy * (sx1 * s22 - s12 * sx2)
+       |    + sx2 * (sx1 * s2y - s1y * sx2))
+       |  / (nd * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2)
+       |    + sx2 * (sx1 * s12 - s11 * sx2)) AS b1,
+       |  (nd * (s11 * s2y - s1y * s12) - sx1 * (sx1 * s2y - s1y * sx2)
+       |    + sy * (sx1 * s12 - s11 * sx2))
+       |  / (nd * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2)
+       |    + sx2 * (sx1 * s12 - s11 * sx2)) AS b2
+       |FROM c""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "m_linreg" -> (linreg, Some(linregSql)),
     "m_chi2" -> (chi2, Some(chi2Sql)),
     "m_auc" -> (auc, Some(aucSql)),
     "m_pr_curve" -> (prCurve, Some(prCurveSql)),
