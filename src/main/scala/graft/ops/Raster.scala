@@ -290,6 +290,48 @@ object Raster {
     finals.reduce(_ unionByName _)
   }
 
+  /** Watershed BASIN labeling over a D8 flow field: every cell is
+    * labeled with the terminal cell (pit, flat, or edge-draining cell)
+    * its flow path reaches — drainage-basin delineation, the
+    * partitioning hydrology runs after [[flowDir]]. Input/edge
+    * conventions are identical to [[flowAccumulation]] (cells draining
+    * off the emitted region are their own roots).
+    *
+    * Algorithm: POINTER DOUBLING on the drainage forest — parent(cell)
+    * = downstream neighbor (self for roots), then `rounds` squarings
+    * p := p∘p, so path length 2^rounds is covered in `rounds`
+    * self-joins (the a_hierarchy shape; contrast leaf peeling, whose
+    * round count is the LONGEST PATH — doubling is the right tool here
+    * because basin labels need only the root, not per-step sums).
+    * D8 descends strictly, so the forest is acyclic and the fixed
+    * point is stable. Plan discipline: checkpointFresh per round. */
+  def basinLabel(flow: DataFrame, rounds: Int = 6): DataFrame = {
+    import graft.ops.Materialize.checkpointFresh
+    val dx = when(col("dir").isin(0, 1, 7), 1).when(col("dir").isin(3, 4, 5), -1).otherwise(0)
+    val dy = when(col("dir").isin(1, 2, 3), 1).when(col("dir").isin(5, 6, 7), -1).otherwise(0)
+    val nodes = flow.select(col("gx"), col("gy"))
+    val parent = flow.where(col("dir") >= 0)
+      .select(col("gx"), col("gy"), (col("gx") + dx).as("px"), (col("gy") + dy).as("py"))
+      .join(nodes.select(col("gx").as("px"), col("gy").as("py")), Seq("px", "py"), "left_semi")
+    var (p, prevRdds) = checkpointFresh(
+      nodes.join(parent, Seq("gx", "gy"), "left")
+        .select(col("gx"), col("gy"),
+          coalesce(col("px"), col("gx")).as("px"),
+          coalesce(col("py"), col("gy")).as("py")))
+    for (_ <- 1 to rounds) {
+      val (np, npRdds) = checkpointFresh(
+        p.join(
+          p.select(col("gx").as("px"), col("gy").as("py"),
+            col("px").as("ppx"), col("py").as("ppy")),
+          Seq("px", "py"))
+          .select(col("gx"), col("gy"), col("ppx").as("px"), col("ppy").as("py")))
+      prevRdds.foreach(_.unpersist(blocking = false))
+      prevRdds = npRdds
+      p = np
+    }
+    p.select(col("gx"), col("gy"), col("px").as("bx"), col("py").as("by"))
+  }
+
   case class FocalSC(wsum: Double, wn: Double)
 
   private val focalSumCountUdf = udf((padded: Seq[Double], cols: Int, rows: Int, pad: Int, r: Int) => {

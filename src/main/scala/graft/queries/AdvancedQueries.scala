@@ -1664,7 +1664,42 @@ object AdvancedQueries {
        |SELECT l_returnflag, 'sum_tax', sum_tax FROM agg""".stripMargin
   }
 
+  /** Rolling EXACT median over a 5-row event window — the robust
+    * companion to a_ewma (medians shrug off the spikes an EWMA chases).
+    * Spark has no median window aggregate, so: sorted frame list +
+    * dyadic midpoint of the two bracketing elements — integer cents
+    * make (lo+hi)/2 exact, so even the even-count interpolation
+    * hash-matches. The ORACLE uses DuckDB's NATIVE median() OVER the
+    * same frame: two different algorithms, row-equal (the
+    * a_running_distinct proof pattern). Frames are constant-width, so
+    * the sort is O(5 log 5) per row and the window stays user-keyed —
+    * no global sort at any scale. */
+  val rollingMedian: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, 0)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+      .withColumn("cs", sort_array(collect_list(col("cents")).over(w)))
+      .select(col("event_id"), col("user_id"),
+        size(col("cs")).as("n_window"),
+        ((expr("element_at(cs, cast((size(cs) + 1) div 2 as int))").cast("double")
+          + expr("element_at(cs, cast(size(cs) div 2 + 1 as int))").cast("double")) / 2.0 / 100.0)
+          .as("rolling_median"))
+  }
+
+  val rollingMedianSql: String =
+    s"""WITH $eventsCte
+       |SELECT event_id, user_id,
+       |       CAST(COUNT(*) OVER w AS INT) AS n_window,
+       |       CAST(median(CAST(${dec2Sql("value")} * 100 AS BIGINT)) OVER w
+       |            AS DOUBLE) / 100.0 AS rolling_median
+       |FROM evts
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_rolling_median" -> (rollingMedian, Some(rollingMedianSql)),
     "a_unpivot" -> (unpivotMetrics, Some(unpivotMetricsSql)),
     "a_ewma" -> (ewma, Some(ewmaSql)),
     "a_hierarchy" -> (hierarchy, Some(hierarchySql)),

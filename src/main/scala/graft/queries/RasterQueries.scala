@@ -401,6 +401,50 @@ object RasterQueries {
        |       CAST(1 + COALESCE(v.c, 0) AS DOUBLE) AS v
        |FROM fd f LEFT JOIN vis v ON f.gx = v.cx AND f.gy = v.cy""".stripMargin
 
+  /** Hydrology capstone: watershed BASIN labeling — every cell labeled
+    * with the terminal cell its D8 flow path drains to
+    * (Raster.basinLabel — pointer doubling, ⌈log₂ path⌉ self-joins,
+    * per-round checkpointFresh). The oracle walks each cell's path
+    * with a recursive CTE and keeps the step that landed on a root, so
+    * the hash-match proves the doubled pointers reach EXACTLY the
+    * recursive closure's terminals. */
+  val basinLabel: Q = (s, dir) => {
+    val fd = Raster.pixelize(Raster.flowDir(tilesA(s, dir), TS, TS), TS)
+      .select((col("tile_col") * TS + col("px")).cast("long").as("gx"),
+        (col("tile_row") * TS + col("py")).cast("long").as("gy"),
+        col("v").cast("int").as("dir"))
+    Raster.basinLabel(fd)
+      .select(expr(s"gx div $TS").cast("int").as("tile_col"),
+        expr(s"gy div $TS").cast("int").as("tile_row"),
+        (col("gx") % TS).cast("int").as("px"),
+        (col("gy") % TS).cast("int").as("py"),
+        col("bx").cast("int").as("basin_gx"),
+        col("by").cast("int").as("basin_gy"))
+  }
+
+  val basinLabelSql: String =
+    s"""WITH RECURSIVE $flowDirCtes,
+       |e0 AS (
+       |  SELECT gx AS cgx, gy AS cgy,
+       |         gx + (CASE WHEN dir IN (0, 1, 7) THEN 1 WHEN dir IN (3, 4, 5) THEN -1 ELSE 0 END) AS pgx,
+       |         gy + (CASE WHEN dir IN (1, 2, 3) THEN 1 WHEN dir IN (5, 6, 7) THEN -1 ELSE 0 END) AS pgy
+       |  FROM fd WHERE dir >= 0),
+       |e AS (SELECT e0.* FROM e0 JOIN fd p ON e0.pgx = p.gx AND e0.pgy = p.gy),
+       |walk(sgx, sgy, cx, cy) AS (
+       |  SELECT gx, gy, gx, gy FROM fd
+       |  UNION ALL
+       |  SELECT w.sgx, w.sgy, e.pgx, e.pgy FROM walk w JOIN e ON w.cx = e.cgx AND w.cy = e.cgy),
+       |roots AS (
+       |  SELECT f.gx, f.gy FROM fd f
+       |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.cgx = f.gx AND e.cgy = f.gy)),
+       |b AS (
+       |  SELECT w.sgx, w.sgy, w.cx, w.cy FROM walk w
+       |  JOIN roots r ON w.cx = r.gx AND w.cy = r.gy)
+       |SELECT CAST(sgx // $TS AS INT) AS tile_col, CAST(sgy // $TS AS INT) AS tile_row,
+       |       CAST(sgx % $TS AS INT) AS px, CAST(sgy % $TS AS INT) AS py,
+       |       CAST(cx AS INT) AS basin_gx, CAST(cy AS INT) AS basin_gy
+       |FROM b""".stripMargin
+
   /** R6/A9: one pyramid level up — 2x2 block mean over data cells
     * (GeotiffToPyramid.scala:58-69). */
   val pyramid: Q = (s, dir) =>
@@ -1100,6 +1144,7 @@ object RasterQueries {
     "r_hillshade" -> (hillshade, Some(hillshadeSql)),
     "r_flow_dir" -> (flowDir, Some(flowDirSql)),
     "r_flow_accum" -> (flowAccum, Some(flowAccumSql)),
+    "r_basin_label" -> (basinLabel, Some(basinLabelSql)),
     "r_aspect" -> (aspect, Some(aspectSql)),
     "r_terrain" -> (terrain, Some(terrainSql)),
     "r_getis_ord" -> (getisOrd, Some(getisOrdSql)),
