@@ -280,6 +280,31 @@ class RasterOpsSpec extends AnyFunSuite {
     assert(got((10L, 0L)) == 1)
   }
 
+  test("basinLabel: chain, junction, pit and off-layer drain roots") {
+    // same field as the flowAccumulation test: chain basin = pit (4,0),
+    // junction basin = pit (6,5), off-layer drainer is its OWN root
+    val field = Seq(
+      (0L, 0L, 0), (1L, 0L, 0), (2L, 0L, 0), (3L, 0L, 0), (4L, 0L, -1),
+      (5L, 5L, 0), (6L, 4L, 2), (6L, 5L, -1),
+      (10L, 0L, 0))
+      .toDF("gx", "gy", "dir")
+    val got = graft.ops.Raster.basinLabel(field)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == 9)
+    for (x <- 0L to 4L) assert(got((x, 0L)) == ((4L, 0L)))
+    assert(got((5L, 5L)) == ((6L, 5L)) && got((6L, 4L)) == ((6L, 5L)))
+    assert(got((6L, 5L)) == ((6L, 5L)))
+    assert(got((10L, 0L)) == ((10L, 0L))) // drains off-layer -> own root
+  }
+
+  test("basinLabel: pointer doubling covers a path longer than the round count") {
+    // a 50-cell east-draining chain: rounds=6 covers 2^6=64 > 50
+    val field = ((0L until 49L).map(x => (x, 0L, 0)) :+ (49L, 0L, -1)).toDF("gx", "gy", "dir")
+    val got = graft.ops.Raster.basinLabel(field)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == 50 && got.values.forall(_ == ((49L, 0L))))
+  }
+
   test("focalMean radius1 equals TileMath kernel on assembled layer") {
     val tiles = Raster.assemble(pixels, TS, TS)
     val got = Raster.pixelize(Raster.focalMean(tiles, TS, TS, 1), TS).collect()
