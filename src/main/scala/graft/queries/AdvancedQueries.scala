@@ -1698,7 +1698,51 @@ object AdvancedQueries {
        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Incremental view maintenance: a materialized per-(priority,
+    * status) aggregate is DELTA-maintained — base partials plus insert
+    * partials minus delete partials, three full-outer-joined partial
+    * aggregates — and the gate proves the maintained state equals the
+    * oracle's FULL RECOMPUTE over the final row set. This is the 100 TB
+    * pattern that turns a daily full rebuild into a delta-sized job:
+    * each partial aggregate is its own map-side-combined groupBy over
+    * only its slice, the join keys are the (tiny) group domain, and
+    * sums/counts subtract exactly because the money math stays in
+    * DECIMAL end to end. Groups whose maintained count hits zero drop
+    * out — the retraction rule COUNT-based IVM needs. Fixture deltas
+    * are deterministic orderkey slices: inserts = keys ≡ 0 (mod 10),
+    * deletes = keys ≡ 0 (mod 7) of the base. */
+  val incrementalAgg: Q = (s, dir) => {
+    val o = table(s, dir, "orders")
+    val keys = Seq(col("o_orderpriority"), col("o_orderstatus"))
+    def part(df: DataFrame, n: String, r: String) =
+      df.groupBy(keys: _*)
+        .agg(count(lit(1)).as(n), sum(dec2(col("o_totalprice"))).as(r))
+    val base = part(o.where(col("o_orderkey") % 10 =!= 0), "n_b", "r_b")
+    val ins = part(o.where(col("o_orderkey") % 10 === 0), "n_i", "r_i")
+    val del = part(o.where(col("o_orderkey") % 10 =!= 0 && col("o_orderkey") % 7 === 0),
+      "n_d", "r_d")
+    def z(c: String) = coalesce(col(c), lit(0L))
+    def zd(c: String) = coalesce(col(c), lit(0).cast("decimal(12,2)"))
+    base.join(ins, Seq("o_orderpriority", "o_orderstatus"), "full_outer")
+      .join(del, Seq("o_orderpriority", "o_orderstatus"), "full_outer")
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        (z("n_b") + z("n_i") - z("n_d")).as("n_orders"),
+        (zd("r_b") + zd("r_i") - zd("r_d")).cast("double").as("revenue"))
+      .where(col("n_orders") > 0)
+  }
+
+  val incrementalAggSql: String =
+    s"""SELECT o_orderpriority, o_orderstatus,
+       |       COUNT(*) AS n_orders,
+       |       CAST(SUM(${dec2Sql("o_totalprice")}) AS DOUBLE) AS revenue
+       |FROM orders
+       |WHERE (o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0)
+       |   OR o_orderkey % 10 = 0
+       |GROUP BY 1, 2
+       |HAVING COUNT(*) > 0""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_incremental_agg" -> (incrementalAgg, Some(incrementalAggSql)),
     "a_rolling_median" -> (rollingMedian, Some(rollingMedianSql)),
     "a_unpivot" -> (unpivotMetrics, Some(unpivotMetricsSql)),
     "a_ewma" -> (ewma, Some(ewmaSql)),
