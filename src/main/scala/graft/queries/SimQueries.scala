@@ -964,7 +964,42 @@ object SimQueries {
        |FROM final f JOIN cands c USING (cid)""".stripMargin
   }
 
+  /** One Lloyd iteration of k-means AS A QUERY — the training step the
+    * fit-at-runtime paths (Similarity.ivfTopK, pqTrain) run repeatedly,
+    * here made oracle-checkable: assign every vector to its nearest
+    * seeded literal centroid (the s_ann_ivf argmax chain — both engines
+    * evaluate the identical CASE), then recompute each cluster's mean
+    * per dimension in 2^20 fixed point, so the "new centroid" is an
+    * exact rational of integer sums (the m_centroid_confusion mean
+    * discipline). Scale shape: assignment is ONE projection over the
+    * corpus scan, the update ONE (cluster, dim)-keyed partial-agg
+    * groupBy — k·d rows out regardless of corpus size; iterating =
+    * re-running with the emitted centroids as the next literals. */
+  val kmeansStep: Q = (s, dir) => {
+    val e = table(s, dir, "embeddings")
+    e.select(
+        clusterOf((0 until NLIST).map(j => centScore(col("embedding"), j))).as("cluster"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("cluster"), col("pos"),
+        floor(col("v").cast("double") * CentScale).as("q"))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("q")).as("qs"), count(lit(1)).as("cnt"))
+      .select(col("cluster"), col("pos"), col("cnt").as("n_assigned"),
+        (col("qs").cast("double") / (col("cnt").cast("double") * CentScale)).as("v_new"))
+  }
+
+  val kmeansStepSql: String =
+    s"""WITH a AS (
+       |  SELECT ${clusterSql("embedding")} AS cluster, embedding FROM embeddings)
+       |SELECT cluster, CAST(r.i - 1 AS INT) AS pos,
+       |       COUNT(*) AS n_assigned,
+       |       CAST(SUM(CAST(FLOOR(CAST(embedding[r.i] AS DOUBLE) * $CentScale) AS BIGINT)) AS DOUBLE)
+       |         / (COUNT(*) * $CentScale) AS v_new
+       |FROM a CROSS JOIN range(1, ${DIM + 1}) r(i)
+       |GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "m_kmeans_step" -> (kmeansStep, Some(kmeansStepSql)),
     "s_ann_recall" -> (annRecall, Some(annRecallSql)),
     "s_knn_graph" -> (knnGraph, Some(knnGraphSql)),
     "s_random_proj" -> (randomProj, Some(randomProjSql)),
