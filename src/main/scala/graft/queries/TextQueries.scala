@@ -100,14 +100,18 @@ object TextQueries {
     * the point the gate proves is that the composed verdict matches a
     * relational oracle bit-for-bit, so each signal's semantics are
     * pinned where a filter bug would silently skew the corpus. */
-  val qualityFilter: Q = (s, dir) => {
+  /** The filter stage as a standalone transform over any frame carrying
+    * (doc_id, toks) — STATELESS (zero Exchanges), so it applies
+    * unchanged to a streaming frame; StreamingQualityFilterSpec proves
+    * the stream emits row-for-row what this computes in batch. */
+  def qualityFilterStage(d: DataFrame): DataFrame = {
     val stop = Seq("the", "a", "of", "and", "to")
     val stopCount = size(filter(col("toks"), t => stop.map(w => t === w).reduce(_ || _)))
     val quality = when(size(col("toks")) > 0,
       size(array_distinct(col("toks"))).cast("double") / size(col("toks")) * 0.6
         + (lit(1.0) - stopCount.cast("double") / size(col("toks"))) * 0.4)
       .otherwise(lit(0.0))
-    docs(s, dir).select(col("doc_id"),
+    d.select(col("doc_id"),
         size(col("toks")).as("n_tokens"), quality.as("quality"),
         TextOps.langId(col("toks")).as("lang_pred"),
         TextOps.repetitionScores(col("toks")).getItem(0).as("top_bigram_frac"))
@@ -119,6 +123,8 @@ object TextQueries {
       .withColumn("keep",
         col("len_ok") && col("quality_ok") && col("lang_ok") && col("rep_ok"))
   }
+
+  val qualityFilter: Q = (s, dir) => qualityFilterStage(docs(s, dir))
 
   val qualityFilterSql: String = {
     val scores = TextOps.langProfiles.map { case (lang, ws) =>
