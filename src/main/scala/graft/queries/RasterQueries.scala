@@ -445,6 +445,58 @@ object RasterQueries {
        |       CAST(cx AS INT) AS basin_gx, CAST(cy AS INT) AS basin_gy
        |FROM b""".stripMargin
 
+  /** GLCM texture features (Haralick 1973) — per-tile gray-level
+    * co-occurrence CONTRAST and ENERGY over horizontal neighbor pairs,
+    * the classic remote-sensing texture inputs to a land-use
+    * classifier (the reference's SVM consumes per-pixel features;
+    * texture is the standard per-tile companion). Values quantize to 8
+    * levels (integral fixture values, so the cast is exact in both
+    * engines), neighbor pairs come from the CELLS ARRAY with pure
+    * Column HOFs — no halo, no self-join, ZERO shuffle until the
+    * (tile, li, lj) census groupBy (≤64 rows per tile) — and both
+    * statistics are rationals of exact integer counts. NaN holes drop
+    * pairs on either side, matching the oracle's inner join over
+    * present pixels. */
+  val glcmTexture: Q = (s, dir) => {
+    val lastCol = TS - 1
+    val pairIdx = filter(sequence(lit(0), lit(TS * TS - 2)), i => i % TS =!= lastCol)
+    val lvl = (c: org.apache.spark.sql.Column) => c.cast("long").bitwiseAND(lit(7L))
+    val pairs = tilesA(s, dir).select(col("tile_col"), col("tile_row"),
+      explode(filter(
+        transform(pairIdx, i => struct(
+          element_at(col("cells"), i + 1).as("a"),
+          element_at(col("cells"), i + 2).as("b"))),
+        p => !isnan(p.getField("a")) && !isnan(p.getField("b")))).as("p"))
+      .select(col("tile_col"), col("tile_row"),
+        lvl(col("p.a")).as("li"), lvl(col("p.b")).as("lj"))
+    pairs.groupBy(col("tile_col"), col("tile_row"), col("li"), col("lj"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("tile_col"), col("tile_row"))
+      .agg(sum(col("n")).as("n_pairs"),
+        (sum(col("n") * (col("li") - col("lj")) * (col("li") - col("lj"))).cast("double")
+          / sum(col("n")).cast("double")).as("contrast"),
+        (sum(col("n") * col("n")).cast("double")
+          / (sum(col("n")).cast("double") * sum(col("n")).cast("double"))).as("energy"))
+  }
+
+  val glcmTextureSql: String =
+    s"""WITH $pxCte,
+       |pr AS (
+       |  SELECT a.tile_col, a.tile_row,
+       |         CAST(a.v AS BIGINT) & 7 AS li, CAST(b.v AS BIGINT) & 7 AS lj
+       |  FROM pxa a JOIN pxa b
+       |    ON a.tile_col = b.tile_col AND a.tile_row = b.tile_row
+       |   AND b.px = a.px + 1 AND b.py = a.py),
+       |c AS (SELECT tile_col, tile_row, li, lj, COUNT(*) AS n
+       |      FROM pr GROUP BY 1, 2, 3, 4)
+       |SELECT tile_col, tile_row,
+       |       CAST(SUM(n) AS BIGINT) AS n_pairs,
+       |       CAST(SUM(n * (li - lj) * (li - lj)) AS DOUBLE)
+       |         / CAST(SUM(n) AS DOUBLE) AS contrast,
+       |       CAST(SUM(n * n) AS DOUBLE)
+       |         / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)) AS energy
+       |FROM c GROUP BY 1, 2""".stripMargin
+
   /** R6/A9: one pyramid level up — 2x2 block mean over data cells
     * (GeotiffToPyramid.scala:58-69). */
   val pyramid: Q = (s, dir) =>
@@ -1145,6 +1197,7 @@ object RasterQueries {
     "r_flow_dir" -> (flowDir, Some(flowDirSql)),
     "r_flow_accum" -> (flowAccum, Some(flowAccumSql)),
     "r_basin_label" -> (basinLabel, Some(basinLabelSql)),
+    "r_glcm_texture" -> (glcmTexture, Some(glcmTextureSql)),
     "r_aspect" -> (aspect, Some(aspectSql)),
     "r_terrain" -> (terrain, Some(terrainSql)),
     "r_getis_ord" -> (getisOrd, Some(getisOrdSql)),
