@@ -441,6 +441,44 @@ object MiscQueries {
        |       MAX(l_shipdate) AS max_ship
        |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** JSON-lines sink + source round-trip — the interchange format every
+    * ingest boundary speaks. Write a typed projection as JSON, read it
+    * back with an EXPLICIT schema (schema-on-read; inference would cost
+    * an extra pass and type-drift silently), aggregate, and match the
+    * oracle computing the same statistics off the parquet source —
+    * proving the codec lost nothing. Timestamps ride as DATE: Spark's
+    * default JSON timestamp format truncates sub-millisecond precision,
+    * so a date projection is the honest lossless contract (the gate
+    * documents the boundary instead of hiding it). */
+  val jsonRoundtrip: Q = (s, dir) => {
+    import org.apache.spark.sql.types._
+    val base = tmpCatalog(dir) + "_json"
+    table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        dec2(col("l_extendedprice")).as("price"),
+        col("l_shipdate").cast("date").as("ship_date"))
+      .write.mode("overwrite").json(base)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_returnflag", StringType),
+      StructField("price", DecimalType(12, 2)), StructField("ship_date", DateType)))
+    s.read.schema(schema).json(base)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        sum(col("l_linenumber").cast("long")).as("sum_line"),
+        dsum(col("price")).as("sum_price"),
+        max(col("ship_date")).as("max_ship"))
+  }
+
+  val jsonRoundtripSql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |       CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+       |       CAST(SUM(l_linenumber) AS BIGINT) AS sum_line,
+       |       ${dsumSql(dec2Sql("l_extendedprice"))} AS sum_price,
+       |       MAX(CAST(l_shipdate AS DATE)) AS max_ship
+       |FROM lineitem GROUP BY 1""".stripMargin
+
   /** Dynamic partition overwrite — the in-place partition refresh every
     * partitioned lake table lives by: a full partitioned write, then a
     * second overwrite-mode write that touches ONLY the partitions
@@ -716,6 +754,7 @@ object MiscQueries {
     "m_pr_curve" -> (prCurve, Some(prCurveSql)),
     "m_calibration" -> (calibration, Some(calibrationSql)),
     "c_orc_roundtrip" -> (orcRoundtrip, Some(orcRoundtripSql)),
+    "c_json_roundtrip" -> (jsonRoundtrip, Some(jsonRoundtripSql)),
     "c_partition_overwrite" -> (partitionOverwrite, Some(partitionOverwriteSql)),
     "c_schema_merge" -> (schemaMerge, Some(schemaMergeSql)),
     "m_stratified_split" -> (stratifiedSplit, Some(stratifiedSplitSql)),
