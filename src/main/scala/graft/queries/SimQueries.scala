@@ -977,8 +977,15 @@ object SimQueries {
     * re-running with the emitted centroids as the next literals. */
   val kmeansStep: Q = (s, dir) => {
     val e = table(s, dir, "embeddings")
-    e.select(
-        clusterOf((0 until NLIST).map(j => centScore(col("embedding"), j))).as("cluster"),
+    // argmax via ONE scores array + first-occurrence position — the
+    // s_ann_pq lesson: a LEAST/CASE comparison chain re-inlines every
+    // score expression O(k²) times and blows the codegen budget (the
+    // chain form measured 8.8 s here vs 0.6 s for this); first
+    // array_position matches clusterOf's lowest-index tie rule
+    val scores = array((0 until NLIST).map(j => centScore(col("embedding"), j)): _*)
+    e.select(col("embedding"), scores.as("s")) // named once: argmax reads it twice
+      .select(
+        (array_position(col("s"), array_max(col("s"))) - 1).cast("int").as("cluster"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("cluster"), col("pos"),
         floor(col("v").cast("double") * CentScale).as("q"))
@@ -988,15 +995,20 @@ object SimQueries {
         (col("qs").cast("double") / (col("cnt").cast("double") * CentScale)).as("v_new"))
   }
 
-  val kmeansStepSql: String =
-    s"""WITH a AS (
-       |  SELECT ${clusterSql("embedding")} AS cluster, embedding FROM embeddings)
+  val kmeansStepSql: String = {
+    val scoresSql = (0 until NLIST).map(j => centScoreSql("embedding", j)).mkString("[", ", ", "]")
+    s"""WITH sc AS (SELECT embedding, $scoresSql AS s FROM embeddings),
+       |a AS (
+       |  SELECT CAST(list_position(s, list_aggregate(s, 'max')) - 1 AS INT) AS cluster,
+       |         embedding
+       |  FROM sc)
        |SELECT cluster, CAST(r.i - 1 AS INT) AS pos,
        |       COUNT(*) AS n_assigned,
        |       CAST(SUM(CAST(FLOOR(CAST(embedding[r.i] AS DOUBLE) * $CentScale) AS BIGINT)) AS DOUBLE)
        |         / (COUNT(*) * $CentScale) AS v_new
        |FROM a CROSS JOIN range(1, ${DIM + 1}) r(i)
        |GROUP BY 1, 2""".stripMargin
+  }
 
   val all: Map[String, (Q, Option[String])] = Map(
     "m_kmeans_step" -> (kmeansStep, Some(kmeansStepSql)),
