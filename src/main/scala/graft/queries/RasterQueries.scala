@@ -497,6 +497,58 @@ object RasterQueries {
        |         / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)) AS energy
        |FROM c GROUP BY 1, 2""".stripMargin
 
+  /** Line-of-sight visibility along the 8 principal rays from a fixed
+    * observer — the ray-cast core of a viewshed (r_line_profile samples
+    * ONE segment; this classifies every on-ray cell): a cell is visible
+    * iff its elevation angle from the observer clears the RUNNING MAX
+    * of all nearer cells on its ray — a pure window formulation, so
+    * both engines state it identically (slope = (v−v0)/d is one fixed
+    * double op; the running max compares identical doubles). First
+    * cell on each ray is unconditionally visible. Scale shape: the
+    * observer row broadcasts, the ray filter is map-side, and the
+    * window partitions by ray — 8 tiny ordered partitions regardless
+    * of raster size (a full viewshed runs this per azimuth bucket). */
+  val losVisibility: Q = (s, dir) => {
+    val (ox, oy) = (8, 4)
+    val g = pixelsA(s, dir).select(
+      (col("tile_col") * TS + col("px")).cast("long").as("gx"),
+      (col("tile_row") * TS + col("py")).cast("long").as("gy"),
+      col("v"))
+    val obs = g.where(col("gx") === ox && col("gy") === oy)
+      .select(col("v").as("v0"))
+    val dx = col("gx") - ox
+    val dy = col("gy") - oy
+    val onRay = (dx === 0 && dy =!= 0) || (dy === 0 && dx =!= 0) || (abs(dx) === abs(dy) && dx =!= 0)
+    val rays = g.crossJoin(broadcast(obs)).where(onRay)
+      .select(col("gx"), col("gy"),
+        concat_ws(",", signum(dx).cast("int"), signum(dy).cast("int")).as("ray"),
+        greatest(abs(dx), abs(dy)).as("d"),
+        ((col("v") - col("v0")) / greatest(abs(dx), abs(dy))).as("slope"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ray")).orderBy(col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    rays.select(col("gx"), col("gy"), col("ray"), col("d").cast("int").as("d"),
+      coalesce(col("slope") >= max(col("slope")).over(w), lit(true)).as("visible"))
+  }
+
+  val losVisibilitySql: String =
+    s"""WITH $pxCte,
+       |o AS (SELECT v AS v0 FROM pga WHERE gx = 8 AND gy = 4),
+       |r AS (
+       |  SELECT gx, gy,
+       |         CAST(CAST(sign(gx - 8) AS INT) AS VARCHAR) || ',' ||
+       |         CAST(CAST(sign(gy - 4) AS INT) AS VARCHAR) AS ray,
+       |         GREATEST(ABS(gx - 8), ABS(gy - 4)) AS d,
+       |         (v - v0) / GREATEST(ABS(gx - 8), ABS(gy - 4)) AS slope
+       |  FROM pga, o
+       |  WHERE (gx = 8 AND gy <> 4) OR (gy = 4 AND gx <> 8)
+       |     OR (ABS(gx - 8) = ABS(gy - 4) AND gx <> 8))
+       |SELECT CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy, ray,
+       |       CAST(d AS INT) AS d,
+       |       COALESCE(slope >= MAX(slope) OVER (PARTITION BY ray ORDER BY d
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), TRUE) AS visible
+       |FROM r""".stripMargin
+
   /** R6/A9: one pyramid level up — 2x2 block mean over data cells
     * (GeotiffToPyramid.scala:58-69). */
   val pyramid: Q = (s, dir) =>
@@ -1198,6 +1250,7 @@ object RasterQueries {
     "r_flow_accum" -> (flowAccum, Some(flowAccumSql)),
     "r_basin_label" -> (basinLabel, Some(basinLabelSql)),
     "r_glcm_texture" -> (glcmTexture, Some(glcmTextureSql)),
+    "r_los_visibility" -> (losVisibility, Some(losVisibilitySql)),
     "r_aspect" -> (aspect, Some(aspectSql)),
     "r_terrain" -> (terrain, Some(terrainSql)),
     "r_getis_ord" -> (getisOrd, Some(getisOrdSql)),
