@@ -86,9 +86,18 @@ object Export {
   def stitchGeoTiff(tiles: DataFrame, cols: Int, rows: Int, path: String,
                     originX: Double = 0.0, originY: Double = 0.0,
                     cellW: Double = 1.0, cellH: Double = 1.0,
-                    epsg: Int = 4326): Unit = {
+                    epsg: Int = 4326, overviews: Int = 0): Unit = {
     val (w, h, cells) = stitch(tiles, cols, rows)
-    graft.sources.GeoTiff.write(path, w, h, cells, originX, originY, cellW, cellH, epsg)
+    if (overviews <= 0)
+      graft.sources.GeoTiff.write(path, w, h, cells, originX, originY, cellW, cellH, epsg)
+    else {
+      // COG-style: chained reduced-resolution IFDs, so zoomed-out
+      // serving reads an overview instead of resampling the full raster
+      val p = java.nio.file.Paths.get(path)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, graft.sources.GeoTiff.encodePyramid(
+        w, h, cells, overviews, originX, originY, cellW, cellH, epsg)): Unit
+    }
   }
 
   /** K5 multiband: stitch the zipped representation into ONE N-band

@@ -307,15 +307,44 @@ object GeoTiff {
       require(b.length == width.toLong * height, s"cells ${b.length} != $width x $height"))
     require(width.toLong * height * 8 * n < Int.MaxValue - 8192, "raster too large for one TIFF")
     require(epsg > 0 && epsg < 65535, s"EPSG $epsg does not fit a GeoKey SHORT")
+    val header = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    header.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    header.array() ++ ifdSegment(width, height, bands, base = 8, nextIfd = 0,
+      reduced = false, originX, originY, cellW, cellH, epsg)
+  }
+
+  private def geoKeysFor(epsg: Int): Array[Int] = {
     val geographic = epsg >= 4000 && epsg < 5000
-    val geoKeys: Array[Int] = Array(
+    Array(
       1, 1, 0, 3, // KeyDirectoryVersion, KeyRevision, MinorRevision, NumberOfKeys
       1024, 0, 1, if (geographic) 2 else 1, // GTModelType: geographic / projected
       1025, 0, 1, 1, // GTRasterType: RasterPixelIsArea
       if (geographic) 2048 else 3072, 0, 1, epsg)
-    val tags = 14
-    val ifdOff = 8
-    var ext = ifdOff + 2 + tags * 12 + 4
+  }
+
+  /** Byte size of one IFD segment (IFD + external blocks + strip data)
+    * — MUST mirror [[ifdSegment]]'s layout exactly; [[encodePyramid]]
+    * uses it to pre-compute chain offsets. */
+  private def segmentSize(width: Int, height: Int, n: Int, reduced: Boolean): Int = {
+    val tags = (if (reduced) 15 else 14)
+    val extShorts = if (n > 2) 4 * n else 0 // BitsPerSample + SampleFormat blocks
+    2 + tags * 12 + 4 + extShorts + 24 + 48 + 2 * geoKeysFor(4326).length +
+      width * height * n * 8
+  }
+
+  /** One complete IFD segment with ABSOLUTE offsets (file position of
+    * the segment's first byte = `base`), chained to `nextIfd` (0 ends
+    * the chain). `reduced` adds NewSubfileType=1 — the COG overview
+    * marker. Layout: IFD, external SHORT blocks, scale/tiepoint/geokey
+    * blocks, then one strip of pixel-interleaved float64 data. */
+  private def ifdSegment(width: Int, height: Int, bands: Seq[Array[Double]],
+                         base: Int, nextIfd: Int, reduced: Boolean,
+                         originX: Double, originY: Double,
+                         cellW: Double, cellH: Double, epsg: Int): Array[Byte] = {
+    val n = bands.length
+    val geoKeys = geoKeysFor(epsg)
+    val tags = (if (reduced) 15 else 14)
+    var ext = 2 + tags * 12 + 4 // relative to base
     def alloc(sz: Int): Int = { val o = ext; ext += sz; o }
     val bpsOff = if (n > 2) alloc(2 * n) else -1 // SHORT arrays go external past 2 values
     val sfOff = if (n > 2) alloc(2 * n) else -1
@@ -326,7 +355,6 @@ object GeoTiff {
     val dataLen = width * height * n * 8
     val buf = java.nio.ByteBuffer.allocate(dataOff + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
     buf.putShort(tags.toShort)
     def tag(id: Int, typ: Int, cnt: Int, value: Long): Unit = {
       buf.putShort(id.toShort).putShort(typ.toShort).putInt(cnt)
@@ -339,22 +367,23 @@ object GeoTiff {
       else if (n == 2) {
         buf.putShort(id.toShort).putShort(3.toShort).putInt(2)
         buf.putShort(value.toShort).putShort(value.toShort)
-      } else tag(id, 3, n, extOff)
+      } else tag(id, 3, n, base + extOff)
+    if (reduced) tag(254, 4, 1, 1) // NewSubfileType: reduced-resolution (tags ascend: 254 first)
     tag(256, 4, 1, width) // ImageWidth
     tag(257, 4, 1, height) // ImageLength
     tagShorts(258, 64, bpsOff) // BitsPerSample
     tag(259, 3, 1, 1) // Compression: none
     tag(262, 3, 1, 1) // Photometric: BlackIsZero
-    tag(273, 4, 1, dataOff) // StripOffsets
+    tag(273, 4, 1, base + dataOff) // StripOffsets
     tag(277, 3, 1, n) // SamplesPerPixel
     tag(278, 4, 1, height) // RowsPerStrip: one strip
     tag(279, 4, 1, dataLen) // StripByteCounts
     tag(284, 3, 1, 1) // PlanarConfiguration: chunky (pixel-interleaved)
     tagShorts(339, 3, sfOff) // SampleFormat: IEEE float
-    tag(33550, 12, 3, scaleOff) // ModelPixelScale
-    tag(33922, 12, 6, tieOff) // ModelTiepoint
-    tag(34735, 3, geoKeys.length, geoOff) // GeoKeyDirectory
-    buf.putInt(0) // no next IFD
+    tag(33550, 12, 3, base + scaleOff) // ModelPixelScale
+    tag(33922, 12, 6, base + tieOff) // ModelTiepoint
+    tag(34735, 3, geoKeys.length, base + geoOff) // GeoKeyDirectory
+    buf.putInt(nextIfd)
     if (n > 2) {
       var b = 0; while (b < n) { buf.putShort(64.toShort); b += 1 } // BitsPerSample
       b = 0; while (b < n) { buf.putShort(3.toShort); b += 1 } // SampleFormat
@@ -371,6 +400,117 @@ object GeoTiff {
       i += 1
     }
     buf.array()
+  }
+
+  /** 2x2 NaN-skipping block mean — the overview downsample, same cell
+    * rule as the layer pyramid (mean over data cells, all-NoData
+    * parents stay NoData). */
+  private[sources] def downsample2x(w: Int, h: Int, cells: Array[Double]): (Int, Int, Array[Double]) = {
+    val ow = (w + 1) / 2; val oh = (h + 1) / 2
+    val out = new Array[Double](ow * oh)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        var s = 0.0; var c = 0
+        var dy = 0
+        while (dy < 2) {
+          var dx = 0
+          while (dx < 2) {
+            val sx = 2 * x + dx; val sy = 2 * y + dy
+            if (sx < w && sy < h) {
+              val v = cells(sy * w + sx)
+              if (!java.lang.Double.isNaN(v)) { s += v; c += 1 }
+            }
+            dx += 1
+          }
+          dy += 1
+        }
+        out(y * ow + x) = if (c == 0) Double.NaN else s / c
+        x += 1
+      }
+      y += 1
+    }
+    (ow, oh, out)
+  }
+
+  /** Cloud-optimized-GeoTIFF-style pyramid: the full raster plus
+    * `levels` chained reduced-resolution IFDs (NewSubfileType=1, each
+    * level a 2x2 NaN-skipping mean of the previous, pixel scale
+    * doubled per level so every overview georeferences correctly).
+    * [[decode]] reads the full image unchanged (first IFD — full
+    * backward compatibility); [[decodeLevel]] pins any overview. A
+    * tile server rendering zoomed-out views reads the overview IFD
+    * instead of resampling the full raster — the COG serving trade. */
+  def encodePyramid(width: Int, height: Int, cells: Array[Double], levels: Int,
+                    originX: Double = 0.0, originY: Double = 0.0,
+                    cellW: Double = 1.0, cellH: Double = 1.0,
+                    epsg: Int = 4326): Array[Byte] = {
+    require(levels >= 0, "levels must be >= 0")
+    val lv = Iterator.iterate((width, height, cells)) { case (w, h, c) => downsample2x(w, h, c) }
+      .take(levels + 1).toSeq
+    val segSizes = lv.zipWithIndex.map { case ((w, h, _), i) =>
+      segmentSize(w, h, 1, reduced = i > 0)
+    }
+    val bases = segSizes.scanLeft(8)(_ + _)
+    val header = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    header.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    val segs = lv.zipWithIndex.map { case ((w, h, c), i) =>
+      val next = if (i == levels) 0 else bases(i + 1)
+      val scale = (1L << i).toDouble
+      ifdSegment(w, h, Seq(c), bases(i), next, reduced = i > 0,
+        originX, originY, cellW * scale, cellH * scale, epsg)
+    }
+    header.array() ++ segs.reduce(_ ++ _)
+  }
+
+  /** File offsets of every IFD in the chain (full raster first, then
+    * each overview level). Classic-TIFF only — matches what
+    * [[encodePyramid]] emits. */
+  def ifdOffsets(bytes: Array[Byte]): Seq[Int] = {
+    val le = bytes(0) == 'I'
+    def u16(o: Int): Int =
+      if (le) (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+      else ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+    def u32(o: Int): Int = {
+      val b = (0 to 3).map(i => bytes(o + i) & 0xFF)
+      if (le) b(0) | (b(1) << 8) | (b(2) << 16) | (b(3) << 24)
+      else (b(0) << 24) | (b(1) << 16) | (b(2) << 8) | b(3)
+    }
+    require(u16(2) == 42, "ifdOffsets supports classic TIFF only")
+    val out = Seq.newBuilder[Int]
+    var off = u32(4)
+    var guard = 0
+    while (off != 0 && guard < 64) {
+      out += off
+      val n = u16(off)
+      off = u32(off + 2 + n * 12)
+      guard += 1
+    }
+    out.result()
+  }
+
+  /** Decode one pyramid level by pinning the header's first-IFD pointer
+    * at that level's IFD — the full [[decode]] machinery (compression,
+    * tiles/strips, geo tags) applies unchanged to the overview. */
+  def decodeLevel(bytes: Array[Byte], level: Int): Raster = {
+    val offs = ifdOffsets(bytes)
+    require(level >= 0 && level < offs.length,
+      s"level $level of ${offs.length} IFDs")
+    if (level == 0) decode(bytes)
+    else {
+      val copy = bytes.clone()
+      val le = copy(0) == 'I'
+      val o = offs(level)
+      if (le) {
+        copy(4) = (o & 0xFF).toByte; copy(5) = ((o >> 8) & 0xFF).toByte
+        copy(6) = ((o >> 16) & 0xFF).toByte; copy(7) = ((o >> 24) & 0xFF).toByte
+      } else {
+        copy(4) = ((o >> 24) & 0xFF).toByte; copy(5) = ((o >> 16) & 0xFF).toByte
+        copy(6) = ((o >> 8) & 0xFF).toByte; copy(7) = (o & 0xFF).toByte
+      }
+      decode(copy)
+    }
   }
 
   def encode(width: Int, height: Int, cells: Array[Double],

@@ -396,4 +396,64 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(stats.getAs[Long]("n_cells") == cells.length)
     assert(math.abs(stats.getAs[Double]("mean_v") - cells.sum / cells.length) < 1e-6)
   }
+
+  test("pyramid overviews: chained IFDs decode per level, full-res unchanged") {
+    // 8x6 raster with a NaN hole; values = 10*y + x (integral, exact means)
+    val w = 8; val h = 6
+    val cells = Array.tabulate(w * h)(i => (10.0 * (i / w) + (i % w)))
+    cells(3) = Double.NaN // (x=3, y=0)
+    val bytes = GeoTiff.encodePyramid(w, h, cells, levels = 2,
+      originX = 100.0, originY = 200.0, cellW = 0.5, cellH = 0.5, epsg = 3857)
+    assert(GeoTiff.ifdOffsets(bytes).length == 3)
+
+    // level 0 == plain decode == the original cells (NaN preserved)
+    val l0 = GeoTiff.decode(bytes)
+    assert(l0.meta.width == w && l0.meta.height == h)
+    assert(l0.cells.zip(cells).forall { case (a, b) =>
+      (a.isNaN && b.isNaN) || a == b })
+    assert(l0.meta.cellW == 0.5 && l0.meta.cellH == 0.5)
+    assert(l0.meta.epsg.contains(3857))
+
+    // level 1: 4x3, 2x2 NaN-skipping means, pixel scale doubled
+    val l1 = GeoTiff.decodeLevel(bytes, 1)
+    assert(l1.meta.width == 4 && l1.meta.height == 3)
+    // block (x=0,y=0): cells (0,1,10,11) -> 5.5
+    assert(l1.cells(0) == 5.5)
+    // block (x=1,y=0): cells (2,NaN,12,13) -> mean of 3 = 9.0
+    assert(l1.cells(1) == 9.0)
+    assert(l1.meta.cellW == 1.0 && l1.meta.cellH == 1.0)
+    assert(l1.meta.epsg.contains(3857))
+
+    // level 2: 2x2; top-left = mean of l1 blocks... recompute directly
+    val l2 = GeoTiff.decodeLevel(bytes, 2)
+    assert(l2.meta.width == 2 && l2.meta.height == 2)
+    val (w1, h1, c1) = GeoTiff.downsample2x(w, h, cells)
+    val (_, _, c2) = GeoTiff.downsample2x(w1, h1, c1)
+    assert(l2.cells.sameElements(c2))
+    assert(l2.meta.cellW == 2.0 && l2.meta.cellH == 2.0)
+  }
+
+  test("pyramid overviews: single-IFD encode is byte-identical to the pre-pyramid layout") {
+    val cells = Array.tabulate(12)(_.toDouble)
+    // levels = 0 must equal the plain encoder (same segment builder)
+    assert(GeoTiff.encodePyramid(4, 3, cells, 0).sameElements(GeoTiff.encode(4, 3, cells)))
+  }
+
+  test("stitched export with COG overviews: overview IFDs serve the zoomed-out view") {
+    import spark.implicits._
+    import graft.ops.{Raster => R, Export}
+    val TS = 8
+    val px = (for (tc <- 0 to 1; tr <- 0 to 0; x <- 0 until TS; y <- 0 until TS)
+      yield (tc, tr, x, y, (tc * TS + x + y).toDouble)).toDF("tile_col", "tile_row", "px", "py", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cog").toString
+    Export.stitchGeoTiff(R.assemble(px, TS, TS), TS, TS, s"$dir/cog.tif", overviews = 1)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/cog.tif"))
+    assert(GeoTiff.ifdOffsets(bytes).length == 2)
+    val full = GeoTiff.decode(bytes)
+    assert(full.meta.width == 16 && full.meta.height == 8)
+    val ov = GeoTiff.decodeLevel(bytes, 1)
+    assert(ov.meta.width == 8 && ov.meta.height == 4)
+    // overview cell (0,0) = mean of full cells (0,0),(1,0),(0,1),(1,1) = (0+1+1+2)/4
+    assert(ov.cells(0) == 1.0)
+  }
 }
