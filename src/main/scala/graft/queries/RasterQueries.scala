@@ -795,6 +795,39 @@ object RasterQueries {
        |FROM zones z JOIN pga g ON g.gx = z.gx AND g.gy = z.gy
        |GROUP BY 1""".stripMargin
 
+  /** Zonal HISTOGRAM — the distribution upgrade of r_zonal_stats: per
+    * zone, the binned value histogram (bin width 8), the per-zone
+    * tail a zonal MEAN hides (bimodal zones, outlier slivers). Scale
+    * shape: ONE (zone, bin) groupBy with map-side partials — output
+    * is zones x occupied-bins rows regardless of raster size; the
+    * zone overlay reuses r_zonal_stats' last-wins rasterize rule. */
+  val zonalHistogram: Q = (s, dir) => {
+    val zones = Raster.rasterizeRects(
+      rectFeatures(s, dir).withColumn("value", col("fid").cast("double")), TS, TS)
+    val zpix = Raster.pixelize(zones, TS)
+      .select(col("tile_col"), col("tile_row"), col("px"), col("py"),
+        col("v").cast("long").as("zone"))
+    val vpix = Raster.pixelize(tilesA(s, dir), TS)
+    zpix.join(vpix, Seq("tile_col", "tile_row", "px", "py"))
+      .groupBy(col("zone"), floor(col("v") / 8).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("v")).cast("double").as("sum_v"))
+  }
+
+  val zonalHistogramSql: String =
+    s"""WITH $pxCte,
+       |$rectCte,
+       |zones AS (
+       |  SELECT g.gx, g.gy, MAX(r.fid) AS zone
+       |  FROM pga g JOIN rects r
+       |    ON g.gx >= r.x0 AND g.gx < r.x1 AND g.gy >= r.y0 AND g.gy < r.y1
+       |  GROUP BY 1, 2)
+       |SELECT z.zone, CAST(FLOOR(g.v / 8) AS BIGINT) AS bin,
+       |       COUNT(*) AS n_cells,
+       |       CAST(SUM(g.v) AS DOUBLE) AS sum_v
+       |FROM zones z JOIN pga g ON g.gx = z.gx AND g.gy = z.gy
+       |GROUP BY 1, 2""".stripMargin
+
   /** Multi-source cost distance over band A (CostDistance.scala): entry
     * cost 1 + (v % 4), sources where v % 17 = 0, 8-connectivity, cap 95.
     * Spark runs the distributed per-tile Dijkstra + halo exchange; the
@@ -1251,6 +1284,7 @@ object RasterQueries {
     "r_basin_label" -> (basinLabel, Some(basinLabelSql)),
     "r_glcm_texture" -> (glcmTexture, Some(glcmTextureSql)),
     "r_los_visibility" -> (losVisibility, Some(losVisibilitySql)),
+    "r_zonal_histogram" -> (zonalHistogram, Some(zonalHistogramSql)),
     "r_aspect" -> (aspect, Some(aspectSql)),
     "r_terrain" -> (terrain, Some(terrainSql)),
     "r_getis_ord" -> (getisOrd, Some(getisOrdSql)),

@@ -1761,7 +1761,33 @@ object TextQueries {
        |            ELSE 1.0 END AS recall
        |FROM h, nc""".stripMargin
 
+  /** Winnowing fingerprints (the MOSS algorithm) — per doc, the set of
+    * t-window minimum k-gram hashes: the ROBUST fingerprint contract
+    * (two documents sharing any long-enough substring are GUARANTEED a
+    * common fingerprint — t_fingerprint's modulo sampling has no such
+    * guarantee), the standard tool for code-clone and contamination
+    * tracing. Kernel emits each doc's sorted-distinct set map-side; the
+    * oracle rebuilds the same window minima with list ops. Matching on
+    * fingerprints then reuses the chunk-dedup shape (ONE hash groupBy). */
+  val winnowFp: Q = (s, dir) =>
+    docs(s, dir).select(col("doc_id"),
+      explode(TextOps.winnow(col("toks"), 3, 4)).as("fp"))
+
+  val winnowFpSql: String =
+    s"""WITH $docsCte,
+       |hs AS (
+       |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
+       |    i -> ${TextOps.h60Sql("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}) AS hs
+       |  FROM docs WHERE len(toks) >= 6),
+       |fp AS (
+       |  SELECT DISTINCT doc_id, u.f
+       |  FROM (SELECT doc_id, list_transform(range(1, len(hs) - 2),
+       |          i -> list_aggregate(hs[i:i+3], 'min')) AS fps
+       |        FROM hs), unnest(fps) u(f))
+       |SELECT doc_id, f AS fp FROM fp""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "t_winnow" -> (winnowFp, Some(winnowFpSql)),
     "t_pagerank" -> (docPagerank, Some(docPagerankSql)),
     "t_bfs_dist" -> (bfsDist, Some(bfsDistSql)),
     "t_lsh_recall" -> (lshRecall, Some(lshRecallSql)),

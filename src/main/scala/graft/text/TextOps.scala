@@ -77,6 +77,25 @@ object TextOps {
     f(toks)
   }
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS
+    * algorithm): hash every k-token gram, then keep the MINIMUM hash of
+    * each t-window of consecutive gram hashes. The selected SET is
+    * position-independent (any min-selection rule yields the same value
+    * set), guaranteed to share a fingerprint with any copy of a
+    * sufficiently long substring — the robust document-fingerprint
+    * contract plain [[windowHashes]] sampling lacks. JVM kernel for the
+    * [[windowHashes]] reason; docs shorter than k+t-1 tokens yield no
+    * fingerprints. Returned sorted-distinct. */
+  def winnow(toks: Column, k: Int, t: Int): Column = {
+    val f = udf((ts: Seq[String]) =>
+      if (ts == null || ts.length < k + t - 1) Seq.empty[Long]
+      else {
+        val hs = (0 to ts.length - k).map(i => hash60(ts.slice(i, i + k).mkString(" ")))
+        (0 to hs.length - t).map(i => hs.slice(i, i + t).min).distinct.sorted
+      })
+    f(toks)
+  }
+
   /** Row-wise repetition kernel: ONE O(len) pass per document computing
     * the Gopher-style quality pair [top-bigram fraction,
     * duplicate-trigram fraction] — the stateless STREAMABLE twin of the
