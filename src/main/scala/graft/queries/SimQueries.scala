@@ -964,6 +964,115 @@ object SimQueries {
        |FROM final f JOIN cands c USING (cid)""".stripMargin
   }
 
+  // Deterministic OPQ-lite rotation: a seeded PERMUTATION + SIGN-FLIP
+  // matrix — orthogonal (norm- and cosine-preserving) yet exactly
+  // replayable as literals in both engines, unlike the PCA-trained
+  // rotation (Similarity.opqRotation, float-order sensitive, recall-
+  // spec'd in SimilaritySpec). Decorrelates subspaces by scattering
+  // adjacent dimensions across them.
+  private val OpqPerm: Array[Int] = {
+    val rnd = new scala.util.Random(20240707L)
+    rnd.shuffle((0 until DIM).toList).toArray
+  }
+  private val OpqSign: Array[Int] = {
+    val rnd = new scala.util.Random(20240708L)
+    Array.fill(DIM)(if (rnd.nextBoolean()) 1 else -1)
+  }
+
+  /** OPQ-shaped PQ ANN with the literal rotation: rotate (one
+    * zero-shuffle projection — at scale it fuses into the encode pass),
+    * PQ-encode the ROTATED vectors against the same codebook, ADC-score
+    * rotated queries, rerank survivors by exact cosine on the ORIGINAL
+    * floats (the rotation is orthogonal, so true cosine is unchanged —
+    * the gate hash-proves the whole rotated pipeline still ranks
+    * correctly). Plan shape is identical to s_ann_pq plus the
+    * projection; the trained-rotation path swaps the literal matrix
+    * for the PCA one. */
+  val annOpq: Q = (s, dir) => {
+    val base = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("er", array((0 until DIM).map(i =>
+        lit(OpqSign(i).toDouble) * col("e").getItem(OpqPerm(i))): _*))
+    val withArrs = (0 until PQ_M).foldLeft(base)((df, m) =>
+      df.withColumn(s"arr_$m", pqScores(col("er"), m)))
+    val withCodes = (0 until PQ_M).foldLeft(withArrs)((df, m) =>
+      df.withColumn(s"c$m",
+        (array_position(col(s"arr_$m"), array_min(col(s"arr_$m"))) - 1).cast("int")))
+    val n2s = (0 until PQ_M).map(m =>
+      element_at(typedLit(PqN2(m).toSeq), col(s"c$m") + 1)).reduceLeft(_ + _)
+    val cand = withCodes.select((col("vec_id").as("cid") +: col("embedding").as("ce") +:
+      (0 until PQ_M).map(m => col(s"c$m"))) :+ n2s.as("n2s"): _*)
+    val qds = (0 until PQ_M).map(m =>
+      array((0 until PQ_K).map(k => pqDot(col("er"), m, k)): _*).as(s"qd$m"))
+    val qs = base.where(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid") +: col("embedding").as("qe") +: qds: _*)
+    val adc = (0 until PQ_M).map(m =>
+      element_at(col(s"qd$m"), col(s"c$m") + 1)).reduceLeft(_ + _)
+    val scored = cand.join(broadcast(qs), col("qid") =!= col("cid"))
+      .withColumn("approx", adc / sqrt(col("n2s")))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("approx").desc, col("cid"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("pr", row_number().over(wp)).where(col("pr") <= PREF)
+      .select(col("qid"), col("cid"), Similarity.cosine(col("qe"), col("ce")).as("cos"))
+      .withColumn("rank", row_number().over(wr)).where(col("rank") <= K)
+      .select(col("qid"), col("cid"), col("cos"), col("rank"))
+  }
+
+  val annOpqSql: String = {
+    val rotSql = s"list_value(${(0 until DIM).map(i =>
+      s"${OpqSign(i)} * CAST(embedding[${OpqPerm(i) + 1}] AS DOUBLE)").mkString(", ")})"
+    val scoreCols = (0 until PQ_M).map(m =>
+      s"list_value(${(0 until PQ_K).map(k =>
+        s"${fmt(PqN2(m)(k))} - 2.0 * (${pqDotSql("er", m, k)})").mkString(", ")}) AS arr_$m")
+      .mkString(",\n       |  ")
+    val codeCols = (0 until PQ_M).map(m =>
+      s"CAST(list_position(arr_$m, list_min(arr_$m)) - 1 AS INT) AS c_$m")
+      .mkString(",\n       |  ")
+    val n2sSql = (0 until PQ_M).map(m =>
+      s"list_extract(list_value(${PqN2(m).map(fmt).mkString(", ")}), c_$m + 1)")
+      .mkString(" + ")
+    val qdCols = (0 until PQ_M).map(m =>
+      s"list_value(${(0 until PQ_K).map(k => s"(${pqDotSql("er", m, k)})").mkString(", ")}) AS qd_$m")
+      .mkString(",\n       |  ")
+    val adcSql = (0 until PQ_M).map(m => s"list_extract(qd_$m, c_$m + 1)").mkString(" + ")
+    s"""WITH rot AS (
+       |  SELECT vec_id, embedding, $rotSql AS er FROM embeddings),
+       |sc AS (
+       |  SELECT vec_id, embedding,
+       |  $scoreCols
+       |  FROM rot),
+       |enc AS (
+       |  SELECT vec_id, embedding,
+       |  $codeCols
+       |  FROM sc),
+       |cand AS (
+       |  SELECT vec_id AS cid, embedding AS ce,
+       |         ${(0 until PQ_M).map(m => s"c_$m").mkString(", ")},
+       |         $n2sSql AS n2s
+       |  FROM enc),
+       |qs AS (
+       |  SELECT vec_id AS qid, embedding AS qe,
+       |  $qdCols
+       |  FROM rot WHERE vec_id < $NQ),
+       |scored AS (
+       |  SELECT q.qid, c.cid, c.ce, q.qe,
+       |         ($adcSql) / sqrt(c.n2s) AS approx
+       |  FROM cand c CROSS JOIN qs q WHERE q.qid <> c.cid),
+       |pref AS (
+       |  SELECT qid, cid, ce, qe,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx DESC, cid) AS pr
+       |  FROM scored),
+       |rer AS (
+       |  SELECT qid, cid, ${cosSql("qe", "ce")} AS cos
+       |  FROM pref WHERE pr <= $PREF)
+       |SELECT qid, cid, cos, rank FROM (
+       |  SELECT qid, cid, cos,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
+       |  FROM rer) WHERE rank <= $K""".stripMargin
+  }
+
   /** One Lloyd iteration of k-means AS A QUERY — the training step the
     * fit-at-runtime paths (Similarity.ivfTopK, pqTrain) run repeatedly,
     * here made oracle-checkable: assign every vector to its nearest
@@ -1028,6 +1137,7 @@ object SimQueries {
     "s_covariance" -> (covariance, Some(covarianceSql)),
     "s_ann_quantized" -> (annQuantized, Some(annQuantizedSql)),
     "s_ann_pq" -> (annPq, Some(annPqSql)),
+    "s_ann_opq" -> (annOpq, Some(annOpqSql)),
     "s_mmr_rerank" -> (mmrRerank, Some(mmrRerankSql)),
   )
 
