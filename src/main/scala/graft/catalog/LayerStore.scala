@@ -582,6 +582,50 @@ class LayerStore(spark: SparkSession, val root: String,
     * actual on-disk size, not a guessed partition count) and publishes
     * it like any other write; readers never see an intermediate state
     * and the pre-compaction version survives until the next publish. */
+  /** ROLLBACK: make a retained older sequence live again by publishing
+    * a NEW pointer that names the old sequence's version dir — a
+    * re-point, never a data copy (versions are immutable, so two
+    * pointers naming one dir is safe; GC keeps a dir while ANY retained
+    * pointer names it). History stays append-only: the rollback is
+    * itself a publish, visible in [[publishedVersions]] and fenced like
+    * any write — a concurrent publish wins and the rollback aborts
+    * loudly. Rolling back PAST the retention window is impossible by
+    * construction (the data is gone) and fails with the same
+    * NoSuchElementException as [[readVersion]]. */
+  def rollback(name: String, zoom: Int, toSeq: Long): Unit = withLayerLock(name, zoom) {
+    val retained = publishedVersions(name, zoom)
+    val v = retained.collectFirst { case (`toSeq`, dir) => dir }.getOrElse(
+      throw new NoSuchElementException(
+        s"layer ($name, $zoom) has no retained sequence $toSeq to roll back to; " +
+          s"retained: ${retained.map(_._1).mkString("[", ", ", "]")}"))
+    val base = currentPtr(name, zoom).map(_._1).getOrElse(0L)
+    if (base == toSeq) return // already live
+    val dir = zoomDir(name, zoom)
+    val tmp = Paths.get(s"$dir/_ptr.tmp-rb-$toSeq")
+    Files.write(tmp, v.getBytes("UTF-8"))
+    try Files.createLink(ptrPath(name, zoom, base + 1), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalStateException(
+          s"layer ($name, $zoom) was published past sequence $base during rollback — aborting")
+    }
+    Files.deleteIfExists(tmp): Unit
+    // GC like writeVersion: drop pointers outside the retention window,
+    // then any version dir no retained pointer names
+    val entries = pointerEntries(name, zoom)
+    val maxSeq = entries.map(_._1).max
+    val (keepPtrs, dropPtrs) = entries.partition(_._1 > maxSeq - retainVersions)
+    val keepVersions = keepPtrs.flatMap { case (_, p) =>
+      try Some(new String(Files.readAllBytes(p), "UTF-8").trim)
+      catch { case _: java.io.IOException => None }
+    }.toSet
+    dropPtrs.foreach { case (_, p) => Files.deleteIfExists(p): Unit }
+    listVersions(name, zoom)
+      .filterNot(keepVersions.contains)
+      .foreach(d => rmTree(new java.io.File(s"$dir/$d")))
+  }
+
   def compact(name: String, zoom: Int, targetBytes: Long = 128L << 20): Unit =
     withLayerLock(name, zoom) {
       val basePtr = currentPtr(name, zoom).map(_._1).getOrElse(0L) // fence anchor

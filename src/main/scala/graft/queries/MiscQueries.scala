@@ -74,6 +74,28 @@ object MiscQueries {
        |       CASE WHEN tile_col < 2 AND (CAST(va AS BIGINT) & 1) = 0 THEN vb ELSE va END
        |FROM pxk""".stripMargin
 
+  /** ROLLBACK over the version store: write band A, merge the masked
+    * overlay, then `rollback` to the pre-merge sequence — the live read
+    * must be band A again, byte-stable (the rollback is a new pointer
+    * naming the OLD immutable version dir, never a data copy). The
+    * oracle states band A directly; the merged state existing between
+    * publish and rollback is exactly what the gate proves is GONE from
+    * the live view. Same position-not-absolute-sequence discipline as
+    * c_time_travel (reruns accumulate publishes). */
+  val rollbackGate: Q = (s, dir) => {
+    val store = new graft.catalog.LayerStore(s, tmpCatalog(dir) + "_rb")
+    val (existing, incoming) = overlayPair(s, dir)
+    store.write(existing, "band_rb", 9)
+    store.merge(incoming, "band_rb", 9)
+    val preMerge = store.publishedVersions("band_rb", 9).map(_._1).takeRight(2).head
+    store.rollback("band_rb", 9, preMerge)
+    graft.ops.Raster.pixelize(store.read("band_rb", 9), TS)
+  }
+
+  val rollbackGateSql: String =
+    s"""WITH $pxCte
+       |SELECT tile_col, tile_row, px, py, v FROM pxa""".stripMargin
+
   /** CDC over the version store: which tiles changed between two
     * publishes. Same write+merge setup as c_time_travel, then
     * `readDiff(1, 2)` — the incoming overlay only touches tiles with
@@ -763,6 +785,7 @@ object MiscQueries {
     "c_txn_snapshot" -> (txnSnapshot, Some(txnSnapshotSql)),
     "c_compact" -> (compactRoundtrip, Some(compactRoundtripSql)),
     "c_time_travel" -> (timeTravel, Some(timeTravelSql)),
+    "c_rollback" -> (rollbackGate, Some(rollbackGateSql)),
     "m_frame_sample" -> (frameSample, Some(frameSampleSql)),
     "c_version_diff" -> (versionDiff, Some(versionDiffSql)),
     "c_bbox_read" -> (bboxRead, Some(bboxReadSql)),

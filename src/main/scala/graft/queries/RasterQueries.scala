@@ -795,6 +795,40 @@ object RasterQueries {
        |FROM zones z JOIN pga g ON g.gx = z.gx AND g.gy = z.gy
        |GROUP BY 1""".stripMargin
 
+  /** Rect-overlap SPATIAL JOIN via grid binning — the workhorse join of
+    * vector GIS (which parcels intersect which zones): each box
+    * registers in the 8x8 grid cells it covers (bounded replication —
+    * a box covers O(area/64) cells), candidates share a cell, the
+    * exact half-open interval test filters, and pair-dedup collapses
+    * multi-cell hits. The ORACLE is the brute-force all-pairs scan, so
+    * the hash-match PROVES the binning lost no pair (the r_nn_within /
+    * t_simhash_pairs completeness argument). Fixture subsamples fids
+    * (% 17) to keep the quadratic oracle bounded at probe scales; the
+    * binned plan is the corpus-scale path regardless. */
+  val rectJoin: Q = (s, dir) => {
+    val r = rectFeatures(s, dir).where(col("fid") % 17 === 0)
+      .select(col("fid"), col("x0"), col("y0"), col("x1"), col("y1"))
+    def binned(p: String) = r.select(
+        col("fid").as(s"fid_$p"), col("x0").as(s"x0_$p"), col("y0").as(s"y0_$p"),
+        col("x1").as(s"x1_$p"), col("y1").as(s"y1_$p"))
+      .withColumn("cx", explode(sequence(expr(s"x0_$p div 8"), expr(s"(x1_$p - 1) div 8"))))
+      .withColumn("cy", explode(sequence(expr(s"y0_$p div 8"), expr(s"(y1_$p - 1) div 8"))))
+    binned("a").join(binned("b"), Seq("cx", "cy"))
+      .where(col("fid_a") < col("fid_b") &&
+        col("x0_a") < col("x1_b") && col("x0_b") < col("x1_a") &&
+        col("y0_a") < col("y1_b") && col("y0_b") < col("y1_a"))
+      .select(col("fid_a"), col("fid_b"))
+      .distinct()
+  }
+
+  val rectJoinSql: String =
+    s"""WITH $rectCte
+       |SELECT a.fid AS fid_a, b.fid AS fid_b
+       |FROM rects a, rects b
+       |WHERE a.fid % 17 = 0 AND b.fid % 17 = 0 AND a.fid < b.fid
+       |  AND a.x0 < b.x1 AND b.x0 < a.x1
+       |  AND a.y0 < b.y1 AND b.y0 < a.y1""".stripMargin
+
   /** Zonal HISTOGRAM — the distribution upgrade of r_zonal_stats: per
     * zone, the binned value histogram (bin width 8), the per-zone
     * tail a zonal MEAN hides (bimodal zones, outlier slivers). Scale
@@ -1285,6 +1319,7 @@ object RasterQueries {
     "r_glcm_texture" -> (glcmTexture, Some(glcmTextureSql)),
     "r_los_visibility" -> (losVisibility, Some(losVisibilitySql)),
     "r_zonal_histogram" -> (zonalHistogram, Some(zonalHistogramSql)),
+    "r_rect_join" -> (rectJoin, Some(rectJoinSql)),
     "r_aspect" -> (aspect, Some(aspectSql)),
     "r_terrain" -> (terrain, Some(terrainSql)),
     "r_getis_ord" -> (getisOrd, Some(getisOrdSql)),

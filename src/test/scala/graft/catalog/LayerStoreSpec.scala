@@ -521,4 +521,32 @@ class LayerStoreSpec extends AnyFunSuite {
     store.delete("z")
     assert(!store.exists("z", 2))
   }
+
+  test("rollback re-points to a retained version without copying; history stays append-only") {
+    val store = freshStore()
+    store.write(tiles(0), "rb", 4)
+    store.merge(tiles(100), "rb", 4)
+    assert(store.readTile("rb", 4, 0, 0).select($"cells").as[Seq[Double]].head()(0) == 100.0)
+    val seqs = store.publishedVersions("rb", 4)
+    val (firstSeq, firstDir) = seqs.head
+    store.rollback("rb", 4, firstSeq)
+    // live content is the pre-merge layer again
+    assert(store.readTile("rb", 4, 0, 0).select($"cells").as[Seq[Double]].head()(0) == 0.0)
+    // the rollback is a NEW pointer naming the OLD dir - no copy
+    val after = store.publishedVersions("rb", 4)
+    assert(after.last._2 == firstDir && after.last._1 > seqs.last._1)
+    // rolling back to the live sequence is a no-op
+    val n = store.publishedVersions("rb", 4).size
+    store.rollback("rb", 4, after.last._1)
+    assert(store.publishedVersions("rb", 4).size == n)
+  }
+
+  test("rollback past the retention window fails loudly") {
+    val store = freshStore() // retainVersions = 2
+    store.write(tiles(0), "rbg", 4)
+    store.merge(tiles(1), "rbg", 4)
+    store.merge(tiles(2), "rbg", 4) // seq 1 GC'd
+    val ex = intercept[NoSuchElementException](store.rollback("rbg", 4, 1L))
+    assert(ex.getMessage.contains("no retained sequence"))
+  }
 }
