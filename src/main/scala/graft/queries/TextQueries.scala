@@ -1786,7 +1786,96 @@ object TextQueries {
        |        FROM hs), unnest(fps) u(f))
        |SELECT doc_id, f AS fp FROM fp""".stripMargin
 
+  /** Multinomial Naive Bayes — TRAINED AND SCORED as one query: the
+    * classic generative text classifier (predict a doc's source from
+    * its tokens), completing the oracle-checked ML set (k-NN, centroid,
+    * k-means step, OLS; SGD stays rows-only by nature). Add-one
+    * smoothing makes every likelihood a RATIONAL of integer counts;
+    * each ln lands on the DECIMAL(18,6) grid before the order-free sum
+    * (the lmScore discipline), and the unseen-token mass folds into a
+    * per-source constant — score(d,s) = Σ_{seen} ln(c_st+1) −
+    * n_toks(d)·ln(N_s+V) + ln prior — so only SEEN (doc, token, source)
+    * triples are ever joined. Scale shape: one token-keyed train
+    * aggregation, one token-keyed test join, a (doc, source) rollup,
+    * and a broadcast constants table; argmax by exact DECIMAL compare,
+    * ties to the lexicographically smallest source. Split: the shared
+    * hash-bucket primitive (train b≠9, test b=9). */
+  val naiveBayes: Q = (s, dir) => {
+    val dd = table(s, dir, "documents").select(col("doc_id"), col("source"),
+      TextOps.tokens(col("text")).as("toks"),
+      TextOps.hashBucket(col("doc_id"), 10).as("b"))
+    val trainToks = dd.where(col("b") =!= 9)
+      .select(col("source"), explode(col("toks")).as("tok"))
+    val cst = trainToks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val ns = trainToks.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val vocab = trainToks.select(col("tok")).distinct().agg(count(lit(1)).as("v"))
+    val ndc = dd.where(col("b") =!= 9).groupBy(col("source")).agg(count(lit(1)).as("n_docs_s"))
+    val ndt = dd.where(col("b") =!= 9).agg(count(lit(1)).as("n_docs"))
+    val consts = ns.join(ndc, Seq("source")).crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(ndt))
+      .select(col("source"),
+        log((col("n_s") + col("v")).cast("double")).cast("decimal(18,6)").as("ln_nv"),
+        log(col("n_docs_s").cast("double") / col("n_docs").cast("double"))
+          .cast("decimal(18,6)").as("ln_prior"))
+    val lnc = cst.select(col("source"), col("tok"),
+      log((col("c") + 1).cast("double")).cast("decimal(18,6)").as("ln_c"))
+    val te = dd.where(col("b") === 9)
+      .select(col("doc_id"), col("source").as("label"), col("toks"))
+    val seen = te.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(lnc, Seq("tok"))
+      .groupBy(col("doc_id"), col("source")).agg(sum(col("ln_c")).as("s_seen"))
+    val grid = te.select(col("doc_id"), col("label"), size(col("toks")).as("n_toks"))
+      .crossJoin(broadcast(consts))
+      .join(seen, Seq("doc_id", "source"), "left")
+      .select(col("doc_id"), col("label"), col("source"),
+        (coalesce(col("s_seen"), lit(0).cast("decimal(28,6)"))
+          - col("n_toks") * col("ln_nv") + col("ln_prior")).as("score"))
+    grid.groupBy(col("doc_id"), col("label"))
+      .agg(min(struct((-col("score")).as("neg"), col("source").as("src"))).as("top"))
+      .select(col("label"), col("top.src").as("pred"))
+      .groupBy(col("label"), col("pred")).agg(count(lit(1)).as("n"))
+  }
+
+  val naiveBayesSql: String =
+    s"""WITH dd AS (
+       |  SELECT doc_id, source,
+       |         list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+       |         ${TextOps.hashBucketSql("doc_id", 10)} AS b
+       |  FROM documents),
+       |tr AS (SELECT source, u.tok FROM dd, unnest(toks) u(tok) WHERE b <> 9),
+       |cst AS (SELECT source, tok, COUNT(*) AS c FROM tr GROUP BY 1, 2),
+       |ns AS (SELECT source, COUNT(*) AS n_s FROM tr GROUP BY 1),
+       |vb AS (SELECT COUNT(DISTINCT tok) AS v FROM tr),
+       |ndc AS (SELECT source, COUNT(*) AS n_docs_s FROM dd WHERE b <> 9 GROUP BY 1),
+       |ndt AS (SELECT COUNT(*) AS n_docs FROM dd WHERE b <> 9),
+       |consts AS (
+       |  SELECT ns.source,
+       |         CAST(ln(CAST(ns.n_s + vb.v AS DOUBLE)) AS DECIMAL(18,6)) AS ln_nv,
+       |         CAST(ln(CAST(ndc.n_docs_s AS DOUBLE) / CAST(ndt.n_docs AS DOUBLE))
+       |              AS DECIMAL(18,6)) AS ln_prior
+       |  FROM ns JOIN ndc USING (source), vb, ndt),
+       |lnc AS (SELECT source, tok,
+       |          CAST(ln(CAST(c + 1 AS DOUBLE)) AS DECIMAL(18,6)) AS ln_c
+       |        FROM cst),
+       |te AS (SELECT doc_id, source AS label, toks FROM dd WHERE b = 9),
+       |seen AS (
+       |  SELECT t.doc_id, l.source, SUM(l.ln_c) AS s_seen
+       |  FROM (SELECT doc_id, u.tok FROM te, unnest(toks) u(tok)) t
+       |  JOIN lnc l USING (tok) GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT te.doc_id, te.label, c.source,
+       |         COALESCE(s.s_seen, 0) - len(te.toks) * c.ln_nv + c.ln_prior AS score
+       |  FROM te CROSS JOIN consts c
+       |  LEFT JOIN seen s ON s.doc_id = te.doc_id AND s.source = c.source),
+       |best AS (
+       |  SELECT doc_id, label, source,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, source) AS rn
+       |  FROM grid)
+       |SELECT label, source AS pred, COUNT(*) AS n
+       |FROM best WHERE rn = 1 GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "m_naive_bayes" -> (naiveBayes, Some(naiveBayesSql)),
     "t_winnow" -> (winnowFp, Some(winnowFpSql)),
     "t_pagerank" -> (docPagerank, Some(docPagerankSql)),
     "t_bfs_dist" -> (bfsDist, Some(bfsDistSql)),
