@@ -1741,7 +1741,60 @@ object AdvancedQueries {
        |GROUP BY 1, 2
        |HAVING COUNT(*) > 0""".stripMargin
 
+  /** Classical seasonal decomposition (trend + seasonal + residual —
+    * the moving-average STL ancestor) of the hourly revenue series:
+    * trend = centered 24-row moving average (full windows only),
+    * seasonal = per-hour-of-day mean of the detrended series, residual
+    * = what's left. Scale shape: the CORPUS aggregates first (map-side
+    * partial hourly rollup — billions of events collapse to one row
+    * per hour), and the ordered window runs on that time-bounded
+    * series (a century of hours < 1M rows), never on the raw events —
+    * the one defensible place for a global-ordered window. Exactness:
+    * integer-cents sums, ONE double division for the trend, detrended
+    * values quantized to the DECIMAL grid before the order-free
+    * seasonal mean (the lmScore discipline), residual a fixed-order
+    * double chain. Edge hours (incomplete trend window) carry nulls
+    * through all three components in both engines. */
+  val seasonalDecomp: Q = (s, dir) => {
+    val hourly = events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(sum((dec2(col("value")) * 100).cast("long")).as("cents"))
+    val w24 = Window.orderBy(col("h")).rowsBetween(-11, 12)
+    val trend = when(count(lit(1)).over(w24) === 24,
+      sum(col("cents")).over(w24).cast("double") / 24.0)
+    val dt = hourly
+      .select(col("h"), hour(col("h")).cast("int").as("hod"), col("cents"), trend.as("trend"))
+      .withColumn("detr", (col("cents") - col("trend")).cast("decimal(18,6)"))
+    val wHod = Window.partitionBy(col("hod"))
+    dt.withColumn("seasonal",
+        sum(col("detr")).over(wHod).cast("double") / count(col("detr")).over(wHod))
+      .select(col("h"), col("hod"), col("cents"), col("trend"),
+        col("seasonal"), (col("detr").cast("double") - col("seasonal")).as("resid"))
+  }
+
+  val seasonalDecompSql: String =
+    s"""WITH $eventsCte,
+       |hr AS (
+       |  SELECT date_trunc('hour', ts) AS h,
+       |         CAST(SUM(CAST(${dec2Sql("value")} * 100 AS BIGINT)) AS BIGINT) AS cents
+       |  FROM evts GROUP BY 1),
+       |tr AS (
+       |  SELECT h, CAST(hour(h) AS INT) AS hod, cents,
+       |         CASE WHEN COUNT(*) OVER w24 = 24
+       |              THEN CAST(SUM(cents) OVER w24 AS DOUBLE) / 24.0 END AS trend
+       |  FROM hr
+       |  WINDOW w24 AS (ORDER BY h ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+       |dt AS (SELECT *, CAST(cents - trend AS DECIMAL(18,6)) AS detr FROM tr),
+       |se AS (
+       |  SELECT *, CAST(SUM(detr) OVER (PARTITION BY hod) AS DOUBLE)
+       |            / COUNT(detr) OVER (PARTITION BY hod) AS seasonal
+       |  FROM dt)
+       |SELECT h, hod, cents, trend, seasonal,
+       |       CAST(detr AS DOUBLE) - seasonal AS resid
+       |FROM se""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_seasonal_decomp" -> (seasonalDecomp, Some(seasonalDecompSql)),
     "a_incremental_agg" -> (incrementalAgg, Some(incrementalAggSql)),
     "a_rolling_median" -> (rollingMedian, Some(rollingMedianSql)),
     "a_unpivot" -> (unpivotMetrics, Some(unpivotMetricsSql)),

@@ -1799,7 +1799,10 @@ object TextQueries {
     * aggregation, one token-keyed test join, a (doc, source) rollup,
     * and a broadcast constants table; argmax by exact DECIMAL compare,
     * ties to the lexicographically smallest source. Split: the shared
-    * hash-bucket primitive (train b≠9, test b=9). */
+    * hash-bucket primitive (train b≠9, test b=9). The fixture corpus's
+    * sources are near-chance-predictable (uniform synthetic text), so
+    * the gate pins the TRAIN+SCORE arithmetic end to end, not model
+    * accuracy — same contract as the other ML gates. */
   val naiveBayes: Q = (s, dir) => {
     val dd = table(s, dir, "documents").select(col("doc_id"), col("source"),
       TextOps.tokens(col("text")).as("toks"),
