@@ -1793,7 +1793,49 @@ object AdvancedQueries {
        |       CAST(detr AS DOUBLE) - seasonal AS resid
        |FROM se""".stripMargin
 
+  /** CUSUM changepoint detection over the hourly revenue series —
+    * where did the level shift? S_k = Σ_{i≤k}(x_i − mean), whose
+    * |max| marks the most likely changepoint (Page 1954). Computed
+    * ENTIRELY in integers by scaling with n: S_k·n = n·prefix_k −
+    * k·total — no division anywhere, so the gate is exact by
+    * construction, not by quantization discipline. Same scale shape
+    * as a_seasonal_decomp: corpus → hourly rollup first, windows on
+    * the bounded series. */
+  val changepoint: Q = (s, dir) => {
+    val hourly = events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(sum((dec2(col("value")) * 100).cast("long")).as("cents"))
+    val wOrd = Window.orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hourly
+      .withColumn("k", count(lit(1)).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("cents")).over(wAll))
+      .withColumn("s_scaled",
+        col("n") * sum(col("cents")).over(wOrd) - col("k") * col("total"))
+      .withColumn("is_peak", abs(col("s_scaled")) === max(abs(col("s_scaled"))).over(wAll))
+      .select(col("h"), col("cents"), col("s_scaled"), col("is_peak"))
+  }
+
+  val changepointSql: String =
+    s"""WITH $eventsCte,
+       |hr AS (
+       |  SELECT date_trunc('hour', ts) AS h,
+       |         CAST(SUM(CAST(${dec2Sql("value")} * 100 AS BIGINT)) AS BIGINT) AS cents
+       |  FROM evts GROUP BY 1),
+       |c AS (
+       |  SELECT h, cents,
+       |         CAST(COUNT(*) OVER () * SUM(cents) OVER wo
+       |              - COUNT(*) OVER wo * SUM(cents) OVER () AS BIGINT) AS s_scaled
+       |  FROM hr
+       |  WINDOW wo AS (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT h, cents, s_scaled,
+       |       ABS(s_scaled) = MAX(ABS(s_scaled)) OVER () AS is_peak
+       |FROM c""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_changepoint" -> (changepoint, Some(changepointSql)),
     "a_seasonal_decomp" -> (seasonalDecomp, Some(seasonalDecompSql)),
     "a_incremental_agg" -> (incrementalAgg, Some(incrementalAggSql)),
     "a_rolling_median" -> (rollingMedian, Some(rollingMedianSql)),
