@@ -1834,7 +1834,57 @@ object AdvancedQueries {
        |       ABS(s_scaled) = MAX(ABS(s_scaled)) OVER () AS is_peak
        |FROM c""".stripMargin
 
+  /** Deterministic BOOTSTRAP of the hourly-revenue mean: 64 resamples
+    * whose indices derive from the portable h60 hash — j(b,i) =
+    * h60("bs:b,i") mod n — so the "random" resampling is a pure
+    * function both engines replay bit-identically (the t_hash_split /
+    * s_random_proj trick applied to resampling; no RNG state, no seed
+    * shipping). Each resample mean is one exact integer sum and ONE
+    * double division. Scale shape: the corpus collapses to the
+    * time-bounded hourly series first; resampling runs on that array
+    * in a single task — and at a larger series length the same hash
+    * trick shards by (b, index-block) instead. The empirical spread of
+    * the 64 means IS the standard error estimate a significance check
+    * needs. */
+  val bootstrap: Q = (s, dir) => {
+    val hourly = events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(sum((dec2(col("value")) * 100).cast("long")).as("cents"))
+    val series = hourly.agg(
+      transform(array_sort(collect_list(struct(col("h"), col("cents")))),
+        x => x.getField("cents")).as("arr"),
+      count(lit(1)).as("n"))
+    series.select(col("arr"), col("n"),
+        explode(sequence(lit(0), lit(63))).as("b"))
+      .select(col("b").cast("int").as("b"), col("n"),
+        aggregate(sequence(lit(0), col("n").cast("int") - 1), lit(0L),
+          (acc, i) => acc + element_at(col("arr"),
+            (graft.text.TextOps.h60(
+              concat(lit("bs:"), col("b").cast("string"), lit(","), i.cast("string")))
+              % col("n") + 1).cast("int"))).as("s"))
+      .select(col("b"), (col("s").cast("double") / col("n").cast("double")).as("resample_mean"))
+  }
+
+  val bootstrapSql: String = {
+    val h = graft.text.TextOps.h60Sql(
+      "'bs:' || CAST(b.b AS VARCHAR) || ',' || CAST(i AS VARCHAR)")
+    s"""WITH $eventsCte,
+       |hr AS (
+       |  SELECT date_trunc('hour', ts) AS h,
+       |         CAST(SUM(CAST(${dec2Sql("value")} * 100 AS BIGINT)) AS BIGINT) AS cents
+       |  FROM evts GROUP BY 1),
+       |series AS (SELECT list(cents ORDER BY h) AS arr, COUNT(*) AS n FROM hr),
+       |bs AS (
+       |  SELECT CAST(b.b AS INT) AS b, s.n,
+       |         CAST(list_aggregate(list_transform(range(0, CAST(s.n AS INT)),
+       |           i -> s.arr[CAST(($h) % s.n AS INT) + 1]), 'sum') AS BIGINT) AS sm
+       |  FROM series s, range(0, 64) b(b))
+       |SELECT b, CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS resample_mean
+       |FROM bs""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_bootstrap" -> (bootstrap, Some(bootstrapSql)),
     "a_changepoint" -> (changepoint, Some(changepointSql)),
     "a_seasonal_decomp" -> (seasonalDecomp, Some(seasonalDecompSql)),
     "a_incremental_agg" -> (incrementalAgg, Some(incrementalAggSql)),
