@@ -86,13 +86,15 @@ object TextOps {
     * contract plain [[windowHashes]] sampling lacks. JVM kernel for the
     * [[windowHashes]] reason; docs shorter than k+t-1 tokens yield no
     * fingerprints. Returned sorted-distinct. */
+  private[graft] def winnowKernel(ts: Seq[String], k: Int, t: Int): Seq[Long] =
+    if (ts == null || ts.length < k + t - 1) Seq.empty[Long]
+    else {
+      val hs = (0 to ts.length - k).map(i => hash60(ts.slice(i, i + k).mkString(" ")))
+      (0 to hs.length - t).map(i => hs.slice(i, i + t).min).distinct.sorted
+    }
+
   def winnow(toks: Column, k: Int, t: Int): Column = {
-    val f = udf((ts: Seq[String]) =>
-      if (ts == null || ts.length < k + t - 1) Seq.empty[Long]
-      else {
-        val hs = (0 to ts.length - k).map(i => hash60(ts.slice(i, i + k).mkString(" ")))
-        (0 to hs.length - t).map(i => hs.slice(i, i + t).min).distinct.sorted
-      })
+    val f = udf((ts: Seq[String]) => winnowKernel(ts, k, t))
     f(toks)
   }
 
