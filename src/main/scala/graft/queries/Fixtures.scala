@@ -27,23 +27,39 @@ object Fixtures {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Exact decimal-summed double: deterministic across engines.
+  /** Exact decimal-summed double: deterministic across engines AT ANY
+    * MAGNITUDE the engine will see.
     * IMPORTANT: feed it decimal-arithmetic expressions built from
     * [[dec2]]-cast columns, not raw double products — casting a double
     * *product* to decimal can land exactly on a rounding tie (e.g. a
     * 6-dp triple product cast at 4 dp) where Spark (HALF_UP on the exact
     * binary expansion) and DuckDB disagree. Casting the 2-dp source
     * columns is tie-free, and decimal arithmetic after that is exact.
-    * Scale 6 keeps the summed unscaled value under 2^53 at these
-    * magnitudes, so the final decimal→double cast is exact in both
-    * engines (beyond ~15 significant digits DuckDB's int128/10^s
-    * conversion and Java's BigDecimal rounding can differ by 1 ulp). */
-  def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(c.cast("decimal(24,6)")).cast("double")
+    *
+    * The decimal→double conversion is SPLIT: integer part (floor, cast
+    * through BIGINT — exact in both engines to 2^63) and fractional
+    * part (6 decimals, exact in double) convert separately, then one
+    * IEEE add — the identical two-operand expression in both engines,
+    * so the result is bit-deterministic REGARDLESS of the sum's
+    * magnitude. The naive single CAST(decimal AS DOUBLE) diverges by
+    * 1 ulp once the unscaled value passes ~2^53 (DuckDB converts
+    * int128/10^s, Java rounds the BigDecimal) — observed for real on
+    * q_pricing_summary's sum_charge at the 10x relational probe
+    * (6M lineitem rows, Σ ≈ 5.2e10 with scale 6), which is exactly the
+    * magnitude a 100 TB aggregate lives at. NOT CAST(S AS BIGINT) for
+    * the split: Spark truncates that cast while DuckDB rounds it —
+    * FLOOR agrees in both. */
+  def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s = sum(c.cast("decimal(24,6)"))
+    val ip = floor(s).cast("long")
+    ip.cast("double") + (s - ip).cast("double")
+  }
 
-  /** SQL twin of [[dsum]]. */
-  def dsumSql(expr: String): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(24,6))) AS DOUBLE)"
+  /** SQL twin of [[dsum]] — the identical split conversion. */
+  def dsumSql(expr: String): String = {
+    val s = s"SUM(CAST($expr AS DECIMAL(24,6)))"
+    s"(CAST(CAST(FLOOR($s) AS BIGINT) AS DOUBLE) + CAST($s - CAST(FLOOR($s) AS BIGINT) AS DOUBLE))"
+  }
 
   /** Cast a 2-decimal source column to exact decimal. */
   def dec2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
