@@ -33,7 +33,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
     Set("s_ann_brute", "s_ann_lsh", "s_ann_ivf", "s_ann_pq", "s_ann_quantized",
       "s_ann_media", "m_knn_confusion", "m_centroid_confusion", "m_prf_report",
       // composes the brute-force gate: same broadcast 8-query side
-      "s_ann_recall")
+      "s_ann_recall",
+      // the s_ann_pq plan plus a zero-shuffle rotation projection
+      "s_ann_opq")
 
   test("BroadcastNestedLoopJoin appears only where it is the designed plan") {
     val offenders = plans.collect {
