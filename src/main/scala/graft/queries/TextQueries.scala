@@ -1803,17 +1803,16 @@ object TextQueries {
     * sources are near-chance-predictable (uniform synthetic text), so
     * the gate pins the TRAIN+SCORE arithmetic end to end, not model
     * accuracy — same contract as the other ML gates. */
-  val naiveBayes: Q = (s, dir) => {
-    val dd = table(s, dir, "documents").select(col("doc_id"), col("source"),
-      TextOps.tokens(col("text")).as("toks"),
-      TextOps.hashBucket(col("doc_id"), 10).as("b"))
-    val trainToks = dd.where(col("b") =!= 9)
-      .select(col("source"), explode(col("toks")).as("tok"))
+  /** NB model as two static frames: per-(source, token) quantized
+    * log-likelihoods and per-source constants. Input needs (source,
+    * toks). Exposed so the streaming scorer joins the SAME model. */
+  def nbModel(train: DataFrame): (DataFrame, DataFrame) = {
+    val trainToks = train.select(col("source"), explode(col("toks")).as("tok"))
     val cst = trainToks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
     val ns = trainToks.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
     val vocab = trainToks.select(col("tok")).distinct().agg(count(lit(1)).as("v"))
-    val ndc = dd.where(col("b") =!= 9).groupBy(col("source")).agg(count(lit(1)).as("n_docs_s"))
-    val ndt = dd.where(col("b") =!= 9).agg(count(lit(1)).as("n_docs"))
+    val ndc = train.groupBy(col("source")).agg(count(lit(1)).as("n_docs_s"))
+    val ndt = train.agg(count(lit(1)).as("n_docs"))
     val consts = ns.join(ndc, Seq("source")).crossJoin(broadcast(vocab))
       .crossJoin(broadcast(ndt))
       .select(col("source"),
@@ -1822,20 +1821,40 @@ object TextQueries {
           .cast("decimal(18,6)").as("ln_prior"))
     val lnc = cst.select(col("source"), col("tok"),
       log((col("c") + 1).cast("double")).cast("decimal(18,6)").as("ln_c"))
-    val te = dd.where(col("b") === 9)
-      .select(col("doc_id"), col("source").as("label"), col("toks"))
-    val seen = te.select(col("doc_id"), explode(col("toks")).as("tok"))
+    (consts, lnc)
+  }
+
+  /** Score (doc_id, toks) rows against an [[nbModel]] → (doc_id, pred).
+    * Stream-safe: a token-keyed stream-STATIC join against the model,
+    * one (doc_id, source) rollup, exact-DECIMAL argmax — the
+    * model-serving shape (see StreamingNbSpec). */
+  def nbScore(docsDf: DataFrame, consts: DataFrame, lnc: DataFrame): DataFrame = {
+    val seen = docsDf.select(col("doc_id"), explode(col("toks")).as("tok"))
       .join(lnc, Seq("tok"))
       .groupBy(col("doc_id"), col("source")).agg(sum(col("ln_c")).as("s_seen"))
-    val grid = te.select(col("doc_id"), col("label"), size(col("toks")).as("n_toks"))
-      .crossJoin(broadcast(consts))
+    // constant-key inner join, not crossJoin: semantically identical
+    // for the 1-per-row key, and stream-static INNER equi-joins are
+    // supported where a streaming crossJoin is not
+    docsDf.select(col("doc_id"), size(col("toks")).as("n_toks"), lit(1).as("one"))
+      .join(broadcast(consts.withColumn("one", lit(1))), Seq("one"))
       .join(seen, Seq("doc_id", "source"), "left")
-      .select(col("doc_id"), col("label"), col("source"),
+      .select(col("doc_id"), col("source"),
         (coalesce(col("s_seen"), lit(0).cast("decimal(28,6)"))
           - col("n_toks") * col("ln_nv") + col("ln_prior")).as("score"))
-    grid.groupBy(col("doc_id"), col("label"))
+      .groupBy(col("doc_id"))
       .agg(min(struct((-col("score")).as("neg"), col("source").as("src"))).as("top"))
-      .select(col("label"), col("top.src").as("pred"))
+      .select(col("doc_id"), col("top.src").as("pred"))
+  }
+
+  val naiveBayes: Q = (s, dir) => {
+    val dd = table(s, dir, "documents").select(col("doc_id"), col("source"),
+      TextOps.tokens(col("text")).as("toks"),
+      TextOps.hashBucket(col("doc_id"), 10).as("b"))
+    val (consts, lnc) = nbModel(dd.where(col("b") =!= 9).select(col("source"), col("toks")))
+    val te = dd.where(col("b") === 9)
+      .select(col("doc_id"), col("source").as("label"), col("toks"))
+    nbScore(te.select(col("doc_id"), col("toks")), consts, lnc)
+      .join(te.select(col("doc_id"), col("label")), Seq("doc_id"))
       .groupBy(col("label"), col("pred")).agg(count(lit(1)).as("n"))
   }
 
