@@ -300,7 +300,7 @@ object GeoTiff {
   def encodeMultiband(width: Int, height: Int, bands: Seq[Array[Double]],
                       originX: Double = 0.0, originY: Double = 0.0,
                       cellW: Double = 1.0, cellH: Double = 1.0,
-                      epsg: Int = 4326): Array[Byte] = {
+                      epsg: Int = 4326, deflate: Boolean = false): Array[Byte] = {
     val n = bands.length
     require(n >= 1, "at least one band")
     bands.foreach(b =>
@@ -309,8 +309,35 @@ object GeoTiff {
     require(epsg > 0 && epsg < 65535, s"EPSG $epsg does not fit a GeoKey SHORT")
     val header = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     header.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
-    header.array() ++ ifdSegment(width, height, bands, base = 8, nextIfd = 0,
-      reduced = false, originX, originY, cellW, cellH, epsg)
+    header.array() ++ ifdSegment(width, height, n, stripData(bands, deflate), base = 8,
+      nextIfd = 0, reduced = false, deflate, originX, originY, cellW, cellH, epsg)
+  }
+
+  /** Interleaved float64 strip payload, optionally Deflate-compressed
+    * (TIFF compression 8 — the [[decode]] path already reads it; the
+    * writer gaining it means exports cost 2-5x less disk/wire). */
+  private def stripData(bands: Seq[Array[Double]], deflate: Boolean): Array[Byte] = {
+    val n = bands.length
+    val m = bands(0).length
+    val buf = java.nio.ByteBuffer.allocate(m * n * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < m) {
+      var b = 0
+      while (b < n) { buf.putDouble(bands(b)(i)); b += 1 }
+      i += 1
+    }
+    val raw = buf.array()
+    if (!deflate) raw
+    else {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream(raw.length / 4 + 64)
+      val chunk = new Array[Byte](65536)
+      while (!d.finished()) out.write(chunk, 0, d.deflate(chunk))
+      d.end()
+      out.toByteArray
+    }
   }
 
   private def geoKeysFor(epsg: Int): Array[Int] = {
@@ -325,23 +352,22 @@ object GeoTiff {
   /** Byte size of one IFD segment (IFD + external blocks + strip data)
     * — MUST mirror [[ifdSegment]]'s layout exactly; [[encodePyramid]]
     * uses it to pre-compute chain offsets. */
-  private def segmentSize(width: Int, height: Int, n: Int, reduced: Boolean): Int = {
+  private def segmentSize(n: Int, dataLen: Int, reduced: Boolean): Int = {
     val tags = (if (reduced) 15 else 14)
     val extShorts = if (n > 2) 4 * n else 0 // BitsPerSample + SampleFormat blocks
-    2 + tags * 12 + 4 + extShorts + 24 + 48 + 2 * geoKeysFor(4326).length +
-      width * height * n * 8
+    2 + tags * 12 + 4 + extShorts + 24 + 48 + 2 * geoKeysFor(4326).length + dataLen
   }
 
   /** One complete IFD segment with ABSOLUTE offsets (file position of
     * the segment's first byte = `base`), chained to `nextIfd` (0 ends
     * the chain). `reduced` adds NewSubfileType=1 — the COG overview
     * marker. Layout: IFD, external SHORT blocks, scale/tiepoint/geokey
-    * blocks, then one strip of pixel-interleaved float64 data. */
-  private def ifdSegment(width: Int, height: Int, bands: Seq[Array[Double]],
-                         base: Int, nextIfd: Int, reduced: Boolean,
+    * blocks, then one strip of (optionally Deflate-compressed)
+    * pixel-interleaved float64 data, passed in as `data`. */
+  private def ifdSegment(width: Int, height: Int, n: Int, data: Array[Byte],
+                         base: Int, nextIfd: Int, reduced: Boolean, deflate: Boolean,
                          originX: Double, originY: Double,
                          cellW: Double, cellH: Double, epsg: Int): Array[Byte] = {
-    val n = bands.length
     val geoKeys = geoKeysFor(epsg)
     val tags = (if (reduced) 15 else 14)
     var ext = 2 + tags * 12 + 4 // relative to base
@@ -352,8 +378,7 @@ object GeoTiff {
     val tieOff = alloc(48)
     val geoOff = alloc(2 * geoKeys.length)
     val dataOff = ext
-    val dataLen = width * height * n * 8
-    val buf = java.nio.ByteBuffer.allocate(dataOff + dataLen)
+    val buf = java.nio.ByteBuffer.allocate(dataOff + data.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     buf.putShort(tags.toShort)
     def tag(id: Int, typ: Int, cnt: Int, value: Long): Unit = {
@@ -372,12 +397,12 @@ object GeoTiff {
     tag(256, 4, 1, width) // ImageWidth
     tag(257, 4, 1, height) // ImageLength
     tagShorts(258, 64, bpsOff) // BitsPerSample
-    tag(259, 3, 1, 1) // Compression: none
+    tag(259, 3, 1, if (deflate) 8 else 1) // Compression: Deflate / none
     tag(262, 3, 1, 1) // Photometric: BlackIsZero
     tag(273, 4, 1, base + dataOff) // StripOffsets
     tag(277, 3, 1, n) // SamplesPerPixel
     tag(278, 4, 1, height) // RowsPerStrip: one strip
-    tag(279, 4, 1, dataLen) // StripByteCounts
+    tag(279, 4, 1, data.length) // StripByteCounts
     tag(284, 3, 1, 1) // PlanarConfiguration: chunky (pixel-interleaved)
     tagShorts(339, 3, sfOff) // SampleFormat: IEEE float
     tag(33550, 12, 3, base + scaleOff) // ModelPixelScale
@@ -392,13 +417,7 @@ object GeoTiff {
     buf.putDouble(0.0).putDouble(0.0).putDouble(0.0)
     buf.putDouble(originX).putDouble(originY).putDouble(0.0)
     geoKeys.foreach(k => buf.putShort(k.toShort))
-    val m = width * height
-    var i = 0
-    while (i < m) {
-      var b = 0
-      while (b < n) { buf.putDouble(bands(b)(i)); b += 1 }
-      i += 1
-    }
+    buf.put(data)
     buf.array()
   }
 
@@ -445,20 +464,23 @@ object GeoTiff {
   def encodePyramid(width: Int, height: Int, cells: Array[Double], levels: Int,
                     originX: Double = 0.0, originY: Double = 0.0,
                     cellW: Double = 1.0, cellH: Double = 1.0,
-                    epsg: Int = 4326): Array[Byte] = {
+                    epsg: Int = 4326, deflate: Boolean = false): Array[Byte] = {
     require(levels >= 0, "levels must be >= 0")
     val lv = Iterator.iterate((width, height, cells)) { case (w, h, c) => downsample2x(w, h, c) }
       .take(levels + 1).toSeq
-    val segSizes = lv.zipWithIndex.map { case ((w, h, _), i) =>
-      segmentSize(w, h, 1, reduced = i > 0)
+    // payloads first: with compression the chain offsets depend on
+    // each level's actual strip length
+    val payloads = lv.map { case (_, _, c) => stripData(Seq(c), deflate) }
+    val segSizes = payloads.zipWithIndex.map { case (d, i) =>
+      segmentSize(1, d.length, reduced = i > 0)
     }
     val bases = segSizes.scanLeft(8)(_ + _)
     val header = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     header.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
-    val segs = lv.zipWithIndex.map { case ((w, h, c), i) =>
+    val segs = lv.zip(payloads).zipWithIndex.map { case (((w, h, _), d), i) =>
       val next = if (i == levels) 0 else bases(i + 1)
       val scale = (1L << i).toDouble
-      ifdSegment(w, h, Seq(c), bases(i), next, reduced = i > 0,
+      ifdSegment(w, h, 1, d, bases(i), next, reduced = i > 0, deflate,
         originX, originY, cellW * scale, cellH * scale, epsg)
     }
     header.array() ++ segs.reduce(_ ++ _)
@@ -526,17 +548,17 @@ object GeoTiff {
   def write(path: String, width: Int, height: Int, cells: Array[Double],
             originX: Double = 0.0, originY: Double = 0.0,
             cellW: Double = 1.0, cellH: Double = 1.0,
-            epsg: Int = 4326): Unit =
-    writeMultiband(path, width, height, Seq(cells), originX, originY, cellW, cellH, epsg)
+            epsg: Int = 4326, deflate: Boolean = false): Unit =
+    writeMultiband(path, width, height, Seq(cells), originX, originY, cellW, cellH, epsg, deflate)
 
   def writeMultiband(path: String, width: Int, height: Int, bands: Seq[Array[Double]],
                      originX: Double = 0.0, originY: Double = 0.0,
                      cellW: Double = 1.0, cellH: Double = 1.0,
-                     epsg: Int = 4326): Unit = {
+                     epsg: Int = 4326, deflate: Boolean = false): Unit = {
     val p = java.nio.file.Paths.get(path)
     Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(p,
-      encodeMultiband(width, height, bands, originX, originY, cellW, cellH, epsg)): Unit
+      encodeMultiband(width, height, bands, originX, originY, cellW, cellH, epsg, deflate)): Unit
   }
 
   /** PackBits (TIFF compression 32773 — the Macintosh RLE scheme):

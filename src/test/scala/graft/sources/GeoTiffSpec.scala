@@ -456,4 +456,24 @@ class GeoTiffSpec extends AnyFunSuite {
     // overview cell (0,0) = mean of full cells (0,0),(1,0),(0,1),(1,1) = (0+1+1+2)/4
     assert(ov.cells(0) == 1.0)
   }
+
+  test("Deflate WRITE: compressed single-IFD and pyramid round-trip, strips shrink") {
+    val w = 64; val h = 48
+    val cells = Array.tabulate(w * h)(i => ((i % 7) * 3).toDouble) // compressible
+    cells(5) = Double.NaN
+    val plain = GeoTiff.encodeMultiband(w, h, Seq(cells))
+    val packed = GeoTiff.encodeMultiband(w, h, Seq(cells), deflate = true)
+    assert(packed.length < plain.length / 2, s"deflate ${packed.length} vs ${plain.length}")
+    val r = GeoTiff.decode(packed)
+    assert(r.meta.width == w && r.meta.height == h)
+    assert(r.cells.zip(cells).forall { case (a, b) => (a.isNaN && b.isNaN) || a == b })
+
+    val pyr = GeoTiff.encodePyramid(w, h, cells, levels = 2, deflate = true)
+    assert(GeoTiff.ifdOffsets(pyr).length == 3)
+    val l0 = GeoTiff.decode(pyr)
+    assert(l0.cells.zip(cells).forall { case (a, b) => (a.isNaN && b.isNaN) || a == b })
+    val (w1, h1, c1) = GeoTiff.downsample2x(w, h, cells)
+    assert(GeoTiff.decodeLevel(pyr, 1).cells.sameElements(c1))
+    assert(w1 == 32 && h1 == 24)
+  }
 }
