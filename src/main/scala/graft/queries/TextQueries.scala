@@ -1832,11 +1832,12 @@ object TextQueries {
     val seen = docsDf.select(col("doc_id"), explode(col("toks")).as("tok"))
       .join(lnc, Seq("tok"))
       .groupBy(col("doc_id"), col("source")).agg(sum(col("ln_c")).as("s_seen"))
-    // constant-key inner join, not crossJoin: semantically identical
-    // for the 1-per-row key, and stream-static INNER equi-joins are
-    // supported where a streaming crossJoin is not
-    docsDf.select(col("doc_id"), size(col("toks")).as("n_toks"), lit(1).as("one"))
-      .join(broadcast(consts.withColumn("one", lit(1))), Seq("one"))
+    // explicit crossJoin of the broadcast model constants (numClasses
+    // rows) — the declared-Cross BNLJ shape the plan audit allows; the
+    // streaming twin scores per micro-batch (foreachBatch), so batch
+    // join support is all it needs
+    docsDf.select(col("doc_id"), size(col("toks")).as("n_toks"))
+      .crossJoin(broadcast(consts))
       .join(seen, Seq("doc_id", "source"), "left")
       .select(col("doc_id"), col("source"),
         (coalesce(col("s_seen"), lit(0).cast("decimal(28,6)"))
