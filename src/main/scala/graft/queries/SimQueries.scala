@@ -1073,6 +1073,46 @@ object SimQueries {
        |  FROM rer) WHERE rank <= $K""".stripMargin
   }
 
+  /** SemDeDup (Abbas et al. 2023) — semantic dedup the way the paper
+    * stages it: CLUSTER the embeddings (the seeded coarse quantizer —
+    * at production scale, a trained k-means via [[kmeansStep]]), then
+    * compare pairs only WITHIN a cluster and drop the higher id of
+    * every above-threshold pair. This is the third dedup granularity
+    * beside s_cosine_dedup's LSH buckets and the MinHash text path:
+    * quadratic work is bounded by the largest CLUSTER, the knob the
+    * paper turns (more clusters → smaller quadratic islands → the
+    * recall/cost trade). Output marks every vector kept/dropped, so
+    * the gate pins assignment, pairing, threshold and survivorship in
+    * one hash. */
+  val semDedup: Q = (s, dir) => {
+    val scores = array((0 until NLIST).map(j => centScore(col("embedding"), j)): _*)
+    val assigned = table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), scores.as("s"))
+      .select(col("vec_id"), col("embedding"),
+        (array_position(col("s"), array_max(col("s"))) - 1).cast("int").as("cluster"))
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .where(Similarity.cosine(col("a.embedding"), col("b.embedding")) >= DupThreshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned.join(dropped.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("hit").isNull.as("kept"))
+  }
+
+  val semDedupSql: String = {
+    val scoresSql = (0 until NLIST).map(j => centScoreSql("embedding", j)).mkString("[", ", ", "]")
+    s"""WITH sc AS (SELECT vec_id, embedding, $scoresSql AS s FROM embeddings),
+       |a AS (
+       |  SELECT vec_id, embedding,
+       |         CAST(list_position(s, list_aggregate(s, 'max')) - 1 AS INT) AS cluster
+       |  FROM sc),
+       |dropped AS (
+       |  SELECT DISTINCT y.vec_id
+       |  FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |  WHERE ${cosSql("x.embedding", "y.embedding")} >= $DupThreshold)
+       |SELECT a.vec_id, a.cluster, d.vec_id IS NULL AS kept
+       |FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin
+  }
+
   /** One Lloyd iteration of k-means AS A QUERY — the training step the
     * fit-at-runtime paths (Similarity.ivfTopK, pqTrain) run repeatedly,
     * here made oracle-checkable: assign every vector to its nearest
@@ -1121,6 +1161,7 @@ object SimQueries {
 
   val all: Map[String, (Q, Option[String])] = Map(
     "m_kmeans_step" -> (kmeansStep, Some(kmeansStepSql)),
+    "s_semdedup" -> (semDedup, Some(semDedupSql)),
     "s_ann_recall" -> (annRecall, Some(annRecallSql)),
     "s_knn_graph" -> (knnGraph, Some(knnGraphSql)),
     "s_random_proj" -> (randomProj, Some(randomProjSql)),
