@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
     e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => NfcNormalize(args(0))))
+    e.injectFunction((
       FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[graft.ops.Sketches.KmvDistinct].getName, "kmv_distinct"),
       GraftExtensions.kmvDistinctBuilder))

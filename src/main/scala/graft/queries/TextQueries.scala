@@ -1897,7 +1897,45 @@ object TextQueries {
        |SELECT label, source AS pred, COUNT(*) AS n
        |FROM best WHERE rn = 1 GROUP BY 1, 2""".stripMargin
 
+  /** Unicode ingest clean: NFC-normalize → strip control chars →
+    * collapse whitespace runs → trim. The fixture corpus is pure ASCII
+    * (already NFC), so the gate first INJECTS decomposed sequences
+    * deterministically on BOTH sides — every 'a' gains a combining
+    * acute (U+0301) plus a TAB, every ". " doubles its space — and the
+    * oracle then exercises DuckDB's independent utf8proc NFC against
+    * our [[graft.functions.NfcNormalize]] codegen'd kernel
+    * (java.text.Normalizer). A hash match is a cross-implementation
+    * proof of the normalizer, not an identity pass. Zero-shuffle
+    * scan+project; lengths are counted AFTER NFC so both engines count
+    * the same single composed code point per accent. */
+  val unicodeClean: Q = (s, dir) => {
+    val injected = regexp_replace(
+      org.apache.spark.sql.functions.replace(col("text"), lit("a"), lit("a\u0301\t")),
+      "\\. ", ".  ")
+    val cleaned = trim(regexp_replace(
+      regexp_replace(graft.functions.NfcNormalize.nfc(injected), "[\\x00-\\x1F\\x7F]", ""),
+      "[ \\t\\n\\r]+", " "))
+    table(s, dir, "documents")
+      .select(col("doc_id"), cleaned.as("clean"))
+      .select(col("doc_id"), col("clean"), length(col("clean")).as("n_chars"))
+  }
+
+  val unicodeCleanSql: String =
+    """WITH deco AS (
+      |  SELECT doc_id,
+      |         regexp_replace(replace(text, 'a', 'a' || chr(769) || chr(9)),
+      |                        '\. ', '.  ', 'g') AS t
+      |  FROM documents),
+      |norm AS (
+      |  SELECT doc_id,
+      |         trim(regexp_replace(
+      |                regexp_replace(nfc_normalize(t), '[\x00-\x1f\x7f]', '', 'g'),
+      |                '[ \t\n\r]+', ' ', 'g')) AS clean
+      |  FROM deco)
+      |SELECT doc_id, clean, CAST(length(clean) AS INT) AS n_chars FROM norm""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "t_unicode_clean" -> (unicodeClean, Some(unicodeCleanSql)),
     "m_naive_bayes" -> (naiveBayes, Some(naiveBayesSql)),
     "t_winnow" -> (winnowFp, Some(winnowFpSql)),
     "t_pagerank" -> (docPagerank, Some(docPagerankSql)),

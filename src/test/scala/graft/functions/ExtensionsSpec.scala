@@ -80,4 +80,28 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(viaSql == viaDf && viaDf.nonEmpty)
   }
+
+  test("nfc_normalize composes decomposed sequences, is idempotent and null-safe") {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      exprs => NfcNormalize(exprs(0)), "scala_udf")
+    val rows = Seq(
+      "a\u0301",           // a + combining acute -> U+00E1
+      "\u1100\u1161",      // Hangul jamo -> precomposed syllable U+AC00
+      "plain ascii",       // fast path: already NFC
+      "e\u0327\u0301")        // multiple combining marks: NFC orders + composes
+      .toDF("s")
+    val got = rows.select(NfcNormalize.nfc($"s").as("n")).as[String].collect()
+    val want = rows.as[String].collect()
+      .map(java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC))
+    assert(got.toSeq == want.toSeq)
+    assert(got(0) == "\u00e1" && got(1) == "\uac00")
+    // idempotent: normalizing the normalized output is identity
+    val twice = rows.select(NfcNormalize.nfc(NfcNormalize.nfc($"s")).as("n"))
+      .as[String].collect()
+    assert(twice.toSeq == got.toSeq)
+    // null propagates (UnaryExpression nullSafeEval contract)
+    val n = spark.sql("SELECT nfc_normalize(CAST(NULL AS STRING)) AS x").head()
+    assert(n.isNullAt(0))
+  }
 }
