@@ -1883,7 +1883,115 @@ object AdvancedQueries {
        |FROM bs""".stripMargin
   }
 
+  /** Lag-k autocorrelation (k = 1..3) of the hourly revenue series per
+    * event_type — Pearson correlation of the (x_t, x_{t+k}) pairs, the
+    * diagnostic behind "is this metric periodic / mean-reverting".
+    * Determinism contract: the series is integer cents, the lagged
+    * pairing is a `lead` window (no join), and the five moment sums go
+    * through [[Fixtures.dsum]] exactly like a_corr_moments — the only
+    * floating arithmetic is the fixed-order closing formula. Products
+    * are long×long (hourly cents ≤ ~1e9 even at 100× the fixture, so
+    * the squares stay far under 2^63). Scale shape: corpus → bounded
+    * hourly rollup first (the one real shuffle), then windows and
+    * aggregation on the small series — identical to a_seasonal_decomp.
+    * All three lags ride ONE pass over the series (three lead columns,
+    * one groupBy), not three. */
+  val acf: Q = (s, dir) => {
+    val hourly = events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum((dec2(col("value")) * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val leads = hourly.select(col("event_type") +: col("cents") +:
+      (1 to 3).map(k => lead(col("cents"), k).over(w).as(s"l$k")): _*)
+    val aggs = (1 to 3).flatMap { k =>
+      val y = col(s"l$k")
+      val x = when(y.isNotNull, col("cents"))
+      Seq(count(y).cast("double").as(s"n$k"),
+        dsum(x).as(s"sx$k"), dsum(y).as(s"sy$k"), dsum(x * y).as(s"sxy$k"),
+        dsum(x * x).as(s"sxx$k"), dsum(y * y).as(s"syy$k"))
+    }
+    val m = leads.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+    (1 to 3).map { k =>
+      val (n, sx, sy) = (col(s"n$k"), col(s"sx$k"), col(s"sy$k"))
+      val (sxy, sxx, syy) = (col(s"sxy$k"), col(s"sxx$k"), col(s"syy$k"))
+      m.select(col("event_type"), lit(k).as("lag"), n.cast("long").as("n"),
+        ((n * sxy - sx * sy)
+          / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("acf"))
+    }.reduce(_ unionByName _)
+  }
+
+  val acfSql: String = {
+    def one(k: Int) =
+      s"""SELECT event_type, $k AS lag, CAST(n$k AS BIGINT) AS n,
+         |       (n$k * sxy$k - sx$k * sy$k)
+         |         / (sqrt(n$k * sxx$k - sx$k * sx$k) * sqrt(n$k * syy$k - sy$k * sy$k)) AS acf
+         |FROM m""".stripMargin
+    val moments = (1 to 3).map { k =>
+      s"""  CAST(COUNT(l$k) AS DOUBLE) AS n$k,
+         |  ${dsumSql(s"CASE WHEN l$k IS NOT NULL THEN cents END")} AS sx$k,
+         |  ${dsumSql(s"l$k")} AS sy$k,
+         |  ${dsumSql(s"(CASE WHEN l$k IS NOT NULL THEN cents END) * l$k")} AS sxy$k,
+         |  ${dsumSql(s"(CASE WHEN l$k IS NOT NULL THEN cents END) * (CASE WHEN l$k IS NOT NULL THEN cents END)")} AS sxx$k,
+         |  ${dsumSql(s"l$k * l$k")} AS syy$k""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $eventsCte,
+       |hr AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h,
+       |         CAST(SUM(CAST(${dec2Sql("value")} * 100 AS BIGINT)) AS BIGINT) AS cents
+       |  FROM evts GROUP BY 1, 2),
+       |ld AS (
+       |  SELECT event_type, cents,
+       |         LEAD(cents, 1) OVER w AS l1,
+       |         LEAD(cents, 2) OVER w AS l2,
+       |         LEAD(cents, 3) OVER w AS l3
+       |  FROM hr WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+       |m AS (SELECT event_type,
+       |$moments
+       |FROM ld GROUP BY 1)
+       |${one(1)} UNION ALL ${one(2)} UNION ALL ${one(3)}""".stripMargin
+  }
+
+  /** Mann-Kendall trend test per event_type over the hourly series:
+    * S = Σ_{i<j} sign(x_j − x_i) plus Kendall's τ_a = S / (n(n−1)/2) —
+    * the nonparametric "is there a monotone trend" answer that, unlike
+    * the OLS slope (m_linreg), is immune to outliers. S is a pure
+    * INTEGER pair-sum (exact by construction); τ is one double
+    * division at the end. The O(n²) pair self-join is over the
+    * time-BOUNDED hourly series (744 hours/month regardless of corpus
+    * size — the corpus rollup is the only data-sized stage), same
+    * rationale as a_bootstrap's single-task resample; a longer series
+    * would switch to the O(n log n) inversion-count formulation. */
+  val mannKendall: Q = (s, dir) => {
+    val hourly = events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum((dec2(col("value")) * 100).cast("long")).as("cents"))
+    val a = hourly.select(col("event_type"), col("h").as("h1"), col("cents").as("x1"))
+    val b = hourly.select(col("event_type"), col("h").as("h2"), col("cents").as("x2"))
+    a.join(b, Seq("event_type")).where(col("h1") < col("h2"))
+      .groupBy(col("event_type"))
+      .agg(sum(signum(col("x2") - col("x1")).cast("long")).as("s_stat"),
+        count(lit(1)).as("n_pairs"))
+      .select(col("event_type"), col("s_stat"), col("n_pairs"),
+        (col("s_stat").cast("double") / col("n_pairs").cast("double")).as("tau"))
+  }
+
+  val mannKendallSql: String =
+    s"""WITH $eventsCte,
+       |hr AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h,
+       |         CAST(SUM(CAST(${dec2Sql("value")} * 100 AS BIGINT)) AS BIGINT) AS cents
+       |  FROM evts GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a.event_type, CAST(SIGN(b.cents - a.cents) AS BIGINT) AS sg
+       |  FROM hr a JOIN hr b ON a.event_type = b.event_type AND a.h < b.h)
+       |SELECT event_type, CAST(SUM(sg) AS BIGINT) AS s_stat,
+       |       COUNT(*) AS n_pairs,
+       |       CAST(SUM(sg) AS DOUBLE) / COUNT(*) AS tau
+       |FROM pairs GROUP BY 1""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_acf" -> (acf, Some(acfSql)),
+    "a_mann_kendall" -> (mannKendall, Some(mannKendallSql)),
     "a_bootstrap" -> (bootstrap, Some(bootstrapSql)),
     "a_changepoint" -> (changepoint, Some(changepointSql)),
     "a_seasonal_decomp" -> (seasonalDecomp, Some(seasonalDecompSql)),

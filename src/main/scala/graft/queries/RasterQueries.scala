@@ -1289,7 +1289,93 @@ object RasterQueries {
       |  SELECT s.b, l.lbl FROM lab l JOIN sym s ON s.a = l.v WHERE l.lbl < s.b)
       |SELECT v AS pid, MIN(lbl) AS cluster FROM lab GROUP BY 1""".stripMargin
 
+  /** FULL DBSCAN over the same synthetic point set as r_dbscan_core:
+    * core points take their connected-component cluster, border points
+    * (non-core with ≥1 core eps-neighbor) attach to the MIN cluster of
+    * their core neighbors (deterministic tie-break), everything else
+    * is noise (cluster −1). Completes the classic algorithm the core
+    * gate only censuses. Scale shape unchanged: grid-binned candidate
+    * pairs (never point×point), star-contraction CC on the core graph,
+    * border assignment is one groupBy over the already-bounded pair
+    * set. */
+  val dbscanLabels: Q = (s, dir) => {
+    val pts = table(s, dir, "customer").select(
+      col("c_custkey").as("pid"),
+      (col("c_custkey") % 163).cast("long").as("px"),
+      (col("c_custkey") % 157).cast("long").as("py"))
+    val a = pts.select(col("pid").as("qid"), col("px").as("qx"), col("py").as("qy"),
+      expr("px div 3").as("cx"), expr("py div 3").as("cy"))
+    val b = pts
+      .withColumn("dx", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("dy", explode(sequence(lit(-1L), lit(1L))))
+      .select(col("pid").as("cid"), col("px").as("sx"), col("py").as("sy"),
+        (expr("px div 3") + col("dx")).as("cx"), (expr("py div 3") + col("dy")).as("cy"))
+    val pairs = a.join(b, Seq("cx", "cy"))
+      .where(col("qid") =!= col("cid"))
+      .withColumn("d2", (col("qx") - col("sx")) * (col("qx") - col("sx"))
+        + (col("qy") - col("sy")) * (col("qy") - col("sy")))
+      .where(col("d2") <= 8)
+    val cores = pairs.groupBy(col("qid")).agg(count(lit(1)).as("nn"))
+      .where(col("nn") >= 3).select(col("qid"))
+    val edges = pairs.select(col("qid").as("a"), col("cid").as("b"))
+      .where(col("a") < col("b"))
+      .join(cores.select(col("qid").as("a")), Seq("a"))
+      .join(cores.select(col("qid").as("b")), Seq("b"))
+    val cc = graft.text.TextOps.connectedComponents(edges)
+    val coreLab = cores.select(col("qid").as("pid"))
+      .join(cc.select(col("node").as("pid"), col("cluster")), Seq("pid"), "left")
+      .select(col("pid"), coalesce(col("cluster"), col("pid")).as("cluster"))
+    val borders = pairs.select(col("qid").as("pid"), col("cid"))
+      .join(coreLab.select(col("pid").as("cid"), col("cluster")), Seq("cid"))
+      .join(coreLab.select(col("pid")), Seq("pid"), "left_anti")
+      .groupBy(col("pid")).agg(min(col("cluster")).as("cluster"))
+    val labeled = coreLab.select(col("pid"), col("cluster"), lit("core").as("role"))
+      .unionByName(borders.select(col("pid"), col("cluster"), lit("border").as("role")))
+    pts.select(col("pid"))
+      .join(labeled, Seq("pid"), "left")
+      .select(col("pid"), coalesce(col("cluster"), lit(-1L)).as("cluster"),
+        coalesce(col("role"), lit("noise")).as("role"))
+  }
+
+  val dbscanLabelsSql: String =
+    """WITH RECURSIVE pts AS (
+      |  SELECT c_custkey AS pid,
+      |         CAST(c_custkey % 163 AS BIGINT) AS px,
+      |         CAST(c_custkey % 157 AS BIGINT) AS py
+      |  FROM customer),
+      |nb AS (
+      |  SELECT p.pid AS qid, q.pid AS cid
+      |  FROM pts p JOIN pts q ON p.pid <> q.pid
+      |  WHERE (p.px - q.px) * (p.px - q.px) + (p.py - q.py) * (p.py - q.py) <= 8),
+      |cores AS (SELECT qid FROM nb GROUP BY 1 HAVING COUNT(*) >= 3),
+      |e AS (
+      |  SELECT qid AS a, cid AS b FROM nb
+      |  WHERE qid < cid
+      |    AND qid IN (SELECT qid FROM cores) AND cid IN (SELECT qid FROM cores)),
+      |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+      |lab(v, lbl) AS (
+      |  SELECT qid, qid FROM cores
+      |  UNION
+      |  SELECT s.b, l.lbl FROM lab l JOIN sym s ON s.a = l.v WHERE l.lbl < s.b),
+      |corelab AS (
+      |  SELECT c.qid AS pid, COALESCE(m.cluster, c.qid) AS cluster
+      |  FROM cores c
+      |  LEFT JOIN (SELECT v, MIN(lbl) AS cluster FROM lab GROUP BY 1) m ON m.v = c.qid),
+      |border AS (
+      |  SELECT n.qid AS pid, MIN(cl.cluster) AS cluster
+      |  FROM nb n JOIN corelab cl ON cl.pid = n.cid
+      |  WHERE n.qid NOT IN (SELECT pid FROM corelab)
+      |  GROUP BY 1),
+      |labeled AS (
+      |  SELECT pid, cluster, 'core' AS role FROM corelab
+      |  UNION ALL
+      |  SELECT pid, cluster, 'border' AS role FROM border)
+      |SELECT p.pid, COALESCE(l.cluster, -1) AS cluster,
+      |       COALESCE(l.role, 'noise') AS role
+      |FROM pts p LEFT JOIN labeled l ON l.pid = p.pid""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "r_dbscan_labels" -> (dbscanLabels, Some(dbscanLabelsSql)),
     "r_dbscan_core" -> (dbscanCore, Some(dbscanCoreSql)),
     "r_line_profile" -> (lineProfile, Some(lineProfileSql)),
     "r_edge_census" -> (edgeCensus, Some(edgeCensusSql)),

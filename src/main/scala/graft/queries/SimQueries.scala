@@ -1159,7 +1159,142 @@ object SimQueries {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** Best decision stump (1-node decision tree) over the first four
+    * embedding dimensions — the classic weak learner, trained by the
+    * TRAINING-ACCURACY criterion so the whole search is integer
+    * arithmetic (gini/entropy need per-split divisions whose float
+    * fold order no bitwise oracle survives; accuracy = left-majority
+    * + right-majority COUNTS). Features quantize by ×8-and-floor — a
+    * power of two, so the float→double→scale chain is EXACT in both
+    * engines and bins are tie-free. Shape: one corpus pass builds
+    * per-(dim, bin, label) counts (the only data-sized shuffle); the
+    * candidate-split search runs on the tiny dims×bins×labels grid
+    * via cumulative windows — threshold count is a resolution knob,
+    * independent of corpus size, exactly how large-scale tree
+    * libraries (LightGBM's histogram mode) decouple split search
+    * from data volume. Tie-break: smallest (dim, bin). */
+  val dectreeStump: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val D = 4
+    val e = table(s, dir, "embeddings")
+    val pairs = e.select(col("label"),
+        explode(array((1 to D).map(d => struct(lit(d).as("dim"),
+          floor(element_at(col("embedding"), d).cast("double") * 8).cast("long")
+            .as("v"))): _*)).as("p"))
+      .select(col("label"), col("p.dim").as("dim"), col("p.v").as("v"))
+    val counts = pairs.groupBy(col("dim"), col("v"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val grid = counts.select(col("dim"), col("v")).distinct()
+      .crossJoin(counts.select(col("label")).distinct())
+      .join(counts, Seq("dim", "v", "label"), "left")
+      .select(col("dim"), col("v"), col("label"), coalesce(col("n"), lit(0L)).as("n"))
+    val cum = grid
+      .withColumn("cum",
+        sum(col("n")).over(Window.partitionBy(col("dim"), col("label")).orderBy(col("v"))))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("dim"), col("label"))))
+    cum.groupBy(col("dim"), col("v"))
+      .agg(max(col("cum")).as("lb"), max(col("tot") - col("cum")).as("rb"),
+        sum(col("tot")).as("n_total"))
+      .select(col("dim"), col("v"), (col("lb") + col("rb")).as("n_correct"), col("n_total"))
+      .orderBy(col("n_correct").desc, col("dim"), col("v"))
+      .limit(1)
+      .select(col("dim"), (col("v").cast("double") / 8.0).as("threshold"),
+        col("n_correct"),
+        (col("n_correct").cast("double") / col("n_total").cast("double")).as("acc"))
+  }
+
+  val dectreeStumpSql: String =
+    """WITH dims AS (SELECT UNNEST(range(1, 5)) AS dim),
+      |pairs AS (
+      |  SELECT label, CAST(d.dim AS INT) AS dim,
+      |         CAST(FLOOR(CAST(embedding[d.dim] AS DOUBLE) * 8) AS BIGINT) AS v
+      |  FROM embeddings CROSS JOIN dims d),
+      |counts AS (SELECT dim, v, label, COUNT(*) AS n FROM pairs GROUP BY 1, 2, 3),
+      |grid AS (
+      |  SELECT vals.dim, vals.v, labels.label, COALESCE(c.n, 0) AS n
+      |  FROM (SELECT DISTINCT dim, v FROM counts) vals
+      |  CROSS JOIN (SELECT DISTINCT label FROM counts) labels
+      |  LEFT JOIN counts c ON c.dim = vals.dim AND c.v = vals.v AND c.label = labels.label),
+      |cum AS (
+      |  SELECT dim, v,
+      |         SUM(n) OVER (PARTITION BY dim, label ORDER BY v) AS cum,
+      |         SUM(n) OVER (PARTITION BY dim, label) AS tot
+      |  FROM grid),
+      |split AS (
+      |  SELECT dim, v, MAX(cum) AS lb, MAX(tot - cum) AS rb, SUM(tot) AS n_total
+      |  FROM cum GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT dim, v, lb + rb AS n_correct, n_total,
+      |         ROW_NUMBER() OVER (ORDER BY lb + rb DESC, dim, v) AS rn
+      |  FROM split)
+      |SELECT dim, CAST(v AS DOUBLE) / 8.0 AS threshold,
+      |       CAST(n_correct AS BIGINT) AS n_correct,
+      |       CAST(n_correct AS DOUBLE) / CAST(n_total AS DOUBLE) AS acc
+      |FROM ranked WHERE rn = 1""".stripMargin
+
+  /** PQ codebook TRAINING, determinism-contract style: assign every
+    * vector's subspace slice to its nearest seeded code (the s_ann_pq
+    * argmin), then one exact Lloyd refinement — per-(subspace, code,
+    * dim) means over 2^20-fixed-point cells, the m_kmeans_step recipe
+    * applied per subspace. Closes ROADMAP's "trained PQ codebooks"
+    * within the bitwise oracle: quantizer quality improves with each
+    * such pass (callers iterate; each pass is this same deterministic
+    * job), and the refined codebook feeds [[Similarity.buildPqIndex]]
+    * unchanged. Scale shape: ONE corpus pass computes codes + cells
+    * (zero joins), one groupBy on (m, code, pos) — 512 output rows
+    * regardless of corpus size. */
+  val pqTrain: Q = (s, dir) => {
+    val base = table(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    val withCodes = (0 until PQ_M).foldLeft(base)((df, m) =>
+      df.withColumn(s"arr_$m", pqScores(col("e"), m))
+        .withColumn(s"c$m",
+          (array_position(col(s"arr_$m"), array_min(col(s"arr_$m"))) - 1).cast("int")))
+    val sub = withCodes.select(explode(array((0 until PQ_M).map(m =>
+        struct(lit(m).as("m"), col(s"c$m").as("code"),
+          array((0 until PQ_SUB).map(j =>
+            floor(col("e").getItem(m * PQ_SUB + j) * CentScale).cast("long")): _*)
+            .as("q"))): _*)).as("t"))
+      .select(col("t.m").as("m"), col("t.code").as("code"),
+        posexplode(col("t.q")).as(Seq("pos", "q")))
+    sub.groupBy(col("m"), col("code"), col("pos"))
+      .agg(count(lit(1)).as("n_assigned"), sum(col("q")).as("qs"))
+      .select(col("m"), col("code"), col("pos"), col("n_assigned"),
+        (col("qs").cast("double") / (col("n_assigned").cast("double") * CentScale))
+          .as("v_new"))
+  }
+
+  val pqTrainSql: String = {
+    val scoreCols = (0 until PQ_M).map(m =>
+      s"list_value(${(0 until PQ_K).map(k =>
+        s"${fmt(PqN2(m)(k))} - 2.0 * (${pqDotSql("embedding", m, k)})").mkString(", ")}) AS arr_$m")
+      .mkString(",\n       |  ")
+    val codeCols = (0 until PQ_M).map(m =>
+      s"CAST(list_position(arr_$m, list_min(arr_$m)) - 1 AS INT) AS c_$m")
+      .mkString(",\n       |  ")
+    val branches = (0 until PQ_M).map(m =>
+      s"""SELECT CAST($m AS INT) AS m, c_$m AS code, CAST(r.i - 1 AS INT) AS pos,
+         |       CAST(FLOOR(CAST(embedding[${m * PQ_SUB} + r.i] AS DOUBLE) * $CentScale) AS BIGINT) AS q
+         |FROM enc CROSS JOIN range(1, ${PQ_SUB + 1}) r(i)""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH sc AS (
+       |  SELECT vec_id, embedding,
+       |  $scoreCols
+       |  FROM embeddings),
+       |enc AS (
+       |  SELECT vec_id, embedding,
+       |  $codeCols
+       |  FROM sc),
+       |sub AS (
+       |$branches)
+       |SELECT m, code, pos, COUNT(*) AS n_assigned,
+       |       CAST(SUM(q) AS DOUBLE) / (COUNT(*) * $CentScale) AS v_new
+       |FROM sub GROUP BY 1, 2, 3""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "s_pq_train" -> (pqTrain, Some(pqTrainSql)),
+    "m_dectree_stump" -> (dectreeStump, Some(dectreeStumpSql)),
     "m_kmeans_step" -> (kmeansStep, Some(kmeansStepSql)),
     "s_semdedup" -> (semDedup, Some(semDedupSql)),
     "s_ann_recall" -> (annRecall, Some(annRecallSql)),
