@@ -1989,7 +1989,104 @@ object AdvancedQueries {
        |       CAST(SUM(sg) AS DOUBLE) / COUNT(*) AS tau
        |FROM pairs GROUP BY 1""".stripMargin
 
+  /** Histogram SKETCH aggregation: per-group fixed-width bin counts via
+    * [[graft.ops.BinnedHist]], a TypedImperativeAggregate with a
+    * primitive long-array buffer — the map-side-combining sketch shape
+    * (nBins+2 longs per group cross the wire, never rows). The oracle
+    * replays the identical FLOOR((x−lo)/width) binning relationally and
+    * assembles the same array with a zero-filled grid, so the gate
+    * proves the custom aggregate's update/merge/eval end-to-end.
+    * Complements a_hist_quantile (exact binned quantiles via windows) —
+    * this is the one-aggregate-row-per-group serving shape the catalog
+    * sidecar stores. */
+  val histSketch: Q = (s, dir) =>
+    table(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(graft.ops.BinnedHist.hist(col("l_quantity"), 0.0, 2.0, 25).as("hist"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("n"), posexplode(col("hist")).as(Seq("bin", "cnt")))
+      .select(col("l_returnflag"), col("bin"), col("cnt"), col("n"))
+
+  val histSketchSql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag,
+      |         CAST(CASE WHEN fb < 0 THEN 0 WHEN fb >= 25 THEN 26
+      |                   ELSE fb + 1 END AS BIGINT) AS bin
+      |  FROM (SELECT l_returnflag,
+      |               FLOOR((CAST(l_quantity AS DOUBLE) - 0.0) / 2.0) AS fb
+      |        FROM lineitem)),
+      |grid AS (
+      |  SELECT rf.l_returnflag, r.i AS bin
+      |  FROM (SELECT DISTINCT l_returnflag FROM lineitem) rf
+      |  CROSS JOIN range(0, 27) r(i)),
+      |c AS (SELECT l_returnflag, bin, COUNT(*) AS n FROM b GROUP BY 1, 2),
+      |tot AS (SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1)
+      |SELECT g.l_returnflag, CAST(g.bin AS INT) AS bin,
+      |       COALESCE(c.n, 0) AS cnt, t.n AS n
+      |FROM grid g
+      |LEFT JOIN c ON c.l_returnflag = g.l_returnflag AND c.bin = g.bin
+      |JOIN tot t ON t.l_returnflag = g.l_returnflag""".stripMargin
+
+  /** Tukey-fence outlier census per group: quartiles by the exact
+    * cum-count technique (a_quartiles), fences q1 − 1.5·IQR / q3 +
+    * 1.5·IQR, then a broadcast join back to count rows outside. The
+    * classic data-quality "how many outliers" question; arithmetic is
+    * integer quantities → exact doubles, and the fence constants are
+    * per-group scalars so the second pass is a broadcast-joined
+    * conditional aggregation (no re-shuffle of the fact side). */
+  val tukeyFences: Q = (s, dir) => {
+    val h = table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = h.select(col("l_returnflag"), col("l_quantity"), col("cnt"),
+      sum(col("cnt")).over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))).as("cum"),
+      sum(col("cnt")).over(Window.partitionBy(col("l_returnflag"))).as("n"))
+    def q(p: Double, nm: String) =
+      min(when(col("cum") >= ceil(lit(p) * col("n")), col("l_quantity"))).cast("double").as(nm)
+    val fences = cum.groupBy(col("l_returnflag")).agg(q(0.25, "q1"), q(0.75, "q3"))
+      .select(col("l_returnflag"), col("q1"), col("q3"),
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo_fence"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi_fence"))
+    table(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("double").as("qty"))
+      .join(broadcast(fences), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+        max(col("lo_fence")).as("lo_fence"), max(col("hi_fence")).as("hi_fence"),
+        sum(when(col("qty") < col("lo_fence"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("qty") > col("hi_fence"), 1L).otherwise(0L)).as("n_high"),
+        count(lit(1)).as("n"))
+  }
+
+  val tukeyFencesSql: String =
+    """WITH h AS (SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+      |           FROM lineitem GROUP BY 1, 2),
+      |c AS (SELECT l_returnflag, l_quantity, cnt,
+      |        SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cum,
+      |        SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+      |      FROM h),
+      |qs AS (SELECT l_returnflag,
+      |         CAST(MIN(CASE WHEN cum >= ceil(0.25 * n) THEN l_quantity END) AS DOUBLE) AS q1,
+      |         CAST(MIN(CASE WHEN cum >= ceil(0.75 * n) THEN l_quantity END) AS DOUBLE) AS q3
+      |       FROM c GROUP BY 1),
+      |f AS (SELECT l_returnflag, q1, q3,
+      |        q1 - (q3 - q1) * 1.5 AS lo_fence,
+      |        q3 + (q3 - q1) * 1.5 AS hi_fence
+      |      FROM qs)
+      |SELECT l.l_returnflag,
+      |       MAX(f.q1) AS q1, MAX(f.q3) AS q3,
+      |       MAX(f.lo_fence) AS lo_fence, MAX(f.hi_fence) AS hi_fence,
+      |       CAST(SUM(CASE WHEN CAST(l.l_quantity AS DOUBLE) < f.lo_fence
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |       CAST(SUM(CASE WHEN CAST(l.l_quantity AS DOUBLE) > f.hi_fence
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+      |       COUNT(*) AS n
+      |FROM lineitem l JOIN f ON f.l_returnflag = l.l_returnflag
+      |GROUP BY 1""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_tukey_fences" -> (tukeyFences, Some(tukeyFencesSql)),
+    "a_hist_sketch" -> (histSketch, Some(histSketchSql)),
     "a_acf" -> (acf, Some(acfSql)),
     "a_mann_kendall" -> (mannKendall, Some(mannKendallSql)),
     "a_bootstrap" -> (bootstrap, Some(bootstrapSql)),

@@ -1912,9 +1912,7 @@ object TextQueries {
     val injected = regexp_replace(
       org.apache.spark.sql.functions.replace(col("text"), lit("a"), lit("a\u0301\t")),
       "\\. ", ".  ")
-    val cleaned = trim(regexp_replace(
-      regexp_replace(graft.functions.NfcNormalize.nfc(injected), "[\\x00-\\x1F\\x7F]", ""),
-      "[ \\t\\n\\r]+", " "))
+    val cleaned = TextOps.cleanText(injected)
     table(s, dir, "documents")
       .select(col("doc_id"), cleaned.as("clean"))
       .select(col("doc_id"), col("clean"), length(col("clean")).as("n_chars"))

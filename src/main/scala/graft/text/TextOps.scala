@@ -45,6 +45,17 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
+  /** Ingest clean stage: Unicode NFC (the codegen'd
+    * [[graft.functions.NfcNormalize]] kernel) → strip control chars →
+    * collapse whitespace runs → trim. A pure stateless Column
+    * transform shared by the batch gate (t_unicode_clean) and the
+    * streaming ingest twin (StreamingCleanSpec), so batch and stream
+    * semantics cannot drift — the qualityFilterStage pattern. */
+  def cleanText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.functions.NfcNormalize.nfc(c), "[\\x00-\\x1F\\x7F]", ""),
+      "[ \\t\\n\\r]+", " "))
+
   /** Fixed n-token window texts (the paragraph-style chunking unit for
     * cross-doc boilerplate dedup) — ceil(len/n) windows, floored at one
     * so an empty token array yields one empty chunk rather than a

@@ -146,4 +146,26 @@ class AggregatorLawsSpec extends AnyFunSuite {
       assert(bits(left) == bits(right))
     }
   }
+
+  test("BinnedHist: any partitioning of updates + merges equals the sequential fold") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.DoubleType
+    val agg = BinnedHist(
+      BoundReference(0, DoubleType, nullable = true), lo = 0.0, width = 2.0, nBins = 10)
+    def foldOf(xs: Seq[Double]): Array[Long] =
+      xs.foldLeft(agg.createAggregationBuffer())((b, x) => agg.update(b, InternalRow(x)))
+    val xs: Gen[List[Double]] =
+      Gen.listOf(Gen.choose(-5.0, 25.0)) // spans underflow, bins, overflow
+    forAll(Gen.zip(xs, Gen.choose(1, 7))) { case (vals, cuts) =>
+      val seq = foldOf(vals)
+      // partition into `cuts` chunks, fold each, merge in reverse order
+      val chunks = vals.grouped(math.max(1, (vals.size + cuts - 1) / cuts)).toList
+      val merged = chunks.reverse.map(foldOf)
+        .foldLeft(agg.createAggregationBuffer())((a, b) => agg.merge(a, b))
+      assert(merged.toSeq == seq.toSeq)
+      // serialize/deserialize round-trips the buffer exactly
+      assert(agg.deserialize(agg.serialize(seq)).toSeq == seq.toSeq)
+    }
+  }
 }
