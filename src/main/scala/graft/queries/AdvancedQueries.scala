@@ -2084,7 +2084,55 @@ object AdvancedQueries {
       |FROM lineitem l JOIN f ON f.l_returnflag = l.l_returnflag
       |GROUP BY 1""".stripMargin
 
+  /** Hampel filter — the robust streaming-ops outlier rule: flag x_t
+    * when |x_t − med(window)| > 3·MAD(window). Both the rolling median
+    * AND the rolling MAD are exact INTEGER arithmetic on doubled
+    * scales (med2 = 2·median of cents, mad4 = 4·MAD), so the outlier
+    * comparison 2·|2x − med2| > 3·mad4 is integer-exact — no float
+    * tie can flip a verdict between engines. The 5-row window rides
+    * the a_rolling_median collect+sort shape (bounded window, sorts
+    * of ≤5 elements map-side, no extra shuffle beyond the window's). */
+  val hampel: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, 0)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+      .withColumn("cs", sort_array(collect_list(col("cents")).over(w)))
+      .withColumn("med2",
+        expr("element_at(cs, cast((size(cs) + 1) div 2 as int))")
+          + expr("element_at(cs, cast(size(cs) div 2 + 1 as int))"))
+      .withColumn("ds", sort_array(transform(col("cs"), c => abs(c * 2 - col("med2")))))
+      .withColumn("mad4",
+        expr("element_at(ds, cast((size(ds) + 1) div 2 as int))")
+          + expr("element_at(ds, cast(size(ds) div 2 + 1 as int))"))
+      .select(col("event_id"), col("user_id"),
+        size(col("cs")).as("n_window"),
+        (col("med2").cast("double") / 200.0).as("med"),
+        (col("mad4").cast("double") / 400.0).as("mad"),
+        (abs(col("cents") * 2 - col("med2")) * 2 > col("mad4") * 3).as("is_outlier"))
+  }
+
+  val hampelSql: String =
+    s"""WITH $eventsCte,
+       |b AS (SELECT event_id, user_id, ts,
+       |        CAST(${dec2Sql("value")} * 100 AS BIGINT) AS cents FROM evts),
+       |wnd AS (
+       |  SELECT event_id, user_id, cents,
+       |         list_sort(list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS cs
+       |  FROM b),
+       |m AS (SELECT *, cs[(len(cs) + 1) // 2] + cs[len(cs) // 2 + 1] AS med2 FROM wnd),
+       |d AS (SELECT *, list_sort(list_transform(cs, c -> abs(2 * c - med2))) AS ds FROM m),
+       |m2 AS (SELECT *, ds[(len(ds) + 1) // 2] + ds[len(ds) // 2 + 1] AS mad4 FROM d)
+       |SELECT event_id, user_id, CAST(len(cs) AS INT) AS n_window,
+       |       CAST(med2 AS DOUBLE) / 200.0 AS med,
+       |       CAST(mad4 AS DOUBLE) / 400.0 AS mad,
+       |       (abs(2 * cents - med2) * 2 > mad4 * 3) AS is_outlier
+       |FROM m2""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_hampel" -> (hampel, Some(hampelSql)),
     "a_tukey_fences" -> (tukeyFences, Some(tukeyFencesSql)),
     "a_hist_sketch" -> (histSketch, Some(histSketchSql)),
     "a_acf" -> (acf, Some(acfSql)),

@@ -1292,7 +1292,90 @@ object SimQueries {
        |FROM sub GROUP BY 1, 2, 3""".stripMargin
   }
 
+  /** K-fold cross-validation of the centroid classifier (k = 4,
+    * hash-deterministic folds): per-fold training centroids come from
+    * ONE corpus pass via the subtraction trick — total per-(label,dim)
+    * sums minus the held-out fold's sums — instead of k passes over
+    * the training data (the a_incremental_agg identity applied to
+    * model fitting; this is how CV should run at 100 TB). Scoring
+    * broadcast-joins each fold's centroid set to its held-out rows;
+    * output is per-fold accuracy. All means are 2^20 fixed-point, so
+    * the gate hash-matches. The dense fold×(label,dim) grid guards
+    * the edge where a fold contains no rows of some label. */
+  val kfoldCv: Q = (s, dir) => {
+    val F = 4
+    val e = table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        graft.text.TextOps.hashBucket(col("vec_id"), F).cast("int").as("fold"))
+    val cells = e.select(col("fold"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("fold"), col("label"), col("pos"),
+        floor(col("v").cast("double") * CentScale).cast("long").as("q"))
+    val foldSums = cells.groupBy(col("fold"), col("label"), col("pos"))
+      .agg(sum(col("q")).as("fqs"), count(lit(1)).as("fcnt"))
+    val totals = foldSums.groupBy(col("label"), col("pos"))
+      .agg(sum(col("fqs")).as("tqs"), sum(col("fcnt")).as("tcnt"))
+    val grid = totals
+      .withColumn("fold", explode(transform(sequence(lit(0), lit(F - 1)), _.cast("int"))))
+      .join(foldSums, Seq("fold", "label", "pos"), "left")
+      .select(col("fold"), col("label").as("cl"), col("pos"),
+        ((col("tqs") - coalesce(col("fqs"), lit(0L))).cast("double")
+          / ((col("tcnt") - coalesce(col("fcnt"), lit(0L))).cast("double") * CentScale))
+          .as("cv"))
+    val cents = grid.groupBy(col("fold"), col("cl"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x("cv")).as("cvec"))
+    val scored = e.select(col("vec_id").as("qid"), col("fold"), col("label"), col("embedding"))
+      .join(broadcast(cents), Seq("fold"))
+      .select(col("qid"), col("fold"), col("label"), col("cl"),
+        Similarity.cosine(col("embedding"), col("cvec")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cl"))
+    scored.withColumn("r", row_number().over(w)).where(col("r") === 1)
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("label") === col("cl"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("fold"), col("n_test"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_test").cast("double")).as("acc"))
+  }
+
+  val kfoldCvSql: String =
+    s"""WITH s AS (SELECT vec_id, embedding, label,
+       |             CAST(${graft.text.TextOps.hashBucketSql("vec_id", 4)} AS INT) AS fold
+       |           FROM embeddings),
+       |cells AS (
+       |  SELECT fold, label, CAST(r.i - 1 AS INT) AS pos,
+       |         CAST(FLOOR(CAST(embedding[r.i] AS DOUBLE) * $CentScale) AS BIGINT) AS q
+       |  FROM s CROSS JOIN range(1, ${DIM + 1}) r(i)),
+       |fs AS (SELECT fold, label, pos,
+       |         CAST(SUM(q) AS BIGINT) AS fqs, COUNT(*) AS fcnt
+       |       FROM cells GROUP BY 1, 2, 3),
+       |tot AS (SELECT label, pos,
+       |          CAST(SUM(fqs) AS BIGINT) AS tqs, CAST(SUM(fcnt) AS BIGINT) AS tcnt
+       |        FROM fs GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT CAST(f.i AS INT) AS fold, t.label AS cl, t.pos,
+       |         CAST(t.tqs - COALESCE(fs.fqs, 0) AS DOUBLE)
+       |           / (CAST(t.tcnt - COALESCE(fs.fcnt, 0) AS DOUBLE) * $CentScale) AS cv
+       |  FROM tot t CROSS JOIN range(0, 4) f(i)
+       |  LEFT JOIN fs ON fs.fold = f.i AND fs.label = t.label AND fs.pos = t.pos),
+       |cent AS (SELECT fold, cl, list(cv ORDER BY pos) AS cvec FROM grid GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT s.vec_id AS qid, s.fold, s.label, c.cl,
+       |         ${cosSql("s.embedding", "c.cvec")} AS cos
+       |  FROM s JOIN cent c ON c.fold = s.fold),
+       |pred AS (
+       |  SELECT qid, fold, label, cl,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cl) AS r
+       |  FROM scored QUALIFY r = 1)
+       |SELECT fold, COUNT(*) AS n_test,
+       |       CAST(SUM(CASE WHEN label = cl THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |       CAST(SUM(CASE WHEN label = cl THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(COUNT(*) AS DOUBLE) AS acc
+       |FROM pred GROUP BY 1""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "m_kfold_cv" -> (kfoldCv, Some(kfoldCvSql)),
     "s_pq_train" -> (pqTrain, Some(pqTrainSql)),
     "m_dectree_stump" -> (dectreeStump, Some(dectreeStumpSql)),
     "m_kmeans_step" -> (kmeansStep, Some(kmeansStepSql)),
