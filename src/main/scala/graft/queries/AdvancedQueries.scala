@@ -1911,13 +1911,16 @@ object AdvancedQueries {
         dsum(x * x).as(s"sxx$k"), dsum(y * y).as(s"syy$k"))
     }
     val m = leads.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
-    (1 to 3).map { k =>
-      val (n, sx, sy) = (col(s"n$k"), col(s"sx$k"), col(s"sy$k"))
-      val (sxy, sxx, syy) = (col(s"sxy$k"), col(s"sxx$k"), col(s"syy$k"))
-      m.select(col("event_type"), lit(k).as("lag"), n.cast("long").as("n"),
-        ((n * sxy - sx * sy)
-          / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("acf"))
-    }.reduce(_ unionByName _)
+    // one aggregate + stack-unpivot: a 3-branch union re-ran the whole
+    // scan→hourly→window→moments pipeline per lag (12 Exchanges, zero
+    // reuse in the dumped plan); stacked, the pipeline runs once
+    val stacked = m.select(col("event_type"), expr("stack(3, " +
+      (1 to 3).map(k => s"$k, n$k, sx$k, sy$k, sxy$k, sxx$k, syy$k").mkString(", ") +
+      ") as (lag, n, sx, sy, sxy, sxx, syy)"))
+    stacked.select(col("event_type"), col("lag"), col("n").cast("long").as("n"),
+      ((col("n") * col("sxy") - col("sx") * col("sy"))
+        / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+          * sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("acf"))
   }
 
   val acfSql: String = {
