@@ -2134,7 +2134,60 @@ object AdvancedQueries {
        |       (abs(2 * cents - med2) * 2 > mad4 * 3) AS is_outlier
        |FROM m2""".stripMargin
 
+  /** Two-sample Kolmogorov-Smirnov statistic (click vs view value
+    * distributions): D = max_v |F1(v) − F2(v)|, computed EXACTLY —
+    * the ECDF gap is compared as the integer |c1·n2 − c2·n1| (cross-
+    * multiplied, no per-step divisions), with ONE double division at
+    * the reported maximum. Argmax tie-breaks to the smallest value.
+    * The ordered window runs over the bounded DISTINCT-value domain
+    * (2-decimal cents — thousands of rows), never the event corpus;
+    * the corpus collapses in the two per-value count groupBys. */
+  val ksTest: Q = (s, dir) => {
+    val e = events(s, dir)
+      .select(col("event_type"), (dec2(col("value")) * 100).cast("long").as("cents"))
+    val a = e.where(col("event_type") === "click")
+      .groupBy(col("cents")).agg(count(lit(1)).as("c1"))
+    val b = e.where(col("event_type") === "view")
+      .groupBy(col("cents")).agg(count(lit(1)).as("c2"))
+    val m = a.join(b, Seq("cents"), "full_outer")
+      .select(col("cents"), coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    val w = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    m.select(col("cents"),
+        sum(col("c1")).over(w).as("f1"), sum(col("c2")).over(w).as("f2"),
+        sum(col("c1")).over(wAll).as("n1"), sum(col("c2")).over(wAll).as("n2"))
+      .withColumn("dscaled", abs(col("f1") * col("n2") - col("f2") * col("n1")))
+      .orderBy(col("dscaled").desc, col("cents")).limit(1)
+      .select((col("cents").cast("double") / 100.0).as("at_value"),
+        col("n1"), col("n2"), col("dscaled"),
+        (col("dscaled").cast("double") / (col("n1") * col("n2")).cast("double")).as("d_stat"))
+  }
+
+  val ksTestSql: String =
+    s"""WITH $eventsCte,
+       |v AS (SELECT event_type, CAST(${dec2Sql("value")} * 100 AS BIGINT) AS cents FROM evts),
+       |a AS (SELECT cents, COUNT(*) AS c1 FROM v WHERE event_type = 'click' GROUP BY 1),
+       |b AS (SELECT cents, COUNT(*) AS c2 FROM v WHERE event_type = 'view' GROUP BY 1),
+       |m AS (SELECT COALESCE(a.cents, b.cents) AS cents,
+       |             COALESCE(a.c1, 0) AS c1, COALESCE(b.c2, 0) AS c2
+       |      FROM a FULL OUTER JOIN b ON a.cents = b.cents),
+       |c AS (SELECT cents,
+       |        SUM(c1) OVER (ORDER BY cents) AS f1,
+       |        SUM(c2) OVER (ORDER BY cents) AS f2,
+       |        SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+       |      FROM m),
+       |d AS (SELECT cents, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       |             CAST(abs(f1 * n2 - f2 * n1) AS BIGINT) AS dscaled,
+       |             ROW_NUMBER() OVER (ORDER BY abs(f1 * n2 - f2 * n1) DESC, cents) AS rn
+       |      FROM c)
+       |SELECT CAST(cents AS DOUBLE) / 100.0 AS at_value, n1, n2, dscaled,
+       |       CAST(dscaled AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d_stat
+       |FROM d WHERE rn = 1""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_ks_test" -> (ksTest, Some(ksTestSql)),
     "a_hampel" -> (hampel, Some(hampelSql)),
     "a_tukey_fences" -> (tukeyFences, Some(tukeyFencesSql)),
     "a_hist_sketch" -> (histSketch, Some(histSketchSql)),

@@ -1374,7 +1374,45 @@ object RasterQueries {
       |       COALESCE(l.role, 'noise') AS role
       |FROM pts p LEFT JOIN labeled l ON l.pid = p.pid""".stripMargin
 
+  /** GDAL-style sieve filter on the labeled regions: regions smaller
+    * than 4 cells relabel to −1 (speckle removal after classification
+    * — the post-processing step every land-use map runs). One
+    * label-keyed size aggregation + one label-keyed join on top of
+    * r_region_label; no broadcast (region count scales with the
+    * raster, AQE picks the join side), no new CC work. */
+  val sieveFilter: Q = (s, dir) => {
+    val labeled = regionLabel(s, dir)
+    val sizes = labeled.groupBy(col("label")).agg(count(lit(1)).as("n_cells"))
+    labeled.join(sizes, Seq("label"))
+      .select(col("tile_col"), col("tile_row"), col("px"), col("py"), col("n_cells"),
+        when(col("n_cells") < 4, lit(-1L)).otherwise(col("label")).as("label"))
+  }
+
+  val sieveFilterSql: String = {
+    val w = 4 * TS
+    s"""WITH RECURSIVE $pxCte,
+       |m AS (SELECT gx, gy, gx * $w + gy AS id FROM pga
+       |      WHERE CAST(v AS BIGINT) % 3 = 0),
+       |lab(gx, gy, lbl) AS (
+       |  SELECT gx, gy, id FROM m
+       |  UNION
+       |  SELECT c.gx, c.gy, l.lbl
+       |  FROM lab l JOIN m c
+       |    ON (ABS(c.gx - l.gx) + ABS(c.gy - l.gy)) = 1
+       |  WHERE l.lbl < c.gx * $w + c.gy),
+       |best AS (SELECT gx, gy, MIN(lbl) AS label FROM lab GROUP BY 1, 2),
+       |px AS (
+       |  SELECT CAST(gx // $TS AS INT) AS tile_col, CAST(gy // $TS AS INT) AS tile_row,
+       |         CAST(gx % $TS AS INT) AS px, CAST(gy % $TS AS INT) AS py, label
+       |  FROM best),
+       |sz AS (SELECT label, COUNT(*) AS n_cells FROM px GROUP BY 1)
+       |SELECT p.tile_col, p.tile_row, p.px, p.py, s.n_cells,
+       |       CASE WHEN s.n_cells < 4 THEN -1 ELSE p.label END AS label
+       |FROM px p JOIN sz s ON s.label = p.label""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "r_sieve_filter" -> (sieveFilter, Some(sieveFilterSql)),
     "r_dbscan_labels" -> (dbscanLabels, Some(dbscanLabelsSql)),
     "r_dbscan_core" -> (dbscanCore, Some(dbscanCoreSql)),
     "r_line_profile" -> (lineProfile, Some(lineProfileSql)),

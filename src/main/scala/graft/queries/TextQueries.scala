@@ -1932,7 +1932,63 @@ object TextQueries {
       |  FROM deco)
       |SELECT doc_id, clean, CAST(length(clean) AS INT) AS n_chars FROM norm""".stripMargin
 
+  /** Dedup with RECONSTRUCTION — the pipeline stage the census gates
+    * (t_chunk_dedup, t_substring_dedup) stop short of: every 16-token
+    * block keeps only its globally FIRST occurrence (min (doc_id, idx)
+    * over the block hash — deterministic survivorship), and each doc's
+    * clean_text is rebuilt from its surviving blocks in order. This is
+    * Lee et al. 2022's "remove the duplicated span, keep one copy"
+    * applied at block granularity. Scale shape: ONE groupBy on the
+    * 8-byte block hash picks survivors (min-struct aggregation, no
+    * global window), one join back, one per-doc rebuild groupBy; docs
+    * whose every block is elsewhere-first collapse to empty but stay
+    * in the output (left join from the corpus). */
+  val dedupRewrite: Q = (s, dir) => {
+    val ch = docs(s, dir).select(col("doc_id"),
+        posexplode(TextOps.chunkTexts(col("toks"), ChunkTokens)).as(Seq("idx", "chunk")))
+      .select(col("doc_id"), col("idx"), col("chunk"), TextOps.h60(col("chunk")).as("h"))
+    val firsts = ch.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+    val kept = ch.join(firsts, Seq("h"))
+      .where(col("doc_id") === col("f.doc_id") && col("idx") === col("f.idx"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          x => x("chunk"))).as("clean_text"))
+    docs(s, dir)
+      .select(col("doc_id"), size(TextOps.chunkTexts(col("toks"), ChunkTokens)).as("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  val dedupRewriteSql: String =
+    s"""WITH $docsCte,
+       |ch0 AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(0, greatest(CAST(ceil(len(ctoks) / $ChunkTokens.0) AS BIGINT), 1)),
+       |    i -> struct_pack(idx := i,
+       |           c := array_to_string(list_slice(ctoks, i*$ChunkTokens + 1, i*$ChunkTokens + $ChunkTokens), ' ')))) AS u
+       |  FROM (SELECT doc_id, coalesce(toks, []) AS ctoks FROM docs)),
+       |ch AS (SELECT doc_id, CAST(u.idx AS INT) AS idx, u.c AS c,
+       |              ${TextOps.h60Sql("u.c")} AS h FROM ch0),
+       |rk AS (SELECT doc_id, idx, c,
+       |              ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+       |       FROM ch),
+       |reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+       |               string_agg(c, ' ' ORDER BY idx) AS clean_text
+       |        FROM rk WHERE rn = 1 GROUP BY 1),
+       |tot AS (SELECT doc_id,
+       |          CAST(greatest(CAST(ceil(len(coalesce(toks, [])) / $ChunkTokens.0) AS BIGINT), 1) AS INT) AS n_chunks
+       |        FROM docs)
+       |SELECT t.doc_id, t.n_chunks,
+       |       COALESCE(r.n_kept, 0) AS n_kept,
+       |       COALESCE(r.clean_text, '') AS clean_text
+       |FROM tot t LEFT JOIN reb r ON r.doc_id = t.doc_id""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "t_dedup_rewrite" -> (dedupRewrite, Some(dedupRewriteSql)),
     "t_unicode_clean" -> (unicodeClean, Some(unicodeCleanSql)),
     "m_naive_bayes" -> (naiveBayes, Some(naiveBayesSql)),
     "t_winnow" -> (winnowFp, Some(winnowFpSql)),
