@@ -1411,7 +1411,55 @@ object RasterQueries {
        |FROM px p JOIN sz s ON s.label = p.label""".stripMargin
   }
 
+  /** Marching-squares cell census at threshold 100: every interior 2×2
+    * pixel quad classifies into one of 16 contour-topology classes
+    * (bit per above-threshold corner); classes 1–14 are the cells a
+    * contour line crosses — the extraction step before vectorizing
+    * isolines. Same zero-shuffle shape as r_glcm_texture: quads come
+    * from the cells ARRAY via Column HOFs (no halo, no self-join),
+    * the only Exchange is the ≤16-rows-per-tile census groupBy. Quads
+    * with any NoData corner are excluded on both sides. */
+  val contourCensus: Q = (s, dir) => {
+    val T = 100.0
+    val last = TS - 1
+    val corner = filter(sequence(lit(0), lit(TS * (TS - 1) - 1)), i => i % TS =!= last)
+    val quads = tilesA(s, dir).select(col("tile_col"), col("tile_row"),
+      explode(filter(
+        transform(corner, i => struct(
+          element_at(col("cells"), i + 1).as("v00"),
+          element_at(col("cells"), i + 2).as("v01"),
+          element_at(col("cells"), i + TS + 1).as("v10"),
+          element_at(col("cells"), i + TS + 2).as("v11"))),
+        q => !isnan(q.getField("v00")) && !isnan(q.getField("v01"))
+          && !isnan(q.getField("v10")) && !isnan(q.getField("v11")))).as("q"))
+    val cls = (col("q.v00") > T).cast("int") +
+      (col("q.v01") > T).cast("int") * 2 +
+      (col("q.v10") > T).cast("int") * 4 +
+      (col("q.v11") > T).cast("int") * 8
+    quads.select(col("tile_col"), col("tile_row"), cls.as("cls"))
+      .groupBy(col("tile_col"), col("tile_row"), col("cls"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val contourCensusSql: String =
+    s"""WITH $pxCte,
+       |q AS (
+       |  SELECT a.tile_col, a.tile_row,
+       |         CAST(a.v > 100.0 AS INT) + CAST(b.v > 100.0 AS INT) * 2
+       |       + CAST(c.v > 100.0 AS INT) * 4 + CAST(d.v > 100.0 AS INT) * 8 AS cls
+       |  FROM pxa a
+       |  JOIN pxa b ON b.tile_col = a.tile_col AND b.tile_row = a.tile_row
+       |             AND b.py = a.py AND b.px = a.px + 1
+       |  JOIN pxa c ON c.tile_col = a.tile_col AND c.tile_row = a.tile_row
+       |             AND c.py = a.py + 1 AND c.px = a.px
+       |  JOIN pxa d ON d.tile_col = a.tile_col AND d.tile_row = a.tile_row
+       |             AND d.py = a.py + 1 AND d.px = a.px + 1
+       |  WHERE a.px < ${TS - 1} AND a.py < ${TS - 1})
+       |SELECT tile_col, tile_row, cls, COUNT(*) AS n
+       |FROM q GROUP BY 1, 2, 3""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "r_contour_census" -> (contourCensus, Some(contourCensusSql)),
     "r_sieve_filter" -> (sieveFilter, Some(sieveFilterSql)),
     "r_dbscan_labels" -> (dbscanLabels, Some(dbscanLabelsSql)),
     "r_dbscan_core" -> (dbscanCore, Some(dbscanCoreSql)),

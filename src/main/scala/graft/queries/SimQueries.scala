@@ -1374,7 +1374,112 @@ object SimQueries {
        |         / CAST(COUNT(*) AS DOUBLE) AS acc
        |FROM pred GROUP BY 1""".stripMargin
 
+  /** Permutation feature importance of the centroid classifier over
+    * the first four embedding dims — the model-agnostic "which feature
+    * matters" diagnostic. The "permutation" is the deterministic
+    * XOR-pair swap (row i takes dim d's value from row i XOR 1): a
+    * true involution both engines replay exactly, implemented as an
+    * equi self-join on vec_id⊕1 — NO global sort or shuffle-wide
+    * reorder, unlike a rank-based shuffle permutation (partnerless
+    * ids keep their own value — a fixed point). Variants ride ONE
+    * exploded scan (base + 4 swapped dims); scoring is the broadcast
+    * centroid join; importance_d = base accuracy − swapped accuracy
+    * via a 5-row window at the end. */
+  val permImportance: Q = (s, dir) => {
+    val D = 4
+    val e = table(s, dir, "embeddings")
+    // class centroids over the FULL corpus, fixed-point means
+    val dims = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos"),
+        floor(col("v").cast("double") * CentScale).as("q"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("qs"), count(lit(1)).as("cnt"))
+    val cents = dims
+      .select(col("label").as("cl"), col("pos"),
+        (col("qs").cast("double") / (col("cnt").cast("double") * CentScale)).as("cv"))
+      .groupBy(col("cl"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x("cv")).as("cvec"))
+    val partner = e.select(col("vec_id").bitwiseXOR(1).as("vec_id") +:
+      (1 to D).map(d => element_at(col("embedding"), d).cast("double").as(s"px$d")): _*)
+    val paired = e.join(partner, Seq("vec_id"), "left")
+      .select(col("vec_id").as("qid"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("ed"),
+        array((1 to D).map(d =>
+          coalesce(col(s"px$d"), element_at(col("embedding"), d).cast("double"))): _*)
+          .as("pxs"))
+    val variants = paired
+      .withColumn("v", explode(transform(sequence(lit(0), lit(D)), _.cast("int"))))
+      .select(col("qid"), col("label"), col("v"),
+        when(col("v") === 0, col("ed"))
+          .otherwise(transform(col("ed"),
+            (x, i) => when(i === col("v") - 1, element_at(col("pxs"), col("v")))
+              .otherwise(x))).as("ev"))
+    val scored = variants.join(broadcast(cents))
+      .select(col("qid"), col("label"), col("v"), col("cl"),
+        Similarity.cosine(col("ev"), col("cvec")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"), col("v")).orderBy(col("cos").desc, col("cl"))
+    val accs = scored.withColumn("r", row_number().over(w)).where(col("r") === 1)
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label") === col("cl"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("v"), col("n"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n").cast("double")).as("acc"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    accs.withColumn("importance",
+        max(when(col("v") === 0, col("acc"))).over(wAll) - col("acc"))
+      .select(col("v"), col("n"), col("n_correct"), col("acc"), col("importance"))
+  }
+
+  val permImportanceSql: String = {
+    val pxCase = (1 to 4).map(d =>
+      s"WHEN $d THEN COALESCE(p.px$d, CAST(s.embedding[$d] AS DOUBLE))").mkString(" ")
+    s"""WITH s AS (SELECT vec_id, embedding, label FROM embeddings),
+       |p AS (SELECT xor(vec_id, 1) AS vec_id,
+       |             ${(1 to 4).map(d => s"CAST(embedding[$d] AS DOUBLE) AS px$d").mkString(", ")}
+       |      FROM embeddings),
+       |dims AS (
+       |  SELECT label, CAST(r.i - 1 AS INT) AS pos,
+       |         CAST(SUM(CAST(FLOOR(CAST(embedding[r.i] AS DOUBLE) * $CentScale) AS BIGINT)) AS BIGINT) AS qs,
+       |         COUNT(*) AS cnt
+       |  FROM s CROSS JOIN range(1, ${DIM + 1}) r(i) GROUP BY 1, 2),
+       |cent AS (SELECT label AS cl,
+       |                list(CAST(qs AS DOUBLE) / (cnt * $CentScale) ORDER BY pos) AS cvec
+       |         FROM dims GROUP BY 1),
+       |var1 AS (
+       |  SELECT s.vec_id AS qid, s.label, CAST(vv.i AS INT) AS v,
+       |         CASE WHEN vv.i = 0
+       |              THEN list_transform(s.embedding, x -> CAST(x AS DOUBLE))
+       |              ELSE list_transform(range(1, ${DIM + 1}),
+       |                     i -> CASE WHEN i = vv.i
+       |                               THEN (CASE vv.i $pxCase END)
+       |                               ELSE CAST(s.embedding[i] AS DOUBLE) END)
+       |         END AS ev
+       |  FROM s LEFT JOIN p ON p.vec_id = s.vec_id
+       |  CROSS JOIN range(0, 5) vv(i)),
+       |scored AS (
+       |  SELECT qid, label, v, c.cl, ${cosSql("ev", "c.cvec")} AS cos
+       |  FROM var1 CROSS JOIN cent c),
+       |pred AS (
+       |  SELECT qid, label, v, cl,
+       |         ROW_NUMBER() OVER (PARTITION BY qid, v ORDER BY cos DESC, cl) AS r
+       |  FROM scored QUALIFY r = 1),
+       |accs AS (
+       |  SELECT v, COUNT(*) AS n,
+       |         CAST(SUM(CASE WHEN label = cl THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |         CAST(SUM(CASE WHEN label = cl THEN 1 ELSE 0 END) AS DOUBLE)
+       |           / CAST(COUNT(*) AS DOUBLE) AS acc
+       |  FROM pred GROUP BY 1)
+       |SELECT v, n, n_correct, acc,
+       |       MAX(CASE WHEN v = 0 THEN acc END) OVER () - acc AS importance
+       |FROM accs""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "m_perm_importance" -> (permImportance, Some(permImportanceSql)),
     "m_kfold_cv" -> (kfoldCv, Some(kfoldCvSql)),
     "s_pq_train" -> (pqTrain, Some(pqTrainSql)),
     "m_dectree_stump" -> (dectreeStump, Some(dectreeStumpSql)),
