@@ -1478,7 +1478,87 @@ object SimQueries {
        |FROM accs""".stripMargin
   }
 
+  /** Greedy best-first search over the k-NN graph — the navigation
+    * primitive graph-ANN indexes (HNSW layer 0, NSG) are built on:
+    * from a fixed entry node, repeatedly hop to the neighbor closest
+    * to the query, stop at a local optimum. FOUR unrolled rounds, each
+    * one edge-join + one per-query argmax (tie → smaller id), state =
+    * (node, cos, hops) — both engines replay the identical walk, the
+    * oracle as four chained CTE steps. Scale shape: the walk state is
+    * nq rows; each round joins it to the (bounded out-degree) edge
+    * list by current node — per-round cost is nq·k, independent of
+    * corpus size, which is exactly why graph search beats scanning. */
+  val greedySearch: Q = (s, dir) => {
+    val Steps = 4
+    val e = table(s, dir, "embeddings")
+    val edges = Similarity.knnGraph(e, Planes, K)
+      .select(col("qid").as("src"), col("cid").as("dst"))
+    val emb = e.select(col("vec_id").as("nid"),
+      transform(col("embedding"), x => x.cast("double")).as("ev"))
+    var state = e.where(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"),
+        transform(col("embedding"), x => x.cast("double")).as("qe"))
+      .crossJoin(emb.where(col("nid") === NQ).select(col("ev").as("ue")))
+      .select(col("qid"), col("qe"), lit(NQ.toLong).as("u"),
+        Similarity.cosine(col("qe"), col("ue")).as("cosu"), lit(0).as("hops"))
+    for (_ <- 1 to Steps) {
+      val cand = state.join(edges, state("u") === edges("src"), "left")
+        .join(emb, col("dst") === col("nid"), "left")
+        .select(col("qid"), col("qe"), col("u"), col("cosu"), col("hops"), col("dst"),
+          Similarity.cosine(col("qe"), col("ev")).as("cosv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cosv").desc_nulls_last, col("dst"))
+      state = cand.withColumn("r", row_number().over(w)).where(col("r") === 1)
+        .select(col("qid"), col("qe"),
+          when(col("cosv") > col("cosu"), col("dst")).otherwise(col("u")).as("u"),
+          when(col("cosv") > col("cosu"), col("cosv")).otherwise(col("cosu")).as("cosu"),
+          when(col("cosv") > col("cosu"), col("hops") + 1).otherwise(col("hops")).as("hops"))
+    }
+    state.select(col("qid"), col("u").as("node"), col("cosu").as("cos"), col("hops"))
+  }
+
+  val greedySearchSql: String = {
+    val steps = (1 to 4).map { k =>
+      s"""c$k AS (
+         |  SELECT s.qid, s.qe, s.u, s.cosu, s.hops, e.cid AS dst,
+         |         ${cosSql("s.qe", "d.embedding")} AS cosv
+         |  FROM s${k - 1} s
+         |  LEFT JOIN edges e ON e.qid = s.u
+         |  LEFT JOIN embeddings d ON d.vec_id = e.cid),
+         |b$k AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |              ORDER BY cosv DESC NULLS LAST, dst) AS r
+         |  FROM c$k QUALIFY r = 1),
+         |s$k AS (
+         |  SELECT qid, qe,
+         |         CASE WHEN cosv > cosu THEN dst ELSE u END AS u,
+         |         CASE WHEN cosv > cosu THEN cosv ELSE cosu END AS cosu,
+         |         CASE WHEN cosv > cosu THEN hops + 1 ELSE hops END AS hops
+         |  FROM b$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+       |pairs AS (
+       |  SELECT x.vec_id AS qid, y.vec_id AS cid,
+       |         ${cosSql("x.embedding", "y.embedding")} AS cos
+       |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+       |edges AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |    FROM pairs) WHERE rank <= $K),
+       |s0 AS (
+       |  SELECT q.vec_id AS qid,
+       |         list_transform(q.embedding, x -> CAST(x AS DOUBLE)) AS qe,
+       |         CAST($NQ AS BIGINT) AS u,
+       |         ${cosSql("q.embedding", "t.embedding")} AS cosu, 0 AS hops
+       |  FROM embeddings q JOIN embeddings t ON t.vec_id = $NQ
+       |  WHERE q.vec_id < $NQ),
+       |$steps
+       |SELECT qid, u AS node, cosu AS cos, hops FROM s4""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "s_greedy_search" -> (greedySearch, Some(greedySearchSql)),
     "m_perm_importance" -> (permImportance, Some(permImportanceSql)),
     "m_kfold_cv" -> (kfoldCv, Some(kfoldCvSql)),
     "s_pq_train" -> (pqTrain, Some(pqTrainSql)),
