@@ -2186,7 +2186,112 @@ object AdvancedQueries {
        |       CAST(dscaled AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d_stat
        |FROM d WHERE rn = 1""".stripMargin
 
+  /** Theil-Sen estimator per event_type: the MEDIAN of all pairwise
+    * slopes (x in hours since the first hour, y in cents) — the robust
+    * regression twin of a_mann_kendall's S (same bounded pair set, one
+    * more column). Each slope is ONE double division of exact integers
+    * (identical in both engines); the exact median uses the
+    * a_rolling_median dyadic-midpoint technique over the sorted slope
+    * multiset. Windows run on the n²-bounded pair set of the hourly
+    * series, never the corpus. */
+  val theilSen: Q = (s, dir) => {
+    val hourly = events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum((dec2(col("value")) * 100).cast("long")).as("cents"))
+      .withColumn("hx", (unix_timestamp(col("h")) / 3600L).cast("long"))
+    val a = hourly.select(col("event_type"), col("hx").as("x1"), col("cents").as("y1"))
+    val b = hourly.select(col("event_type"), col("hx").as("x2"), col("cents").as("y2"))
+    val slopes = a.join(b, Seq("event_type")).where(col("x1") < col("x2"))
+      .select(col("event_type"),
+        ((col("y2") - col("y1")).cast("double") / (col("x2") - col("x1")).cast("double"))
+          .as("slope"))
+    slopes.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("slope"))).as("ss"), count(lit(1)).as("n_pairs"))
+      .select(col("event_type"), col("n_pairs"),
+        ((expr("element_at(ss, cast((size(ss) + 1) div 2 as int))")
+          + expr("element_at(ss, cast(size(ss) div 2 + 1 as int))")) / 2.0 / 100.0)
+          .as("sen_slope"))
+  }
+
+  val theilSenSql: String =
+    s"""WITH $eventsCte,
+       |hr AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h,
+       |         CAST(SUM(CAST(${dec2Sql("value")} * 100 AS BIGINT)) AS BIGINT) AS cents
+       |  FROM evts GROUP BY 1, 2),
+       |hx AS (SELECT event_type, CAST(epoch(h) // 3600 AS BIGINT) AS hx, cents FROM hr),
+       |sl AS (
+       |  SELECT a.event_type,
+       |         CAST(b.cents - a.cents AS DOUBLE) / CAST(b.hx - a.hx AS DOUBLE) AS slope
+       |  FROM hx a JOIN hx b ON a.event_type = b.event_type AND a.hx < b.hx),
+       |agg AS (
+       |  SELECT event_type, list_sort(list(slope)) AS ss, COUNT(*) AS n_pairs
+       |  FROM sl GROUP BY 1)
+       |SELECT event_type, n_pairs,
+       |       (ss[(len(ss) + 1) // 2] + ss[len(ss) // 2 + 1]) / 2.0 / 100.0 AS sen_slope
+       |FROM agg""".stripMargin
+
+  /** One-way ANOVA F-statistic (does mean value differ across event
+    * types): SSB = Σ_g S_g²/n_g − S²/N, SSW = Σx² − Σ_g S_g²/n_g. The
+    * per-group terms S_g²/n_g are each ONE double division of exact
+    * integers, and their cross-group sum — the one place float order
+    * could leak in — is a STRICT LEFT FOLD over the group terms sorted
+    * by group key (sort_array + aggregate vs list ORDER BY +
+    * list_reduce), so both engines add in the identical order. Σx²
+    * accumulates via dsum. Group squares are long×long (documented
+    * < 2^63 at any plausible scale of 2-decimal values). */
+  val anova: Q = (s, dir) => {
+    val g = events(s, dir)
+      .select(col("event_type"), (dec2(col("value")) * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_g"), sum(col("cents")).as("s_g"),
+        dsum(col("cents") * col("cents")).as("sq_g"))
+    val agg1 = g.agg(
+      sort_array(collect_list(struct(col("event_type"),
+        ((col("s_g") * col("s_g")).cast("double") / col("n_g").cast("double")).as("term"))))
+        .as("ts"),
+      sum(col("n_g")).cast("double").as("n"),
+      sum(col("s_g")).cast("double").as("s"),
+      count(lit(1)).cast("double").as("k"),
+      // group Σx² terms fold in sorted order too (dsum per group is
+      // exact, but their doubles still need a fixed add order)
+      sort_array(collect_list(struct(col("event_type"), col("sq_g").as("sq")))).as("sqs"))
+    agg1.select(col("k").cast("long").as("k"), col("n").cast("long").as("n"),
+        aggregate(col("ts"), lit(0.0), (acc, t) => acc + t.getField("term")).as("tsum"),
+        aggregate(col("sqs"), lit(0.0), (acc, t) => acc + t.getField("sq")).as("sxx"),
+        col("s"), col("n").as("nd"), col("k").as("kd"))
+      .select(col("k"), col("n"),
+        (col("tsum") - col("s") * col("s") / col("nd")).as("ssb"),
+        (col("sxx") - col("tsum")).as("ssw"),
+        (((col("tsum") - col("s") * col("s") / col("nd")) / (col("kd") - 1.0))
+          / ((col("sxx") - col("tsum")) / (col("nd") - col("kd")))).as("f_stat"))
+  }
+
+  val anovaSql: String =
+    s"""WITH $eventsCte,
+       |v AS (SELECT event_type, CAST(${dec2Sql("value")} * 100 AS BIGINT) AS cents FROM evts),
+       |g AS (SELECT event_type, COUNT(*) AS n_g, CAST(SUM(cents) AS BIGINT) AS s_g,
+       |             ${dsumSql("cents * cents")} AS sq_g
+       |      FROM v GROUP BY 1),
+       |a AS (SELECT
+       |        list(CAST(s_g * s_g AS DOUBLE) / CAST(n_g AS DOUBLE) ORDER BY event_type) AS ts,
+       |        list(sq_g ORDER BY event_type) AS sqs,
+       |        CAST(SUM(n_g) AS DOUBLE) AS n, CAST(SUM(s_g) AS DOUBLE) AS s,
+       |        CAST(COUNT(*) AS DOUBLE) AS k
+       |      FROM g),
+       |f AS (SELECT k, n, s,
+       |        list_reduce(list_prepend(0.0, ts), (x, y) -> x + y) AS tsum,
+       |        list_reduce(list_prepend(0.0, sqs), (x, y) -> x + y) AS sxx
+       |      FROM a)
+       |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       |       tsum - s * s / n AS ssb,
+       |       sxx - tsum AS ssw,
+       |       ((tsum - s * s / n) / (k - 1.0)) / ((sxx - tsum) / (n - k)) AS f_stat
+       |FROM f""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_anova" -> (anova, Some(anovaSql)),
+    "a_theil_sen" -> (theilSen, Some(theilSenSql)),
     "a_ks_test" -> (ksTest, Some(ksTestSql)),
     "a_hampel" -> (hampel, Some(hampelSql)),
     "a_tukey_fences" -> (tukeyFences, Some(tukeyFencesSql)),
