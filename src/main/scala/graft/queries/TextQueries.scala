@@ -1987,7 +1987,68 @@ object TextQueries {
        |       COALESCE(r.clean_text, '') AS clean_text
        |FROM tot t LEFT JOIN reb r ON r.doc_id = t.doc_id""".stripMargin
 
+  /** Token-budget selection — "fill 40% of the corpus token budget
+    * with the highest-quality docs": the data-mixing step before
+    * training. Two-pass threshold design, NOT a global sort of docs:
+    * pass 1 buckets docs by an integer quality score (type-token
+    * ratio ×10000, integer div — tie-free) and finds the threshold
+    * bucket via a cumulative window over the ≤10001 DISTINCT scores;
+    * pass 2 keeps every doc above the threshold and fills the
+    * boundary bucket doc_id-ascending until the remainder runs out.
+    * All integer arithmetic (budget = 2/5 of total via integer div),
+    * and the only windows run over the bounded score domain and the
+    * single boundary bucket — corpus-sized data never sorts
+    * globally. */
+  val tokenBudget: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, dir).select(col("doc_id"),
+        size(col("toks")).cast("long").as("nt"),
+        size(array_distinct(col("toks"))).cast("long").as("ndis"))
+      .select(col("doc_id"), col("nt"),
+        expr("CASE WHEN nt = 0 THEN 0 ELSE (ndis * 10000) div nt END").as("iq"))
+    val wCum = Window.orderBy(col("iq").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val buckets = base.groupBy(col("iq")).agg(sum(col("nt")).as("tb"))
+      .withColumn("cum", sum(col("tb")).over(wCum))
+      .withColumn("prev", col("cum") - col("tb"))
+      .withColumn("budget", expr("(sum(tb) over () * 2) div 5"))
+    val wDoc = Window.partitionBy(col("iq")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(buckets.select(col("iq"), col("cum"), col("prev"), col("budget")), Seq("iq"))
+      .withColumn("cumd", sum(col("nt")).over(wDoc))
+      .select(col("doc_id"), col("iq"), col("nt"),
+        (col("cum") <= col("budget") ||
+          (col("prev") < col("budget") && col("cumd") <= col("budget") - col("prev")))
+          .as("kept"))
+  }
+
+  val tokenBudgetSql: String =
+    s"""WITH $docsCte,
+       |base AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt,
+       |         CASE WHEN len(toks) = 0 THEN 0
+       |              ELSE (CAST(len(list_distinct(toks)) AS BIGINT) * 10000) // len(toks)
+       |         END AS iq
+       |  FROM docs),
+       |buckets AS (
+       |  SELECT iq, SUM(nt) AS tb FROM base GROUP BY 1),
+       |bw AS (
+       |  SELECT iq,
+       |         SUM(tb) OVER (ORDER BY iq DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |         SUM(tb) OVER (ORDER BY iq DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tb AS prev,
+       |         (SUM(tb) OVER () * 2) // 5 AS budget
+       |  FROM buckets)
+       |SELECT b.doc_id, b.iq, b.nt,
+       |       (w.cum <= w.budget OR
+       |        (w.prev < w.budget AND
+       |         SUM(b.nt) OVER (PARTITION BY b.iq ORDER BY b.doc_id
+       |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           <= w.budget - w.prev)) AS kept
+       |FROM base b JOIN bw w ON w.iq = b.iq""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "t_token_budget" -> (tokenBudget, Some(tokenBudgetSql)),
     "t_dedup_rewrite" -> (dedupRewrite, Some(dedupRewriteSql)),
     "t_unicode_clean" -> (unicodeClean, Some(unicodeCleanSql)),
     "m_naive_bayes" -> (naiveBayes, Some(naiveBayesSql)),
