@@ -203,7 +203,10 @@ object TextQueries {
     * f^2 join rows on one key); candidate pairs explode from lists of
     * <= cap docs (never all-pairs, never a self-join); exact Jaccard on
     * int set sizes over the capped shingle universe. */
-  val ngramJaccard: Q = (s, dir) => {
+  /** Shared shingle-pair pipeline: (a, b, inter, na, nb) for every
+    * candidate pair with >= 2 common discriminative shingles — consumed
+    * by t_ngram_jaccard (symmetric) and t_containment (asymmetric). */
+  private def shinglePairs(s: SparkSession, dir: String): DataFrame = {
     // group on the 60-bit shingle hash, not the string: 8-byte shuffle
     // keys instead of ~20-byte strings (same oracle family)
     val shAll = docs(s, dir).select(col("doc_id"),
@@ -240,13 +243,27 @@ object TextQueries {
       .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
       .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
       .where(col("inter") >= 2)
-      .select(col("a"), col("b"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
   }
 
-  val ngramJaccardSql: String =
-    s"""WITH $docsCte,
-       |sh_all AS (
+  val ngramJaccard: Q = (s, dir) =>
+    shinglePairs(s, dir).select(col("a"), col("b"),
+      (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+
+  /** Containment coefficient |A∩B| / min(|A|,|B|) over the same capped
+    * shingle universe — the ASYMMETRIC near-dup signal Jaccard misses:
+    * a short doc quoted inside a long one has high containment but low
+    * Jaccard. is_subset flags containment ≥ 0.8 pairs whose Jaccard
+    * stays < 0.5 — the quote/boilerplate-extraction candidates. Same
+    * single-shuffle posting-list pipeline as t_ngram_jaccard. */
+  val containment: Q = (s, dir) =>
+    shinglePairs(s, dir).select(col("a"), col("b"), col("inter"),
+      (col("inter").cast("double") / least(col("na"), col("nb"))).as("containment"),
+      (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .withColumn("is_subset",
+        col("containment") >= 0.8 && col("jaccard") < 0.5)
+
+  private val shinglePairsCtes: String =
+    s"""sh_all AS (
        |  SELECT DISTINCT doc_id, ${TextOps.h60Sql("g.shs")} AS sh
        |  FROM docs, unnest(list_transform(range(1, len(toks) - 1),
        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) g(shs)),
@@ -256,9 +273,26 @@ object TextQueries {
        |pairs AS (
        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  val ngramJaccardSql: String =
+    s"""WITH $docsCte,
+       |$shinglePairsCtes
        |SELECT p.a, p.b,
        |       CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter) AS jaccard
+       |FROM pairs p
+       |JOIN sizes sa ON sa.doc_id = p.a
+       |JOIN sizes sb ON sb.doc_id = p.b
+       |WHERE p.inter >= 2""".stripMargin
+
+  val containmentSql: String =
+    s"""WITH $docsCte,
+       |$shinglePairsCtes
+       |SELECT p.a, p.b, p.inter,
+       |       CAST(p.inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment,
+       |       CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter) AS jaccard,
+       |       (CAST(p.inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.8 AND
+       |        CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter) < 0.5) AS is_subset
        |FROM pairs p
        |JOIN sizes sa ON sa.doc_id = p.a
        |JOIN sizes sb ON sb.doc_id = p.b
@@ -2082,6 +2116,7 @@ object TextQueries {
     "t_fingerprint" -> (fingerprint, Some(fingerprintSql)),
     "t_dedup_exact" -> (dedupExact, Some(dedupExactSql)),
     "t_ngram_jaccard" -> (ngramJaccard, Some(ngramJaccardSql)),
+    "t_containment" -> (containment, Some(containmentSql)),
     "t_simhash" -> (simhash, Some(simhashSql)),
     "t_simhash_pairs" -> (simhashPairs, Some(simhashPairsSql)),
     "t_minhash_sig" -> (minhashSig, Some(minhashSigSql)),
