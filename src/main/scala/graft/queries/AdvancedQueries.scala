@@ -2289,7 +2289,53 @@ object AdvancedQueries {
        |       ((tsum - s * s / n) / (k - 1.0)) / ((sxx - tsum) / (n - k)) AS f_stat
        |FROM f""".stripMargin
 
+  /** Winsorized mean per group: values clamp to the exact [P10, P90]
+    * of their group (cum-count quantiles like a_quartiles — integral
+    * l_quantity, no interpolation), then a dsum mean over the clamped
+    * decimal values. The robust-mean answer to a_tukey_fences'
+    * censoring question: same two-pass broadcast shape — quantile
+    * scan + broadcast fences + clamped aggregate. */
+  val winsorize: Q = (s, dir) => {
+    val h = table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = h.select(col("l_returnflag"), col("l_quantity"), col("cnt"),
+      sum(col("cnt")).over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))).as("cum"),
+      sum(col("cnt")).over(Window.partitionBy(col("l_returnflag"))).as("n"))
+    def q(p: Double, nm: String) =
+      min(when(col("cum") >= ceil(lit(p) * col("n")), col("l_quantity"))).as(nm)
+    val fences = cum.groupBy(col("l_returnflag")).agg(q(0.10, "p10"), q(0.90, "p90"))
+    table(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"))
+      .join(broadcast(fences), Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        dec2(greatest(col("p10"), least(col("p90"), col("l_quantity")))).as("wq"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("wq")).as("wsum"))
+      .select(col("l_returnflag"), col("n"),
+        (col("wsum") / col("n").cast("double")).as("winsor_mean"))
+  }
+
+  val winsorizeSql: String =
+    s"""WITH h AS (SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+       |           FROM lineitem GROUP BY 1, 2),
+       |c AS (SELECT l_returnflag, l_quantity, cnt,
+       |        SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cum,
+       |        SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+       |      FROM h),
+       |f AS (SELECT l_returnflag,
+       |        MIN(CASE WHEN cum >= ceil(0.1 * n) THEN l_quantity END) AS p10,
+       |        MIN(CASE WHEN cum >= ceil(0.9 * n) THEN l_quantity END) AS p90
+       |      FROM c GROUP BY 1)
+       |SELECT l.l_returnflag, COUNT(*) AS n,
+       |       ${dsumSql(dec2Sql("greatest(f.p10, least(f.p90, l.l_quantity))"))}
+       |         / CAST(COUNT(*) AS DOUBLE) AS winsor_mean
+       |FROM lineitem l JOIN f ON f.l_returnflag = l.l_returnflag
+       |GROUP BY 1""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_winsorize" -> (winsorize, Some(winsorizeSql)),
     "a_anova" -> (anova, Some(anovaSql)),
     "a_theil_sen" -> (theilSen, Some(theilSenSql)),
     "a_ks_test" -> (ksTest, Some(ksTestSql)),

@@ -1557,7 +1557,82 @@ object SimQueries {
        |SELECT qid, u AS node, cosu AS cos, hops FROM s4""".stripMargin
   }
 
+  /** Classifier-margin distribution: per true label, the histogram of
+    * top1−top2 cosine gaps from the centroid classifier — the
+    * confidence profile that drives selective prediction ("abstain
+    * below margin m") and mislabel mining (tiny margins). Second use
+    * of the [[graft.ops.BinnedHist]] TypedImperativeAggregate, here
+    * over a DERIVED metric; the oracle rebuilds the same bins
+    * relationally with a zero-filled label×bin grid. */
+  val marginHist: Q = (s, dir) => {
+    val e = table(s, dir, "embeddings")
+    val dims = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos"),
+        floor(col("v").cast("double") * CentScale).as("q"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("qs"), count(lit(1)).as("cnt"))
+    val cents = dims
+      .select(col("label").as("cl"), col("pos"),
+        (col("qs").cast("double") / (col("cnt").cast("double") * CentScale)).as("cv"))
+      .groupBy(col("cl"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x("cv")).as("cvec"))
+    val scored = e.select(col("vec_id").as("qid"), col("label"), col("embedding"))
+      .join(broadcast(cents))
+      .select(col("qid"), col("label"), col("cl"),
+        Similarity.cosine(col("embedding"), col("cvec")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cl"))
+    val margins = scored.withColumn("r", row_number().over(w)).where(col("r") <= 2)
+      .groupBy(col("qid"), col("label"))
+      .agg((max(when(col("r") === 1, col("cos"))) -
+        max(when(col("r") === 2, col("cos")))).as("margin"))
+    margins.groupBy(col("label"))
+      .agg(graft.ops.BinnedHist.hist(col("margin"), 0.0, 0.005, 20).as("hist"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("n"), posexplode(col("hist")).as(Seq("bin", "cnt")))
+      .select(col("label"), col("bin"), col("cnt"), col("n"))
+  }
+
+  val marginHistSql: String =
+    s"""WITH s AS (SELECT vec_id, embedding, label FROM embeddings),
+       |dims AS (
+       |  SELECT label, CAST(r.i - 1 AS INT) AS pos,
+       |         CAST(SUM(CAST(FLOOR(CAST(embedding[r.i] AS DOUBLE) * $CentScale) AS BIGINT)) AS BIGINT) AS qs,
+       |         COUNT(*) AS cnt
+       |  FROM s CROSS JOIN range(1, ${DIM + 1}) r(i) GROUP BY 1, 2),
+       |cent AS (SELECT label AS cl,
+       |                list(CAST(qs AS DOUBLE) / (cnt * $CentScale) ORDER BY pos) AS cvec
+       |         FROM dims GROUP BY 1),
+       |scored AS (
+       |  SELECT s.vec_id AS qid, s.label, c.cl,
+       |         ${cosSql("s.embedding", "c.cvec")} AS cos
+       |  FROM s CROSS JOIN cent c),
+       |rk AS (
+       |  SELECT qid, label, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cl) AS r
+       |  FROM scored),
+       |mg AS (
+       |  SELECT qid, label,
+       |         MAX(CASE WHEN r = 1 THEN cos END) - MAX(CASE WHEN r = 2 THEN cos END) AS margin
+       |  FROM rk WHERE r <= 2 GROUP BY 1, 2),
+       |binned AS (
+       |  SELECT label,
+       |         CAST(CASE WHEN fb < 0 THEN 0 WHEN fb >= 20 THEN 21 ELSE fb + 1 END AS BIGINT) AS bin
+       |  FROM (SELECT label, FLOOR((margin - 0.0) / 0.005) AS fb FROM mg)),
+       |grid AS (
+       |  SELECT l.label, r.i AS bin
+       |  FROM (SELECT DISTINCT label FROM mg) l CROSS JOIN range(0, 22) r(i)),
+       |bc AS (SELECT label, bin, COUNT(*) AS cnt FROM binned GROUP BY 1, 2),
+       |tot AS (SELECT label, COUNT(*) AS n FROM mg GROUP BY 1)
+       |SELECT g.label, CAST(g.bin AS INT) AS bin,
+       |       COALESCE(bc.cnt, 0) AS cnt, t.n
+       |FROM grid g
+       |LEFT JOIN bc ON bc.label = g.label AND bc.bin = g.bin
+       |JOIN tot t ON t.label = g.label""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "m_margin_hist" -> (marginHist, Some(marginHistSql)),
     "s_greedy_search" -> (greedySearch, Some(greedySearchSql)),
     "m_perm_importance" -> (permImportance, Some(permImportanceSql)),
     "m_kfold_cv" -> (kfoldCv, Some(kfoldCvSql)),
