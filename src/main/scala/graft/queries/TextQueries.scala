@@ -2081,7 +2081,84 @@ object TextQueries {
        |           <= w.budget - w.prev)) AS kept
        |FROM base b JOIN bw w ON w.iq = b.iq""".stripMargin
 
+  /** BPE tokenizer TRAINING (Sennrich 2016), three merge rounds as a
+    * deterministic query: words collapse to a (word, freq) vocabulary
+    * (the corpus-sized shuffle happens once), each word becomes a
+    * space-separated symbol string, and every round (a) counts
+    * adjacent symbol pairs weighted by word frequency, (b) takes the
+    * top pair (count desc, then lexicographic — exact tie-break),
+    * (c) applies the merge via THREE fixed left-to-right string
+    * `replace` passes — a deterministic fixpoint both engines compute
+    * with the identical builtin, sidestepping the list-fold DuckDB's
+    * list_reduce cannot type. Pair counting and merging run on the
+    * VOCABULARY (distinct words), not the corpus — the standard BPE
+    * trick that makes training corpus-size-independent. Output: the
+    * learned merge table (round, l, rt, cnt). */
+  val bpeTrain: Q = (s, dir) => {
+    val chars = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    val words = docs(s, dir).select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .select(col("f"),
+        concat(lit(" "), concat_ws(" ", chars), lit(" ")).as("ws"))
+    def rep1(c: org.apache.spark.sql.Column, l: org.apache.spark.sql.Column,
+        rt: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.replace(c,
+        concat(lit(" "), l, lit(" "), rt, lit(" ")),
+        concat(lit(" "), l, rt, lit(" ")))
+    var cur = words
+    val merges = (1 to 3).map { r =>
+      val syms = cur.select(col("f"), split(trim(col("ws")), " ").as("sy"))
+        .where(size(col("sy")) >= 2)
+      val pairs = syms.select(col("f"), explode(
+          transform(sequence(lit(1), size(col("sy")) - 1),
+            i => struct(element_at(col("sy"), i).as("l"),
+              element_at(col("sy"), i + 1).as("rt")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.rt").as("rt"))
+        .agg(sum(col("f")).as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("l"), col("rt")).limit(1)
+        .select(lit(r).as("round"), col("l"), col("rt"), col("cnt"))
+      cur = cur.crossJoin(broadcast(top.select(col("l").as("ml"), col("rt").as("mr"))))
+        .select(col("f"),
+          rep1(rep1(rep1(col("ws"), col("ml"), col("mr")), col("ml"), col("mr")),
+            col("ml"), col("mr")).as("ws"))
+      top
+    }
+    merges.reduce(_ unionByName _)
+  }
+
+  val bpeTrainSql: String = {
+    def round(r: Int): String =
+      s"""p$r AS (
+         |  SELECT sy[i] AS l, sy[i + 1] AS rt, CAST(SUM(f) AS BIGINT) AS cnt
+         |  FROM (SELECT f, string_split(trim(ws), ' ') AS sy FROM w${r - 1}),
+         |       unnest(range(1, len(sy))) t(i)
+         |  WHERE len(sy) >= 2 GROUP BY 1, 2),
+         |t$r AS (
+         |  SELECT $r AS round, l, rt, cnt,
+         |         ROW_NUMBER() OVER (ORDER BY cnt DESC, l, rt) AS rn
+         |  FROM p$r QUALIFY rn = 1),
+         |w$r AS (
+         |  SELECT f, replace(replace(replace(ws,
+         |           ' ' || t.l || ' ' || t.rt || ' ', ' ' || t.l || t.rt || ' '),
+         |           ' ' || t.l || ' ' || t.rt || ' ', ' ' || t.l || t.rt || ' '),
+         |           ' ' || t.l || ' ' || t.rt || ' ', ' ' || t.l || t.rt || ' ') AS ws
+         |  FROM w${r - 1} CROSS JOIN t$r t)""".stripMargin
+    s"""WITH $docsCte,
+       |wd AS (SELECT w, COUNT(*) AS f
+       |       FROM (SELECT unnest(toks) AS w FROM docs) GROUP BY 1),
+       |w0 AS (SELECT f,
+       |         ' ' || array_to_string(list_transform(range(1, len(w) + 1), i -> w[i]), ' ')
+       |             || ' ' AS ws
+       |       FROM wd),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT round, l, rt, cnt FROM t1
+       |UNION ALL SELECT round, l, rt, cnt FROM t2
+       |UNION ALL SELECT round, l, rt, cnt FROM t3""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "t_bpe_train" -> (bpeTrain, Some(bpeTrainSql)),
     "t_token_budget" -> (tokenBudget, Some(tokenBudgetSql)),
     "t_dedup_rewrite" -> (dedupRewrite, Some(dedupRewriteSql)),
     "t_unicode_clean" -> (unicodeClean, Some(unicodeCleanSql)),
