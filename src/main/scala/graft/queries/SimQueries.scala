@@ -1529,7 +1529,7 @@ object SimQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
          |              ORDER BY cosv DESC NULLS LAST, dst) AS r
          |  FROM c$k QUALIFY r = 1),
-         |s$k AS (
+         |s$k AS MATERIALIZED (
          |  SELECT qid, qe,
          |         CASE WHEN cosv > cosu THEN dst ELSE u END AS u,
          |         CASE WHEN cosv > cosu THEN cosv ELSE cosu END AS cosu,
@@ -1541,12 +1541,12 @@ object SimQueries {
        |  SELECT x.vec_id AS qid, y.vec_id AS cid,
        |         ${cosSql("x.embedding", "y.embedding")} AS cos
        |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT qid, cid FROM (
        |    SELECT qid, cid,
        |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
        |    FROM pairs) WHERE rank <= $K),
-       |s0 AS (
+       |s0 AS MATERIALIZED (
        |  SELECT q.vec_id AS qid,
        |         list_transform(q.embedding, x -> CAST(x AS DOUBLE)) AS qe,
        |         CAST($NQ AS BIGINT) AS u,
