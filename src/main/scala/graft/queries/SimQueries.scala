@@ -1631,7 +1631,79 @@ object SimQueries {
        |LEFT JOIN bc ON bc.label = g.label AND bc.bin = g.bin
        |JOIN tot t ON t.label = g.label""".stripMargin
 
+  /** NDCG@3 of the LSH ANN against the brute-force truth — the
+    * position-aware quality metric s_ann_recall's set-overlap census
+    * can't see (a hit at rank 1 is worth more than at rank 3).
+    * Binary gains (approx hit ∈ exact top-3) with the three discount
+    * weights 1/log2(pos+1) embedded as LITERALS in both engines —
+    * no libm call, so no cross-engine ulp risk in the only
+    * transcendental this metric needs. Queries with no LSH-bucket
+    * candidates stay in the output with ndcg 0 (left join). */
+  val annNdcg: Q = (s, dir) => {
+    val disc = Map(1 -> 1.0, 2 -> 0.6309297535714575, 3 -> 0.5)
+    val truth = annBrute(s, dir).select(col("qid"), col("cid"))
+    val approx = annLsh(s, dir).select(col("qid"), col("cid"), col("rank"))
+    val gains = approx.join(truth.withColumn("hit", lit(1)), Seq("qid", "cid"), "left")
+      .select(col("qid"), col("rank"), coalesce(col("hit"), lit(0)).as("hit"))
+    // dcg from aggregated per-rank hit BITS, then one fixed-order
+    // double expression — a float SUM over the three discount terms
+    // would add in partition order and can drift an ulp across engines
+    val perQ = gains.groupBy(col("qid"))
+      .agg(sum(col("hit")).cast("long").as("hits"),
+        max(when(col("rank") === 1, col("hit")).otherwise(lit(0))).as("b1"),
+        max(when(col("rank") === 2, col("hit")).otherwise(lit(0))).as("b2"),
+        max(when(col("rank") === 3, col("hit")).otherwise(lit(0))).as("b3"))
+      .withColumn("dcg",
+        col("b1").cast("double") * disc(1) + col("b2").cast("double") * disc(2)
+          + col("b3").cast("double") * disc(3))
+      .withColumn("idcg",
+        when(col("hits") === 0, lit(0.0))
+          .when(col("hits") === 1, lit(disc(1)))
+          .when(col("hits") === 2, lit(disc(1) + disc(2)))
+          .otherwise(lit(disc(1) + disc(2) + disc(3))))
+    truth.select(col("qid")).distinct()
+      .join(perQ, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("dcg"), lit(0.0)).as("dcg"),
+        coalesce(col("idcg"), lit(0.0)).as("idcg"),
+        when(coalesce(col("idcg"), lit(0.0)) > 0.0, col("dcg") / col("idcg"))
+          .otherwise(lit(0.0)).as("ndcg"))
+  }
+
+  val annNdcgSql: String = {
+    val (d1, d2, d3) = (1.0, 0.6309297535714575, 0.5)
+    s"""WITH truth AS ($annBruteSql),
+       |approx AS ($annLshSql),
+       |gains AS (
+       |  SELECT a.qid, a.rank,
+       |         CASE WHEN t.cid IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM approx a
+       |  LEFT JOIN truth t ON t.qid = a.qid AND t.cid = a.cid),
+       |perq AS (
+       |  SELECT qid, CAST(SUM(hit) AS BIGINT) AS hits,
+       |         MAX(CASE WHEN rank = 1 THEN hit ELSE 0 END) AS b1,
+       |         MAX(CASE WHEN rank = 2 THEN hit ELSE 0 END) AS b2,
+       |         MAX(CASE WHEN rank = 3 THEN hit ELSE 0 END) AS b3
+       |  FROM gains GROUP BY 1),
+       |wi AS (
+       |  SELECT qid, hits,
+       |         CAST(b1 AS DOUBLE) * $d1 + CAST(b2 AS DOUBLE) * $d2
+       |           + CAST(b3 AS DOUBLE) * $d3 AS dcg,
+       |         CASE WHEN hits = 0 THEN 0.0
+       |              WHEN hits = 1 THEN $d1
+       |              WHEN hits = 2 THEN ${d1 + d2}
+       |              ELSE ${d1 + d2 + d3} END AS idcg
+       |  FROM perq)
+       |SELECT q.qid, COALESCE(w.hits, 0) AS hits,
+       |       COALESCE(w.dcg, 0.0) AS dcg, COALESCE(w.idcg, 0.0) AS idcg,
+       |       CASE WHEN COALESCE(w.idcg, 0.0) > 0.0 THEN w.dcg / w.idcg
+       |            ELSE 0.0 END AS ndcg
+       |FROM (SELECT DISTINCT qid FROM truth) q
+       |LEFT JOIN wi w ON w.qid = q.qid""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "m_ndcg" -> (annNdcg, Some(annNdcgSql)),
     "m_margin_hist" -> (marginHist, Some(marginHistSql)),
     "s_greedy_search" -> (greedySearch, Some(greedySearchSql)),
     "m_perm_importance" -> (permImportance, Some(permImportanceSql)),
