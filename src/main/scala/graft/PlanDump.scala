@@ -36,7 +36,10 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     val outDir = java.nio.file.Paths.get("plans")
     java.nio.file.Files.createDirectories(outDir)
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    val only = args.drop(1).toSet // optional query-name filter
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         val txt = normalize(df.queryExecution.explainString(

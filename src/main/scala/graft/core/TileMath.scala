@@ -625,4 +625,39 @@ object TileMath {
       y += 1
     }
   }
+
+  /** Rook-adjacency pair moments for global spatial autocorrelation
+    * (Moran's I): over every data cell i of the tile and each of its
+    * four in-grid DATA rook neighbors j (halo cells included, so
+    * cross-tile pairs are counted exactly once per direction),
+    * accumulate Σ xi·xj, Σ xi and the ordered-pair count W. Cell
+    * values are integral-valued doubles (the raster fixture contract),
+    * so all three accumulators are exact longs. */
+  def rookMoments(padded: Array[Double], cols: Int, rows: Int, pad: Int): Array[Long] = {
+    val pc = cols + 2 * pad
+    var pxy = 0L; var xw = 0L; var w = 0L
+    var y = 0
+    while (y < rows) {
+      var x = 0
+      while (x < cols) {
+        val c = padded((x + pad) + (y + pad) * pc)
+        if (isData(c)) {
+          val xi = c.toLong
+          val base = (x + pad) + (y + pad) * pc
+          var d = 0
+          while (d < 4) {
+            val off = d match {
+              case 0 => 1; case 1 => -1; case 2 => pc; case 3 => -pc
+            }
+            val v = padded(base + off)
+            if (isData(v)) { pxy += xi * v.toLong; xw += xi; w += 1 }
+            d += 1
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Array(pxy, xw, w)
+  }
 }

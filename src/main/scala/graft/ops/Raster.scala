@@ -353,6 +353,22 @@ object Raster {
         (col("i") / cols).cast("int").as("py"),
         col("sc.wsum").as("wsum"), col("sc.wn").as("wn"))
 
+  private val rookMomentsUdf = udf((padded: Seq[Double], cols: Int, rows: Int) =>
+    TileMath.rookMoments(padded.toArray, cols, rows, pad = 1).toSeq)
+
+  /** Per-tile rook-adjacency pair moments (Σ xi·xj, Σ xi, ordered-pair
+    * count) off the standard pad=1 halo exchange — the distributed leg
+    * of global Moran's I: each tile reduces its own pairs to three
+    * longs, so the driver-side combine is O(tiles), never O(pairs). */
+  def rookPairStats(tiles: DataFrame, cols: Int, rows: Int): DataFrame =
+    withHalo(tiles, cols, rows, pad = 1)
+      .select(col("tile_col"), col("tile_row"),
+        rookMomentsUdf(col("padded"), lit(cols), lit(rows)).as("m"))
+      .select(col("tile_col"), col("tile_row"),
+        element_at(col("m"), 1).as("pxy"),
+        element_at(col("m"), 2).as("xw"),
+        element_at(col("m"), 3).as("w"))
+
   private val tpiUdf = udf((padded: Seq[Double], cols: Int, rows: Int) =>
     TileMath.terrainIndex(padded.toArray, cols, rows, 1, 0).toSeq)
   private val triUdf = udf((padded: Seq[Double], cols: Int, rows: Int) =>

@@ -2334,7 +2334,74 @@ object AdvancedQueries {
        |FROM lineitem l JOIN f ON f.l_returnflag = l.l_returnflag
        |GROUP BY 1""".stripMargin
 
+  /** Welch's unequal-variance t-test (click vs purchase event values)
+    * — the two-sample companion to a_anova's k-group F-test, with the
+    * Welch–Satterthwaite degrees of freedom. Same determinism recipe:
+    * per-group n/Σx/Σx² from integer cents (dsum for the squares),
+    * pivoted into ONE row by conditional aggregation, then every
+    * double op in one fixed expression shape both engines replay
+    * bitwise — the only transcendental is sqrt, which IEEE 754
+    * correctly rounds in both. The t statistic is computed in cents
+    * (scale cancels between numerator and denominator); the reported
+    * means are re-scaled to value units at the end. One corpus scan,
+    * one 2-row shuffle. */
+  val welchTtest: Q = (s, dir) => {
+    val g = events(s, dir)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), (dec2(col("value")) * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_g"), sum(col("cents")).as("s_g"),
+        dsum(col("cents") * col("cents")).as("sq_g"))
+    val one = g.agg(
+      max(when(col("event_type") === "click", col("n_g"))).cast("double").as("n1"),
+      max(when(col("event_type") === "click", col("s_g"))).cast("double").as("s1"),
+      max(when(col("event_type") === "click", col("sq_g"))).as("q1"),
+      max(when(col("event_type") === "purchase", col("n_g"))).cast("double").as("n2"),
+      max(when(col("event_type") === "purchase", col("s_g"))).cast("double").as("s2"),
+      max(when(col("event_type") === "purchase", col("sq_g"))).as("q2"))
+    val m1 = col("s1") / col("n1")
+    val m2 = col("s2") / col("n2")
+    val v1 = (col("q1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1.0)
+    val v2 = (col("q2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1.0)
+    val se1 = v1 / col("n1")
+    val se2 = v2 / col("n2")
+    one.select(
+      col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+      (m1 / 100.0).as("mean1"), (m2 / 100.0).as("mean2"),
+      ((m1 - m2) / sqrt(se1 + se2)).as("t_stat"),
+      ((se1 + se2) * (se1 + se2)
+        / (se1 * se1 / (col("n1") - 1.0) + se2 * se2 / (col("n2") - 1.0))).as("df"))
+  }
+
+  val welchTtestSql: String = {
+    val (m1, m2) = ("(s1 / n1)", "(s2 / n2)")
+    val v1 = "((q1 - s1 * s1 / n1) / (n1 - 1.0))"
+    val v2 = "((q2 - s2 * s2 / n2) / (n2 - 1.0))"
+    val (se1, se2) = (s"($v1 / n1)", s"($v2 / n2)")
+    s"""WITH $eventsCte,
+       |v AS (SELECT event_type, CAST(${dec2Sql("value")} * 100 AS BIGINT) AS cents
+       |      FROM evts WHERE event_type IN ('click', 'purchase')),
+       |g AS (SELECT event_type, COUNT(*) AS n_g, CAST(SUM(cents) AS BIGINT) AS s_g,
+       |             ${dsumSql("cents * cents")} AS sq_g
+       |      FROM v GROUP BY 1),
+       |one AS (SELECT
+       |  CAST(MAX(CASE WHEN event_type = 'click' THEN n_g END) AS DOUBLE) AS n1,
+       |  CAST(MAX(CASE WHEN event_type = 'click' THEN s_g END) AS DOUBLE) AS s1,
+       |  MAX(CASE WHEN event_type = 'click' THEN sq_g END) AS q1,
+       |  CAST(MAX(CASE WHEN event_type = 'purchase' THEN n_g END) AS DOUBLE) AS n2,
+       |  CAST(MAX(CASE WHEN event_type = 'purchase' THEN s_g END) AS DOUBLE) AS s2,
+       |  MAX(CASE WHEN event_type = 'purchase' THEN sq_g END) AS q2
+       |FROM g)
+       |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       |       $m1 / 100.0 AS mean1, $m2 / 100.0 AS mean2,
+       |       ($m1 - $m2) / sqrt($se1 + $se2) AS t_stat,
+       |       ($se1 + $se2) * ($se1 + $se2)
+       |         / ($se1 * $se1 / (n1 - 1.0) + $se2 * $se2 / (n2 - 1.0)) AS df
+       |FROM one""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_welch_ttest" -> (welchTtest, Some(welchTtestSql)),
     "a_winsorize" -> (winsorize, Some(winsorizeSql)),
     "a_anova" -> (anova, Some(anovaSql)),
     "a_theil_sen" -> (theilSen, Some(theilSenSql)),

@@ -1458,7 +1458,57 @@ object RasterQueries {
        |SELECT tile_col, tile_row, cls, COUNT(*) AS n
        |FROM q GROUP BY 1, 2, 3""".stripMargin
 
+  /** Global Moran's I (rook adjacency, binary weights) — the
+    * spatial-autocorrelation companion to r_getis_ord's per-cell
+    * hotspot score: ONE number for "is this raster clustered,
+    * dispersed, or random", plus its null expectation E[I] = -1/(N-1).
+    * Distributed shape: the pair sums ride the standard pad=1 halo
+    * exchange ([[graft.ops.Raster.rookPairStats]] — each tile reduces
+    * its pairs to three exact longs), the value moments are one scan,
+    * and the final statistic is a fixed-order double expression over
+    * exact dsum aggregates, so the gate hash-matches bitwise. Uses the
+    * cross-product expansion Σwij(xi-x̄)(xj-x̄) =
+    * Σxixj - x̄·Σ(xi+xj) + x̄²·W to keep every aggregate integral. */
+  val moransI: Q = (s, dir) => {
+    val pa = Raster.rookPairStats(tilesA(s, dir), TS, TS)
+      .agg(dsum(col("pxy")).as("pxy"), dsum(col("xw")).as("xw"),
+        sum(col("w")).cast("double").as("w"))
+    val st = pixelsA(s, dir).agg(
+      count(lit(1)).cast("double").as("n"),
+      dsum(col("v").cast("long")).as("sx"),
+      dsum(col("v").cast("long") * col("v").cast("long")).as("qx"))
+    val mean = col("sx") / col("n")
+    st.crossJoin(broadcast(pa)).select(
+      col("n").cast("long").as("n_cells"),
+      col("w").cast("long").as("w_pairs"),
+      mean.as("mean_v"),
+      ((col("n") / col("w"))
+        * ((col("pxy") - mean * (lit(2.0) * col("xw")) + mean * mean * col("w"))
+          / (col("qx") - col("sx") * col("sx") / col("n")))).as("morans_i"),
+      (lit(-1.0) / (col("n") - 1.0)).as("e_i"))
+  }
+
+  val moransISql: String =
+    s"""WITH $pxCte,
+       |adj AS (
+       |  SELECT CAST(c.v AS BIGINT) AS xi, CAST(p.v AS BIGINT) AS xj
+       |  FROM pga c JOIN pga p
+       |    ON ABS(p.gx - c.gx) + ABS(p.gy - c.gy) = 1),
+       |pa AS (SELECT ${dsumSql("xi * xj")} AS pxy, ${dsumSql("xi")} AS xw,
+       |              CAST(COUNT(*) AS DOUBLE) AS w FROM adj),
+       |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |              ${dsumSql("CAST(v AS BIGINT)")} AS sx,
+       |              ${dsumSql("CAST(v AS BIGINT) * CAST(v AS BIGINT)")} AS qx
+       |       FROM pga)
+       |SELECT CAST(n AS BIGINT) AS n_cells, CAST(w AS BIGINT) AS w_pairs,
+       |       sx / n AS mean_v,
+       |       (n / w) * ((pxy - (sx / n) * (2.0 * xw) + (sx / n) * (sx / n) * w)
+       |         / (qx - sx * sx / n)) AS morans_i,
+       |       -1.0 / (n - 1.0) AS e_i
+       |FROM st CROSS JOIN pa""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "r_morans_i" -> (moransI, Some(moransISql)),
     "r_contour_census" -> (contourCensus, Some(contourCensusSql)),
     "r_sieve_filter" -> (sieveFilter, Some(sieveFilterSql)),
     "r_dbscan_labels" -> (dbscanLabels, Some(dbscanLabelsSql)),

@@ -1311,16 +1311,23 @@ object SimQueries {
         posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("fold"), col("label"), col("pos"),
         floor(col("v").cast("double") * CentScale).cast("long").as("q"))
-    val foldSums = cells.groupBy(col("fold"), col("label"), col("pos"))
-      .agg(sum(col("q")).as("fqs"), count(lit(1)).as("fcnt"))
-    val totals = foldSums.groupBy(col("label"), col("pos"))
-      .agg(sum(col("fqs")).as("tqs"), sum(col("fcnt")).as("tcnt"))
-    val grid = totals
+    // ONE (label,pos) groupBy carrying per-fold conditional sums: the
+    // totals AND all F fold slices come out of a single corpus scan and
+    // a single shuffle (vs groupBy + re-groupBy + join-back, which
+    // plans a second scan when exchange reuse misses). Dense in fold by
+    // construction: a fold with no rows of a label contributes 0/0.
+    val perFold = (0 until F).flatMap(f => Seq(
+      sum(when(col("fold") === f, col("q")).otherwise(0L)).as(s"fqs$f"),
+      sum(when(col("fold") === f, 1L).otherwise(0L)).as(s"fcnt$f")))
+    val stats = cells.groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("tqs"), (count(lit(1)).as("tcnt") +: perFold): _*)
+    val grid = stats
       .withColumn("fold", explode(transform(sequence(lit(0), lit(F - 1)), _.cast("int"))))
-      .join(foldSums, Seq("fold", "label", "pos"), "left")
       .select(col("fold"), col("label").as("cl"), col("pos"),
-        ((col("tqs") - coalesce(col("fqs"), lit(0L))).cast("double")
-          / ((col("tcnt") - coalesce(col("fcnt"), lit(0L))).cast("double") * CentScale))
+        ((col("tqs") - element_at(array((0 until F).map(f => col(s"fqs$f")): _*),
+            col("fold") + 1)).cast("double")
+          / ((col("tcnt") - element_at(array((0 until F).map(f => col(s"fcnt$f")): _*),
+            col("fold") + 1)).cast("double") * CentScale))
           .as("cv"))
     val cents = grid.groupBy(col("fold"), col("cl"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
@@ -1415,7 +1422,7 @@ object SimQueries {
           .otherwise(transform(col("ed"),
             (x, i) => when(i === col("v") - 1, element_at(col("pxs"), col("v")))
               .otherwise(x))).as("ev"))
-    val scored = variants.join(broadcast(cents))
+    val scored = variants.crossJoin(broadcast(cents))
       .select(col("qid"), col("label"), col("v"), col("cl"),
         Similarity.cosine(col("ev"), col("cvec")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1578,7 +1585,7 @@ object SimQueries {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
         x => x("cv")).as("cvec"))
     val scored = e.select(col("vec_id").as("qid"), col("label"), col("embedding"))
-      .join(broadcast(cents))
+      .crossJoin(broadcast(cents))
       .select(col("qid"), col("label"), col("cl"),
         Similarity.cosine(col("embedding"), col("cvec")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1702,7 +1709,281 @@ object SimQueries {
        |LEFT JOIN wi w ON w.qid = q.qid""".stripMargin
   }
 
+  /** Metadata-filtered ANN — top-k by cosine among candidates that
+    * satisfy a predicate (here: share the query's label), the
+    * filtered-vector-search shape every production vector store needs
+    * (WHERE category = X AND similar-to q). The predicate is part of
+    * the JOIN key, so it plans as a broadcast HASH join on label —
+    * the filter prunes candidates BEFORE any distance math, and at
+    * scale a label-partitioned corpus turns it into partition pruning.
+    * Queries whose label has no other member vanish (inner join) —
+    * the honest "zero results under this filter" semantics. */
+  val annFiltered: Q = (s, dir) => {
+    val e = table(s, dir, "embeddings")
+    val q = e.where(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("label").as("ql"), col("embedding").as("qe"))
+    val scored = e.select(col("vec_id").as("cid"), col("label").as("cl"), col("embedding").as("ce"))
+      .join(broadcast(q), col("cl") === col("ql") && col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), Similarity.cosine(col("qe"), col("ce")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w).cast("int")).where(col("rank") <= K)
+      .select(col("qid"), col("cid"), col("cos"), col("rank"))
+  }
+
+  val annFilteredSql: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |         ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM embeddings q
+       |  JOIN embeddings c ON c.label = q.label AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQ),
+       |ranked AS (
+       |  SELECT qid, cid, cos,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
+       |  FROM scored)
+       |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= $K""".stripMargin
+
+  /** Binary-quantized ANN: every vector's 64 sign bits packed into two
+    * 32-bit Horner-fold halves (dims 1-32 → pk0 MSB-first, 33-64 →
+    * pk1), candidates ranked by XOR+popcount Hamming distance (top
+    * R=12, tie → smaller cid), survivors reranked by exact cosine.
+    * The 32×-compression scale path: with the codes persisted as an
+    * index column (the [[graft.sim.Similarity.buildPqIndex]] pattern)
+    * phase 1 scans 16 bytes/vector instead of 256 floats' worth, and
+    * only the ≤ nq·R survivors ever touch a full vector (the DiskANN
+    * fetch-and-rerank shape — here a broadcast of the 96-row pool
+    * back over the corpus scan). Integer phase 1 + strict-fold cosine
+    * phase 2 keep it bitwise across engines. */
+  val annBinary: Q = (s, dir) => {
+    val e = table(s, dir, "embeddings")
+    def pack(lo: Int): org.apache.spark.sql.Column =
+      aggregate(sequence(lit(lo), lit(lo + 31)), lit(0L),
+        (acc, i) => acc * 2 + when(element_at(col("embedding"), i).cast("double") > 0.0, 1L)
+          .otherwise(0L))
+    val coded = e.select(col("vec_id"), pack(1).as("pk0"), pack(33).as("pk1"))
+    val q = coded.where(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("pk0").as("qp0"), col("pk1").as("qp1"))
+    val cand = coded
+      .crossJoin(broadcast(q)).where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        (bit_count(col("qp0").bitwiseXOR(col("pk0")))
+          + bit_count(col("qp1").bitwiseXOR(col("pk1")))).cast("int").as("hamming"))
+    val wh = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("hamming"), col("cid"))
+    val pool = cand.withColumn("hr", row_number().over(wh)).where(col("hr") <= BinPoolR)
+      .select(col("qid"), col("cid"), col("hamming"))
+    // rerank: fetch full vectors only for pool survivors (broadcast the
+    // tiny pool over the corpus scan, then attach the 8 query vectors)
+    val qe = table(s, dir, "embeddings").where(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val rer = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .join(broadcast(pool), Seq("cid"))
+      .join(broadcast(qe), Seq("qid"))
+      .select(col("qid"), col("cid"), col("hamming"),
+        Similarity.cosine(col("qe"), col("ce")).as("cos"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    rer.withColumn("rank", row_number().over(wc).cast("int")).where(col("rank") <= K)
+      .select(col("qid"), col("cid"), col("hamming"), col("cos"), col("rank"))
+  }
+
+  private val BinPoolR = 12
+
+  val annBinarySql: String = {
+    def packSql(lo: Int): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range($lo, ${lo + 32}),
+         |      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0 THEN CAST(1 AS BIGINT)
+         |                ELSE CAST(0 AS BIGINT) END)), (x, y) -> x * 2 + y)""".stripMargin
+    s"""WITH pk AS (
+       |  SELECT vec_id, ${packSql(1)} AS pk0, ${packSql(33)} AS pk1 FROM embeddings),
+       |cand AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |         CAST(bit_count(xor(q.pk0, c.pk0)) + bit_count(xor(q.pk1, c.pk1)) AS INT) AS hamming
+       |  FROM pk q JOIN pk c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQ),
+       |pool AS (
+       |  SELECT qid, cid, hamming,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, cid) AS hr
+       |  FROM cand QUALIFY hr <= $BinPoolR),
+       |rer AS (
+       |  SELECT p.qid, p.cid, p.hamming,
+       |         ${cosSql("qe.embedding", "ce.embedding")} AS cos
+       |  FROM pool p
+       |  JOIN embeddings qe ON qe.vec_id = p.qid
+       |  JOIN embeddings ce ON ce.vec_id = p.cid)
+       |SELECT qid, cid, hamming, cos,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
+       |FROM rer QUALIFY rank <= $K""".stripMargin
+  }
+
+  /** IVF-PQ — the production FAISS composition of the two gates that
+    * so far ran separately: the coarse quantizer prunes the corpus to
+    * nprobe=2 of 8 cluster lists (partition pruning at scale), ADC
+    * scoring inside the probed lists runs on the 24-bit PQ codes
+    * (bytes per candidate, no per-dimension float work), and exact
+    * cosine reranks only the top-8 survivors. Every
+    * component is the literal seeded quantizer its parent gate proved
+    * bitwise (clusterOf CASE chain, pqScores argmin arrays, monotone
+    * ADC form), so the composition hash-matches too. At 100 TB this is
+    * THE shape: cluster-partitioned codes column scan, nq·nprobe-
+    * bounded probe, full vectors touched for PREF rows per query. */
+  val annIvfPq: Q = (s, dir) => {
+    val base = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    // corpus side: coarse cluster + PQ codes + code-norm sum
+    val withArrs = (0 until PQ_M).foldLeft(base)((df, m) =>
+      df.withColumn(s"arr_$m", pqScores(col("e"), m)))
+    val withCodes = (0 until PQ_M).foldLeft(withArrs)((df, m) =>
+      df.withColumn(s"c$m",
+        (array_position(col(s"arr_$m"), array_min(col(s"arr_$m"))) - 1).cast("int")))
+    val n2s = (0 until PQ_M).map(m =>
+      element_at(typedLit(PqN2(m).toSeq), col(s"c$m") + 1)).reduceLeft(_ + _)
+    val cand = withCodes.select((col("vec_id").as("cid") +: col("embedding").as("ce") +:
+      clusterOf((0 until NLIST).map(j => centScore(col("embedding"), j))).as("cluster") +:
+      (0 until PQ_M).map(m => col(s"c$m"))) :+ n2s.as("n2s"): _*)
+    // query side: per-subspace dot tables + probed clusters
+    val qds = (0 until PQ_M).map(m =>
+      array((0 until PQ_K).map(k => pqDot(col("e"), m, k)): _*).as(s"qd$m"))
+    val qs = base.where(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid") +: col("embedding").as("qe") +: qds :+
+        explode(array((0 until NLIST).map(j =>
+          struct(lit(j).as("cluster"), centScore(col("embedding"), j).as("cscore"))): _*))
+          .as("pc"): _*)
+      .select(col("qid") +: col("qe") +: (0 until PQ_M).map(m => col(s"qd$m")) :+
+        col("pc.cluster").as("cluster") :+ col("pc.cscore").as("cscore"): _*)
+      .withColumn("pr", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cscore").desc, col("cluster"))))
+      .where(col("pr") <= NPROBE).drop("cscore", "pr")
+    val adc = (0 until PQ_M).map(m =>
+      element_at(col(s"qd$m"), col(s"c$m") + 1)).reduceLeft(_ + _)
+    val scored = cand.join(broadcast(qs), Seq("cluster"))
+      .where(col("qid") =!= col("cid"))
+      .withColumn("approx", adc / sqrt(col("n2s")))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("approx").desc, col("cid"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("pr", row_number().over(wp)).where(col("pr") <= PREF)
+      .select(col("qid"), col("cid"), Similarity.cosine(col("qe"), col("ce")).as("cos"))
+      .withColumn("rank", row_number().over(wr)).where(col("rank") <= K)
+      .select(col("qid"), col("cid"), col("cos"), col("rank"))
+  }
+
+  val annIvfPqSql: String = {
+    val scoreCols = (0 until PQ_M).map(m =>
+      s"list_value(${(0 until PQ_K).map(k =>
+        s"${fmt(PqN2(m)(k))} - 2.0 * (${pqDotSql("embedding", m, k)})").mkString(", ")}) AS arr_$m")
+      .mkString(",\n       |  ")
+    val codeCols = (0 until PQ_M).map(m =>
+      s"CAST(list_position(arr_$m, list_min(arr_$m)) - 1 AS INT) AS c_$m")
+      .mkString(",\n       |  ")
+    val n2sSql = (0 until PQ_M).map(m =>
+      s"list_extract(list_value(${PqN2(m).map(fmt).mkString(", ")}), c_$m + 1)")
+      .mkString(" + ")
+    val qdCols = (0 until PQ_M).map(m =>
+      s"list_value(${(0 until PQ_K).map(k => s"(${pqDotSql("embedding", m, k)})").mkString(", ")}) AS qd_$m")
+      .mkString(",\n       |  ")
+    val qdNames = (0 until PQ_M).map(m => s"qd_$m").mkString(", ")
+    val adcSql = (0 until PQ_M).map(m => s"list_extract(qd_$m, c_$m + 1)").mkString(" + ")
+    val probeUnion = (0 until NLIST).map(j =>
+      s"SELECT qid, qe, $qdNames, $j AS cluster, ${centScoreSql("qe", j)} AS cscore FROM qs")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH sc AS (
+       |  SELECT vec_id, embedding,
+       |  $scoreCols
+       |  FROM embeddings),
+       |enc AS (
+       |  SELECT vec_id, embedding,
+       |  $codeCols
+       |  FROM sc),
+       |cand AS (
+       |  SELECT vec_id AS cid, embedding AS ce, ${clusterSql("embedding")} AS cluster,
+       |         ${(0 until PQ_M).map(m => s"c_$m").mkString(", ")},
+       |         $n2sSql AS n2s
+       |  FROM enc),
+       |qs AS (
+       |  SELECT vec_id AS qid, embedding AS qe,
+       |  $qdCols
+       |  FROM embeddings WHERE vec_id < $NQ),
+       |qu AS (
+       |  $probeUnion),
+       |qprobe AS (
+       |  SELECT qid, qe, $qdNames, cluster FROM (
+       |    SELECT qid, qe, $qdNames, cluster,
+       |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cscore DESC, cluster) AS pr
+       |    FROM qu) WHERE pr <= $NPROBE),
+       |scored AS (
+       |  SELECT qid, cid, qe, ce, ($adcSql) / sqrt(n2s) AS approx
+       |  FROM qprobe JOIN cand USING (cluster) WHERE cid <> qid),
+       |pref AS (
+       |  SELECT qid, cid, qe, ce FROM (
+       |    SELECT qid, cid, qe, ce,
+       |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx DESC, cid) AS pr
+       |    FROM scored) WHERE pr <= $PREF),
+       |rer AS (SELECT qid, cid, ${cosSql("qe", "ce")} AS cos FROM pref),
+       |ranked AS (
+       |  SELECT qid, cid, cos,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
+       |  FROM rer)
+       |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= $K""".stripMargin
+  }
+
+  private val MrlDim = 16
+
+  /** Matryoshka-style truncation quality: recall@K of brute-force
+    * search run on only the FIRST 16 of 64 dims, judged against the
+    * full-dimension truth — the measurement behind MRL-trained
+    * embeddings' "use a prefix, pay 4× less" promise. At scale the
+    * prefix search reads a quarter of the vector bytes (and with the
+    * dims stored as 16-dim chunked columns, a quarter of the I/O);
+    * this gate reports whether that saving costs ranking quality.
+    * Queries keep a row even at zero overlap (left join → hits 0). */
+  val matryoshka: Q = (s, dir) => {
+    val e = table(s, dir, "embeddings")
+    val truth = annBrute(s, dir).select(col("qid"), col("cid"))
+    val et = e.select(col("vec_id"), slice(col("embedding"), 1, MrlDim).as("emb16"))
+    val q = et.where(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("emb16").as("qe"))
+    val scored = et.select(col("vec_id").as("cid"), col("emb16").as("ce"))
+      .crossJoin(broadcast(q)).where(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), Similarity.cosine(col("qe"), col("ce")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    val approx = scored.withColumn("r", row_number().over(w)).where(col("r") <= K)
+      .select(col("qid"), col("cid"))
+    approx.join(truth.withColumn("hit", lit(1)), Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+      .select(col("qid"), col("hits"),
+        (col("hits").cast("double") / K.toDouble).as("recall"))
+  }
+
+  val matryoshkaSql: String =
+    s"""WITH truth AS ($annBruteSql),
+       |sc AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |         ${cosSqlN("q.embedding", "c.embedding", MrlDim)} AS cos
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQ),
+       |ap AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS r
+       |    FROM sc) WHERE r <= $K),
+       |h AS (
+       |  SELECT a.qid,
+       |         CAST(SUM(CASE WHEN t.cid IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS hits
+       |  FROM ap a LEFT JOIN truth t ON t.qid = a.qid AND t.cid = a.cid
+       |  GROUP BY 1)
+       |SELECT qid, hits, CAST(hits AS DOUBLE) / ${K}.0 AS recall FROM h""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "s_matryoshka" -> (matryoshka, Some(matryoshkaSql)),
+    "s_ann_ivfpq" -> (annIvfPq, Some(annIvfPqSql)),
+    "s_ann_filtered" -> (annFiltered, Some(annFilteredSql)),
+    "s_ann_binary" -> (annBinary, Some(annBinarySql)),
     "m_ndcg" -> (annNdcg, Some(annNdcgSql)),
     "m_margin_hist" -> (marginHist, Some(marginHistSql)),
     "s_greedy_search" -> (greedySearch, Some(greedySearchSql)),

@@ -32,8 +32,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
   private val bnljByDesign =
     Set("s_ann_brute", "s_ann_lsh", "s_ann_ivf", "s_ann_pq", "s_ann_quantized",
       "s_ann_media", "m_knn_confusion", "m_centroid_confusion", "m_prf_report",
-      // composes the brute-force gate: same broadcast 8-query side
-      "s_ann_recall",
+      // compose the brute-force gate: same broadcast 8-query side
+      "s_ann_recall", "m_ndcg", "s_matryoshka",
+      // round-1 hop: the entry node is a LITERAL, so Catalyst folds the
+      // u=src equi-condition into a pushed filter on the edge list and
+      // broadcasts the <=K surviving rows — LeftOuter BNLJ with no
+      // residual condition is the optimal degenerate here
+      "s_greedy_search",
       // the s_ann_pq plan plus a zero-shuffle rotation projection
       "s_ann_opq")
 
@@ -72,5 +77,29 @@ class PlanInvariantsSpec extends AnyFunSuite {
   test("the inverted index keeps its single term-keyed shuffle") {
     val n = "(?<!Broadcast)Exchange".r.findAllIn(plans("t_inverted_index")).size
     assert(n == 1, s"t_inverted_index has $n shuffle Exchanges (window and agg must share one)")
+  }
+
+  test("unicode clean stays zero-Exchange (pure scan+project ingest stage)") {
+    val n = "(?<!Broadcast)Exchange".r.findAllIn(plans("t_unicode_clean")).size
+    assert(n == 0, s"t_unicode_clean grew $n Exchange nodes")
+  }
+
+  test("the histogram sketch aggregates through ObjectHashAggregate with a partial phase") {
+    val p = plans("a_hist_sketch")
+    assert(p.contains("ObjectHashAggregate"), "BinnedHist must plan as ObjectHashAggregate")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "partial + final aggregation expected (map-side combine of the sketch buffers)")
+    val n = "(?<!Broadcast)Exchange".r.findAllIn(p).size
+    assert(n == 1, s"a_hist_sketch should shuffle once (sketch rows), found $n")
+  }
+
+  test("a_acf reads the events corpus exactly once (stack-unpivot, not per-lag unions)") {
+    val n = "Scan ".r.findAllIn(plans("a_acf")).size
+    assert(n == 1, s"a_acf plans $n scans; all three lags must ride one pipeline")
+  }
+
+  test("k-fold CV reads the embeddings corpus at most twice (subtraction trick)") {
+    val n = "Scan ".r.findAllIn(plans("m_kfold_cv")).size
+    assert(n <= 2, s"m_kfold_cv plans $n scans; per-fold training must NOT rescan per fold")
   }
 }
