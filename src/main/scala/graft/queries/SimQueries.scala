@@ -1930,6 +1930,80 @@ object SimQueries {
        |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= $K""".stripMargin
   }
 
+  /** Cumulative gains / lift table of a binary scorer — the campaign-
+    * targeting diagnostic m_auc's single number can't show: per score
+    * decile, how concentrated are the positives ("the top 10% of
+    * scores captures X% of class 0"). Scorer = cosine to the class-0
+    * fixed-point centroid; deciles come from
+    * [[graft.ops.Ranking.withGlobalRanks]] (the range-partitioned
+    * two-phase NTILE — no single-partition window over the corpus),
+    * and the cumulative window runs over the 10-row decile table,
+    * bounded by construction. Counts are exact integers; lift/capture
+    * are one fixed-shape division each. */
+  val liftCurve: Q = (s, dir) => {
+    val e = table(s, dir, "embeddings")
+    val cent = e.where(col("label") === 0)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("pos"), floor(col("v").cast("double") * CentScale).as("q"))
+      .groupBy(col("pos")).agg(sum(col("q")).as("qs"), count(lit(1)).as("cnt"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"),
+        (col("qs").cast("double") / (col("cnt").cast("double") * CentScale)).as("cv")))),
+        x => x("cv")).as("cvec"))
+    val scored = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), when(col("label") === 0, 1L).otherwise(0L).as("posv"),
+        Similarity.cosine(col("embedding"), col("cvec")).as("score"))
+    val ranked = graft.ops.Ranking.withGlobalRanks(scored,
+      Seq(col("score").desc, col("vec_id")), Seq("score", "vec_id"),
+      neighborCol = "vec_id", ntileN = 10)
+    val dec = ranked.groupBy(col("ntile").as("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("posv")).as("npos"))
+    val wc = org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wa = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    dec.select(col("decile"), col("n"), col("npos"),
+        sum(col("n")).over(wc).as("cum_n"), sum(col("npos")).over(wc).as("cum_pos"),
+        sum(col("n")).over(wa).as("tot_n"), sum(col("npos")).over(wa).as("tot_pos"))
+      .select(col("decile"), col("n"), col("npos"), col("cum_pos"),
+        ((col("cum_pos").cast("double") / col("cum_n").cast("double"))
+          / (col("tot_pos").cast("double") / col("tot_n").cast("double"))).as("lift"),
+        (col("cum_pos").cast("double") / col("tot_pos").cast("double")).as("capture"))
+  }
+
+  val liftCurveSql: String =
+    s"""WITH c0 AS (
+       |  SELECT CAST(r.i - 1 AS INT) AS pos,
+       |         CAST(SUM(CAST(FLOOR(CAST(embedding[r.i] AS DOUBLE) * $CentScale) AS BIGINT)) AS BIGINT) AS qs,
+       |         COUNT(*) AS cnt
+       |  FROM embeddings CROSS JOIN range(1, ${DIM + 1}) r(i)
+       |  WHERE label = 0 GROUP BY 1),
+       |cent AS (SELECT list(CAST(qs AS DOUBLE) / (cnt * $CentScale) ORDER BY pos) AS cvec
+       |         FROM c0),
+       |scored AS (
+       |  SELECT e.vec_id,
+       |         CASE WHEN e.label = 0 THEN 1 ELSE 0 END AS posv,
+       |         ${cosSql("e.embedding", "c.cvec")} AS score
+       |  FROM embeddings e CROSS JOIN cent c),
+       |rk AS (
+       |  SELECT vec_id, posv,
+       |         CAST(NTILE(10) OVER (ORDER BY score DESC, vec_id) AS INT) AS decile
+       |  FROM scored),
+       |dec AS (
+       |  SELECT decile, COUNT(*) AS n, CAST(SUM(posv) AS BIGINT) AS npos
+       |  FROM rk GROUP BY 1),
+       |cum AS (
+       |  SELECT decile, n, npos,
+       |         SUM(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum_n,
+       |         SUM(npos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum_pos,
+       |         SUM(n) OVER () AS tot_n, SUM(npos) OVER () AS tot_pos
+       |  FROM dec)
+       |SELECT decile, n, npos, CAST(cum_pos AS BIGINT) AS cum_pos,
+       |       (CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))
+       |         / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)) AS lift,
+       |       CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE) AS capture
+       |FROM cum""".stripMargin
+
   private val MrlDim = 16
 
   /** Matryoshka-style truncation quality: recall@K of brute-force
@@ -1982,6 +2056,7 @@ object SimQueries {
   val all: Map[String, (Q, Option[String])] = Map(
     "s_matryoshka" -> (matryoshka, Some(matryoshkaSql)),
     "s_ann_ivfpq" -> (annIvfPq, Some(annIvfPqSql)),
+    "m_lift_curve" -> (liftCurve, Some(liftCurveSql)),
     "s_ann_filtered" -> (annFiltered, Some(annFilteredSql)),
     "s_ann_binary" -> (annBinary, Some(annBinarySql)),
     "m_ndcg" -> (annNdcg, Some(annNdcgSql)),

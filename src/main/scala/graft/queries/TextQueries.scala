@@ -687,6 +687,73 @@ object TextQueries {
        |SELECT v AS doc_id, lbl AS community FROM l3""".stripMargin
   }
 
+  /** k-core decomposition by synchronous peeling (k=3, four unrolled
+    * rounds) over the LSH candidate graph — the cohesion filter that
+    * separates dense duplicate cliques from stringy accidental chains
+    * (t_triangles measures transitivity globally; the 3-core NAMES the
+    * nodes inside dense regions). Each round drops nodes with fewer
+    * than k alive neighbors; rounds are pure integer joins + counts,
+    * so both engines replay them bit-identically and the oracle
+    * unrolls the same four rounds as chained CTEs. The symmetrized
+    * edge list and each round's survivor set are localCheckpoint'd
+    * (the connectedComponents discipline): the unrolled plan stays
+    * O(rounds) instead of 2^rounds re-derivations of the LSH pipeline
+    * (each round references the previous survivor set TWICE — once per
+    * endpoint). Output: every graph node, whether it survives four
+    * peels, and its degree within the surviving set. */
+  val kcore: Q = (s, dir) => {
+    val KC = 3
+    val e = minhashLsh(s, dir).select(col("a"), col("b"))
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(false)
+    val nodes = sym.select(col("a").as("v")).distinct()
+    var alive = nodes
+    for (_ <- 1 to 4) {
+      alive = sym
+        .join(alive.select(col("v").as("a")), Seq("a"))
+        .join(alive.select(col("v").as("b")), Seq("b"))
+        .groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= KC).select(col("a").as("v"))
+        .localCheckpoint(false)
+    }
+    val coreDeg = sym
+      .join(alive.select(col("v").as("a")), Seq("a"))
+      .join(alive.select(col("v").as("b")), Seq("b"))
+      .groupBy(col("a")).agg(count(lit(1)).as("core_deg"))
+      .select(col("a").as("v"), col("core_deg"))
+    nodes
+      .join(alive.withColumn("inc", lit(1)), Seq("v"), "left")
+      .join(coreDeg, Seq("v"), "left")
+      .select(col("v").as("doc_id"),
+        coalesce(col("inc"), lit(0)).as("in_core"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+  }
+
+  val kcoreSql: String = {
+    val rounds = (1 to 4).map { i =>
+      val prev = if (i == 1) "n0" else s"a${i - 1}"
+      s"""a$i AS MATERIALIZED (
+         |  SELECT s.a AS v FROM sym s
+         |  JOIN $prev x ON x.v = s.a
+         |  JOIN $prev y ON y.v = s.b
+         |  GROUP BY 1 HAVING COUNT(*) >= 3)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $docsCte,
+       |$sigsCte,
+       |$lshPairsCte,
+       |e AS (SELECT a, b FROM lsh),
+       |sym AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+       |n0 AS (SELECT DISTINCT a AS v FROM sym),
+       |$rounds,
+       |fd AS (
+       |  SELECT s.a AS v, COUNT(*) AS core_deg FROM sym s
+       |  JOIN a4 x ON x.v = s.a JOIN a4 y ON y.v = s.b GROUP BY 1)
+       |SELECT n.v AS doc_id,
+       |       CASE WHEN a4.v IS NULL THEN 0 ELSE 1 END AS in_core,
+       |       COALESCE(fd.core_deg, 0) AS core_deg
+       |FROM n0 n LEFT JOIN a4 ON a4.v = n.v LEFT JOIN fd ON fd.v = n.v""".stripMargin
+  }
+
   /** RAKE keyphrase extraction (Rose et al. 2010) — the unsupervised
     * keyphrase baseline: candidate phrases are maximal stopword-free
     * token runs (the gaps-and-islands trick on token positions), word
@@ -2175,6 +2242,7 @@ object TextQueries {
     "t_mixture_sample" -> (mixtureSample, Some(mixtureSampleSql)),
     "t_triangles" -> (triangles, Some(trianglesSql)),
     "t_label_prop" -> (labelProp, Some(labelPropSql)),
+    "t_kcore" -> (kcore, Some(kcoreSql)),
     "t_rake" -> (rake, Some(rakeSql)),
     "t_substring_dedup" -> (substringDedup, Some(substringDedupSql)),
     "t_cdc_chunks" -> (cdcChunks, Some(cdcChunksSql)),

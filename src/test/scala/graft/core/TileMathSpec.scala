@@ -277,4 +277,36 @@ class TileMathSpec extends AnyFunSuite {
     assert(ZOrder.interleave(1, 1) == 3L)
     assert(ZOrder.interleave(2, 0) == 4L)
   }
+
+  test("rookMoments counts each ordered in-tile pair once, skips NoData") {
+    // 2x2 tile, no halo data (pad=1 ring of NaN), cell (1,1) is NoData:
+    //   1 2
+    //   3 .
+    // data rook pairs (ordered): (1,2),(2,1),(1,3),(3,1) -> W=4,
+    // pxy = 1*2 + 2*1 + 1*3 + 3*1 = 10, xw = 1+2+1+3 = 7
+    val pc = 4 // cols + 2*pad
+    val padded = Array.fill(pc * pc)(Double.NaN)
+    padded(1 + 1 * pc) = 1.0; padded(2 + 1 * pc) = 2.0
+    padded(1 + 2 * pc) = 3.0
+    val Array(pxy, xw, w) = rookMoments(padded, 2, 2, 1)
+    assert((pxy, xw, w) == ((10L, 7L, 4L)))
+  }
+
+  test("rookMoments halo pairs: each side counts its own direction") {
+    // two horizontally adjacent 1x1 tiles with values 5 | 7: tile A sees
+    // neighbor 7 in its east halo, tile B sees 5 in its west halo —
+    // summed over tiles the ordered-pair count is 2 and pxy = 2*35,
+    // exactly what a single global grid would produce.
+    val pc = 3
+    def tile(center: Double, east: Option[Double], west: Option[Double]) = {
+      val a = Array.fill(pc * pc)(Double.NaN)
+      a(1 + 1 * pc) = center
+      east.foreach(v => a(2 + 1 * pc) = v)
+      west.foreach(v => a(0 + 1 * pc) = v)
+      a
+    }
+    val Array(pa, xa, wa) = rookMoments(tile(5.0, Some(7.0), None), 1, 1, 1)
+    val Array(pb, xb, wb) = rookMoments(tile(7.0, None, Some(5.0)), 1, 1, 1)
+    assert(pa + pb == 70L && xa + xb == 12L && wa + wb == 2L)
+  }
 }
