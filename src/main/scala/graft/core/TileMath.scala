@@ -626,6 +626,53 @@ object TileMath {
     }
   }
 
+  /** Integer-exact inverse-distance-weighted gap fill: for each NoData
+    * cell with at least one data neighbor in the 5×5 Chebyshev window
+    * (center excluded), the IDW estimate Σ v/d² / Σ 1/d² multiplied
+    * through by lcm(1,2,4,5,8)=40 — the window's only d² values — so
+    * both accumulators are exact longs (w = 40/d² ∈ {40,20,10,8,5})
+    * and the fill is ONE double division. Returns (filled, nSrc);
+    * data cells and isolated holes yield NaN. Cell values must be
+    * integral-valued doubles (the raster fixture contract). */
+  def idwFill(padded: Array[Double], cols: Int, rows: Int, pad: Int): (Array[Double], Array[Double]) = {
+    require(pad >= 2, "idwFill needs a pad-2 halo")
+    val pc = cols + 2 * pad
+    val out = new Array[Double](cols * rows)
+    val ns = new Array[Double](cols * rows)
+    var y = 0
+    while (y < rows) {
+      var x = 0
+      while (x < cols) {
+        val i = x + y * cols
+        val c = padded((x + pad) + (y + pad) * pc)
+        if (isData(c)) { out(i) = Double.NaN; ns(i) = 0.0 }
+        else {
+          var num = 0L; var den = 0L; var n = 0
+          var dy = -2
+          while (dy <= 2) {
+            var dx = -2
+            while (dx <= 2) {
+              if (dx != 0 || dy != 0) {
+                val v = padded((x + pad + dx) + (y + pad + dy) * pc)
+                if (isData(v)) {
+                  val w = 40L / (dx * dx + dy * dy)
+                  num += w * v.toLong; den += w; n += 1
+                }
+              }
+              dx += 1
+            }
+            dy += 1
+          }
+          out(i) = if (n > 0) num.toDouble / den.toDouble else Double.NaN
+          ns(i) = n.toDouble
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (out, ns)
+  }
+
   /** Rook-adjacency pair moments for global spatial autocorrelation
     * (Moran's I): over every data cell i of the tile and each of its
     * four in-grid DATA rook neighbors j (halo cells included, so

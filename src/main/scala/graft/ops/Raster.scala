@@ -334,6 +334,26 @@ object Raster {
 
   case class FocalSC(wsum: Double, wn: Double)
 
+  private val idwFillUdf = udf((padded: Seq[Double], cols: Int, rows: Int) => {
+    val (v, n) = TileMath.idwFill(padded.toArray, cols, rows, pad = 2)
+    (0 until cols * rows).map(i => FocalSC(v(i), n(i)))
+  })
+
+  /** Integer-exact IDW gap fill ([[TileMath.idwFill]]) via a pad=2 halo
+    * exchange: one row per NoData cell that has a data neighbor in its
+    * 5×5 window — (tile_col, tile_row, px, py, v, n_src). The classic
+    * hole-filling interpolation, riding the same halo machinery as the
+    * focal family (wire cost ~1.25× at pad=2). */
+  def idwFill(tiles: DataFrame, cols: Int, rows: Int): DataFrame =
+    withHalo(tiles, cols, rows, pad = 2)
+      .select(col("tile_col"), col("tile_row"),
+        posexplode(idwFillUdf(col("padded"), lit(cols), lit(rows))).as(Seq("i", "sc")))
+      .where(!isnan(col("sc.wsum")))
+      .select(col("tile_col"), col("tile_row"),
+        (col("i") % cols).cast("int").as("px"),
+        (col("i") / cols).cast("int").as("py"),
+        col("sc.wsum").as("v"), col("sc.wn").cast("int").as("n_src"))
+
   private val focalSumCountUdf = udf((padded: Seq[Double], cols: Int, rows: Int, pad: Int, r: Int) => {
     val (s, c) = TileMath.focalSumCount(padded.toArray, cols, rows, pad, r)
     (0 until cols * rows).map(i => FocalSC(s(i), c(i)))

@@ -188,7 +188,116 @@ object ChangeQueries {
       |       COUNT(*) AS n_px, CAST(SUM(l_quantity) AS DOUBLE) AS sum_v
       |FROM lineitem GROUP BY 1, 2, 3""".stripMargin
 
+  // Two-decimal harmonic basis in integer hundredths (cos/sin of the 12
+  // calendar-month angles): LITERALS shared by both engines, the
+  // Centroids determinism pattern — basis QUALITY is irrelevant to what
+  // the gate proves (the per-pixel seasonal-fit plan and exact normal-
+  // equation arithmetic), and integer hundredths keep every Gram/
+  // moment sum an exact long.
+  private val CosQ: Seq[Int] =
+    (0 until 12).map(m => math.rint(math.cos(2 * math.Pi * m / 12) * 100).toInt)
+  private val SinQ: Seq[Int] =
+    (0 until 12).map(m => math.rint(math.sin(2 * math.Pi * m / 12) * 100).toInt)
+
+  /** Per-pixel HARMONIC (seasonal) fit — the remote-sensing phenology
+    * product beside [[pixelTrend]]'s linear trend: regress each pixel's
+    * calendar-month totals on [1, cos(2πm/12), sin(2πm/12)] and report
+    * the seasonal amplitude² (b²+c²), the "does this pixel breathe with
+    * the seasons" raster. All nine regression moments are exact longs
+    * (integer y, integer-hundredth basis), the 3×3 normal equations are
+    * solved by Cramer determinants in long arithmetic, and each
+    * coefficient is ONE double division — bit-portable like
+    * x_pixel_trend. One pixel-keyed aggregation pair, no joins. */
+  val harmonicFit: Q = (s, dir) => {
+    val pm = table(s, dir, "lineitem").groupBy(
+      (col("l_orderkey") % 4).cast("int").as("tile_col"),
+      (col("l_suppkey") % 4).cast("int").as("tile_row"),
+      (col("l_partkey") % TS).cast("int").as("px"),
+      (col("l_linenumber") % TS).cast("int").as("py"),
+      (month(col("l_shipdate")) - 1).cast("int").as("m"))
+      .agg(sum(col("l_quantity")).cast("long").as("y"))
+      .select(col("tile_col"), col("tile_row"), col("px"), col("py"), col("y"),
+        element_at(typedLit(CosQ), col("m") + 1).cast("long").as("u"),
+        element_at(typedLit(SinQ), col("m") + 1).cast("long").as("w"))
+    val g = pm.groupBy(col("tile_col"), col("tile_row"), col("px"), col("py"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("u")).as("su"), sum(col("w")).as("sw"),
+        sum(col("u") * col("u")).as("suu"), sum(col("w") * col("w")).as("sww"),
+        sum(col("u") * col("w")).as("suw"),
+        sum(col("y")).as("sy"), sum(col("u") * col("y")).as("suy"),
+        sum(col("w") * col("y")).as("swy"))
+      .where(col("n") >= 3)
+      .select(col("tile_col"), col("tile_row"), col("px"), col("py"), col("n"),
+        (col("n") * (col("suu") * col("sww") - col("suw") * col("suw"))
+          - col("su") * (col("su") * col("sww") - col("suw") * col("sw"))
+          + col("sw") * (col("su") * col("suw") - col("suu") * col("sw"))).as("d"),
+        (col("sy") * (col("suu") * col("sww") - col("suw") * col("suw"))
+          - col("su") * (col("suy") * col("sww") - col("suw") * col("swy"))
+          + col("sw") * (col("suy") * col("suw") - col("suu") * col("swy"))).as("da"),
+        (col("n") * (col("suy") * col("sww") - col("suw") * col("swy"))
+          - col("sy") * (col("su") * col("sww") - col("suw") * col("sw"))
+          + col("sw") * (col("su") * col("swy") - col("suy") * col("sw"))).as("db"),
+        (col("n") * (col("suu") * col("swy") - col("suy") * col("suw"))
+          - col("su") * (col("su") * col("swy") - col("suy") * col("sw"))
+          + col("sy") * (col("su") * col("suw") - col("suu") * col("sw"))).as("dc"))
+      .where(col("d") =!= 0L)
+    g.select(col("tile_col"), col("tile_row"), col("px"), col("py"),
+        col("n").as("n_months"),
+        (col("da").cast("double") / col("d").cast("double")).as("a_mean"),
+        (lit(100.0) * (col("db").cast("double") / col("d").cast("double"))).as("b_cos"),
+        (lit(100.0) * (col("dc").cast("double") / col("d").cast("double"))).as("c_sin"))
+      .withColumn("amp2",
+        col("b_cos") * col("b_cos") + col("c_sin") * col("c_sin"))
+  }
+
+  val harmonicFitSql: String = {
+    val cosList = CosQ.mkString(", ")
+    val sinList = SinQ.mkString(", ")
+    s"""WITH pm AS (
+       |  SELECT CAST(l_orderkey % 4 AS INT) AS tile_col,
+       |         CAST(l_suppkey % 4 AS INT) AS tile_row,
+       |         CAST(l_partkey % $TS AS INT) AS px,
+       |         CAST(l_linenumber % $TS AS INT) AS py,
+       |         CAST(month(l_shipdate) - 1 AS INT) AS m,
+       |         CAST(SUM(l_quantity) AS BIGINT) AS y
+       |  FROM lineitem GROUP BY 1, 2, 3, 4, 5),
+       |uw AS (
+       |  SELECT tile_col, tile_row, px, py, y,
+       |         CAST(list_extract(list_value($cosList), m + 1) AS BIGINT) AS u,
+       |         CAST(list_extract(list_value($sinList), m + 1) AS BIGINT) AS w
+       |  FROM pm),
+       |g AS (
+       |  SELECT tile_col, tile_row, px, py, COUNT(*) AS n,
+       |         CAST(SUM(u) AS BIGINT) AS su, CAST(SUM(w) AS BIGINT) AS sw,
+       |         CAST(SUM(u * u) AS BIGINT) AS suu, CAST(SUM(w * w) AS BIGINT) AS sww,
+       |         CAST(SUM(u * w) AS BIGINT) AS suw,
+       |         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(u * y) AS BIGINT) AS suy,
+       |         CAST(SUM(w * y) AS BIGINT) AS swy
+       |  FROM uw GROUP BY 1, 2, 3, 4),
+       |det AS (
+       |  SELECT tile_col, tile_row, px, py, n,
+       |         n * (suu * sww - suw * suw) - su * (su * sww - suw * sw)
+       |           + sw * (su * suw - suu * sw) AS d,
+       |         sy * (suu * sww - suw * suw) - su * (suy * sww - suw * swy)
+       |           + sw * (suy * suw - suu * swy) AS da,
+       |         n * (suy * sww - suw * swy) - sy * (su * sww - suw * sw)
+       |           + sw * (su * swy - suy * sw) AS db,
+       |         n * (suu * swy - suy * suw) - su * (su * swy - suy * sw)
+       |           + sy * (su * suw - suu * sw) AS dc
+       |  FROM g WHERE n >= 3)
+       |SELECT tile_col, tile_row, px, py, n AS n_months,
+       |       CAST(da AS DOUBLE) / CAST(d AS DOUBLE) AS a_mean,
+       |       100.0 * (CAST(db AS DOUBLE) / CAST(d AS DOUBLE)) AS b_cos,
+       |       100.0 * (CAST(dc AS DOUBLE) / CAST(d AS DOUBLE)) AS c_sin,
+       |       (100.0 * (CAST(db AS DOUBLE) / CAST(d AS DOUBLE)))
+       |         * (100.0 * (CAST(db AS DOUBLE) / CAST(d AS DOUBLE)))
+       |       + (100.0 * (CAST(dc AS DOUBLE) / CAST(d AS DOUBLE)))
+       |         * (100.0 * (CAST(dc AS DOUBLE) / CAST(d AS DOUBLE))) AS amp2
+       |FROM det WHERE d <> 0""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "x_harmonic_fit" -> (harmonicFit, Some(harmonicFitSql)),
     "x_change_detect" -> (changeDetect, Some(changeDetectSql)),
     "x_transition_matrix" -> (transitionMatrix, Some(transitionMatrixSql)),
     "x_pixel_trend" -> (pixelTrend, Some(pixelTrendSql)),

@@ -1458,6 +1458,45 @@ object RasterQueries {
        |SELECT tile_col, tile_row, cls, COUNT(*) AS n
        |FROM q GROUP BY 1, 2, 3""".stripMargin
 
+  /** IDW gap fill (r_idw_fill): every NoData cell of an existing tile
+    * is interpolated from the data cells in its 5×5 Chebyshev window by
+    * inverse-squared-distance weights — the classic hole-filling
+    * resample. Exactness trick: the window's only d² values are
+    * {1,2,4,5,8}, so multiplying the IDW ratio through by lcm=40 turns
+    * both accumulators into exact integer sums ([[graft.core.TileMath
+    * .idwFill]]) and the fill is one double division — hash-safe with
+    * no fold-order exposure. Scale shape: the same pad=2 halo exchange
+    * as the focal family; the oracle rebuilds it as a bounded-window
+    * non-equi join over the global pixel grid. */
+  val idwFillQ: Q = (s, dir) =>
+    Raster.idwFill(tilesA(s, dir), TS, TS)
+
+  val idwFillSql: String =
+    s"""WITH $pxCte,
+       |tiles AS (SELECT DISTINCT tile_col, tile_row FROM pxa),
+       |cells AS (
+       |  SELECT t.tile_col, t.tile_row, CAST(cx.x AS INT) AS px, CAST(cy.y AS INT) AS py,
+       |         t.tile_col * $TS + cx.x AS gx, t.tile_row * $TS + cy.y AS gy
+       |  FROM tiles t, range(0, $TS) cx(x), range(0, $TS) cy(y)),
+       |holes AS (
+       |  SELECT c.* FROM cells c
+       |  LEFT JOIN pga p ON p.gx = c.gx AND p.gy = c.gy
+       |  WHERE p.v IS NULL),
+       |agg AS (
+       |  SELECT h.tile_col, h.tile_row, h.px, h.py,
+       |         SUM((40 // ((p.gx - h.gx) * (p.gx - h.gx) + (p.gy - h.gy) * (p.gy - h.gy)))
+       |             * CAST(p.v AS BIGINT)) AS num,
+       |         SUM(40 // ((p.gx - h.gx) * (p.gx - h.gx) + (p.gy - h.gy) * (p.gy - h.gy))) AS den,
+       |         COUNT(*) AS n
+       |  FROM holes h JOIN pga p
+       |    ON ABS(p.gx - h.gx) <= 2 AND ABS(p.gy - h.gy) <= 2
+       |       AND NOT (p.gx = h.gx AND p.gy = h.gy)
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT tile_col, tile_row, px, py,
+       |       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS v,
+       |       CAST(n AS INT) AS n_src
+       |FROM agg""".stripMargin
+
   /** Global Moran's I (rook adjacency, binary weights) — the
     * spatial-autocorrelation companion to r_getis_ord's per-cell
     * hotspot score: ONE number for "is this raster clustered,
@@ -1509,6 +1548,7 @@ object RasterQueries {
 
   val all: Map[String, (Q, Option[String])] = Map(
     "r_morans_i" -> (moransI, Some(moransISql)),
+    "r_idw_fill" -> (idwFillQ, Some(idwFillSql)),
     "r_contour_census" -> (contourCensus, Some(contourCensusSql)),
     "r_sieve_filter" -> (sieveFilter, Some(sieveFilterSql)),
     "r_dbscan_labels" -> (dbscanLabels, Some(dbscanLabelsSql)),
