@@ -2400,7 +2400,39 @@ object AdvancedQueries {
        |FROM one""".stripMargin
   }
 
+  /** Entity-resolution fuzzy join with blocking — the record-linkage
+    * primitive: candidate pairs come from an EQUI-join on a cheap
+    * blocking key (here the head noun of the part name), and the
+    * expensive edit-distance verify runs only on candidates. Never
+    * name x name: at 100 TB the blocking key hash-partitions both
+    * sides and each block's pair expansion is local to its partition;
+    * the all-pairs quadratic is confined to within-block, the same
+    * containment LSH banding gives MinHash (t_minhash_lsh) — this is
+    * its string-similarity sibling. levenshtein() is the identical
+    * dynamic program in Spark and DuckDB, so the verify predicate and
+    * reported distance hash-match. */
+  val fuzzyJoin: Q = (s, dir) => {
+    val names = table(s, dir, "part").select(col("p_name")).distinct()
+      .withColumn("blk", split_part(col("p_name"), lit(" "), lit(2)))
+    val a = names.select(col("p_name").as("name_a"), col("blk"))
+    val b = names.select(col("p_name").as("name_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .where(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"))
+      .where(col("dist") <= 3)
+  }
+
+  val fuzzyJoinSql: String =
+    """WITH names AS (SELECT DISTINCT p_name,
+      |                      split_part(p_name, ' ', 2) AS blk FROM part)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |       levenshtein(a.p_name, b.p_name) AS dist
+      |FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_fuzzy_join" -> (fuzzyJoin, Some(fuzzyJoinSql)),
     "a_welch_ttest" -> (welchTtest, Some(welchTtestSql)),
     "a_winsorize" -> (winsorize, Some(winsorizeSql)),
     "a_anova" -> (anova, Some(anovaSql)),
