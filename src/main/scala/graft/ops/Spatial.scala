@@ -113,6 +113,41 @@ object Spatial {
       .select(col("pid"), col("px"), col("py"), col("sid"), col("d2"))
   }
 
+  /** Hexagonal-bin center assignment by the two-offset-lattice
+    * nearest-center rule (the hexbin algorithm matplotlib popularized):
+    * hex centers form lattice A = (2W·i, 2H·j) and the half-offset
+    * lattice B = ((2i+1)·W, (2j+1)·H); a point belongs to the nearer
+    * of its two candidate centers under the anisotropic squared metric
+    * (H·dx)² + (W·dy)² (Euclidean in lattice-normalized coordinates),
+    * ties to lattice A. With H/W ≈ √3 the cells are regular hexagons.
+    * INTEGER-EXACT throughout: candidate centers come from floor
+    * division on long coordinates and the metric is integer products,
+    * so the assignment is bit-portable across engines — no float
+    * rounding at cell borders, the failure mode of float hexbins.
+    * Per-row map work, no shuffle; the caller's groupBy on the center
+    * is the only exchange, keyed on cell (bounded cardinality), which
+    * is exactly the aggregation shape that survives 100 TB. */
+  def hexCenter(px: Column, py: Column, w: Int, h: Int): Column = {
+    // nearest lattice multiple via pure integer arithmetic:
+    // round-to-multiple(c, m) = (c + m/2) - pmod(c + m/2, m); the B
+    // lattice shifts by half a period. pmod keeps it exact for any
+    // sign (coords here are nonneg longs).
+    def near(c: Column, s: Int, off: Boolean): Column = {
+      val m = lit(2L * s)
+      if (off) { val t = c.cast("long"); t - pmod(t, m) + s }
+      else { val t = c.cast("long") + s; t - pmod(t, m) }
+    }
+    val (ax, ay) = (near(px, w, off = false), near(py, h, off = false))
+    val (bx, by) = (near(px, w, off = true), near(py, h, off = true))
+    def d2(cx: Column, cy: Column): Column = {
+      val (dx, dy) = (px - cx, py - cy)
+      lit(h.toLong * h) * dx * dx + lit(w.toLong * w) * dy * dy
+    }
+    val useA = d2(ax, ay) <= d2(bx, by)
+    struct(when(useA, ax).otherwise(bx).as("cx"),
+      when(useA, ay).otherwise(by).as("cy"))
+  }
+
   /** One-left rotation of a ring's vertex array: (v1..vn) → (v2..vn, v1)
     * — pairs each vertex with its successor (closing edge included). */
   private def rotLeft(a: Column): Column =

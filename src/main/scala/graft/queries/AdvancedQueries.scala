@@ -2400,6 +2400,79 @@ object AdvancedQueries {
        |FROM one""".stripMargin
   }
 
+  /** CUPED variance reduction (Deng et al. 2013) — the A/B-test
+    * analysis staple: adjust each experiment unit's post-period metric
+    * by its own PRE-period metric, shrinking variance without biasing
+    * the treatment contrast. Unit = user, pre = event value before
+    * Jan 8, post = after; variant = user_id parity (a deterministic
+    * stand-in for the assignment column a real experiment carries).
+    * theta is the pooled OLS slope cov(x,y)/var(x) from exact
+    * integer-cents moments (per-user sums are exact LONGs, cross
+    * moments go through dsum), then the adjusted group means replay
+    * one fixed scalar chain in both engines. Scale shape: one
+    * user-keyed aggregate (the only data-sized shuffle), a single-row
+    * global moment reduce, and a 2-row group rollup joined crosswise —
+    * the same shape at 100 TB, because everything after the per-user
+    * pass is constant-size. */
+  val cuped: Q = (s, dir) => {
+    val cut = lit("2024-01-08").cast("timestamp")
+    val perUser = events(s, dir)
+      .select(col("user_id"), col("ts"), (dec2(col("value")) * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < cut, col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("ts") >= cut, col("cents")).otherwise(0L)).as("y"))
+      .withColumn("variant", (col("user_id") % 2).cast("int"))
+    val mom = perUser.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      dsum(col("x") * col("x")).as("sxx"),
+      dsum(col("x") * col("y")).as("sxy"))
+    val theta = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    val grp = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).cast("double").as("n_g"),
+        sum(col("x")).cast("double").as("sx_g"),
+        sum(col("y")).cast("double").as("sy_g"))
+    grp.crossJoin(mom)
+      .select(
+        col("variant"),
+        col("n_g").cast("long").as("n_users"),
+        (col("sy_g") / col("n_g") / 100.0).as("mean_post"),
+        theta.as("theta"),
+        ((col("sy_g") / col("n_g") -
+          theta * (col("sx_g") / col("n_g") - col("sx") / col("n"))) / 100.0)
+          .as("adj_mean_post"))
+  }
+
+  val cupedSql: String = {
+    val theta = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+    s"""WITH $eventsCte,
+       |pu AS (SELECT user_id,
+       |          CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-08' THEN cents ELSE 0 END) AS BIGINT) AS x,
+       |          CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-08' THEN cents ELSE 0 END) AS BIGINT) AS y,
+       |          CAST(user_id % 2 AS INT) AS variant
+       |       FROM (SELECT user_id, ts,
+       |               CAST(${dec2Sql("value")} * 100 AS BIGINT) AS cents FROM evts)
+       |       GROUP BY user_id),
+       |mom AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |               CAST(SUM(x) AS DOUBLE) AS sx,
+       |               CAST(SUM(y) AS DOUBLE) AS sy,
+       |               ${dsumSql("x * x")} AS sxx,
+       |               ${dsumSql("x * y")} AS sxy
+       |        FROM pu),
+       |grp AS (SELECT variant, CAST(COUNT(*) AS DOUBLE) AS n_g,
+       |               CAST(SUM(x) AS DOUBLE) AS sx_g,
+       |               CAST(SUM(y) AS DOUBLE) AS sy_g
+       |        FROM pu GROUP BY 1)
+       |SELECT variant, CAST(n_g AS BIGINT) AS n_users,
+       |       sy_g / n_g / 100.0 AS mean_post,
+       |       $theta AS theta,
+       |       (sy_g / n_g - $theta * (sx_g / n_g - sx / n)) / 100.0 AS adj_mean_post
+       |FROM grp, mom""".stripMargin
+  }
+
   /** Entity-resolution fuzzy join with blocking — the record-linkage
     * primitive: candidate pairs come from an EQUI-join on a cheap
     * blocking key (here the head noun of the part name), and the
@@ -2433,6 +2506,7 @@ object AdvancedQueries {
 
   val all: Map[String, (Q, Option[String])] = Map(
     "a_fuzzy_join" -> (fuzzyJoin, Some(fuzzyJoinSql)),
+    "a_cuped" -> (cuped, Some(cupedSql)),
     "a_welch_ttest" -> (welchTtest, Some(welchTtestSql)),
     "a_winsorize" -> (winsorize, Some(winsorizeSql)),
     "a_anova" -> (anova, Some(anovaSql)),

@@ -1145,6 +1145,49 @@ object RasterQueries {
       |  FROM cand)
       |SELECT pid, px, py, sid, d2 FROM best WHERE rn = 1""".stripMargin
 
+  /** Hexagonal-bin point census ([[graft.ops.Spatial.hexCenter]]) —
+    * the density-map aggregation dashboards draw over point clouds.
+    * Customer points on the integer lattice bin to the nearer of their
+    * two candidate hex centers (two-offset-lattice rule, W=4 / H=7 ≈
+    * W·√3), and each cell reports its population and exact
+    * account-balance sum in cents. The oracle replays the identical
+    * integer candidate/metric arithmetic — the hash match proves the
+    * border assignment, where float hexbins go wrong, is bit-exact.
+    * One map pass + one cell-keyed groupBy (cell cardinality bounds
+    * the shuffle however many points stream through it). */
+  val hexbin: Q = (s, dir) => {
+    val pts = table(s, dir, "customer").select(
+      (col("c_custkey") % 163).cast("long").as("px"),
+      (col("c_custkey") % 157).cast("long").as("py"),
+      (dec2(col("c_acctbal")) * 100).cast("long").as("cents"))
+    pts.withColumn("c", graft.ops.Spatial.hexCenter(col("px"), col("py"), 4, 7))
+      .groupBy(col("c.cx").as("cx"), col("c.cy").as("cy"))
+      .agg(count(lit(1)).as("n_pts"), sum(col("cents")).as("sum_cents"))
+  }
+
+  val hexbinSql: String =
+    s"""WITH pts AS (
+       |  SELECT CAST(c_custkey % 163 AS BIGINT) AS px,
+       |         CAST(c_custkey % 157 AS BIGINT) AS py,
+       |         CAST(${dec2Sql("c_acctbal")} * 100 AS BIGINT) AS cents
+       |  FROM customer),
+       |cand AS (
+       |  SELECT px, py, cents,
+       |         (px + 4) - ((px + 4) % 8) AS ax, (py + 7) - ((py + 7) % 14) AS ay,
+       |         px - (px % 8) + 4 AS bx, py - (py % 14) + 7 AS by
+       |  FROM pts),
+       |assigned AS (
+       |  SELECT cents,
+       |         CASE WHEN 49 * (px - ax) * (px - ax) + 16 * (py - ay) * (py - ay)
+       |                <= 49 * (px - bx) * (px - bx) + 16 * (py - by) * (py - by)
+       |              THEN ax ELSE bx END AS cx,
+       |         CASE WHEN 49 * (px - ax) * (px - ax) + 16 * (py - ay) * (py - ay)
+       |                <= 49 * (px - bx) * (px - bx) + 16 * (py - by) * (py - by)
+       |              THEN ay ELSE by END AS cy
+       |  FROM cand)
+       |SELECT cx, cy, COUNT(*) AS n_pts, CAST(SUM(cents) AS BIGINT) AS sum_cents
+       |FROM assigned GROUP BY 1, 2""".stripMargin
+
   /** Class-boundary edge census — landscape-ecology fragmentation
     * metrics (FRAGSTATS-style edge density) over the class raster: for
     * every 4-adjacent cell pair with differing classes, count edges per
@@ -1556,6 +1599,7 @@ object RasterQueries {
     "r_line_profile" -> (lineProfile, Some(lineProfileSql)),
     "r_edge_census" -> (edgeCensus, Some(edgeCensusSql)),
     "r_nn_within" -> (nnWithin, Some(nnWithinSql)),
+    "r_hexbin" -> (hexbin, Some(hexbinSql)),
     "r_poly_measures" -> (polyMeasures, Some(polyMeasuresSql)),
     "r_terrain_indices" -> (terrainIdx, Some(terrainIdxSql)),
     "r_majority_filter" -> (majority, Some(majoritySql)),

@@ -350,6 +350,67 @@ object RelationalQueries {
        |       COUNT(DISTINCT user_id) AS n_users
        |FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin
 
+  /** Multi-touch attribution — the marketing-analytics closer of the
+    * funnel/transition family: every purchase distributes conversion
+    * credit across the user's view/click touches in the 7 days before
+    * it. Three models per channel in one pass: first-touch and
+    * last-touch (integer counts via per-conversion row_number) and
+    * LINEAR credit in exact parts-per-million (1000000 div n_touches —
+    * integer floor division, so the credit sum is order-free and
+    * hash-stable; a double 1/n sum would be fold-order-dependent).
+    * Scale shape: the conversion×touch join keys on user_id (per-user
+    * fan-out is bounded by activity, never user×user), the credit
+    * windows partition by conversion id (finer than user), and the
+    * closing rollup is channel-wide — at 100 TB this is one user-keyed
+    * shuffle plus a tiny channel aggregate. */
+  val attribution: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val conv = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"), col("ts").as("cts"))
+    val touch = ev.where(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("ts").as("tts"), col("event_type").as("channel"))
+    val pairs = conv.join(touch, Seq("user_id"))
+      .where(col("tts") < col("cts") &&
+        col("tts") >= col("cts") - expr("INTERVAL 7 DAYS"))
+    val w = Window.partitionBy(col("conv_id"))
+    val first = Window.partitionBy(col("conv_id")).orderBy(col("tts"), col("touch_id"))
+    val last = Window.partitionBy(col("conv_id")).orderBy(col("tts").desc, col("touch_id").desc)
+    pairs
+      .withColumn("n_t", count(lit(1)).over(w))
+      .withColumn("rn_f", row_number().over(first))
+      .withColumn("rn_l", row_number().over(last))
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("touches"),
+        sum(when(col("rn_f") === 1, 1L).otherwise(0L)).as("first_touch"),
+        sum(when(col("rn_l") === 1, 1L).otherwise(0L)).as("last_touch"),
+        sum(expr("1000000L div n_t")).as("linear_ppm"))
+  }
+
+  val attributionSql: String =
+    s"""WITH $eventsCte,
+       |conv AS (SELECT user_id, event_id AS conv_id, ts AS cts FROM evts
+       |         WHERE event_type = 'purchase'),
+       |touch AS (SELECT user_id, event_id AS touch_id, ts AS tts,
+       |                 event_type AS channel FROM evts
+       |          WHERE event_type IN ('view', 'click')),
+       |p AS (SELECT c.conv_id, t.touch_id, t.tts, t.channel
+       |      FROM conv c JOIN touch t ON t.user_id = c.user_id
+       |      WHERE t.tts < c.cts AND t.tts >= c.cts - INTERVAL 7 DAY),
+       |r AS (SELECT channel,
+       |             COUNT(*) OVER (PARTITION BY conv_id) AS n_t,
+       |             ROW_NUMBER() OVER (PARTITION BY conv_id
+       |               ORDER BY tts, touch_id) AS rn_f,
+       |             ROW_NUMBER() OVER (PARTITION BY conv_id
+       |               ORDER BY tts DESC, touch_id DESC) AS rn_l
+       |      FROM p)
+       |SELECT channel, COUNT(*) AS touches,
+       |       CAST(SUM(CASE WHEN rn_f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch,
+       |       CAST(SUM(CASE WHEN rn_l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch,
+       |       CAST(SUM(1000000 // n_t) AS BIGINT) AS linear_ppm
+       |FROM r GROUP BY 1""".stripMargin
+
   /** Market-basket co-occurrence (association rules): for every part
     * pair bought in the same order, support / confidence / lift from
     * exact counts. The pair join keys on the ORDER (bounded basket
@@ -887,6 +948,7 @@ object RelationalQueries {
     "q_ohlc" -> (ohlc, Some(ohlcSql)),
     "q_funnel" -> (funnel, Some(funnelSql)),
     "q_event_transitions" -> (eventTransitions, Some(eventTransitionsSql)),
+    "q_attribution" -> (attribution, Some(attributionSql)),
     "q_market_basket" -> (marketBasket, Some(marketBasketSql)),
     "q_cohort_matrix" -> (cohortMatrix, Some(cohortMatrixSql)),
     "q_rfm" -> (rfm, Some(rfmSql)),

@@ -1803,6 +1803,73 @@ object TextQueries {
        |SELECT v AS doc_id, CAST(MIN(d) AS INT) AS dist
        |FROM walk GROUP BY v""".stripMargin
 
+  /** Weighted single-source shortest path over the near-dup similarity
+    * graph — t_bfs_dist's hop count upgraded to a DISSIMILARITY cost:
+    * edge weight = 11 − ⌊10·Jaccard⌋ (integer floor division on the
+    * exact inter/union counts, so weights are order-free integers in
+    * [1,10] and path sums are exact). The Spark side is
+    * frontier-driven Bellman-Ford: each round relaxes ONLY the nodes
+    * improved last round (the textbook distributed SSSP — work per
+    * round is proportional to the improving frontier, not the graph),
+    * state eager-checkpointed via
+    * [[graft.ops.Materialize.checkpointFresh]] so the analyzed plan
+    * stays O(1) per round, loop exits the round no distance improves.
+    * The oracle explores every below-cap walk with a recursive CTE and
+    * takes MIN(d); [[SsspCap]] (far above the weighted diameter) gives
+    * the CYCLIC recursion a structural bound, and both engines filter
+    * to d < cap so the semantics stay aligned even at the boundary. */
+  private val SsspCap = 100L
+
+  val sssp: Q = (s, dir) => {
+    import graft.ops.Materialize.checkpointFresh
+    val pw = shinglePairs(s, dir).select(col("a"), col("b"),
+      (lit(11L) - expr("(10L * inter) div (na + nb - inter)")).as("w"))
+    val sym = pw.unionByName(pw.select(col("b").as("a"), col("a").as("b"), col("w")))
+      .localCheckpoint(false)
+    val seeds = sym.select(col("a").as("v")).distinct()
+      .where(col("v") % 7 === 0).withColumn("d", lit(0L))
+    var (dist, distRdds) = checkpointFresh(seeds)
+    var (front, frontRdds) = checkpointFresh(seeds)
+    var frontierSize = front.count()
+    while (frontierSize > 0) {
+      val relax = front.join(sym, col("v") === col("a"))
+        .select(col("b").as("v"), (col("d") + col("w")).as("nd"))
+        .where(col("nd") < SsspCap)
+        .groupBy(col("v")).agg(min(col("nd")).as("nd"))
+      val improved = relax
+        .join(dist.withColumnRenamed("d", "d0"), Seq("v"), "left")
+        .where(col("d0").isNull || col("nd") < col("d0"))
+        .select(col("v"), col("nd").as("d"))
+      val (nf, nfRdds) = checkpointFresh(improved)
+      val (nd, ndRdds) = checkpointFresh(
+        dist.unionByName(nf).groupBy(col("v")).agg(min(col("d")).as("d")))
+      frontierSize = nf.count()
+      (distRdds ++ frontRdds).foreach(_.unpersist(blocking = false))
+      distRdds = ndRdds; frontRdds = nfRdds
+      dist = nd; front = nf
+    }
+    dist.where(col("d") < SsspCap)
+      .select(col("v").as("doc_id"), col("d").cast("int").as("dist"))
+  }
+
+  val ssspSql: String =
+    s"""WITH RECURSIVE $docsCte,
+       |$shinglePairsCtes,
+       |pw AS (SELECT p.a, p.b,
+       |              11 - ((10 * p.inter) // (sa.n_sh + sb.n_sh - p.inter)) AS w
+       |       FROM pairs p
+       |       JOIN sizes sa ON sa.doc_id = p.a
+       |       JOIN sizes sb ON sb.doc_id = p.b
+       |       WHERE p.inter >= 2),
+       |sym AS (SELECT a, b, w FROM pw UNION SELECT b, a, w FROM pw),
+       |walk(v, d) AS (
+       |  SELECT DISTINCT a AS v, CAST(0 AS BIGINT) AS d FROM sym WHERE a % 7 = 0
+       |  UNION
+       |  SELECT s.b, w.d + s.w FROM walk w JOIN sym s ON s.a = w.v
+       |  WHERE w.d + s.w < $SsspCap)
+       |SELECT v AS doc_id, CAST(MIN(d) AS INT) AS dist
+       |FROM walk GROUP BY v""".stripMargin
+
   /** LSH recall census — the text-side safe-to-deploy check mirroring
     * s_ann_recall: of the ground-truth near-dup pairs (exact shingle
     * Jaccard ≥ 0.5, the t_ngram_jaccard computation), what fraction
@@ -2233,6 +2300,7 @@ object TextQueries {
     "t_winnow" -> (winnowFp, Some(winnowFpSql)),
     "t_pagerank" -> (docPagerank, Some(docPagerankSql)),
     "t_bfs_dist" -> (bfsDist, Some(bfsDistSql)),
+    "t_sssp" -> (sssp, Some(ssspSql)),
     "t_lsh_recall" -> (lshRecall, Some(lshRecallSql)),
     "t_entropy" -> (entropy, Some(entropySql)),
     "t_psi" -> (psi, Some(psiSql)),
