@@ -800,6 +800,63 @@ object RelationalQueries {
        |       COUNT(*) AS n_events, ${dsumSql(dec2Sql("value"))} AS sum_value
        |FROM islands GROUP BY user_id, sess_id""".stripMargin
 
+  /** Peak concurrency per hour — the capacity-planning sweep: how many
+    * user sessions (10-min-gap islands, as q_session_windows) are open
+    * at once? The classic +1/−1 boundary sweep needs a GLOBAL running
+    * sum, which naive SQL plans as a single-partition Window; the
+    * engine side instead rides
+    * [[graft.ops.Ranking.withGlobalRunningSum]] — range shuffle +
+    * driver-side P-row prefix + map pass, so no task ever sees more
+    * than one partition of boundaries at 100 TB. Sessions are
+    * half-open [start, end+1µs) (a zero-length session still counts as
+    * open at its instant), boundaries sort by the TOTAL key
+    * (t, delta, user_id) with ends first so back-to-back sessions
+    * don't double-count. All integers; the oracle replays the sweep
+    * with the ordered-Window form. */
+  val peakConcurrency: Q = (s, dir) => {
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_sess",
+        when(col("us") - lag(col("us"), 1).over(wu) >= 600000000L, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+    val sweep = sess.select(col("s_us").as("t"), lit(1L).as("delta"), col("user_id"))
+      .unionByName(sess.select((col("e_us") + 1L).as("t"), lit(-1L).as("delta"), col("user_id")))
+    graft.ops.Ranking.withGlobalRunningSum(
+      sweep, Seq(col("t"), col("delta"), col("user_id")), "delta")
+      .groupBy((col("t") - (col("t") % 3600000000L)).as("hour_us"))
+      .agg(max(col("rsum")).as("peak_concurrency"), count(lit(1)).as("n_changes"))
+  }
+
+  val peakConcurrencySql: String =
+    s"""WITH $eventsCte,
+       |e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM evts),
+       |flagged AS (
+       |  SELECT user_id, us, event_id,
+       |         CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+       |                   >= 600000000 THEN 1 ELSE 0 END AS new_sess
+       |  FROM e),
+       |sess AS (
+       |  SELECT user_id, MIN(us) AS s_us, MAX(us) AS e_us
+       |  FROM (SELECT user_id, us,
+       |          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+       |        FROM flagged)
+       |  GROUP BY user_id, sess_id),
+       |sweep AS (SELECT s_us AS t, CAST(1 AS BIGINT) AS delta, user_id FROM sess
+       |          UNION ALL
+       |          SELECT e_us + 1, CAST(-1 AS BIGINT), user_id FROM sess),
+       |run AS (SELECT t, CAST(SUM(delta) OVER (ORDER BY t, delta, user_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rsum
+       |        FROM sweep)
+       |SELECT t - (t % 3600000000) AS hour_us,
+       |       MAX(rsum) AS peak_concurrency, COUNT(*) AS n_changes
+       |FROM run GROUP BY 1""".stripMargin
+
   /** JSON path extraction (P11-adjacent utility surface): pull props.k. */
   val jsonExtract: Q = (s, dir) =>
     events(s, dir)
@@ -960,6 +1017,7 @@ object RelationalQueries {
     "q_tumbling_window" -> (tumblingWindow, Some(tumblingWindowSql)),
     "q_sliding_window" -> (slidingWindow, Some(slidingWindowSql)),
     "q_session_windows" -> (sessionWindows, Some(sessionWindowsSql)),
+    "q_peak_concurrency" -> (peakConcurrency, Some(peakConcurrencySql)),
     "q_interval_join" -> (intervalJoinTwin, Some(intervalJoinTwinSql)),
     "q_interval_join_outer" -> (intervalJoinOuterTwin, Some(intervalJoinOuterTwinSql)),
     "q_json_extract" -> (jsonExtract, Some(jsonExtractSql)),
