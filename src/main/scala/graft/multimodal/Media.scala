@@ -156,6 +156,37 @@ object Media {
     }
   }
 
+  /** Average-hash (aHash) perceptual fingerprint over the REAL decoded
+    * plane — the image-side near-dup key: NN-sample a gridW x gridH
+    * thumbnail (same index rule as [[resize]]), then bit j = 1 iff
+    * n·sample_j > Σ samples (the all-integer form of "above the mean",
+    * no division so no rounding to disagree on). Bits pack
+    * MSB-first into one long (gridW·gridH ≤ 63 keeps the sign bit
+    * clear). Identical-looking payloads — whatever container or
+    * compression produced them — collide on this key, so dedup is a
+    * hash groupBy, never image×image. Per-partition map work. */
+  def aHash(media: Dataset[MediaRow], gridW: Int, gridH: Int): DataFrame = {
+    require(gridW * gridH <= 63, "pack target is a signed long")
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      decodeGray(r.media).map { case (w, h, px) =>
+        val n = gridW * gridH
+        val s = new Array[Int](n)
+        var tot = 0L
+        var j = 0
+        while (j < n) {
+          val x = (j % gridW) * w / gridW
+          val y = (j / gridW) * h / gridH
+          s(j) = px(x + y * w); tot += s(j); j += 1
+        }
+        var bits = 0L
+        j = 0
+        while (j < n) { if (s(j).toLong * n > tot) bits |= 1L << (n - 1 - j); j += 1 }
+        (r.doc_id, bits)
+      }
+    }.toDF("doc_id", "phash")
+  }
+
   /** Nearest-neighbor resize over the REAL decoded pixel plane to an
     * outW x outH thumbnail. Undecodable rows are dropped. */
   def resize(media: Dataset[MediaRow], outW: Int, outH: Int): DataFrame = {

@@ -346,6 +346,40 @@ object MiscQueries {
       |       CAST((doc_id * 31 + ((r.i % 4) * w) // 4 + (((r.i // 4) * h) // 4) * w) % 256 AS INT) AS pix
       |FROM m, range(0, 16) r(i)""".stripMargin
 
+  /** Multimodal perceptual-hash dedup: REAL PNG decode → 4x4 aHash
+    * ([[graft.multimodal.Media.aHash]]) → hash-keyed dup census. The
+    * oracle replays the NN-sample + integer above-mean bits + MSB
+    * packing on the synthPixel formula (lossless PNG ⇒ decoded plane
+    * == formula), so the hash match proves the whole image-near-dup
+    * key end to end. Dedup shape: groupBy on the 16-bit key — image
+    * dedup at 100 TB ships 8-byte hashes, never pixels. */
+  val phashDedup: Q = (s, dir) => {
+    val media = graft.multimodal.Media
+      .mediaFromDocuments(table(s, dir, "documents"))
+    val hashed = graft.multimodal.Media.aHash(media, 4, 4)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("phash"))
+    hashed.withColumn("n_same", count(lit(1)).over(w))
+  }
+
+  val phashDedupSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         CAST(length(text) % 64 + 1 AS INT) AS w,
+      |         CAST(length(text) % 48 + 1 AS INT) AS h
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, r.j AS j,
+      |         (doc_id * 31 + ((r.j % 4) * w) // 4 + (((r.j // 4) * h) // 4) * w) % 256 AS v
+      |  FROM m, range(0, 16) r(j)),
+      |t AS (SELECT doc_id, SUM(v) AS tot FROM s GROUP BY 1),
+      |hb AS (
+      |  SELECT s.doc_id,
+      |         CAST(SUM(CASE WHEN s.v * 16 > t.tot
+      |                       THEN 1 << CAST(15 - s.j AS INT) ELSE 0 END) AS BIGINT) AS phash
+      |  FROM s JOIN t USING (doc_id) GROUP BY 1)
+      |SELECT doc_id, phash, COUNT(*) OVER (PARTITION BY phash) AS n_same
+      |FROM hb""".stripMargin
+
   /** Multimodal audio: per-document synthetic WAV payloads → REAL
     * javax.sound.sampled decode → per-frame mean-square energy over the
     * decoded PCM. The projected rate_hz/n_samples come from the DECODED
@@ -794,6 +828,7 @@ object MiscQueries {
     "c_attributes" -> (attributes, Some(attributesSql)),
     "m_media_features" -> (mediaFeatures, Some(mediaFeaturesSql)),
     "m_media_resize" -> (mediaResize, Some(mediaResizeSql)),
+    "m_phash_dedup" -> (phashDedup, Some(phashDedupSql)),
     "m_ml_confusion" -> (mlConfusion, None),
   )
 }
