@@ -2400,6 +2400,55 @@ object AdvancedQueries {
        |FROM one""".stripMargin
   }
 
+  /** Paired t-test — the within-subject companion to a_welch_ttest's
+    * independent two-sample form: each user is their own control
+    * (post − pre event spend, same Jan-8 cutoff as a_cuped), so the
+    * test statistic comes from the per-user DIFFERENCE moments. n, Σd,
+    * Σd² are exact integers (cents), the t/df chain is one fixed
+    * scalar expression, sqrt is IEEE-exact. One user-keyed aggregate
+    * then a single-row reduce — the paired design's whole point is
+    * that no cross-user shuffle is ever needed. */
+  val pairedTtest: Q = (s, dir) => {
+    val cut = lit("2024-01-08").cast("timestamp")
+    val perUser = events(s, dir)
+      .select(col("user_id"), col("ts"), (dec2(col("value")) * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("ts") >= cut, col("cents")).otherwise(0L)) -
+        sum(when(col("ts") < cut, col("cents")).otherwise(0L))).as("d"))
+    val m = perUser.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("d")).cast("double").as("sd"),
+      dsum(col("d") * col("d")).as("sdd"))
+    val (n, sd, sdd) = (col("n"), col("sd"), col("sdd"))
+    val meanD = sd / n
+    val varD = (sdd - sd * sd / n) / (n - 1.0)
+    m.select(n.cast("long").as("n"),
+      (meanD / 100.0).as("mean_diff"),
+      (meanD / sqrt(varD / n)).as("t_stat"),
+      (n - 1.0).cast("long").as("df"))
+  }
+
+  val pairedTtestSql: String = {
+    val meanD = "(sd / n)"
+    val varD = "((sdd - sd * sd / n) / (n - 1.0))"
+    s"""WITH $eventsCte,
+       |pu AS (SELECT user_id,
+       |         CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-08' THEN cents ELSE 0 END)
+       |            - SUM(CASE WHEN ts < TIMESTAMP '2024-01-08' THEN cents ELSE 0 END) AS BIGINT) AS d
+       |       FROM (SELECT user_id, ts,
+       |               CAST(${dec2Sql("value")} * 100 AS BIGINT) AS cents FROM evts)
+       |       GROUP BY user_id),
+       |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |             CAST(SUM(d) AS DOUBLE) AS sd,
+       |             ${dsumSql("d * d")} AS sdd
+       |      FROM pu)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |       $meanD / 100.0 AS mean_diff,
+       |       $meanD / sqrt($varD / n) AS t_stat,
+       |       CAST(n - 1.0 AS BIGINT) AS df
+       |FROM m""".stripMargin
+  }
+
   /** CUPED variance reduction (Deng et al. 2013) — the A/B-test
     * analysis staple: adjust each experiment unit's post-period metric
     * by its own PRE-period metric, shrinking variance without biasing
@@ -2507,6 +2556,7 @@ object AdvancedQueries {
   val all: Map[String, (Q, Option[String])] = Map(
     "a_fuzzy_join" -> (fuzzyJoin, Some(fuzzyJoinSql)),
     "a_cuped" -> (cuped, Some(cupedSql)),
+    "a_paired_ttest" -> (pairedTtest, Some(pairedTtestSql)),
     "a_welch_ttest" -> (welchTtest, Some(welchTtestSql)),
     "a_winsorize" -> (winsorize, Some(winsorizeSql)),
     "a_anova" -> (anova, Some(anovaSql)),

@@ -803,8 +803,56 @@ object MiscQueries {
        |FROM c""".stripMargin
   }
 
+  /** Per-group regression metrics — the evaluation half m_linreg's fit
+    * omits: for each l_returnflag, fit y = a + b·x (extendedprice on
+    * quantity) closed-form AND report R² and RMSE, everything derived
+    * from ONE six-moment pass per group (SSE expands to the moment
+    * polynomial Syy + n·a² + b²·Sxx − 2a·Sy − 2b·Sxy + 2ab·Sx, so no
+    * residual re-scan, no order-dependent double sum). Moments are
+    * exact decimals; the scalar chain is order-fixed; sqrt is
+    * IEEE-exact. Grouped model fitting at 100 TB = one groupBy,
+    * K tiny rows out. */
+  val regMetrics: Q = (s, dir) => {
+    val x = dec2(col("l_quantity"))
+    val y = dec2(col("l_extendedprice"))
+    val m = table(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+      count(lit(1)).cast("double").as("n"),
+      dsum(x).as("sx"), dsum(y).as("sy"),
+      dsum(x * x).as("sxx"), dsum(x * y).as("sxy"), dsum(y * y).as("syy"))
+    val (n, sx, sy) = (col("n"), col("sx"), col("sy"))
+    val (sxx, sxy, syy) = (col("sxx"), col("sxy"), col("syy"))
+    val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val a = (sy - b * sx) / n
+    val sse = syy + n * a * a + b * b * sxx - a * sy * 2.0 - b * sxy * 2.0 +
+      a * b * sx * 2.0
+    val sst = syy - sy * sy / n
+    m.select(col("l_returnflag"), n.cast("long").as("n"),
+      b.as("slope"), a.as("intercept"),
+      (lit(1.0) - sse / sst).as("r2"), sqrt(sse / n).as("rmse"))
+  }
+
+  val regMetricsSql: String = {
+    val dx = dec2Sql("l_quantity")
+    val dy = dec2Sql("l_extendedprice")
+    val b = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+    val a = s"((sy - $b * sx) / n)"
+    val sse = s"(syy + n * $a * $a + $b * $b * sxx - $a * sy * 2.0 - $b * sxy * 2.0 + $a * $b * sx * 2.0)"
+    val sst = "(syy - sy * sy / n)"
+    s"""WITH m AS (
+       |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+       |         ${dsumSql(dx)} AS sx, ${dsumSql(dy)} AS sy,
+       |         ${dsumSql(s"$dx * $dx")} AS sxx, ${dsumSql(s"$dx * $dy")} AS sxy,
+       |         ${dsumSql(s"$dy * $dy")} AS syy
+       |  FROM lineitem GROUP BY 1)
+       |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       |       $b AS slope, $a AS intercept,
+       |       1.0 - $sse / $sst AS r2, sqrt($sse / n) AS rmse
+       |FROM m""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
     "m_linreg" -> (linreg, Some(linregSql)),
+    "m_reg_metrics" -> (regMetrics, Some(regMetricsSql)),
     "m_chi2" -> (chi2, Some(chi2Sql)),
     "m_auc" -> (auc, Some(aucSql)),
     "m_pr_curve" -> (prCurve, Some(prCurveSql)),
