@@ -2553,7 +2553,259 @@ object AdvancedQueries {
       |FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
       |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin
 
+  /** Mann-Whitney U — the rank-sum companion to a_welch_ttest: same
+    * click-vs-purchase comparison, but nonparametric. Ranks are exact
+    * rationals: the suite works in DOUBLED average ranks (2·avgrank of
+    * a tied block = 2·rsum − t + 1, an integer), so every rank moment
+    * is a LONG sum and the z chain is one fixed-order scalar
+    * expression. The global rank prefix comes from
+    * [[graft.ops.Ranking.withGlobalRunningSum]] over the DISTINCT
+    * cent-value rollup (domain-bounded, total-ordered) — no
+    * SinglePartition window — while the oracle states the textbook
+    * running-sum window, so the hash-match also re-proves the
+    * two-phase primitive. Integer moments stay exact to N ≈ 1.5e9
+    * rows (r12 < 2^63); past that the statistic itself outgrows
+    * double precision in any engine. */
+  val mannWhitney: Q = (s, dir) => {
+    val v = events(s, dir)
+      .where(col("event_type").isin("click", "purchase"))
+      .select((col("event_type") === "click").cast("int").as("g1"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+    val byVal = v.groupBy(col("cents"))
+      .agg(count(lit(1)).as("t"), sum(col("g1")).cast("long").as("t1"))
+    val rs = graft.ops.Ranking.withGlobalRunningSum(byVal, Seq(col("cents")), "t")
+    val m = rs.agg(
+      sum(col("t1")).as("n1l"),
+      sum(col("t") - col("t1")).as("n2l"),
+      sum(col("t1") * (lit(2L) * col("rsum") - col("t") + 1L)).as("r12"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tcorr"))
+    val n1d = col("n1l").cast("double")
+    val n2d = col("n2l").cast("double")
+    val nd = n1d + n2d
+    val u1 = (col("r12") - col("n1l") * (col("n1l") + 1L)).cast("double") / 2.0
+    val variance = (n1d * n2d / 12.0) *
+      ((nd + 1.0) - col("tcorr").cast("double") / (nd * (nd - 1.0)))
+    m.select(col("n1l").as("n1"), col("n2l").as("n2"), u1.as("u1"),
+      ((u1 - n1d * n2d / 2.0) / sqrt(variance)).as("z_stat"))
+  }
+
+  val mannWhitneySql: String = {
+    val (n1d, n2d) = ("CAST(n1l AS DOUBLE)", "CAST(n2l AS DOUBLE)")
+    val nd = s"($n1d + $n2d)"
+    val u1 = s"(CAST(r12 - n1l * (n1l + 1) AS DOUBLE) / 2.0)"
+    val variance = s"(($n1d * $n2d / 12.0) * (($nd + 1.0) - CAST(tcorr AS DOUBLE) / ($nd * ($nd - 1.0))))"
+    s"""WITH $eventsCte,
+       |v AS (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+       |             CAST(${dec2Sql("value")} * 100 AS BIGINT) AS cents
+       |      FROM evts WHERE event_type IN ('click', 'purchase')),
+       |bv AS (SELECT cents, COUNT(*) AS t, CAST(SUM(g1) AS BIGINT) AS t1
+       |       FROM v GROUP BY 1),
+       |rk AS (SELECT t, t1,
+       |         CAST(SUM(t) OVER (ORDER BY cents
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rsum
+       |       FROM bv),
+       |m AS (SELECT CAST(SUM(t1) AS BIGINT) AS n1l,
+       |             CAST(SUM(t - t1) AS BIGINT) AS n2l,
+       |             CAST(SUM(t1 * (2 * rsum - t + 1)) AS BIGINT) AS r12,
+       |             CAST(SUM(t * t * t - t) AS BIGINT) AS tcorr
+       |      FROM rk)
+       |SELECT n1l AS n1, n2l AS n2, $u1 AS u1,
+       |       ($u1 - $n1d * $n2d / 2.0) / sqrt($variance) AS z_stat
+       |FROM m""".stripMargin
+  }
+
+  /** Spearman rank correlation between event value and event time —
+    * Pearson over average ranks, which is scale-invariant, so the
+    * suite again uses the integer DOUBLED ranks (2·rsum − t + 1 per
+    * distinct value; the factor 2 cancels in ρ). Each variable's rank
+    * map is the distinct-value rollup + the two-phase running sum,
+    * joined back to the rows by value (two hash joins — both sides
+    * key-partitioned, nothing all-pairs). Rank moments: LONG sums for
+    * Σr, [[Fixtures.dsum]] for the squared/cross sums, then ρ is one
+    * fixed-order double chain identical in both engines. */
+  val spearman: Q = (s, dir) => {
+    val base = events(s, dir).select(
+      (dec2(col("value")) * 100).cast("long").as("x"),
+      unix_micros(col("ts")).as("y"))
+    def rankMap(key: String): DataFrame = {
+      val byVal = base.groupBy(col(key)).agg(count(lit(1)).as("t"))
+      graft.ops.Ranking.withGlobalRunningSum(byVal, Seq(col(key)), "t")
+        .select(col(key), (lit(2L) * col("rsum") - col("t") + 1L).as(s"r_$key"))
+    }
+    val withRanks = base.join(rankMap("x"), Seq("x")).join(rankMap("y"), Seq("y"))
+    val m = withRanks.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("r_x")).cast("double").as("sx"),
+      sum(col("r_y")).cast("double").as("sy"),
+      dsum(col("r_x") * col("r_x")).as("sxx"),
+      dsum(col("r_y") * col("r_y")).as("syy"),
+      dsum(col("r_x") * col("r_y")).as("sxy"))
+    val (n, sx, sy, sxx, syy, sxy) =
+      (col("n"), col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"))
+    m.select(n.cast("long").as("n"),
+      ((n * sxy - sx * sy)
+        / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("rho"))
+  }
+
+  val spearmanSql: String =
+    s"""WITH $eventsCte,
+       |base AS (SELECT CAST(${dec2Sql("value")} * 100 AS BIGINT) AS x,
+       |                CAST(epoch_us(ts) AS BIGINT) AS y FROM evts),
+       |rx AS (SELECT x, CAST(2 * CAST(SUM(t) OVER (ORDER BY x
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |           - t + 1 AS BIGINT) AS r_x
+       |       FROM (SELECT x, COUNT(*) AS t FROM base GROUP BY 1)),
+       |ry AS (SELECT y, CAST(2 * CAST(SUM(t) OVER (ORDER BY y
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |           - t + 1 AS BIGINT) AS r_y
+       |       FROM (SELECT y, COUNT(*) AS t FROM base GROUP BY 1)),
+       |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |             CAST(CAST(SUM(r_x) AS BIGINT) AS DOUBLE) AS sx,
+       |             CAST(CAST(SUM(r_y) AS BIGINT) AS DOUBLE) AS sy,
+       |             ${dsumSql("r_x * r_x")} AS sxx,
+       |             ${dsumSql("r_y * r_y")} AS syy,
+       |             ${dsumSql("r_x * r_y")} AS sxy
+       |      FROM base JOIN rx USING (x) JOIN ry USING (y))
+       |SELECT CAST(n AS BIGINT) AS n,
+       |       (n * sxy - sx * sy)
+       |         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS rho
+       |FROM m""".stripMargin
+
+  /** HITS hubs-and-authorities over the customer→supplier bipartite
+    * graph (distinct purchase edges): hub customers buy from the
+    * suppliers that authoritative suppliers sell to — the mutual
+    * reinforcement PageRank's single score can't express. Two fixed
+    * power iterations, L1-normalized, carried ENTIRELY in 2^20
+    * fixed-point LONGs (the kfold/centroid discipline): every sum is
+    * an exact integer and every renormalization is one integer
+    * division ((x·2^20) div norm — both engines truncate identically
+    * on positives), so the chain is bit-portable at ANY magnitude —
+    * no decimal quantization anywhere (a first attempt quantized the
+    * per-step doubles to DECIMAL(28,12) and the two engines' double→
+    * decimal rounding diverged at ~1e-12). Headroom: araw ≤ 2^20 ·
+    * outdeg, so the div's numerator stays under 2^63 up to ~4e6
+    * authorities. Init h₀ = (2^20 div n_hubs); the oracle unrolls the
+    * identical arithmetic. Per iteration: two node-keyed join+agg
+    * pairs — rank tables are O(nodes), the fact table builds the edge
+    * list once. */
+  val hits: Q = (s, dir) => {
+    val SFP = 1048576L // 2^20 fixed-point scale
+    val e = table(s, dir, "orders")
+      .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+      .distinct().localCheckpoint(false)
+    val nC = broadcast(e.select(col("c")).distinct().agg(count(lit(1)).as("n_c")))
+    var h = e.select(col("c")).distinct().crossJoin(nC)
+      .select(col("c"), expr(s"$SFP div n_c").as("h"))
+    var a: DataFrame = null
+    for (k <- 1 to 2) {
+      val araw = e.join(h, Seq("c")).groupBy(col("sup"))
+        .agg(sum(col("h")).as("ar"))
+      val anorm = broadcast(araw.agg(sum(col("ar")).as("na")))
+      a = araw.crossJoin(anorm)
+        .select(col("sup"), expr(s"(ar * $SFP) div na").as("a"))
+      val hraw = e.join(a, Seq("sup")).groupBy(col("c"))
+        .agg(sum(col("a")).as("hr"))
+      val hnorm = broadcast(hraw.agg(sum(col("hr")).as("nh")))
+      h = hraw.crossJoin(hnorm)
+        .select(col("c"), expr(s"(hr * $SFP) div nh").as("h"))
+      if (k < 2) h = h.localCheckpoint(false)
+    }
+    a.select(lit("auth").as("role"), col("sup").cast("long").as("id"),
+        (col("a").cast("double") / SFP.toDouble).as("score"))
+      .unionByName(
+        h.select(lit("hub").as("role"), col("c").cast("long").as("id"),
+          (col("h").cast("double") / SFP.toDouble).as("score")))
+  }
+
+  val hitsSql: String = {
+    val SFP = 1048576L
+    val iters = (1 to 2).map { k =>
+      s"""ar$k AS (SELECT sup, CAST(SUM(h) AS BIGINT) AS ar
+         |         FROM e JOIN h${k - 1} USING (c) GROUP BY 1),
+         |an$k AS (SELECT CAST(SUM(ar) AS BIGINT) AS na FROM ar$k),
+         |a$k AS (SELECT sup, (ar * $SFP) // na AS a FROM ar$k, an$k),
+         |hr$k AS (SELECT c, CAST(SUM(a) AS BIGINT) AS hr
+         |         FROM e JOIN a$k USING (sup) GROUP BY 1),
+         |hn$k AS (SELECT CAST(SUM(hr) AS BIGINT) AS nh FROM hr$k),
+         |h$k AS (SELECT c, (hr * $SFP) // nh AS h FROM hr$k, hn$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |nc AS (SELECT COUNT(DISTINCT c) AS n_c FROM e),
+       |h0 AS (SELECT DISTINCT c, $SFP // n_c AS h FROM e, nc),
+       |$iters
+       |SELECT 'auth' AS role, CAST(sup AS BIGINT) AS id,
+       |       CAST(a AS DOUBLE) / $SFP.0 AS score FROM a2
+       |UNION ALL
+       |SELECT 'hub' AS role, CAST(c AS BIGINT) AS id,
+       |       CAST(h AS DOUBLE) / $SFP.0 AS score FROM h2""".stripMargin
+  }
+
+  /** Wald–Wolfowitz runs test — is the event-value sequence random
+    * around its mean, or does it drift/cluster in time? The sign
+    * sequence (value > global dsum/count mean) is totally ordered by
+    * (ts, event_id); the run count is 1 + sign flips between global
+    * neighbors, which comes from
+    * [[graft.ops.Ranking.withGlobalRanks]]'s prev_nb neighbor
+    * column (two-phase range partition — no SinglePartition window),
+    * while the oracle states the textbook LAG. n₁/n₂/flips are exact
+    * longs; the z chain is one fixed-order double expression
+    * (2·n₁·n₂ < 2^63 to ~3e9 rows — past that the z itself saturates
+    * double anyway). */
+  val runsTest: Q = (s, dir) => {
+    val base = events(s, dir).select(col("ts"), col("event_id"),
+      (dec2(col("value")) * 100).cast("long").as("cents"))
+    val thr = broadcast(base.agg(
+      (dsum(col("cents")) / count(lit(1))).as("thr")))
+    val sg = base.crossJoin(thr)
+      .select(col("ts"), col("event_id"),
+        when(col("cents").cast("double") > col("thr"), 1L).otherwise(0L).as("sgn"))
+    val g = graft.ops.Ranking.withGlobalRanks(sg,
+      Seq(col("ts"), col("event_id")), Seq("ts", "event_id"), "sgn", 4)
+    val m = g.agg(
+      count(lit(1)).as("n"),
+      sum(col("sgn")).as("n1"),
+      sum(when(col("prev_nb").isNotNull && col("sgn") =!= col("prev_nb"), 1L)
+        .otherwise(0L)).as("flips"))
+    val nd = col("n").cast("double")
+    val n1d = col("n1").cast("double")
+    val n2d = nd - n1d
+    val rd = (col("flips") + 1L).cast("double")
+    val mu = lit(1.0) + lit(2.0) * n1d * n2d / nd
+    val variance = (lit(2.0) * n1d * n2d * (lit(2.0) * n1d * n2d - nd)) /
+      (nd * nd * (nd - 1.0))
+    m.select(col("n"), col("n1"), (col("flips") + 1L).as("runs"),
+      ((rd - mu) / sqrt(variance)).as("z_stat"))
+  }
+
+  val runsTestSql: String = {
+    val (nd, n1d) = ("CAST(n AS DOUBLE)", "CAST(n1 AS DOUBLE)")
+    val n2d = s"($nd - $n1d)"
+    val mu = s"(1.0 + 2.0 * $n1d * $n2d / $nd)"
+    val variance = s"((2.0 * $n1d * $n2d * (2.0 * $n1d * $n2d - $nd)) / ($nd * $nd * ($nd - 1.0)))"
+    s"""WITH $eventsCte,
+       |base AS (SELECT ts, event_id,
+       |                CAST(${dec2Sql("value")} * 100 AS BIGINT) AS cents FROM evts),
+       |thr AS (SELECT ${dsumSql("cents")} / COUNT(*) AS thr FROM base),
+       |sg AS (SELECT ts, event_id,
+       |              CASE WHEN CAST(cents AS DOUBLE) > thr THEN 1 ELSE 0 END AS sgn
+       |       FROM base, thr),
+       |lg AS (SELECT sgn, LAG(sgn) OVER (ORDER BY ts, event_id) AS psgn FROM sg),
+       |m AS (SELECT COUNT(*) AS n, CAST(SUM(sgn) AS BIGINT) AS n1,
+       |             CAST(SUM(CASE WHEN psgn IS NOT NULL AND sgn <> psgn
+       |                           THEN 1 ELSE 0 END) AS BIGINT) AS flips
+       |      FROM lg)
+       |SELECT n, n1, flips + 1 AS runs,
+       |       (CAST(flips + 1 AS DOUBLE) - $mu) / sqrt($variance) AS z_stat
+       |FROM m""".stripMargin
+  }
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_runs_test" -> (runsTest, Some(runsTestSql)),
+    "a_hits" -> (hits, Some(hitsSql)),
+    "a_mann_whitney" -> (mannWhitney, Some(mannWhitneySql)),
+    "a_spearman" -> (spearman, Some(spearmanSql)),
     "a_fuzzy_join" -> (fuzzyJoin, Some(fuzzyJoinSql)),
     "a_cuped" -> (cuped, Some(cupedSql)),
     "a_paired_ttest" -> (pairedTtest, Some(pairedTtestSql)),

@@ -600,6 +600,44 @@ object RasterQueries {
 
   /** R5/A5: rasterize rectangles with deterministic last-burn-wins
     * (RasterizeFeaturesRDD.scala:24-74). */
+  /** Kernel-density splat: each point deposits a 5x5 separable tent
+    * kernel with INTEGER weights (3−|dx|)(3−|dy|) ∈ {1..9} scaled by
+    * the point's DECIMAL weight, summed per cell — the heat-map /
+    * density-surface primitive (a discrete KDE; a Gaussian differs
+    * only in the stamp constants). Scale shape: a constant 25x
+    * map-side expansion (explode over the fixed kernel footprint)
+    * into ONE cell-keyed aggregation with map-side partial combine —
+    * the same burn shape as r_rasterize, no window, no driver state;
+    * at 100 TB only kernel-footprint cell partials cross the wire.
+    * Integer kernel x decimal weight keeps every sum exact, so the
+    * gate hash-matches bitwise. */
+  val kde: Q = (s, dir) =>
+    table(s, dir, "part")
+      .select(
+        (col("p_partkey") % 40).cast("long").as("x0"),
+        (col("p_size") % 30).cast("long").as("y0"),
+        dec2(col("p_retailprice")).as("w"))
+      .select(col("x0"), col("y0"), col("w"),
+        explode(sequence(lit(-2L), lit(2L))).as("dx"))
+      .select(col("x0"), col("y0"), col("w"), col("dx"),
+        explode(sequence(lit(-2L), lit(2L))).as("dy"))
+      .select((col("x0") + col("dx")).as("gx"), (col("y0") + col("dy")).as("gy"),
+        (col("w") * ((lit(3L) - abs(col("dx"))) * (lit(3L) - abs(col("dy"))))).as("wc"))
+      .groupBy(col("gx"), col("gy"))
+      .agg(dsum(col("wc")).as("density"), count(lit(1)).as("n_pts"))
+
+  val kdeSql: String =
+    s"""WITH pts AS (
+       |  SELECT CAST(p_partkey % 40 AS BIGINT) AS x0,
+       |         CAST(p_size % 30 AS BIGINT) AS y0,
+       |         ${dec2Sql("p_retailprice")} AS w
+       |  FROM part)
+       |SELECT x0 + dx.i AS gx, y0 + dy.i AS gy,
+       |       ${dsumSql("w * ((3 - abs(dx.i)) * (3 - abs(dy.i)))")} AS density,
+       |       COUNT(*) AS n_pts
+       |FROM pts, range(-2, 3) dx(i), range(-2, 3) dy(i)
+       |GROUP BY 1, 2""".stripMargin
+
   val rasterize: Q = (s, dir) =>
     Raster.pixelize(Raster.rasterizeRects(rectFeatures(s, dir), TS, TS), TS)
 
@@ -1633,6 +1671,7 @@ object RasterQueries {
     "r_zoom_resample_up" -> (zoomUp, Some(zoomUpSql)),
     "r_merge_upsert" -> (mergeUpsert, Some(mergeUpsertSql)),
     "r_rasterize" -> (rasterize, Some(rasterizeSql)),
+    "r_kde" -> (kde, Some(kdeSql)),
     "r_rasterize_poly" -> (rasterizePoly, Some(rasterizePolySql)),
     "r_point_in_poly" -> (pointInPoly, Some(pointInPolySql)),
     "r_normalize" -> (normalize, Some(normalizeSql)),

@@ -989,7 +989,128 @@ object RelationalQueries {
       |                    AND l3.l_returnflag = 'R')
       |GROUP BY 1, 2""".stripMargin
 
+  /** TPC-H Q2 shape (min-cost supplier): for each part in the size
+    * class, every supplier whose line price equals the part's MINIMUM
+    * line price — the classic correlated-scalar-subquery-on-MIN.
+    * Spark runs the decorrelated plan (one per-part MIN aggregate
+    * joined back on the part key — both sides shuffle-partitioned by
+    * l_partkey, so the join adds no third Exchange); the oracle keeps
+    * the textbook correlated form, so the hash-match proves the
+    * rewrite. Ties keep every minimum-price supplier (Q2 semantics);
+    * DISTINCT collapses repeat lines from the same supplier. */
+  val cheapestSupplier: Q = (s, dir) => {
+    val li = table(s, dir, "lineitem")
+    val minPrice = li.groupBy(col("l_partkey").as("pk"))
+      .agg(min(dec2(col("l_extendedprice"))).as("min_price"))
+    li.join(minPrice,
+        col("l_partkey") === col("pk") && dec2(col("l_extendedprice")) === col("min_price"))
+      .join(broadcast(table(s, dir, "part").where(col("p_size") % 5 === 0)),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(table(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_suppkey"), col("s_name"),
+        col("min_price").cast("double").as("min_price"))
+      .distinct()
+  }
+
+  val cheapestSupplierSql: String =
+    """SELECT DISTINCT p_partkey, p_brand, s_suppkey, s_name,
+      |       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS min_price
+      |FROM lineitem l, part, supplier
+      |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+      |  AND p_size % 5 = 0
+      |  AND CAST(l_extendedprice AS DECIMAL(12,2)) =
+      |      (SELECT MIN(CAST(l2.l_extendedprice AS DECIMAL(12,2)))
+      |       FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
+  /** TPC-H Q17 shape (small-lot revenue): revenue of lines whose
+    * quantity is under 20% of their part's average quantity — the
+    * correlated AVG subquery. The average is stated as SUM/COUNT
+    * (one exact integral sum, one IEEE division) rather than AVG so
+    * both engines compute the identical two-operand chain; the 0.2
+    * multiplier is the same single IEEE multiply on each side. */
+  val smallLots: Q = (s, dir) => {
+    val li = table(s, dir, "lineitem")
+    val avgQ = li.groupBy(col("l_partkey").as("pk"))
+      .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    li.join(avgQ, col("l_partkey") === col("pk"))
+      .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .join(broadcast(table(s, dir, "part").where(col("p_size") % 7 === 0)),
+        col("l_partkey") === col("p_partkey"))
+      .agg((dsum(dec2(col("l_extendedprice"))) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_lots"))
+  }
+
+  val smallLotsSql: String =
+    s"""SELECT ${dsumSql(dec2Sql("l_extendedprice"))} / 7.0 AS avg_yearly,
+       |       COUNT(*) AS n_lots
+       |FROM lineitem l, part
+       |WHERE p_partkey = l_partkey AND p_size % 7 = 0
+       |  AND l_quantity < 0.2 * (SELECT SUM(l2.l_quantity) / COUNT(*)
+       |                          FROM lineitem l2
+       |                          WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
+  /** TPC-H Q20 shape (dominant suppliers): suppliers who shipped more
+    * than half of some part's total quantity. The per-part total is a
+    * SECOND-LEVEL aggregate over the (part, supplier) rollup — not a
+    * rescan of lineitem — so lineitem shuffles once; the oracle keeps
+    * the correlated total-per-part subquery over the base table. */
+  val excessStock: Q = (s, dir) => {
+    val ps = table(s, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("sup_qty"))
+    val tot = ps.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("sup_qty")).as("tot_qty"))
+    ps.join(tot, col("l_partkey") === col("pk"))
+      .where(col("sup_qty") > col("tot_qty") * lit(0.5))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("sup_qty")).cast("double").as("qty"))
+      .join(broadcast(table(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_parts"), col("qty"))
+  }
+
+  val excessStockSql: String =
+    """SELECT s_suppkey, s_name, COUNT(*) AS n_parts,
+      |       CAST(SUM(sup_qty) AS DOUBLE) AS qty
+      |FROM supplier
+      |JOIN (SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sup_qty
+      |      FROM lineitem GROUP BY 1, 2) ps ON s_suppkey = l_suppkey
+      |WHERE sup_qty > 0.5 * (SELECT SUM(l_quantity) FROM lineitem l2
+      |                       WHERE l2.l_partkey = ps.l_partkey)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** TPC-H Q22 shape (idle wealthy customers): customers above the
+    * global positive-balance average who never placed an order,
+    * rolled up by nation — a global scalar subquery (broadcast as a
+    * declared 1-row cross join) plus an anti join. The threshold is
+    * dsum/count so the comparison constant is bit-identical in both
+    * engines at any table size. */
+  val idleCustomers: Q = (s, dir) => {
+    val cust = table(s, dir, "customer")
+    val thr = cust.where(col("c_acctbal") > 0)
+      .agg((dsum(dec2(col("c_acctbal"))) / count(lit(1))).as("thr"))
+    cust.crossJoin(broadcast(thr))
+      .where(dec2(col("c_acctbal")).cast("double") > col("thr"))
+      .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(table(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"), dsum(dec2(col("c_acctbal"))).as("totacctbal"))
+  }
+
+  val idleCustomersSql: String =
+    s"""SELECT n_name, COUNT(*) AS numcust,
+       |       ${dsumSql(dec2Sql("c_acctbal"))} AS totacctbal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) >
+       |      (SELECT ${dsumSql(dec2Sql("c_acctbal"))} / COUNT(*)
+       |       FROM customer WHERE c_acctbal > 0)
+       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       |GROUP BY 1""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "q_cheapest_supplier" -> (cheapestSupplier, Some(cheapestSupplierSql)),
+    "q_small_lots" -> (smallLots, Some(smallLotsSql)),
+    "q_excess_stock" -> (excessStock, Some(excessStockSql)),
+    "q_idle_customers" -> (idleCustomers, Some(idleCustomersSql)),
     "q_large_orders" -> (largeOrders, Some(largeOrdersSql)),
     "q_blame_supplier" -> (blameSupplier, Some(blameSupplierSql)),
     "q_pricing_summary" -> (pricingSummary, Some(pricingSummarySql)),

@@ -713,6 +713,74 @@ object SimQueries {
        |  FROM rer)
        |SELECT qid, cid, cos, rank FROM ranked WHERE rank <= $K""".stripMargin
 
+  private val RS_TAU = 0.30 // cosine threshold for the range search
+  private val RS_EPS = 0.05 // prefilter slack covering int8 quantization error
+
+  /** Cosine RANGE search ("every neighbor within τ", not top-k) — the
+    * radius twin of s_ann_quantized, and the shape dedup thresholds
+    * want (a fixed similarity bar, unknown result count). Phase 1
+    * scores candidates with the int8-derived approximate cosine and
+    * keeps approx ≥ τ − ε (the amax factors cancel, so the prefilter
+    * is pure small-integer arithmetic); phase 2 reranks ONLY the
+    * survivors with exact float cosine and applies the true τ. ε=0.05
+    * is an order of magnitude above the observed int8 cosine error at
+    * 64 dims, so phase 1 is effectively lossless; the oracle states
+    * the same two-phase pipeline (the s_ann_quantized convention: the
+    * gate pins the pipeline bitwise, the recall margin is the
+    * documented design). At 100 TB the corpus side reads only the
+    * 4x-smaller int8 column; the float column is touched per
+    * survivor. */
+  val rangeSearch: Q = (s, dir) => {
+    val base = table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("amax", aggregate(col("e"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .where(col("amax") > 0)
+      .withColumn("q", transform(col("e"), x => floor(x / col("amax") * 127.0 + lit(0.5))))
+      .withColumn("rq2", aggregate(col("q"), lit(0L), (a, qi) => a + qi * qi))
+    val cand = base.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("q").as("cq"), col("rq2").as("crq2"))
+    val qs = base.where(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("q").as("qq"), col("rq2").as("qrq2"))
+    cand.join(broadcast(qs), col("qid") =!= col("cid"))
+      .withColumn("dotq",
+        aggregate(zip_with(col("qq"), col("cq"), (a, b) => a * b), lit(0L), (a, x) => a + x))
+      .where(col("dotq").cast("double") /
+        (sqrt(col("qrq2").cast("double")) * sqrt(col("crq2").cast("double"))) >= RS_TAU - RS_EPS)
+      .select(col("qid"), col("cid"), Similarity.cosine(col("qe"), col("ce")).as("cos"))
+      .where(col("cos") >= RS_TAU)
+  }
+
+  val rangeSearchSql: String =
+    s"""WITH d AS (
+       |  SELECT vec_id, embedding, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |a AS (
+       |  SELECT vec_id, embedding, e,
+       |         list_reduce(list_prepend(0.0, list_transform(e, x -> abs(x))),
+       |           (x, y) -> greatest(x, y)) AS amax
+       |  FROM d),
+       |qz AS (
+       |  SELECT vec_id, embedding,
+       |         list_transform(e, x -> floor(x / amax * 127.0 + 0.5)) AS qv
+       |  FROM a WHERE amax > 0),
+       |nz AS (
+       |  SELECT vec_id, embedding, qv,
+       |         list_reduce(list_prepend(0.0, list_transform(qv, v -> v * v)),
+       |           (x, y) -> x + y) AS rq2
+       |  FROM qz),
+       |pref AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
+       |  FROM nz q JOIN nz c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQ
+       |    AND list_reduce(list_prepend(0.0, list_transform(range(1, ${DIM + 1}),
+       |          i -> q.qv[i] * c.qv[i])), (x, y) -> x + y)
+       |        / (sqrt(q.rq2) * sqrt(c.rq2)) >= ${RS_TAU - RS_EPS})
+       |SELECT qid, cid, cos FROM
+       |  (SELECT qid, cid, ${cosSql("qe", "ce")} AS cos FROM pref)
+       |WHERE cos >= $RS_TAU""".stripMargin
+
   // ---- Product quantization (PQ) gate ----------------------------------
   private val PQ_M = 8 // subspaces
   private val PQ_SUB = DIM / PQ_M // dims per subspace
@@ -1231,6 +1299,147 @@ object SimQueries {
       |       CAST(n_correct AS BIGINT) AS n_correct,
       |       CAST(n_correct AS DOUBLE) / CAST(n_total AS DOUBLE) AS acc
       |FROM ranked WHERE rn = 1""".stripMargin
+
+  /** Two rounds of discrete AdaBoost over decision stumps (binary
+    * target = label parity) — boosting expressed as queries, the
+    * m_dectree_stump weak learner upgraded to WEIGHTED counts. The
+    * classic α = ½ln((1−ε)/ε) never appears: the weight update only
+    * needs exp(2α) = (1−ε)/ε, a RATIO of exact integer weight sums, so
+    * misclassified rows rescale by (wcorrect div werr) in 2^20
+    * fixed-point and every quantity in both rounds stays integer
+    * (the HITS/kfold discipline — no ln/exp, whose libm rounding the
+    * engines need not share). Round-2's stump search runs the same
+    * dense-grid cumulative-window machinery over weight sums instead
+    * of row counts. Scale shape: the quantized feature pairs are ONE
+    * corpus pass reused by both rounds (lazy checkpoint); each round
+    * is a grid-sized window pass + a 1-row broadcast back to rows.
+    * Headroom: W0·wcorrect < 2^63 up to ~8e6 rows at W0 = 2^20 —
+    * at larger corpora drop W0 a power of two. */
+  val adaboost: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val D = 4
+    val W0 = 1048576L
+    val e = table(s, dir, "embeddings")
+      .select(col("vec_id"), (col("label") % 2).cast("int").as("y"), col("embedding"))
+    val pairs = e.select(col("vec_id"), col("y"),
+        explode(array((1 to D).map(d => struct(lit(d).as("dim"),
+          floor(element_at(col("embedding"), d).cast("double") * 8).cast("long")
+            .as("v"))): _*)).as("p"))
+      .select(col("vec_id"), col("y"), col("p.dim").as("dim"), col("p.v").as("v"))
+      .localCheckpoint(false)
+    // best stump under per-row weights: (dim, v, lpred, rpred,
+    // wcorrect, wtot) — binary labels, tie-break pred 0, then (dim, v)
+    def bestStump(w: DataFrame): DataFrame = {
+      val counts = pairs.join(w, Seq("vec_id"))
+        .groupBy(col("dim"), col("v"), col("y")).agg(sum(col("wt")).as("n"))
+      val grid = counts.select(col("dim"), col("v")).distinct()
+        .crossJoin(counts.select(col("y")).distinct())
+        .join(counts, Seq("dim", "v", "y"), "left")
+        .select(col("dim"), col("v"), col("y"), coalesce(col("n"), lit(0L)).as("n"))
+      val cum = grid
+        .withColumn("cum",
+          sum(col("n")).over(Window.partitionBy(col("dim"), col("y")).orderBy(col("v"))))
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("dim"), col("y"))))
+      cum.groupBy(col("dim"), col("v")).agg(
+          max(when(col("y") === 0, col("cum"))).as("l0"),
+          max(when(col("y") === 1, col("cum"))).as("l1"),
+          max(when(col("y") === 0, col("tot") - col("cum"))).as("r0"),
+          max(when(col("y") === 1, col("tot") - col("cum"))).as("r1"),
+          sum(col("tot")).as("wtot"))
+        .select(col("dim"), col("v"),
+          (greatest(col("l0"), col("l1")) + greatest(col("r0"), col("r1"))).as("wcorrect"),
+          col("wtot"),
+          when(col("l0") >= col("l1"), 0).otherwise(1).as("lpred"),
+          when(col("r0") >= col("r1"), 0).otherwise(1).as("rpred"))
+        .orderBy(col("wcorrect").desc, col("dim"), col("v")).limit(1)
+    }
+    val w1 = e.select(col("vec_id"), lit(W0).as("wt"))
+    val s1 = broadcast(bestStump(w1).select(
+      col("dim").as("d1"), col("v").as("t1"), col("lpred").as("lp1"),
+      col("rpred").as("rp1"), col("wcorrect").as("wc1"), col("wtot").as("wt1")))
+    // reweight: misclassified rows scale by wcorrect/werr (integer div)
+    val w2 = pairs.join(s1, col("dim") === col("d1"))
+      .select(col("vec_id"),
+        when(when(col("v") <= col("t1"), col("lp1")).otherwise(col("rp1")) === col("y"),
+          lit(W0))
+          .otherwise(when(col("wt1") === col("wc1"), lit(W0))
+            .otherwise(expr(s"($W0 * wc1) div (wt1 - wc1)"))).as("wt"))
+    val s2 = bestStump(w2)
+    val row1 = s1.select(lit(1).as("round"), col("d1").as("dim"),
+      (col("t1").cast("double") / 8.0).as("threshold"),
+      col("lp1").as("lpred"), col("rp1").as("rpred"),
+      ((col("wt1") - col("wc1")).cast("double") / col("wt1").cast("double")).as("werr"))
+    val row2 = s2.select(lit(2).as("round"), col("dim"),
+      (col("v").cast("double") / 8.0).as("threshold"),
+      col("lpred"), col("rpred"),
+      ((col("wtot") - col("wcorrect")).cast("double") / col("wtot").cast("double")).as("werr"))
+    row1.unionByName(row2)
+  }
+
+  val adaboostSql: String = {
+    val W0 = 1048576L
+    // stump search over a weighted (vec_id, y, dim, v, wt) relation
+    def stump(src: String): String =
+      s"""counts_$src AS (SELECT dim, v, y, CAST(SUM(wt) AS BIGINT) AS n
+         |  FROM $src GROUP BY 1, 2, 3),
+         |grid_$src AS (
+         |  SELECT vals.dim, vals.v, labels.y, COALESCE(c.n, 0) AS n
+         |  FROM (SELECT DISTINCT dim, v FROM counts_$src) vals
+         |  CROSS JOIN (SELECT DISTINCT y FROM counts_$src) labels
+         |  LEFT JOIN counts_$src c
+         |    ON c.dim = vals.dim AND c.v = vals.v AND c.y = labels.y),
+         |cum_$src AS (
+         |  SELECT dim, v, y,
+         |         SUM(n) OVER (PARTITION BY dim, y ORDER BY v) AS cum,
+         |         SUM(n) OVER (PARTITION BY dim, y) AS tot
+         |  FROM grid_$src),
+         |agg_$src AS (
+         |  SELECT dim, v,
+         |         CAST(MAX(CASE WHEN y = 0 THEN cum END) AS BIGINT) AS l0,
+         |         CAST(MAX(CASE WHEN y = 1 THEN cum END) AS BIGINT) AS l1,
+         |         CAST(MAX(CASE WHEN y = 0 THEN tot - cum END) AS BIGINT) AS r0,
+         |         CAST(MAX(CASE WHEN y = 1 THEN tot - cum END) AS BIGINT) AS r1,
+         |         CAST(SUM(tot) AS BIGINT) AS wtot
+         |  FROM cum_$src GROUP BY 1, 2),
+         |best_$src AS (
+         |  SELECT dim, v,
+         |         GREATEST(l0, l1) + GREATEST(r0, r1) AS wcorrect, wtot,
+         |         CASE WHEN l0 >= l1 THEN 0 ELSE 1 END AS lpred,
+         |         CASE WHEN r0 >= r1 THEN 0 ELSE 1 END AS rpred,
+         |         ROW_NUMBER() OVER (ORDER BY GREATEST(l0, l1) + GREATEST(r0, r1) DESC,
+         |                            dim, v) AS rn
+         |  FROM agg_$src)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(label % 2 AS INT) AS y, embedding
+       |           FROM embeddings),
+       |pairs AS (
+       |  SELECT vec_id, y, CAST(d.i AS INT) AS dim,
+       |         CAST(FLOOR(CAST(embedding[d.i] AS DOUBLE) * 8) AS BIGINT) AS v
+       |  FROM e CROSS JOIN range(1, 5) d(i)),
+       |wp1 AS (SELECT vec_id, y, dim, v, $W0 AS wt FROM pairs),
+       |${stump("wp1")},
+       |s1 AS (SELECT dim AS d1, v AS t1, lpred AS lp1, rpred AS rp1,
+       |              wcorrect AS wc1, wtot AS wt1
+       |       FROM best_wp1 WHERE rn = 1),
+       |wp2 AS (
+       |  SELECT p.vec_id, p.y, p.dim, p.v, w.wt
+       |  FROM pairs p JOIN (
+       |    SELECT vec_id,
+       |           CASE WHEN (CASE WHEN v <= t1 THEN lp1 ELSE rp1 END) = y THEN $W0
+       |                WHEN wt1 = wc1 THEN $W0
+       |                ELSE ($W0 * wc1) // (wt1 - wc1) END AS wt
+       |    FROM pairs, s1 WHERE dim = d1) w
+       |  ON p.vec_id = w.vec_id),
+       |${stump("wp2")}
+       |SELECT 1 AS round, d1 AS dim, CAST(t1 AS DOUBLE) / 8.0 AS threshold,
+       |       lp1 AS lpred, rp1 AS rpred,
+       |       CAST(wt1 - wc1 AS DOUBLE) / CAST(wt1 AS DOUBLE) AS werr
+       |FROM s1
+       |UNION ALL
+       |SELECT 2 AS round, dim, CAST(v AS DOUBLE) / 8.0 AS threshold,
+       |       lpred, rpred,
+       |       CAST(wtot - wcorrect AS DOUBLE) / CAST(wtot AS DOUBLE) AS werr
+       |FROM best_wp2 WHERE rn = 1""".stripMargin
+  }
 
   /** PQ codebook TRAINING, determinism-contract style: assign every
     * vector's subspace slice to its nearest seeded code (the s_ann_pq
@@ -2083,6 +2292,8 @@ object SimQueries {
     "s_quantize_err" -> (quantizeErr, Some(quantizeErrSql)),
     "s_covariance" -> (covariance, Some(covarianceSql)),
     "s_ann_quantized" -> (annQuantized, Some(annQuantizedSql)),
+    "s_range_search" -> (rangeSearch, Some(rangeSearchSql)),
+    "m_adaboost" -> (adaboost, Some(adaboostSql)),
     "s_ann_pq" -> (annPq, Some(annPqSql)),
     "s_ann_opq" -> (annOpq, Some(annOpqSql)),
     "s_mmr_rerank" -> (mmrRerank, Some(mmrRerankSql)),

@@ -12,10 +12,18 @@ class PlanInvariantsSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private lazy val plans: Map[String, String] =
+  private lazy val plans: Map[String, String] = {
+    // Earlier suites in the shared JVM cache DataFrames over the same
+    // parquet paths (SimilaritySpec/SamplingSpec cache embeddings);
+    // cached-plan substitution swaps InMemoryTableScans into fragments
+    // of these plans and defeats exchange reuse, which is harness
+    // noise, not a product regression. Plan against the state a fresh
+    // session would see.
+    spark.sharedState.cacheManager.clearCache()
     Registry.suites.map { case (name, (fn, _)) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
+  }
 
   test("no gate query plans a CartesianProduct") {
     val offenders = plans.collect {
