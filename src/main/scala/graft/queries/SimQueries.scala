@@ -1332,8 +1332,10 @@ object SimQueries {
     def bestStump(w: DataFrame): DataFrame = {
       val counts = pairs.join(w, Seq("vec_id"))
         .groupBy(col("dim"), col("v"), col("y")).agg(sum(col("wt")).as("n"))
+      // the label side is 2 rows — declare the broadcast or Catalyst's
+      // post-join stats estimate plans a CartesianProduct
       val grid = counts.select(col("dim"), col("v")).distinct()
-        .crossJoin(counts.select(col("y")).distinct())
+        .crossJoin(broadcast(counts.select(col("y")).distinct()))
         .join(counts, Seq("dim", "v", "y"), "left")
         .select(col("dim"), col("v"), col("y"), coalesce(col("n"), lit(0L)).as("n"))
       val cum = grid

@@ -48,7 +48,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
       // residual condition is the optimal degenerate here
       "s_greedy_search",
       // the s_ann_pq plan plus a zero-shuffle rotation projection
-      "s_ann_opq")
+      "s_ann_opq",
+      // radius twin of s_ann_quantized: same broadcast 8-query
+      // prefilter side over the corpus scan
+      "s_range_search")
 
   test("BroadcastNestedLoopJoin appears only where it is the designed plan") {
     val offenders = plans.collect {
