@@ -850,7 +850,42 @@ object MiscQueries {
        |FROM m""".stripMargin
   }
 
+  /** Leave-one-out target encoding — the feature-engineering primitive
+    * that replaces a categorical with its per-category target mean
+    * while excluding the row's OWN target (the leakage guard): LOO
+    * mean = (S_g − x_i)/(n_g − 1), the a_incremental_agg subtraction
+    * identity applied per row. One category aggregate broadcast back
+    * onto the scan — no per-row window over the corpus, no second
+    * shuffle; singleton categories are excluded identically on both
+    * sides (their LOO mean is undefined). Sums are exact cents; the
+    * per-row chain is two IEEE divisions. */
+  val targetEncode: Q = (s, dir) => {
+    val o = table(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderpriority").as("pri"),
+      (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val g = o.groupBy(col("pri"))
+      .agg(sum(col("cents")).as("sg"), count(lit(1)).as("ng"))
+    o.join(broadcast(g), Seq("pri"))
+      .where(col("ng") > 1)
+      .select(col("o_orderkey"), col("pri"),
+        ((col("sg") - col("cents")).cast("double")
+          / (col("ng") - 1L).cast("double") / 100.0).as("te"))
+  }
+
+  val targetEncodeSql: String =
+    s"""WITH o AS (SELECT o_orderkey, o_orderpriority AS pri,
+       |                  CAST(${dec2Sql("o_totalprice")} * 100 AS BIGINT) AS cents
+       |           FROM orders),
+       |w AS (SELECT o_orderkey, pri, cents,
+       |             CAST(SUM(cents) OVER (PARTITION BY pri) AS BIGINT) AS sg,
+       |             COUNT(*) OVER (PARTITION BY pri) AS ng
+       |      FROM o)
+       |SELECT o_orderkey, pri,
+       |       CAST(sg - cents AS DOUBLE) / CAST(ng - 1 AS DOUBLE) / 100.0 AS te
+       |FROM w WHERE ng > 1""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "m_target_encode" -> (targetEncode, Some(targetEncodeSql)),
     "m_linreg" -> (linreg, Some(linregSql)),
     "m_reg_metrics" -> (regMetrics, Some(regMetricsSql)),
     "m_chi2" -> (chi2, Some(chi2Sql)),

@@ -1106,7 +1106,70 @@ object RelationalQueries {
        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
        |GROUP BY 1""".stripMargin
 
+  /** TPC-H Q11 shape (important parts): parts whose shipped value
+    * exceeds a FRACTION of the global total — the
+    * aggregate-vs-aggregate-of-aggregates scalar subquery. The global
+    * total is a second-level reduce over the per-part rollup (not a
+    * lineitem rescan) broadcast as a 1-row cross join; both sides of
+    * the comparison are the exact-DECIMAL split conversion, the
+    * fraction is one IEEE multiply. */
+  val importantParts: Q = (s, dir) => {
+    // decimals stay DECIMAL through both aggregation levels; the split
+    // conversion fires only at the comparison/output (casting the dsum
+    // DOUBLE back to decimal would re-round a binary expansion — the
+    // exact trap the Fixtures scaladoc warns about)
+    def d2d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val ip = floor(c).cast("long")
+      ip.cast("double") + (c - ip).cast("double")
+    }
+    val perPart = table(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec2(col("l_extendedprice")).cast("decimal(24,6)")).as("pdec"))
+    val tot = broadcast(perPart.agg(sum(col("pdec")).as("tvdec")))
+    perPart.crossJoin(tot)
+      .where(d2d(col("pdec")) > d2d(col("tvdec")) * lit(0.0005))
+      .select(col("l_partkey"), d2d(col("pdec")).as("pvalue"))
+  }
+
+  val importantPartsSql: String = {
+    def d2d(x: String): String =
+      s"(CAST(CAST(FLOOR($x) AS BIGINT) AS DOUBLE) + CAST($x - CAST(FLOOR($x) AS BIGINT) AS DOUBLE))"
+    s"""WITH pp AS (SELECT l_partkey,
+       |              SUM(CAST(${dec2Sql("l_extendedprice")} AS DECIMAL(24,6))) AS pdec
+       |            FROM lineitem GROUP BY 1),
+       |t AS (SELECT SUM(pdec) AS tvdec FROM pp)
+       |SELECT l_partkey, ${d2d("pdec")} AS pvalue FROM pp, t
+       |WHERE ${d2d("pdec")} > ${d2d("tvdec")} * 0.0005""".stripMargin
+  }
+
+  /** TPC-H Q16 shape (supplier census with exclusion): distinct
+    * suppliers per brand/size class, EXCLUDING a blacklist stated as
+    * NOT IN in the oracle and planned as a broadcast anti join in
+    * Spark — the NOT-IN-to-anti-join rewrite (safe here: the key is
+    * non-null on both sides). The distinct count partial-aggregates
+    * per (brand, size, suppkey) before the final count — one fact
+    * shuffle. */
+  val supplierCensus: Q = (s, dir) => {
+    val banned = table(s, dir, "supplier")
+      .where(col("s_acctbal") < 0).select(col("s_suppkey"))
+    table(s, dir, "lineitem")
+      .join(broadcast(table(s, dir, "part")).where(col("p_size") % 3 === 0),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(banned), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  val supplierCensusSql: String =
+    """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size % 3 = 0
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "q_important_parts" -> (importantParts, Some(importantPartsSql)),
+    "q_supplier_census" -> (supplierCensus, Some(supplierCensusSql)),
     "q_cheapest_supplier" -> (cheapestSupplier, Some(cheapestSupplierSql)),
     "q_small_lots" -> (smallLots, Some(smallLotsSql)),
     "q_excess_stock" -> (excessStock, Some(excessStockSql)),

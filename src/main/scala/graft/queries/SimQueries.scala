@@ -591,6 +591,74 @@ object SimQueries {
       |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
       |GROUP BY 1, 2""".stripMargin
 
+  /** Top principal direction by THREE power iterations on the exact
+    * integer scatter matrix — PCA's core loop run entirely inside the
+    * bitwise oracle. Input is [[covariance]]'s one-pass moments: the
+    * scatter entry n·Σxy − Σx·Σy is exact in DECIMAL(38,0) (HUGEINT on
+    * the DuckDB side), the mat-vec is a 2-Exchange join+agg on the
+    * d²-row matrix (corpus is touched ZERO times after the moment
+    * pass — this is why PCA-at-100TB is cheap: one scan, then d²-sized
+    * algebra), and each renormalization divides by max|Mv| using an
+    * explicit FLOOR-division identity (x − ((x%d + d)%d)) / d that
+    * both engines evaluate exactly on integers of either sign —
+    * truncating `div` would disagree with DuckDB's flooring `//` on
+    * negative components. Eigenvector components emerge in ±2^20
+    * fixed point. Headroom: |Mv| < 10^38 up to ~1e8 rows at the 2^20
+    * feature quantization; beyond that, downshift the scatter once
+    * (same fdiv) before iterating. */
+  val pcaPower: Q = (s, dir) => {
+    val SFP = 1048576L
+    def fdiv(x: org.apache.spark.sql.Column,
+             d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ((x - (((x % d) + d) % d)) / d).cast("decimal(38,0)")
+    val mom = covariance(s, dir)
+      .select(col("i"), col("j"),
+        (col("n").cast("decimal(38,0)") * col("sxy").cast("decimal(38,0)")
+          - col("sx").cast("decimal(38,0)") * col("sy").cast("decimal(38,0)")).as("sc"))
+    val msym = mom.unionByName(
+        mom.where(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("sc")))
+      .localCheckpoint(false)
+    var v = s.range(DIM).select(col("id").cast("int").as("j"),
+      lit(SFP).cast("decimal(38,0)").as("v"))
+    for (k <- 1 to 3) {
+      val mv = msym.join(v, Seq("j")).groupBy(col("i"))
+        .agg(sum(col("sc") * col("v")).as("mv"))
+      val nrm = broadcast(mv.agg(max(abs(col("mv"))).as("nm")))
+      v = mv.crossJoin(nrm)
+        .select(col("i").as("j"),
+          fdiv(col("mv") * lit(SFP).cast("decimal(38,0)"), col("nm")).as("v"))
+      if (k < 3) v = v.localCheckpoint(false)
+    }
+    v.select(col("j").as("dim"), col("v").cast("long").as("v_fp"),
+      (col("v").cast("double") / SFP.toDouble).as("loading"))
+  }
+
+  val pcaPowerSql: String = {
+    val SFP = 1048576L
+    def fdiv(x: String, d: String): String =
+      s"($x - (($x % $d + $d) % $d)) // $d"
+    val iters = (1 to 3).map { k =>
+      s"""mv$k AS (SELECT m.i, SUM(m.sc * v.v) AS mv
+         |         FROM msym m JOIN v${k - 1} v ON m.j = v.j GROUP BY 1),
+         |nm$k AS (SELECT MAX(ABS(mv)) AS nm FROM mv$k),
+         |v$k AS (SELECT i AS j, ${fdiv("x", "nm")} AS v
+         |        FROM (SELECT i, mv * CAST($SFP AS HUGEINT) AS x FROM mv$k), nm$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cov AS ($covarianceSql),
+       |mom AS (SELECT i, j,
+       |          CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS sc
+       |        FROM cov),
+       |msym AS (SELECT i, j, sc FROM mom
+       |         UNION ALL SELECT j, i, sc FROM mom WHERE i <> j),
+       |v0 AS (SELECT CAST(r.i AS INT) AS j, CAST($SFP AS HUGEINT) AS v
+       |       FROM range(0, $DIM) r(i)),
+       |$iters
+       |SELECT j AS dim, CAST(v AS BIGINT) AS v_fp,
+       |       CAST(v AS DOUBLE) / $SFP.0 AS loading
+       |FROM v3""".stripMargin
+  }
+
   /** Int8 scalar-quantization census: the storage-compression pass an
     * embedding corpus takes before ANN at scale (4x smaller than
     * float32). Per vector: symmetric amax scaling, q_i = floor(x/amax
@@ -2296,6 +2364,7 @@ object SimQueries {
     "s_ann_quantized" -> (annQuantized, Some(annQuantizedSql)),
     "s_range_search" -> (rangeSearch, Some(rangeSearchSql)),
     "m_adaboost" -> (adaboost, Some(adaboostSql)),
+    "s_pca_power" -> (pcaPower, Some(pcaPowerSql)),
     "s_ann_pq" -> (annPq, Some(annPqSql)),
     "s_ann_opq" -> (annOpq, Some(annOpqSql)),
     "s_mmr_rerank" -> (mmrRerank, Some(mmrRerankSql)),
