@@ -2801,7 +2801,59 @@ object AdvancedQueries {
        |FROM m""".stripMargin
   }
 
+  /** Interval union (merge overlapping intervals) — the sweep-line
+    * classic: each event claims [ts, ts+5min); per user, overlapping
+    * claims merge into maximal covered islands, reported as island
+    * count + total covered microseconds. An island starts where the
+    * event's start exceeds the running max of all PRIOR ends (the
+    * standard running-max sweep), island ids are the running sum of
+    * those start flags, and covered length per island is max(end) −
+    * min(start) — every quantity an exact epoch-micros long. All three
+    * windows are USER-keyed (two passes over one user-partitioned
+    * sort; Spark reuses the Exchange), so nothing single-partitions at
+    * any scale. */
+  val intervalMerge: Q = (s, dir) => {
+    val Span = 300000000L // 5 min in micros
+    val base = events(s, dir).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("st"))
+      .withColumn("en", col("st") + Span)
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("st"), col("event_id"))
+    val flagged = base
+      .withColumn("runmax", max(col("en")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("f", when(col("runmax").isNull || col("st") > col("runmax"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("f")).over(ord))
+    flagged.groupBy(col("user_id"), col("island"))
+      .agg(min(col("st")).as("ist"), max(col("en")).as("ien"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"), sum(col("ien") - col("ist")).as("covered_us"))
+  }
+
+  val intervalMergeSql: String =
+    s"""WITH $eventsCte,
+       |base AS (SELECT user_id, event_id,
+       |                CAST(epoch_us(ts) AS BIGINT) AS st,
+       |                CAST(epoch_us(ts) AS BIGINT) + 300000000 AS en
+       |         FROM evts),
+       |fl AS (SELECT user_id, event_id, st, en,
+       |         MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+       |       FROM base),
+       |isl AS (SELECT user_id, st, en,
+       |          -- same (st, event_id) total order as the flag pass: a
+       |          -- start-tied pair must keep its flagged row first or the
+       |          -- running island id would attach rows to the wrong island
+       |          CAST(SUM(CASE WHEN runmax IS NULL OR st > runmax THEN 1 ELSE 0 END)
+       |            OVER (PARTITION BY user_id ORDER BY st, event_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+       |        FROM fl),
+       |g AS (SELECT user_id, island, MIN(st) AS ist, MAX(en) AS ien
+       |      FROM isl GROUP BY 1, 2)
+       |SELECT user_id, COUNT(*) AS n_islands,
+       |       CAST(SUM(ien - ist) AS BIGINT) AS covered_us
+       |FROM g GROUP BY 1""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "a_interval_merge" -> (intervalMerge, Some(intervalMergeSql)),
     "a_runs_test" -> (runsTest, Some(runsTestSql)),
     "a_hits" -> (hits, Some(hitsSql)),
     "a_mann_whitney" -> (mannWhitney, Some(mannWhitneySql)),

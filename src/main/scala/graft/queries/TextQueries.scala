@@ -1446,6 +1446,62 @@ object TextQueries {
        |FROM bg JOIN uni ua ON bg.a = ua.w JOIN uni ub ON bg.b = ub.w, tot
        |WHERE bg.n_ab >= 20""".stripMargin
 
+  /** Held-out next-token prediction accuracy of a count-based bigram
+    * LM — the EVALUATION loop t_lm_score's in-corpus scorer lacks:
+    * train on 4 of 5 hash-derived doc buckets, greedily predict the
+    * most-frequent continuation per prefix (tie → lexicographically
+    * smallest, the deterministic argmax), measure on the held-out
+    * bucket. Entirely integer counts + one final division — no ln
+    * anywhere, so the gate is bitwise with no quantization dodge.
+    * Unseen prefixes count as uncovered AND incorrect (the honest
+    * deployment accounting). Scale shape: the model argmax windows
+    * over the VOCABULARY-bounded bigram table, never the corpus; the
+    * test side joins the model by prefix (AQE broadcasts a small
+    * vocabulary) and reduces to one row. */
+  val nextToken: Q = (s, dir) => {
+    val t = docs(s, dir)
+      .withColumn("bucket", TextOps.hashBucket(col("doc_id"), 5).cast("int"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.where(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("a"),
+          element_at(col("toks"), i + 1).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val counts = pairs(t.where(col("bucket") < 4))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a")).orderBy(col("n").desc, col("b"))
+    val model = counts.withColumn("r", row_number().over(w)).where(col("r") === 1)
+      .select(col("a"), col("b").as("pred"))
+    pairs(t.where(col("bucket") === 4))
+      .join(model, Seq("a"), "left")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("pred").isNotNull, 1L).otherwise(0L)).as("n_covered"),
+        sum(when(col("pred") === col("b"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("n_pairs"), col("n_covered"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_pairs").cast("double")).as("acc"))
+  }
+
+  val nextTokenSql: String =
+    s"""WITH $docsCte,
+       |tb AS (SELECT doc_id, toks,
+       |              CAST(${TextOps.hashBucketSql("doc_id", 5)} AS INT) AS bucket
+       |       FROM docs),
+       |train AS (SELECT toks[CAST(r.i AS INT)] AS a, toks[CAST(r.i AS INT) + 1] AS b
+       |          FROM tb, unnest(range(1, len(toks))) r(i) WHERE bucket < 4),
+       |test AS (SELECT toks[CAST(r.i AS INT)] AS a, toks[CAST(r.i AS INT) + 1] AS b
+       |         FROM tb, unnest(range(1, len(toks))) r(i) WHERE bucket = 4),
+       |bg AS (SELECT a, b, COUNT(*) AS n FROM train GROUP BY 1, 2),
+       |model AS (SELECT a, b AS pred FROM
+       |            (SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a
+       |               ORDER BY n DESC, b) AS r FROM bg) WHERE r = 1),
+       |m AS (SELECT COUNT(*) AS n_pairs,
+       |        CAST(SUM(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       |        CAST(SUM(CASE WHEN pred = b THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+       |      FROM test LEFT JOIN model USING (a))
+       |SELECT n_pairs, n_covered, n_correct,
+       |       CAST(n_correct AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS acc
+       |FROM m""".stripMargin
+
   /** Deterministic weighted sampling (domain mixing): the 5 best
     * Efraimidis–Spirakis priorities per source, weight = document
     * length — the "sample heavier docs proportionally more, never
@@ -2343,6 +2399,7 @@ object TextQueries {
     "t_collocations" -> (collocations, Some(collocationsSql)),
     "t_weighted_sample" -> (weightedSample, Some(weightedSampleSql)),
     "t_lm_score" -> (lmScore, Some(lmScoreSql)),
+    "t_next_token" -> (nextToken, Some(nextTokenSql)),
     "t_redact" -> (redact, Some(redactSql)),
     "t_textrank" -> (textrank, Some(textrankSql)),
     "t_seq_pack" -> (seqPack, Some(seqPackSql)),
