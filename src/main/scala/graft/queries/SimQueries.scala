@@ -634,7 +634,9 @@ object SimQueries {
       (col("v").cast("double") / SFP.toDouble).as("loading"))
   }
 
-  val pcaPowerSql: String = {
+  /** The power-iteration CTE chain, shared by [[pcaPowerSql]] and the
+    * projection gate's oracle. Ends at `v3` (j, v — HUGEINT ±2^20). */
+  private val pcaCtes: String = {
     val SFP = 1048576L
     def fdiv(x: String, d: String): String =
       s"($x - (($x % $d + $d) % $d)) // $d"
@@ -645,19 +647,62 @@ object SimQueries {
          |v$k AS (SELECT i AS j, ${fdiv("x", "nm")} AS v
          |        FROM (SELECT i, mv * CAST($SFP AS HUGEINT) AS x FROM mv$k), nm$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH cov AS ($covarianceSql),
+    s"""cov AS ($covarianceSql),
        |mom AS (SELECT i, j,
        |          CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS sc
        |        FROM cov),
        |msym AS (SELECT i, j, sc FROM mom
        |         UNION ALL SELECT j, i, sc FROM mom WHERE i <> j),
-       |v0 AS (SELECT CAST(r.i AS INT) AS j, CAST($SFP AS HUGEINT) AS v
+       |v0 AS (SELECT CAST(r.i AS INT) AS j, CAST(1048576 AS HUGEINT) AS v
        |       FROM range(0, $DIM) r(i)),
-       |$iters
-       |SELECT j AS dim, CAST(v AS BIGINT) AS v_fp,
-       |       CAST(v AS DOUBLE) / $SFP.0 AS loading
-       |FROM v3""".stripMargin
+       |$iters""".stripMargin
   }
+
+  val pcaPowerSql: String =
+    s"""WITH $pcaCtes
+       |SELECT j AS dim, CAST(v AS BIGINT) AS v_fp,
+       |       CAST(v AS DOUBLE) / 1048576.0 AS loading
+       |FROM v3""".stripMargin
+
+  /** PC1 projection scores — the APPLY step of s_pca_power: every
+    * vector's coordinate along the learned direction, as the exact
+    * integer dot product of the 2^20-quantized features with the
+    * 2^20 fixed-point eigenvector (≤2^46 per vector — plain BIGINT).
+    * The 64-component direction broadcasts as one array row against a
+    * single corpus scan; this is the shape dimensionality reduction
+    * takes at 100 TB (model tiny and broadcast, data touched once). */
+  val pcaScores: Q = (s, dir) => {
+    val SFP = 1048576L
+    val vec = pcaPower(s, dir)
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("v_fp")))),
+        x => x("v_fp")).as("pc1"))
+    table(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => floor(x.cast("double") * SFP).cast("long")).as("q"))
+      .crossJoin(broadcast(vec))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("q"), col("pc1"), (a, b) => a * b), lit(0L), (a, x) => a + x)
+          .as("score_fp"))
+      .select(col("vec_id"), col("score_fp"),
+        (col("score_fp").cast("double") / (SFP.toDouble * SFP.toDouble)).as("pc1_score"))
+  }
+
+  val pcaScoresSql: String =
+    s"""WITH $pcaCtes,
+       |pc AS (SELECT list(CAST(v AS BIGINT) ORDER BY j) AS pc1 FROM v3),
+       |qv AS (SELECT vec_id,
+       |              list_transform(embedding,
+       |                x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+       |       FROM embeddings),
+       |sc AS (SELECT vec_id,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(range(1, ${DIM + 1}), i -> q[i] * pc1[i])),
+       |           (a, x) -> a + x) AS score_fp
+       |       FROM qv, pc)
+       |SELECT vec_id, score_fp,
+       |       CAST(score_fp AS DOUBLE) / (1048576.0 * 1048576.0) AS pc1_score
+       |FROM sc""".stripMargin
 
   /** Int8 scalar-quantization census: the storage-compression pass an
     * embedding corpus takes before ANN at scale (4x smaller than
@@ -1509,6 +1554,87 @@ object SimQueries {
        |       lpred, rpred,
        |       CAST(wtot - wcorrect AS DOUBLE) / CAST(wtot AS DOUBLE) AS werr
        |FROM best_wp2 WHERE rn = 1""".stripMargin
+  }
+
+  /** Gini-impurity feature ranking over the first eight embedding
+    * dimensions — the split-quality criterion m_dectree_stump's
+    * accuracy objective deliberately avoided, made exact: weighted
+    * impurity at a split is the RATIONAL (nl − Σc nlc²/nl + nr −
+    * Σc nrc²/nr)/n of integer class counts, a fixed-order per-row
+    * double chain (three divisions, no transcendental), so the full
+    * Gini machinery fits the bitwise oracle after all. Same
+    * histogram-mode shape as the stump: one corpus pass to per-(dim,
+    * bin, label) counts, cumulative windows on the dims×bins×labels
+    * grid, per-dim argmin (tie → smaller bin). Output: each dim's
+    * best split and impurity — the feature-importance ranking a tree
+    * ensemble starts from. */
+  val featureGini: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val D = 8
+    val pairs = table(s, dir, "embeddings").select(col("label"),
+        explode(array((1 to D).map(d => struct(lit(d).as("dim"),
+          floor(element_at(col("embedding"), d).cast("double") * 8).cast("long")
+            .as("v"))): _*)).as("p"))
+      .select(col("label"), col("p.dim").as("dim"), col("p.v").as("v"))
+    val counts = pairs.groupBy(col("dim"), col("v"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val grid = counts.select(col("dim"), col("v")).distinct()
+      .crossJoin(broadcast(counts.select(col("label")).distinct()))
+      .join(counts, Seq("dim", "v", "label"), "left")
+      .select(col("dim"), col("v"), col("label"), coalesce(col("n"), lit(0L)).as("n"))
+    val cum = grid
+      .withColumn("cum",
+        sum(col("n")).over(Window.partitionBy(col("dim"), col("label")).orderBy(col("v"))))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("dim"), col("label"))))
+    val split = cum.groupBy(col("dim"), col("v")).agg(
+      sum(col("cum")).as("nl"), sum(col("tot") - col("cum")).as("nr"),
+      sum(col("cum") * col("cum")).as("sl2"),
+      sum((col("tot") - col("cum")) * (col("tot") - col("cum"))).as("sr2"))
+    val (nl, nr, sl2, sr2) = (col("nl").cast("double"), col("nr").cast("double"),
+      col("sl2").cast("double"), col("sr2").cast("double"))
+    val wg = (nl - sl2 / nl + (nr - sr2 / nr)) / (nl + nr)
+    val scored = split.where(col("nl") > 0 && col("nr") > 0)
+      .select(col("dim"), col("v"), wg.as("wgini"))
+    val w = Window.partitionBy(col("dim")).orderBy(col("wgini"), col("v"))
+    scored.withColumn("r", row_number().over(w)).where(col("r") === 1)
+      .select(col("dim"), (col("v").cast("double") / 8.0).as("threshold"),
+        col("wgini"))
+  }
+
+  val featureGiniSql: String = {
+    val (nl, nr, sl2, sr2) = ("CAST(nl AS DOUBLE)", "CAST(nr AS DOUBLE)",
+      "CAST(sl2 AS DOUBLE)", "CAST(sr2 AS DOUBLE)")
+    s"""WITH pairs AS (
+       |  SELECT label, CAST(d.i AS INT) AS dim,
+       |         CAST(FLOOR(CAST(embedding[d.i] AS DOUBLE) * 8) AS BIGINT) AS v
+       |  FROM embeddings CROSS JOIN range(1, 9) d(i)),
+       |counts AS (SELECT dim, v, label, COUNT(*) AS n FROM pairs GROUP BY 1, 2, 3),
+       |grid AS (
+       |  SELECT vals.dim, vals.v, labels.label, COALESCE(c.n, 0) AS n
+       |  FROM (SELECT DISTINCT dim, v FROM counts) vals
+       |  CROSS JOIN (SELECT DISTINCT label FROM counts) labels
+       |  LEFT JOIN counts c
+       |    ON c.dim = vals.dim AND c.v = vals.v AND c.label = labels.label),
+       |cum AS (
+       |  SELECT dim, v,
+       |         SUM(n) OVER (PARTITION BY dim, label ORDER BY v) AS cum,
+       |         SUM(n) OVER (PARTITION BY dim, label) AS tot
+       |  FROM grid),
+       |split AS (
+       |  SELECT dim, v,
+       |         CAST(SUM(cum) AS BIGINT) AS nl,
+       |         CAST(SUM(tot - cum) AS BIGINT) AS nr,
+       |         CAST(SUM(cum * cum) AS BIGINT) AS sl2,
+       |         CAST(SUM((tot - cum) * (tot - cum)) AS BIGINT) AS sr2
+       |  FROM cum GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT dim, v,
+       |         ($nl - $sl2 / $nl + ($nr - $sr2 / $nr)) / ($nl + $nr) AS wgini,
+       |         ROW_NUMBER() OVER (PARTITION BY dim
+       |           ORDER BY ($nl - $sl2 / $nl + ($nr - $sr2 / $nr)) / ($nl + $nr), v) AS r
+       |  FROM split WHERE nl > 0 AND nr > 0)
+       |SELECT dim, CAST(v AS DOUBLE) / 8.0 AS threshold, wgini
+       |FROM scored WHERE r = 1""".stripMargin
   }
 
   /** PQ codebook TRAINING, determinism-contract style: assign every
@@ -2365,6 +2491,8 @@ object SimQueries {
     "s_range_search" -> (rangeSearch, Some(rangeSearchSql)),
     "m_adaboost" -> (adaboost, Some(adaboostSql)),
     "s_pca_power" -> (pcaPower, Some(pcaPowerSql)),
+    "s_pca_scores" -> (pcaScores, Some(pcaScoresSql)),
+    "m_feature_gini" -> (featureGini, Some(featureGiniSql)),
     "s_ann_pq" -> (annPq, Some(annPqSql)),
     "s_ann_opq" -> (annOpq, Some(annOpqSql)),
     "s_mmr_rerank" -> (mmrRerank, Some(mmrRerankSql)),
