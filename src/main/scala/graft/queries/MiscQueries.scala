@@ -497,6 +497,36 @@ object MiscQueries {
        |       MAX(l_shipdate) AS max_ship
        |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Zstd-compressed parquet round-trip: the wire-efficiency knob a
+    * 100 TB lake actually turns (zstd ≈ snappy read speed at ~2x
+    * better ratio — Spark and DuckDB both ship the codec natively).
+    * Write a typed projection with compression=zstd, read it back,
+    * aggregate; the oracle computes the same aggregate from the
+    * original source, so the gate proves the codec cycle is lossless
+    * across the five core types. */
+  val zstdRoundtrip: Q = (s, dir) => {
+    val base = tmpCatalog(dir) + "_zstd"
+    table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        dec2(col("l_extendedprice")).as("price"), col("l_shipdate"))
+      .write.mode("overwrite").option("compression", "zstd").parquet(base)
+    s.read.parquet(base)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_key"),
+        sum(col("l_linenumber").cast("long")).as("sum_line"),
+        dsum(col("price")).as("sum_price"),
+        max(col("l_shipdate")).as("max_ship"))
+  }
+
+  val zstdRoundtripSql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |       CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+       |       CAST(SUM(l_linenumber) AS BIGINT) AS sum_line,
+       |       ${dsumSql(dec2Sql("l_extendedprice"))} AS sum_price,
+       |       MAX(l_shipdate) AS max_ship
+       |FROM lineitem GROUP BY 1""".stripMargin
+
   /** JSON-lines sink + source round-trip — the interchange format every
     * ingest boundary speaks. Write a typed projection as JSON, read it
     * back with an EXPLICIT schema (schema-on-read; inference would cost
@@ -893,6 +923,7 @@ object MiscQueries {
     "m_pr_curve" -> (prCurve, Some(prCurveSql)),
     "m_calibration" -> (calibration, Some(calibrationSql)),
     "c_orc_roundtrip" -> (orcRoundtrip, Some(orcRoundtripSql)),
+    "c_zstd_roundtrip" -> (zstdRoundtrip, Some(zstdRoundtripSql)),
     "c_json_roundtrip" -> (jsonRoundtrip, Some(jsonRoundtripSql)),
     "c_partition_overwrite" -> (partitionOverwrite, Some(partitionOverwriteSql)),
     "c_schema_merge" -> (schemaMerge, Some(schemaMergeSql)),

@@ -1556,6 +1556,52 @@ object SimQueries {
        |FROM best_wp2 WHERE rn = 1""".stripMargin
   }
 
+  /** Per-dimension embedding drift between two hash-derived corpus
+    * halves — the ML-ops monitor that catches a silently retrained or
+    * re-normalized encoder before it poisons an index: |mean_a −
+    * mean_b| per dimension over 2^20-quantized values (exact long
+    * sums; the mean difference is one fixed double chain). The
+    * distribution-level twin of t_psi's scalar drift. One corpus
+    * pass, one (dim)-keyed aggregation with conditional sums — 64
+    * rows out at any corpus size. */
+  val embedDrift: Q = (s, dir) => {
+    val cells = table(s, dir, "embeddings")
+      .select(graft.text.TextOps.hashBucket(col("vec_id"), 2).cast("int").as("half"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("half"), col("pos"),
+        floor(col("v").cast("double") * CentScale).cast("long").as("q"))
+    val meanA = col("s_a").cast("double") / (col("n_a").cast("double") * CentScale)
+    val meanB = col("s_b").cast("double") / (col("n_b").cast("double") * CentScale)
+    cells.groupBy(col("pos")).agg(
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("half") === 0, col("q")).otherwise(0L)).as("s_a"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("half") === 1, col("q")).otherwise(0L)).as("s_b"))
+      .select(col("pos").as("dim"), col("n_a"), col("n_b"),
+        meanA.as("mean_a"), meanB.as("mean_b"), abs(meanA - meanB).as("shift"))
+  }
+
+  val embedDriftSql: String = {
+    val meanA = s"(CAST(s_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * $CentScale))"
+    val meanB = s"(CAST(s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * $CentScale))"
+    s"""WITH cells AS (
+       |  SELECT CAST(${graft.text.TextOps.hashBucketSql("vec_id", 2)} AS INT) AS half,
+       |         CAST(gs - 1 AS INT) AS pos,
+       |         CAST(FLOOR(CAST(x AS DOUBLE) * $CentScale) AS BIGINT) AS q
+       |  FROM (SELECT vec_id, unnest(embedding) AS x,
+       |               generate_subscripts(embedding, 1) AS gs
+       |        FROM embeddings) z),
+       |g AS (SELECT pos,
+       |        CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |        CAST(SUM(CASE WHEN half = 0 THEN q ELSE 0 END) AS BIGINT) AS s_a,
+       |        CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |        CAST(SUM(CASE WHEN half = 1 THEN q ELSE 0 END) AS BIGINT) AS s_b
+       |      FROM cells GROUP BY 1)
+       |SELECT pos AS dim, n_a, n_b, $meanA AS mean_a, $meanB AS mean_b,
+       |       ABS($meanA - $meanB) AS shift
+       |FROM g""".stripMargin
+  }
+
   /** Gini-impurity feature ranking over the first eight embedding
     * dimensions — the split-quality criterion m_dectree_stump's
     * accuracy objective deliberately avoided, made exact: weighted
@@ -2493,6 +2539,7 @@ object SimQueries {
     "s_pca_power" -> (pcaPower, Some(pcaPowerSql)),
     "s_pca_scores" -> (pcaScores, Some(pcaScoresSql)),
     "m_feature_gini" -> (featureGini, Some(featureGiniSql)),
+    "m_embed_drift" -> (embedDrift, Some(embedDriftSql)),
     "s_ann_pq" -> (annPq, Some(annPqSql)),
     "s_ann_opq" -> (annOpq, Some(annOpqSql)),
     "s_mmr_rerank" -> (mmrRerank, Some(mmrRerankSql)),
