@@ -2284,12 +2284,16 @@ object TextQueries {
     * VOCABULARY (distinct words), not the corpus — the standard BPE
     * trick that makes training corpus-size-independent. Output: the
     * learned merge table (round, l, rt, cnt). */
-  val bpeTrain: Q = (s, dir) => {
+  /** Shared BPE chain: the learned merge table AND the post-merge
+    * vocabulary symbolization (word kept alongside, so the encode gate
+    * can join it back to documents). */
+  private def bpeChain(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val chars = transform(sequence(lit(1), length(col("w"))),
       i => col("w").substr(i, lit(1)))
     val words = docs(s, dir).select(explode(col("toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
-      .select(col("f"),
+      .select(col("w"), col("f"),
         concat(lit(" "), concat_ws(" ", chars), lit(" ")).as("ws"))
     def rep1(c: org.apache.spark.sql.Column, l: org.apache.spark.sql.Column,
         rt: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -2309,15 +2313,36 @@ object TextQueries {
       val top = pairs.orderBy(col("cnt").desc, col("l"), col("rt")).limit(1)
         .select(lit(r).as("round"), col("l"), col("rt"), col("cnt"))
       cur = cur.crossJoin(broadcast(top.select(col("l").as("ml"), col("rt").as("mr"))))
-        .select(col("f"),
+        .select(col("w"), col("f"),
           rep1(rep1(rep1(col("ws"), col("ml"), col("mr")), col("ml"), col("mr")),
             col("ml"), col("mr")).as("ws"))
       top
     }
-    merges.reduce(_ unionByName _)
+    (merges.reduce(_ unionByName _), cur)
   }
 
-  val bpeTrainSql: String = {
+  val bpeTrain: Q = (s, dir) => bpeChain(s, dir)._1
+
+  /** BPE tokenizer APPLY — the encode step that makes t_bpe_train a
+    * usable tokenizer: the learned merges are already materialized as
+    * the vocabulary's post-merge symbolization, so encoding a corpus
+    * is ONE join from exploded words to the (word → symbol count)
+    * table — the standard trick that never re-runs merges per
+    * occurrence. Output per doc: whitespace token count and the
+    * symbol count under the learned 3-merge tokenizer (n_sym ≤
+    * n_chars, strictly less wherever a merge fired). */
+  val bpeEncode: Q = (s, dir) => {
+    val vocab = bpeChain(s, dir)._2
+      .select(col("w"), size(split(trim(col("ws")), " ")).as("n_sym"))
+    docs(s, dir).select(col("doc_id"), explode(col("toks")).as("w"))
+      .join(vocab, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_sym"))
+  }
+
+  /** The train CTE chain with the word carried through every merge
+    * round — shared by [[bpeTrainSql]] and [[bpeEncodeSql]]. */
+  private val bpeCtes: String = {
     def round(r: Int): String =
       s"""p$r AS (
          |  SELECT sy[i] AS l, sy[i + 1] AS rt, CAST(SUM(f) AS BIGINT) AS cnt
@@ -2329,26 +2354,41 @@ object TextQueries {
          |         ROW_NUMBER() OVER (ORDER BY cnt DESC, l, rt) AS rn
          |  FROM p$r QUALIFY rn = 1),
          |w$r AS (
-         |  SELECT f, replace(replace(replace(ws,
+         |  SELECT w, f, replace(replace(replace(ws,
          |           ' ' || t.l || ' ' || t.rt || ' ', ' ' || t.l || t.rt || ' '),
          |           ' ' || t.l || ' ' || t.rt || ' ', ' ' || t.l || t.rt || ' '),
          |           ' ' || t.l || ' ' || t.rt || ' ', ' ' || t.l || t.rt || ' ') AS ws
          |  FROM w${r - 1} CROSS JOIN t$r t)""".stripMargin
-    s"""WITH $docsCte,
+    s"""$docsCte,
        |wd AS (SELECT w, COUNT(*) AS f
        |       FROM (SELECT unnest(toks) AS w FROM docs) GROUP BY 1),
-       |w0 AS (SELECT f,
+       |w0 AS (SELECT w, f,
        |         ' ' || array_to_string(list_transform(range(1, len(w) + 1), i -> w[i]), ' ')
        |             || ' ' AS ws
        |       FROM wd),
-       |${(1 to 3).map(round).mkString(",\n")}
-       |SELECT round, l, rt, cnt FROM t1
-       |UNION ALL SELECT round, l, rt, cnt FROM t2
-       |UNION ALL SELECT round, l, rt, cnt FROM t3""".stripMargin
+       |${(1 to 3).map(round).mkString(",\n")}""".stripMargin
   }
+
+  // plain concatenation: a second stripMargin would eat the leading
+  // pipe of line-initial `||` concat operators inside bpeCtes
+  val bpeTrainSql: String =
+    "WITH " + bpeCtes + "\n" +
+      """SELECT round, l, rt, cnt FROM t1
+        |UNION ALL SELECT round, l, rt, cnt FROM t2
+        |UNION ALL SELECT round, l, rt, cnt FROM t3""".stripMargin
+
+  val bpeEncodeSql: String =
+    "WITH " + bpeCtes + ",\n" +
+      """vocab AS (SELECT w, CAST(len(string_split(trim(ws), ' ')) AS INT) AS n_sym
+        |          FROM w3),
+        |dw AS (SELECT doc_id, unnest(toks) AS w FROM docs)
+        |SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(n_sym) AS BIGINT) AS n_bpe_sym
+        |FROM dw JOIN vocab USING (w)
+        |GROUP BY 1""".stripMargin
 
   val all: Map[String, (Q, Option[String])] = Map(
     "t_bpe_train" -> (bpeTrain, Some(bpeTrainSql)),
+    "t_bpe_encode" -> (bpeEncode, Some(bpeEncodeSql)),
     "t_token_budget" -> (tokenBudget, Some(tokenBudgetSql)),
     "t_dedup_rewrite" -> (dedupRewrite, Some(dedupRewriteSql)),
     "t_unicode_clean" -> (unicodeClean, Some(unicodeCleanSql)),
