@@ -2015,6 +2015,100 @@ object SimQueries {
        |SELECT qid, u AS node, cosu AS cos, hops FROM s4""".stripMargin
   }
 
+  /** Hierarchical greedy search — the HNSW shape on top of
+    * s_greedy_search's single-layer walk: a coarse upper layer (every
+    * 8th node, the deterministic stand-in for HNSW's geometric level
+    * draw) gets its own k-NN graph; the walk descends TWO hops there
+    * to find a good entry region, then THREE hops on the full layer-0
+    * graph. Both layers use the same LSH-bucketed graph construction
+    * and the same per-hop argmax (tie → smaller id); the oracle chains
+    * five CTE steps across the two edge tables. Scale shape: the
+    * upper layer is 1/8 of the nodes with the same bounded out-degree,
+    * so the added index cost is ~12% — and the walk still touches
+    * nq·k rows per hop, never the corpus. */
+  val hnswSearch: Q = (s, dir) => {
+    val e = table(s, dir, "embeddings")
+    val edges0 = Similarity.knnGraph(e, Planes, K)
+      .select(col("qid").as("src"), col("cid").as("dst"))
+    val edges1 = Similarity.knnGraph(e.where(col("vec_id") % 8 === 0), Planes, K)
+      .select(col("qid").as("src"), col("cid").as("dst"))
+    val emb = e.select(col("vec_id").as("nid"),
+      transform(col("embedding"), x => x.cast("double")).as("ev"))
+    def step(state: org.apache.spark.sql.DataFrame,
+        edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val cand = state.join(edges, state("u") === edges("src"), "left")
+        .join(emb, col("dst") === col("nid"), "left")
+        .select(state("qid"), state("qe"), state("u"), state("cosu"), state("hops"),
+          col("dst"), Similarity.cosine(state("qe"), col("ev")).as("cosv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cosv").desc_nulls_last, col("dst"))
+      cand.withColumn("r", row_number().over(w)).where(col("r") === 1)
+        .select(col("qid"), col("qe"),
+          when(col("cosv") > col("cosu"), col("dst")).otherwise(col("u")).as("u"),
+          when(col("cosv") > col("cosu"), col("cosv")).otherwise(col("cosu")).as("cosu"),
+          when(col("cosv") > col("cosu"), col("hops") + 1).otherwise(col("hops")).as("hops"))
+    }
+    var state = e.where(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"),
+        transform(col("embedding"), x => x.cast("double")).as("qe"))
+      .crossJoin(emb.where(col("nid") === NQ).select(col("ev").as("ue")))
+      .select(col("qid"), col("qe"), lit(NQ.toLong).as("u"),
+        Similarity.cosine(col("qe"), col("ue")).as("cosu"), lit(0).as("hops"))
+    for (_ <- 1 to 2) state = step(state, edges1)
+    for (_ <- 1 to 3) state = step(state, edges0)
+    state.select(col("qid"), col("u").as("node"), col("cosu").as("cos"), col("hops"))
+  }
+
+  val hnswSearchSql: String = {
+    def stepSql(k: Int, edges: String): String =
+      s"""c$k AS (
+         |  SELECT s.qid, s.qe, s.u, s.cosu, s.hops, e.cid AS dst,
+         |         ${cosSql("s.qe", "d.embedding")} AS cosv
+         |  FROM s${k - 1} s
+         |  LEFT JOIN $edges e ON e.qid = s.u
+         |  LEFT JOIN embeddings d ON d.vec_id = e.cid),
+         |b$k AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |              ORDER BY cosv DESC NULLS LAST, dst) AS r
+         |  FROM c$k QUALIFY r = 1),
+         |s$k AS MATERIALIZED (
+         |  SELECT qid, qe,
+         |         CASE WHEN cosv > cosu THEN dst ELSE u END AS u,
+         |         CASE WHEN cosv > cosu THEN cosv ELSE cosu END AS cosu,
+         |         CASE WHEN cosv > cosu THEN hops + 1 ELSE hops END AS hops
+         |  FROM b$k)""".stripMargin
+    val steps = (1 to 2).map(stepSql(_, "edges1")) ++ (3 to 5).map(stepSql(_, "edges0"))
+    s"""WITH lay0 AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+       |pairs0 AS (
+       |  SELECT x.vec_id AS qid, y.vec_id AS cid,
+       |         ${cosSql("x.embedding", "y.embedding")} AS cos
+       |  FROM lay0 x JOIN lay0 y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+       |edges0 AS MATERIALIZED (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |    FROM pairs0) WHERE rank <= $K),
+       |lay1 AS (SELECT vec_id, embedding, bucket FROM lay0 WHERE vec_id % 8 = 0),
+       |pairs1 AS (
+       |  SELECT x.vec_id AS qid, y.vec_id AS cid,
+       |         ${cosSql("x.embedding", "y.embedding")} AS cos
+       |  FROM lay1 x JOIN lay1 y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+       |edges1 AS MATERIALIZED (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |    FROM pairs1) WHERE rank <= $K),
+       |s0 AS MATERIALIZED (
+       |  SELECT q.vec_id AS qid,
+       |         list_transform(q.embedding, x -> CAST(x AS DOUBLE)) AS qe,
+       |         CAST($NQ AS BIGINT) AS u,
+       |         ${cosSql("q.embedding", "t.embedding")} AS cosu, 0 AS hops
+       |  FROM embeddings q JOIN embeddings t ON t.vec_id = $NQ
+       |  WHERE q.vec_id < $NQ),
+       |${steps.mkString(",\n")}
+       |SELECT qid, u AS node, cosu AS cos, hops FROM s5""".stripMargin
+  }
+
   /** Classifier-margin distribution: per true label, the histogram of
     * top1−top2 cosine gaps from the centroid classifier — the
     * confidence profile that drives selective prediction ("abstain
@@ -2540,6 +2634,7 @@ object SimQueries {
     "s_pca_scores" -> (pcaScores, Some(pcaScoresSql)),
     "m_feature_gini" -> (featureGini, Some(featureGiniSql)),
     "m_embed_drift" -> (embedDrift, Some(embedDriftSql)),
+    "s_hnsw_search" -> (hnswSearch, Some(hnswSearchSql)),
     "s_ann_pq" -> (annPq, Some(annPqSql)),
     "s_ann_opq" -> (annOpq, Some(annOpqSql)),
     "s_mmr_rerank" -> (mmrRerank, Some(mmrRerankSql)),

@@ -47,6 +47,8 @@ class PlanInvariantsSpec extends AnyFunSuite {
       // broadcasts the <=K surviving rows — LeftOuter BNLJ with no
       // residual condition is the optimal degenerate here
       "s_greedy_search",
+      // same literal-entry degenerate, on both layers' walks
+      "s_hnsw_search",
       // the s_ann_pq plan plus a zero-shuffle rotation projection
       "s_ann_opq",
       // radius twin of s_ann_quantized: same broadcast 8-query
