@@ -1167,7 +1167,62 @@ object RelationalQueries {
       |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
       |GROUP BY 1, 2""".stripMargin
 
+  /** FIFO allocation matching — the inventory/cost-basis classic: per
+    * part, "sells" (odd orderkeys) consume "buys" (even orderkeys) in
+    * ship-date order, and each (buy, sell) match quantity is the
+    * OVERLAP of their cumulative-quantity intervals: max(0,
+    * min(bhi, shi) − max(blo, slo)). The matching never iterates —
+    * two per-(part, side) running sums turn FIFO into ONE part-keyed
+    * equi-join with a range residual (the a_band_join lesson: the
+    * hash join carries the partition key, the interval predicate
+    * rides as a residual filter, and within-part overlap is
+    * structurally ≤ 2 matches per row side on average). Quantities
+    * are exact integral longs throughout. */
+  val fifoMatch: Q = (s, dir) => {
+    val li = table(s, dir, "lineitem").select(col("l_partkey").as("pk"),
+      (col("l_orderkey") % 2 === 0).as("is_buy"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("lid"),
+      col("l_shipdate").as("sd"), col("l_quantity").cast("long").as("qty"))
+    def cums(isBuy: Boolean, pfx: String) = {
+      val w = Window.partitionBy(col("pk")).orderBy(col("sd"), col("lid"))
+      li.where(col("is_buy") === isBuy)
+        .withColumn("hi", sum(col("qty")).over(w))
+        .select(col("pk"), col("lid").as(s"${pfx}_id"),
+          (col("hi") - col("qty")).as(s"${pfx}_lo"), col("hi").as(s"${pfx}_hi"))
+    }
+    cums(isBuy = true, "buy").join(cums(isBuy = false, "sell"), Seq("pk"))
+      .where(col("buy_hi") > col("sell_lo") && col("sell_hi") > col("buy_lo"))
+      .select(col("pk").as("l_partkey"), col("buy_id"), col("sell_id"),
+        (least(col("buy_hi"), col("sell_hi"))
+          - greatest(col("buy_lo"), col("sell_lo"))).as("qty_matched"))
+  }
+
+  val fifoMatchSql: String =
+    """WITH li AS (SELECT l_partkey AS pk,
+      |                   l_orderkey % 2 = 0 AS is_buy,
+      |                   l_orderkey * 10 + l_linenumber AS lid,
+      |                   l_shipdate AS sd, CAST(l_quantity AS BIGINT) AS qty
+      |            FROM lineitem),
+      |b AS (SELECT pk, lid AS buy_id,
+      |             CAST(SUM(qty) OVER w - qty AS BIGINT) AS buy_lo,
+      |             CAST(SUM(qty) OVER w AS BIGINT) AS buy_hi
+      |      FROM li WHERE is_buy
+      |      WINDOW w AS (PARTITION BY pk ORDER BY sd, lid
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s AS (SELECT pk, lid AS sell_id,
+      |             CAST(SUM(qty) OVER w - qty AS BIGINT) AS sell_lo,
+      |             CAST(SUM(qty) OVER w AS BIGINT) AS sell_hi
+      |      FROM li WHERE NOT is_buy
+      |      WINDOW w AS (PARTITION BY pk ORDER BY sd, lid
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |m AS (SELECT b.pk, buy_id, sell_id,
+      |             LEAST(buy_hi, sell_hi) - GREATEST(buy_lo, sell_lo) AS qty_matched
+      |      FROM b JOIN s ON b.pk = s.pk
+      |      WHERE buy_hi > sell_lo AND sell_hi > buy_lo)
+      |SELECT pk AS l_partkey, buy_id, sell_id, qty_matched FROM m""".stripMargin
+
   val all: Map[String, (Q, Option[String])] = Map(
+    "q_fifo_match" -> (fifoMatch, Some(fifoMatchSql)),
     "q_important_parts" -> (importantParts, Some(importantPartsSql)),
     "q_supplier_census" -> (supplierCensus, Some(supplierCensusSql)),
     "q_cheapest_supplier" -> (cheapestSupplier, Some(cheapestSupplierSql)),
