@@ -2109,6 +2109,62 @@ object SimQueries {
        |SELECT qid, u AS node, cosu AS cos, hops FROM s5""".stripMargin
   }
 
+  /** k-center greedy diversity sampling (farthest-point coreset, the
+    * Gonzalez 2-approximation): starting from a fixed seed, each of
+    * three rounds picks the corpus vector LEAST similar to everything
+    * already chosen (argmin of max-cosine, tie → smaller id) — the
+    * diverse-subset selection a training-data pipeline runs when it
+    * wants coverage, not volume (the greedy dual of s_semdedup's
+    * prune). Each round is one corpus scan against a ≤k-row broadcast
+    * of the chosen set with a bounded 1-row driver collect (k rows
+    * total over the run — the histogram-bins class of collect); the
+    * oracle unrolls the same three argmin rounds as chained CTEs.
+    * Output: pick order, id, and the max-cos-to-chosen at selection
+    * time (the shrinking coverage radius). */
+  val diversitySample: Q = (s, dir) => {
+    val emb = table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    var chosen = Seq(NQ.toLong) // the fixed seed every graph gate uses
+    val picks = Seq.newBuilder[(Int, Long, Double)]
+    picks += ((0, NQ.toLong, 1.0))
+    for (r <- 1 to 3) {
+      val ch = broadcast(emb.where(col("vec_id").isin(chosen: _*))
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+      val next = emb.where(!col("vec_id").isin(chosen: _*))
+        .crossJoin(ch)
+        .select(col("vec_id"), Similarity.cosine(col("embedding"), col("ce")).as("cos"))
+        .groupBy(col("vec_id")).agg(max(col("cos")).as("maxcos"))
+        .orderBy(col("maxcos"), col("vec_id")).limit(1)
+        .collect()(0) // bounded: ONE row per round, k-1 rows per run
+      chosen = chosen :+ next.getLong(0)
+      picks += ((r, next.getLong(0), next.getDouble(1)))
+    }
+    import s.implicits._
+    picks.result().toDF("pick", "vec_id", "maxcos")
+  }
+
+  val diversitySampleSql: String = {
+    val rounds = (1 to 3).map { r =>
+      val prev = (0 until r).map(i => s"SELECT vec_id, embedding FROM ch$i").mkString(" UNION ALL ")
+      s"""p$r AS (
+         |  SELECT c.vec_id, MAX(${cosSql("c.embedding", "h.embedding")}) AS maxcos
+         |  FROM embeddings c JOIN ($prev) h ON c.vec_id <> h.vec_id
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM ($prev))
+         |  GROUP BY 1),
+         |pk$r AS (SELECT vec_id, maxcos,
+         |           ROW_NUMBER() OVER (ORDER BY maxcos, vec_id) AS rn
+         |         FROM p$r QUALIFY rn = 1),
+         |ch$r AS (SELECT e.vec_id, e.embedding FROM embeddings e
+         |         JOIN pk$r ON e.vec_id = pk$r.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ch0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = $NQ),
+       |$rounds
+       |SELECT 0 AS pick, CAST($NQ AS BIGINT) AS vec_id, 1.0 AS maxcos
+       |UNION ALL SELECT 1, vec_id, maxcos FROM pk1
+       |UNION ALL SELECT 2, vec_id, maxcos FROM pk2
+       |UNION ALL SELECT 3, vec_id, maxcos FROM pk3""".stripMargin
+  }
+
   /** Classifier-margin distribution: per true label, the histogram of
     * top1−top2 cosine gaps from the centroid classifier — the
     * confidence profile that drives selective prediction ("abstain
@@ -2635,6 +2691,7 @@ object SimQueries {
     "m_feature_gini" -> (featureGini, Some(featureGiniSql)),
     "m_embed_drift" -> (embedDrift, Some(embedDriftSql)),
     "s_hnsw_search" -> (hnswSearch, Some(hnswSearchSql)),
+    "s_diversity_sample" -> (diversitySample, Some(diversitySampleSql)),
     "s_ann_pq" -> (annPq, Some(annPqSql)),
     "s_ann_opq" -> (annOpq, Some(annOpqSql)),
     "s_mmr_rerank" -> (mmrRerank, Some(mmrRerankSql)),
