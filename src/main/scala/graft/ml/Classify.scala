@@ -75,6 +75,103 @@ object Classify {
   def save(model: OneVsRestModel, path: String): Unit = model.write.overwrite().save(path)
   def load(path: String): OneVsRestModel = OneVsRestModel.load(path)
 
+  /** M2/M3 deterministic trainer twin (the oracled counterpart of the
+    * SGD gate): one-vs-all LINEAR classifier trained in CLOSED FORM —
+    * per class, independent univariate least squares on four fixed
+    * Walsh ±1 sign-projections of the embedding (the diagonal
+    * approximation of the normal equations; Walsh rows are orthogonal,
+    * so for mean-free random-projection features the diagonal IS the
+    * solution up to sampling noise). Same train/predict/confusion
+    * surface as the reference's OVA SVM loop (SVMMultiClass.scala:
+    * 88-111) but every number is reproducible bit-for-bit:
+    *
+    *  - features: f_k = Σ_i emb[i]·(1−2·bit_k(i)) as a strict
+    *    left-fold (the s_ann_brute discipline), then quantized to
+    *    DECIMAL(12,3) and carried as the scaled BIGINT F = 1000·f;
+    *  - moments per (class, k): exact integer sums (n, ΣF, ΣF², n_c,
+    *    ΣF_c) — all < 2^53 for |f| ≤ 32 and n ≤ 10^5 (asserted), so
+    *    later int→double casts are exact in any engine;
+    *  - weights: w = s·A/D, b = Σy/n − A·ΣF/(D·n) with A = n·ΣFy −
+    *    ΣF·Σy, D = n·ΣF² − (ΣF)² — evaluated as a FIXED IEEE op tree
+    *    (each step one correctly-rounded op), so the oracle rebuilds
+    *    identical doubles;
+    *  - prediction: argmax over the 10 class scores with min-class
+    *    tiebreak (max of (score, −class) structs ≡ ORDER BY score
+    *    DESC, class).
+    *
+    * Scale shape: train = ONE groupBy(label) over the train split
+    * (map-side combinable, 3·K numbers per class); the collect is
+    * bounded by the class count; predict = a pure map over the test
+    * split with the 10×K coefficients inlined as literals — zero
+    * shuffle on the corpus side, only the final confusion groupBy
+    * (≤ classes² rows) exchanges. */
+  def fixedPointConfusion(df: DataFrame): DataFrame = {
+    import graft.sim.Similarity
+    val K = 4
+    def signs(k: Int): Seq[Double] =
+      (0 until 64).map(i => if (((i >> k) & 1) == 0) 1.0 else -1.0)
+    val bkt = graft.text.TextOps.hashBucket(col("vec_id"), 10)
+    val feats = df.select(
+      Seq(col("vec_id"), col("label"), bkt.as("bkt")) ++
+        (1 to K).map { k =>
+          val sarr = array(signs(k - 1).map(lit): _*)
+          Similarity.dot(col("embedding"), sarr)
+            .cast("decimal(12,3)").multiply(lit(1000)).cast("long").as(s"f$k")
+        }: _*)
+    val train = feats.where(col("bkt") =!= 9)
+    val test = feats.where(col("bkt") === 9)
+
+    // one aggregation; globals derived by exact Long sums over the
+    // per-class rows (collect bounded by the class count)
+    val byClass = train.groupBy(col("label"))
+      .agg(count(lit(1)).as("nc"),
+        (1 to K).map(k => sum(col(s"f$k")).as(s"sf$k")) ++
+          (1 to K).map(k => sum(col(s"f$k") * col(s"f$k")).as(s"sff$k")): _*)
+      .collect()
+    val n = byClass.map(_.getAs[Long]("nc")).sum
+    val sf = (1 to K).map(k => byClass.map(_.getAs[Long](s"sf$k")).sum)
+    val sff = (1 to K).map(k => byClass.map(_.getAs[Long](s"sff$k")).sum)
+    // Long-overflow guard for the n·ΣF² products below; the exact
+    // <2^53 cast bounds are asserted per computed A/D value
+    require(n > 0 && sff.forall(s => s <= Long.MaxValue / n),
+      s"fixed-point moments overflow Long at n=$n: requantize features")
+
+    // per (class, k): exact integer A, D then the fixed double op tree
+    val params: Seq[(Int, Seq[(Double, Double, Double)])] = byClass.toSeq.map { r =>
+      val cls = r.getAs[Int]("label")
+      val nc = r.getAs[Long]("nc")
+      val sy = 2L * nc - n
+      val per = (1 to K).map { k =>
+        val sfc = r.getAs[Long](s"sf$k")
+        val sfk = sf(k - 1); val sffk = sff(k - 1)
+        val a = n * (2L * sfc - sfk) - sfk * sy
+        val d = n * sffk - sfk * sfk
+        require(d > 0, s"degenerate feature f$k (zero train variance)")
+        require(d < (1L << 53) && math.abs(a) < (1L << 53),
+          s"A/D exceed 2^53 (exact int→double cast bound): requantize")
+        // const = Sy/n − A·ΣF/(D·n): one op per step, oracle-identical
+        val c = sy.toDouble / n.toDouble -
+          (a.toDouble * sfk.toDouble) / (d.toDouble * n.toDouble)
+        (a.toDouble, d.toDouble, c)
+      }
+      (cls, per)
+    }.sortBy(_._1)
+
+    // score_c = ((s1 + s2) + s3) + s4, s_k = (A·F)/D + const — same
+    // parenthesization as the oracle SQL
+    val scoreCols = params.map { case (cls, per) =>
+      val sks = per.zipWithIndex.map { case ((a, d, c), i) =>
+        (lit(a) * col(s"f${i + 1}").cast("double")) / lit(d) + lit(c)
+      }
+      (cls, sks.reduceLeft(_ + _))
+    }
+    val best = greatest(scoreCols.map { case (cls, sc) =>
+      struct(sc.as("s"), lit(-cls).as("nc"))
+    }: _*)
+    test.withColumn("pred", -best.getField("nc"))
+      .groupBy(col("label"), col("pred")).agg(count(lit(1)).as("n"))
+  }
+
   /** End-to-end train/predict on the embeddings table; returns the
     * per-class confusion counts (deterministic enough for a rows-only
     * gate; exact boundary predictions are float-order sensitive). */

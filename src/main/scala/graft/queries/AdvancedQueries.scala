@@ -741,16 +741,18 @@ object AdvancedQueries {
     * = top-8 hash bits, rho = leading-zero count of the low 52-bit
     * field + 1 via an integer bit-position join (no floating log) —
     * and both engines emit the exact BIGINT harmonic denominator
-    * Σ 2^(53-M_j), the empty-register count, and the raw HLL estimate
-    * α·m²·2^53/denom (one IEEE rounding of exact operands, bitwise
-    * portable; powers of two scale exactly). */
+    * Σ 2^(53-M_j) and the empty-register count. The raw estimate
+    * α·m²·2^53/denom is a pure function of denom but crosses each
+    * engine's double-literal folding (round 6 proved the folded α
+    * chain is NOT bit-portable across DuckDB builds), so the hashed
+    * projection carries only the exact integers; consumers derive the
+    * estimate from denom. */
   val hllDistinct: Q = (s, dir) => {
     def pieces(regs: String, suffix: String) = Seq(
       expr(s"aggregate($regs, CAST(0 AS BIGINT), (acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), 53 - r))")
         .as(s"denom_$suffix"),
       expr(s"aggregate($regs, CAST(0 AS BIGINT), (acc, r) -> acc + IF(r = 0, 1, 0))")
         .as(s"zeros_$suffix"))
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
     table(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"),
         graft.text.TextOps.h60(col("l_partkey").cast("string")).as("hp"),
@@ -762,8 +764,6 @@ object AdvancedQueries {
         graft.ops.Sketches.hllSketch(col("hs"), 8).as("rs"))
       .select(Seq(col("l_returnflag"), col("exact_parts"), col("exact_supps")) ++
         pieces("rp", "parts") ++ pieces("rs", "supps"): _*)
-      .withColumn("hll_parts", alpha * lit(65536.0) * lit(9007199254740992.0) / col("denom_parts").cast("double"))
-      .withColumn("hll_supps", alpha * lit(65536.0) * lit(9007199254740992.0) / col("denom_supps").cast("double"))
   }
 
   /** Register rebuild for one (source, group, key): CTE chain ending in
@@ -806,11 +806,7 @@ object AdvancedQueries {
        |      FROM lineitem GROUP BY 1)
        |SELECT e.g AS l_returnflag, e.exact_parts, e.exact_supps,
        |       p.denom AS denom_parts, p.zeros AS zeros_parts,
-       |       s.denom AS denom_supps, s.zeros AS zeros_supps,
-       |       (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0))
-       |         * 65536.0 * power(2.0, 53) / CAST(p.denom AS DOUBLE) AS hll_parts,
-       |       (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0))
-       |         * 65536.0 * power(2.0, 53) / CAST(s.denom AS DOUBLE) AS hll_supps
+       |       s.denom AS denom_supps, s.zeros AS zeros_supps
        |FROM e JOIN agg_p p ON e.g = p.g JOIN agg_s s ON e.g = s.g""".stripMargin
 
   /** KMV composed with event-time windows: distinct users per 5-minute
@@ -860,9 +856,6 @@ object AdvancedQueries {
         col("exact_users"),
         expr("aggregate(r, CAST(0 AS BIGINT), (acc, x) -> acc + shiftleft(CAST(1 AS BIGINT), 53 - x))").as("denom_users"),
         expr("aggregate(r, CAST(0 AS BIGINT), (acc, x) -> acc + IF(x = 0, 1, 0))").as("zeros_users"))
-      .withColumn("hll_users",
-        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0)
-          * lit(9007199254740992.0) / col("denom_users").cast("double"))
 
   val hllWindowSql: String =
     s"""WITH $eventsCte,
@@ -872,9 +865,7 @@ object AdvancedQueries {
        |e AS (SELECT win_start AS g, COUNT(DISTINCT user_id) AS exact_users
        |      FROM wi GROUP BY 1)
        |SELECT e.g AS win_start, e.exact_users,
-       |       u.denom AS denom_users, u.zeros AS zeros_users,
-       |       (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 256.0))
-       |         * 65536.0 * power(2.0, 53) / CAST(u.denom AS DOUBLE) AS hll_users
+       |       u.denom AS denom_users, u.zeros AS zeros_users
        |FROM e JOIN agg_u u ON e.g = u.g""".stripMargin
 
   /** percent_rank / cume_dist per returnflag over the quantity order —

@@ -413,6 +413,65 @@ object MiscQueries {
   val mlConfusion: Q = (s, dir) =>
     graft.ml.Classify.trainPredictCounts(table(s, dir, "embeddings"))
 
+  /** M2/M3 ORACLED trainer twin: the same OVA train→predict→confusion
+    * surface as m_ml_confusion, but the per-class linear model is the
+    * CLOSED-FORM diagonal least-squares fit on four Walsh
+    * sign-projections ([[graft.ml.Classify.fixedPointConfusion]]) —
+    * exact integer moments, fixed IEEE op trees — so the confusion
+    * matrix hash-matches the oracle, which re-trains relationally from
+    * the same split. */
+  val svmFixedpoint: Q = (s, dir) =>
+    graft.ml.Classify.fixedPointConfusion(table(s, dir, "embeddings"))
+
+  val svmFixedpointSql: String = {
+    val ks = 1 to 4
+    def dotWalsh(k: Int): String =
+      s"""list_reduce(list_transform(range(1, 65),
+         |      i -> CAST(embedding[i] AS DOUBLE)
+         |           * CAST(1 - 2 * (((i - 1) >> ${k - 1}) & 1) AS DOUBLE)),
+         |    (x, y) -> x + y)""".stripMargin
+    val featCols = ks.map(k =>
+      s"CAST(CAST(${dotWalsh(k)} AS DECIMAL(12,3)) * 1000 AS BIGINT) AS f$k")
+    val gmCols = ks.map(k => s"SUM(f$k) AS sf$k, SUM(f$k * f$k) AS sff$k")
+    val cmCols = ks.map(k => s"SUM(f$k) AS csf$k")
+    val adCols = ks.map(k =>
+      s"""(n * (2 * csf$k - sf$k) - sf$k * (2 * nc - n)) AS a$k,
+         |         (n * sff$k - sf$k * sf$k) AS d$k""".stripMargin)
+    // const = Sy/n − A·ΣF/(D·n); score_k = (A·F)/D + const — the same
+    // op tree Classify.fixedPointConfusion evaluates in Scala/Columns
+    val cstCols = ks.map(k =>
+      s"""(CAST(2 * nc - n AS DOUBLE) / CAST(n AS DOUBLE)
+         |          - (CAST(a$k AS DOUBLE) * CAST(sf$k AS DOUBLE))
+         |            / (CAST(d$k AS DOUBLE) * CAST(n AS DOUBLE))) AS cst$k""".stripMargin)
+    val sCols = ks.map(k =>
+      s"""((CAST(pr.a$k AS DOUBLE) * CAST(te.f$k AS DOUBLE))
+         |           / CAST(pr.d$k AS DOUBLE) + pr.cst$k) AS s$k""".stripMargin)
+    s"""WITH f AS (
+       |  SELECT vec_id, label,
+       |         ${graft.text.TextOps.hashBucketSql("vec_id", 10)} AS bkt,
+       |         ${featCols.mkString(",\n         ")}
+       |  FROM embeddings),
+       |tr AS (SELECT * FROM f WHERE bkt <> 9),
+       |te AS (SELECT * FROM f WHERE bkt = 9),
+       |gm AS (SELECT COUNT(*) AS n, ${gmCols.mkString(", ")} FROM tr),
+       |cm AS (SELECT label AS cls, COUNT(*) AS nc, ${cmCols.mkString(", ")}
+       |       FROM tr GROUP BY 1),
+       |ad AS (SELECT cls, nc, n, ${ks.map(k => s"sf$k").mkString(", ")},
+       |         ${adCols.mkString(",\n         ")}
+       |       FROM cm CROSS JOIN gm),
+       |pr AS (SELECT cls, n, ${ks.flatMap(k => Seq(s"a$k", s"d$k")).mkString(", ")},
+       |         ${cstCols.mkString(",\n         ")}
+       |       FROM ad),
+       |sc AS (SELECT te.vec_id AS qid, te.label AS label, pr.cls,
+       |         ${sCols.mkString(",\n         ")}
+       |       FROM te CROSS JOIN pr),
+       |tot AS (SELECT qid, label, cls, ((s1 + s2) + s3) + s4 AS score FROM sc),
+       |pick AS (SELECT qid, label, cls,
+       |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cls) AS r
+       |         FROM tot QUALIFY r = 1)
+       |SELECT label, cls AS pred, COUNT(*) AS n FROM pick GROUP BY 1, 2""".stripMargin
+  }
+
   /** M1 oracle-checked: deterministic stratified split — per-label keep
     * set from a stable key hash (engine-reproducible, unlike seeded
     * sample()/sampleBy whose RNG streams differ per engine). One
@@ -944,5 +1003,6 @@ object MiscQueries {
     "m_media_resize" -> (mediaResize, Some(mediaResizeSql)),
     "m_phash_dedup" -> (phashDedup, Some(phashDedupSql)),
     "m_ml_confusion" -> (mlConfusion, None),
+    "m_svm_fixedpoint" -> (svmFixedpoint, Some(svmFixedpointSql)),
   )
 }

@@ -252,6 +252,19 @@ object SimQueries {
       s"(CASE WHEN ${projSql(w)} > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString("\n       |  + ").stripMargin
 
+  /** Oracle twin of Similarity.cappedCandidates: the hot-bucket cap on
+    * the candidate side of the pair generators (never binds at gate
+    * scale — 64 buckets over ≤2k vectors — but keeps larger-scale
+    * probes bitwise-equal to the capped operators). Expects a CTE named
+    * `b` with (vec_id, embedding, bucket). */
+  private val candCte: String =
+    s"""cand AS (
+       |  SELECT vec_id, embedding, bucket FROM (
+       |    SELECT vec_id, embedding, bucket,
+       |           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+       |    FROM b)
+       |  WHERE bn <= ${Similarity.DefaultMaxBucket})""".stripMargin
+
   /** Sign-LSH bucketed cosine top-k: candidates pruned to the query's
     * random-hyperplane bucket (leading-dim signs degrade on correlated
     * dims; Rademacher planes mix every dimension into each bit). */
@@ -287,11 +300,12 @@ object SimQueries {
 
   val cosineDedupSql: String =
     s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+       |$candCte,
        |pairs AS (
-       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |  SELECT LEAST(x.vec_id, y.vec_id) AS a, GREATEST(x.vec_id, y.vec_id) AS b,
        |         ${cosSql("x.embedding", "y.embedding")} AS cos
-       |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
-       |SELECT a, b, cos FROM pairs WHERE cos >= $DupThreshold""".stripMargin
+       |  FROM b x JOIN cand y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)
+       |SELECT DISTINCT a, b, cos FROM pairs WHERE cos >= $DupThreshold""".stripMargin
 
   /** ANN quality census: recall@k of the LSH path against the exact
     * brute-force top-k, per query — the metric that decides whether an
@@ -351,10 +365,11 @@ object SimQueries {
 
   val knnGraphSql: String =
     s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+       |$candCte,
        |pairs AS (
        |  SELECT x.vec_id AS qid, y.vec_id AS cid,
        |         ${cosSql("x.embedding", "y.embedding")} AS cos
-       |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+       |  FROM b x JOIN cand y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
        |ranked AS (
        |  SELECT qid, cid, cos,
        |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
@@ -1995,10 +2010,11 @@ object SimQueries {
          |  FROM b$k)""".stripMargin
     }.mkString(",\n")
     s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+       |$candCte,
        |pairs AS (
        |  SELECT x.vec_id AS qid, y.vec_id AS cid,
        |         ${cosSql("x.embedding", "y.embedding")} AS cos
-       |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+       |  FROM b x JOIN cand y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
        |edges AS MATERIALIZED (
        |  SELECT qid, cid FROM (
        |    SELECT qid, cid,
@@ -2079,20 +2095,32 @@ object SimQueries {
          |  FROM b$k)""".stripMargin
     val steps = (1 to 2).map(stepSql(_, "edges1")) ++ (3 to 5).map(stepSql(_, "edges0"))
     s"""WITH lay0 AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+       |cand0 AS (
+       |  SELECT vec_id, embedding, bucket FROM (
+       |    SELECT vec_id, embedding, bucket,
+       |           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+       |    FROM lay0)
+       |  WHERE bn <= ${Similarity.DefaultMaxBucket}),
        |pairs0 AS (
        |  SELECT x.vec_id AS qid, y.vec_id AS cid,
        |         ${cosSql("x.embedding", "y.embedding")} AS cos
-       |  FROM lay0 x JOIN lay0 y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+       |  FROM lay0 x JOIN cand0 y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
        |edges0 AS MATERIALIZED (
        |  SELECT qid, cid FROM (
        |    SELECT qid, cid,
        |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
        |    FROM pairs0) WHERE rank <= $K),
        |lay1 AS (SELECT vec_id, embedding, bucket FROM lay0 WHERE vec_id % 8 = 0),
+       |cand1 AS (
+       |  SELECT vec_id, embedding, bucket FROM (
+       |    SELECT vec_id, embedding, bucket,
+       |           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
+       |    FROM lay1)
+       |  WHERE bn <= ${Similarity.DefaultMaxBucket}),
        |pairs1 AS (
        |  SELECT x.vec_id AS qid, y.vec_id AS cid,
        |         ${cosSql("x.embedding", "y.embedding")} AS cos
-       |  FROM lay1 x JOIN lay1 y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+       |  FROM lay1 x JOIN cand1 y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
        |edges1 AS MATERIALIZED (
        |  SELECT qid, cid FROM (
        |    SELECT qid, cid,

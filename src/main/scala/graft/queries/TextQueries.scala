@@ -1721,7 +1721,15 @@ object TextQueries {
     * (p_a − p_b)·ln(p_a/p_b) is a fixed-order scalar chain quantized
     * to DECIMAL(18,6) before the cross-bin sums (per-row psi_term and
     * the orderless window total). One conditional aggregation over the
-    * bin key; group sizes ride an orderless window sum. */
+    * bin key; group sizes ride an orderless window sum.
+    *
+    * Bit-portability: engine-native ln broke the round-6 driver hash
+    * (two DuckDB builds disagree in the last ulp at a quantization
+    * cliff), so ln(p_a/p_b) is decomposed over the exact-integer
+    * smoothed counts — ln(ca+1) + ln(nb+10) − ln(cb+1) − ln(na+10) —
+    * with each ln rebuilt by [[TextOps.lnIntFromStagedSql]]'s
+    * libm-free op tree, evaluated identically by Spark and the
+    * oracle. */
   val psi: Q = (s, dir) => {
     val grp = when(substring(col("source"), 4, 10).cast("int") < 10, lit("a"))
       .otherwise(lit("b"))
@@ -1737,32 +1745,61 @@ object TextQueries {
       .withColumn("nb", sum(col("cb")).over(w))
     val pa = (col("ca") + 1).cast("double") / (col("na") + 10).cast("double")
     val pb = (col("cb") + 1).cast("double") / (col("nb") + 10).cast("double")
-    wa.withColumn("term", ((pa - pb) * log(pa / pb)).cast("decimal(18,6)"))
+    val ld = psiLnArgs.zipWithIndex.foldLeft(wa) { case (df, (v, ix)) =>
+      val i = ix + 1
+      val (msb, m) = TextOps.lnIntPartsSql(v, spark = true)
+      df.withColumn(s"e$i", expr(msb))
+        .withColumn(s"m$i", expr(m))
+        .withColumn(s"z$i", expr(s"(m$i - 1.0) / (m$i + 1.0)"))
+        .withColumn(s"l$i", expr(TextOps.lnIntFromStagedSql(s"e$i", s"z$i")))
+    }
+    ld.withColumn("term",
+        ((pa - pb) * expr("((l1 + l2) - l3) - l4")).cast("decimal(18,6)"))
       .select(col("bin"), col("ca").as("n_a"), col("cb").as("n_b"),
         col("term").cast("double").as("psi_term"),
         sum(col("term")).over(w).cast("double").as("psi"))
   }
 
-  val psiSql: String =
-    """WITH g AS (
+  /** Smoothed-count ln arguments, Spark column expressions (the oracle
+    * wraps each in a BIGINT cast — DuckDB SUMs to HUGEINT). */
+  private val psiLnArgs = Seq("ca + 1", "nb + 10", "cb + 1", "na + 10")
+
+  val psiSql: String = {
+    val staged = psiLnArgs.zipWithIndex.map { case (v, ix) =>
+      val i = ix + 1
+      val (msb, m) = TextOps.lnIntPartsSql(s"CAST($v AS BIGINT)", spark = false)
+      (s"$msb AS e$i, $m AS m$i",
+        s"(m$i - 1.0) / (m$i + 1.0) AS z$i",
+        s"${TextOps.lnIntFromStagedSql(s"e$i", s"z$i")} AS l$i")
+    }
+    s"""WITH g AS (
       |  SELECT CAST(LEAST(n_chars // 50, 9) AS INT) AS bin,
       |         SUM(CASE WHEN CAST(SUBSTR(source, 4) AS INT) < 10 THEN 1 ELSE 0 END) AS ca,
       |         SUM(CASE WHEN CAST(SUBSTR(source, 4) AS INT) < 10 THEN 0 ELSE 1 END) AS cb
       |  FROM documents GROUP BY 1),
       |w AS (
       |  SELECT bin, ca, cb, SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb FROM g),
+      |v AS (
+      |  SELECT bin, ca, cb,
+      |         CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE) AS pa,
+      |         CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE) AS pb,
+      |         ${staged.map(_._1).mkString(",\n         ")}
+      |  FROM w),
+      |z AS (
+      |  SELECT *, ${staged.map(_._2).mkString(",\n         ")}
+      |  FROM v),
+      |l AS (
+      |  SELECT *, ${staged.map(_._3).mkString(",\n         ")}
+      |  FROM z),
       |t AS (
       |  SELECT bin, ca, cb,
-      |         CAST((CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE)
-      |               - CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE))
-      |              * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE))
-      |                   / (CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE)))
-      |              AS DECIMAL(18,6)) AS term
-      |  FROM w)
+      |         CAST((pa - pb) * (((l1 + l2) - l3) - l4) AS DECIMAL(18,6)) AS term
+      |  FROM l)
       |SELECT bin, ca AS n_a, cb AS n_b,
       |       CAST(term AS DOUBLE) AS psi_term,
       |       CAST(SUM(term) OVER () AS DOUBLE) AS psi
       |FROM t""".stripMargin
+  }
 
   // -------------------------------------------------------------------
   // Graph analytics over the near-dup candidate graph

@@ -184,19 +184,49 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Default hot-bucket candidate cap for the LSH pair generators. A
+    * degenerate bucket (all-zero / padding embeddings collapsing to one
+    * code) makes the same-bucket self-join O(b²) on ONE task — the
+    * vector-side twin of the text path's df>64 posting-list lesson. The
+    * cap bounds the CANDIDATE side of each bucket to the N smallest
+    * vec_ids (deterministic), so every vector still probes its bucket
+    * but emits ≤ cap candidate rows: worst case |rows|·cap pairs, never
+    * b². The rank runs on the same bucket exchange the join needs (no
+    * extra shuffle) and costs O(b log b) on the hot bucket. */
+  val DefaultMaxBucket = 256
+
+  /** Candidate side of a bucket self-join, capped per bucket. */
+  private def cappedCandidates(b: DataFrame, maxBucket: Int): DataFrame =
+    b.withColumn("bn", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("vec_id"))))
+      .where(col("bn") <= maxBucket).drop("bn")
+
   /** Embedding-cosine near-duplicate pairs (the vector analog of
     * MinHash-LSH dedup): candidates share an LSH bucket — the self-join
     * shuffles 8-byte bucket codes, never all-pairs — then the exact
-    * cosine filters at `threshold`. Pairs are (a < b) once. */
+    * cosine filters at `threshold`. Pairs are (a < b) once. The
+    * candidate side of every bucket is capped at `maxBucket` rows
+    * (smallest vec_ids — see [[DefaultMaxBucket]]); pairs between two
+    * beyond-cap rows are the documented recall trade on hot buckets.
+    * Pairs are canonicalized (least, greatest) and deduped — cosine is
+    * exactly symmetric (IEEE multiply commutes; the fold order is per
+    * vector) so both orientations carry identical cos — which keeps
+    * every (row, capped-candidate) pair regardless of id order; the
+    * distinct shuffles only threshold-passing pairs. */
   def cosineNearDupPairs(vectors: DataFrame, planes: Array[Array[Double]],
-                         threshold: Double): DataFrame = {
+                         threshold: Double,
+                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val b = vectors.select(col("vec_id"), col("embedding"),
       hyperplaneBucket(col("embedding"), planes).as("bucket"))
-    b.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
-      .join(b.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb")), Seq("bucket"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b"), cosine(col("ea"), col("eb")).as("cos"))
+    val cand = cappedCandidates(b, maxBucket)
+    b.select(col("bucket"), col("vec_id").as("qa"), col("embedding").as("ea"))
+      .join(cand.select(col("bucket"), col("vec_id").as("qb"), col("embedding").as("eb")), Seq("bucket"))
+      .where(col("qa") =!= col("qb"))
+      .select(least(col("qa"), col("qb")).as("a"),
+        greatest(col("qa"), col("qb")).as("b"),
+        cosine(col("ea"), col("eb")).as("cos"))
       .where(col("cos") >= threshold)
+      .distinct()
   }
 
   /** k-NN GRAPH over LSH buckets: for every vector, its top-k cosine
@@ -207,12 +237,16 @@ object Similarity {
     * vector x vector; ranking is a window PER NODE (partitionBy qid —
     * no global sort), ties broken on the neighbor id so the cut at k
     * is deterministic. Nodes alone in their bucket emit no rows (no
-    * candidates — the recall/band trade documented on the LSH path). */
-  def knnGraph(vectors: DataFrame, planes: Array[Array[Double]], k: Int): DataFrame = {
+    * candidates — the recall/band trade documented on the LSH path).
+    * Candidate side capped per bucket at `maxBucket` (smallest
+    * vec_ids) — see [[DefaultMaxBucket]] for the hot-bucket bound. */
+  def knnGraph(vectors: DataFrame, planes: Array[Array[Double]], k: Int,
+               maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val b = vectors.select(col("vec_id"), col("embedding"),
       hyperplaneBucket(col("embedding"), planes).as("bucket"))
+    val cand = cappedCandidates(b, maxBucket)
     val pairs = b.select(col("bucket"), col("vec_id").as("qid"), col("embedding").as("ea"))
-      .join(b.select(col("bucket"), col("vec_id").as("cid"), col("embedding").as("eb")), Seq("bucket"))
+      .join(cand.select(col("bucket"), col("vec_id").as("cid"), col("embedding").as("eb")), Seq("bucket"))
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), cosine(col("ea"), col("eb")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window

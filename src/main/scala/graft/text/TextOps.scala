@@ -151,6 +151,50 @@ object TextOps {
   def h60Sql(expr: String): String =
     s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
 
+  // -------------------------------------------------------------------
+  // Bit-portable natural log of a positive BIGINT
+  // -------------------------------------------------------------------
+  // Engine-native ln/log are libm-dependent: round 6 proved two DuckDB
+  // builds disagree in the last ulp, which flips a later
+  // double→DECIMAL(18,6) quantization and fails the driver's bitwise
+  // hash even though the builder's local oracle passed. These helpers
+  // rebuild ln(v) for integer v ≥ 1 from operations whose IEEE-754
+  // results are defined exactly (no libm): v = m·2^e with e =
+  // bit-length−1 (integer ops) and m ∈ [1,2) (division by a power of
+  // two is exact), then ln m = 2·atanh(z), z = (m−1)/(m+1) ∈ [0,1/3),
+  // via a FIXED 19-term Horner polynomial — every +,−,*,/ is one
+  // correctly-rounded IEEE op, so any two engines evaluating the same
+  // op tree produce bit-identical doubles. Truncation error ≤
+  // (1/3)^39/39 ≈ 2e-20, far below double ulp. The ln 2 multiplier is
+  // the literal nearest-double, parsed identically by both engines.
+
+  /** 1, 1/3, 1/5, … 1/37 as shortest round-trip double literals. */
+  private val AtanhCoeffs: Seq[String] =
+    (0 to 18).map(k => (1.0 / (2 * k + 1)).toString)
+
+  /** Horner form of Σ z²ᵏ/(2k+1): `c0 + z2*(c1 + z2*(…))`. `z2` must be
+    * a cheap SQL ref (a column), it is inlined 18 times. */
+  def atanhPolySql(z2: String): String =
+    AtanhCoeffs.reverse.reduceLeft((acc, c) => s"$c + $z2 * ($acc)")
+
+  /** `(msb, m)` SQL for BIGINT expression `v` ≥ 1: msb = bit-length−1,
+    * m = v / 2^msb ∈ [1,2) exactly. Only the shift spelling differs by
+    * dialect; the arithmetic op tree is identical. */
+  def lnIntPartsSql(v: String, spark: Boolean): (String, String) = {
+    val msb = s"(length(bin($v)) - 1)"
+    val p2 =
+      if (spark) s"CAST(shiftleft(CAST(1 AS BIGINT), $msb) AS DOUBLE)"
+      else s"CAST((CAST(1 AS BIGINT) << ($msb)) AS DOUBLE)"
+    (msb, s"(CAST($v AS DOUBLE) / $p2)")
+  }
+
+  /** ln(v) from staged columns `e` (msb, integer-typed) and `z`
+    * ((m−1)/(m+1), double): `e·ln2 + 2·z·poly(z²)` with explicit
+    * parenthesization so both engines build the same op tree. */
+  def lnIntFromStagedSql(e: String, z: String): String =
+    s"(CAST($e AS DOUBLE) * 0.6931471805599453 + " +
+      s"2.0 * $z * (${atanhPolySql(s"($z * $z)")}))"
+
   /** Word n-gram shingles (n=3): the standard near-dup unit. JVM kernel
     * rather than transform/concat_ws — Spark runs HOF lambdas
     * interpreted, which dominates the runtime at corpus scale. */

@@ -61,6 +61,30 @@ class SimilaritySpec extends AnyFunSuite {
       (r.isNullAt(0) || r.getDouble(0) == r.getDouble(1))))
   }
 
+  test("hot-bucket cap bounds pair counts on an adversarial all-equal-bucket fixture") {
+    // every vector identical → ONE bucket holds all n rows: uncapped,
+    // the self-join is n² (the 100 TB degenerate-embedding hazard);
+    // capped, each of n queries meets ≤ cap candidates
+    val n = 600 // > DefaultMaxBucket so the default cap binds too
+    val one = Seq.fill(64)(0.25f)
+    val adv = spark.range(n).select($"id".as("vec_id"),
+      typedLit(one).as("embedding"))
+    val planes = Similarity.hyperplanes(6, 64)
+    val cap = 32
+    val pairs = Similarity.cosineNearDupPairs(adv, planes, -1.0, maxBucket = cap)
+    // a<b once: the cap keeps candidates {0..cap-1}; queries are all n
+    assert(pairs.count() == (n - cap) * cap + cap.toLong * (cap - 1) / 2)
+    val knn = Similarity.knnGraph(adv, planes, 3, maxBucket = cap)
+    // every node still finds candidates (probe side uncapped)
+    assert(knn.select($"qid").distinct().count() == n)
+    assert(knn.groupBy($"qid").count().agg(max($"count")).head().getLong(0) <= 3)
+    // candidate ids only from the capped prefix
+    assert(knn.where($"cid" >= cap).count() == 0)
+    // default cap binds at n=600 as well: pair count stays ≤ n·cap
+    val defPairs = Similarity.cosineNearDupPairs(adv, planes, -1.0)
+    assert(defPairs.count() <= n.toLong * Similarity.DefaultMaxBucket)
+  }
+
   test("sign-LSH bucket code is stable and bounded") {
     val b = emb.select(Similarity.signBucket($"embedding", 6).as("b"))
       .agg(min($"b"), max($"b")).head()

@@ -89,7 +89,12 @@ def compare(got, want):
         gv, wv = g[c].tolist(), w[c].tolist()
         for i, (a, b) in enumerate(zip(gv, wv)):
             if a != b and not same(a, b):
-                return f"VALUE col={c} row={i}: spark={a!r} oracle={b!r}"
+                # value-level diff; hex-encode floats so a last-ulp
+                # divergence (the round-6 failure mode) is visible
+                hx = ""
+                if isinstance(a, float) and isinstance(b, float):
+                    hx = f" hex: spark={a.hex()} oracle={b.hex()}"
+                return f"VALUE col={c} row={i}: spark={a!r} oracle={b!r}{hx}"
     return "OK"
 
 
