@@ -170,6 +170,106 @@ final case class Utm(zone: Int, north: Boolean) {
   }
 }
 
+/** Lambert conformal conic, 2 standard parallels, ellipsoidal form —
+  * the national-grid family (France Lambert-93, Canada Atlas, US state
+  * planes) the reference reaches through proj4
+  * (ManyLayersToMultibandLayer.scala:244-248). Snyder, USGS PP 1395
+  * eq. 14-15, 15-1..15-11 (public formulas). Angles in degrees,
+  * lengths in the ellipsoid's meters. The inverse iterates the
+  * conformal-latitude fixed point 8 times (converges quadratically;
+  * <1e-12 rad after 4). Datum is treated as the lon/lat hub: GRS80 vs
+  * WGS84 differ in flattening by ~1e-11 — sub-mm at raster scale. */
+final case class LambertConformalConic(a: Double, invF: Double,
+    lat0: Double, lon0: Double, sp1: Double, sp2: Double,
+    falseE: Double, falseN: Double) {
+  import math._
+  private val f = 1.0 / invF
+  private val e2 = f * (2 - f)
+  private val e = sqrt(e2)
+  private def m(phi: Double) = cos(phi) / sqrt(1 - e2 * sin(phi) * sin(phi))
+  private def t(phi: Double) =
+    tan(Pi / 4 - phi / 2) / pow((1 - e * sin(phi)) / (1 + e * sin(phi)), e / 2)
+  private val phi0 = toRadians(lat0); private val lam0 = toRadians(lon0)
+  private val p1 = toRadians(sp1); private val p2 = toRadians(sp2)
+  /** cone constant; 1SP degenerate = sin(sp1) */
+  val n: Double =
+    if (abs(p1 - p2) < 1e-12) sin(p1)
+    else (log(m(p1)) - log(m(p2))) / (log(t(p1)) - log(t(p2)))
+  private val bigF = m(p1) / (n * pow(t(p1), n))
+  private def rho(phi: Double) = a * bigF * pow(t(phi), n)
+  private val rho0 = rho(phi0)
+
+  def fromLatLng(lon: Double, lat: Double): (Double, Double) = {
+    val th = n * (toRadians(lon) - lam0)
+    val r = rho(toRadians(lat))
+    (falseE + r * sin(th), falseN + rho0 - r * cos(th))
+  }
+  def toLatLng(x: Double, y: Double): (Double, Double) = {
+    val dx = x - falseE; val dy = rho0 - (y - falseN)
+    val sgn = if (n < 0) -1.0 else 1.0
+    val rp = sgn * sqrt(dx * dx + dy * dy)
+    val tp = pow(rp / (a * bigF), 1 / n)
+    val th = atan2(sgn * dx, sgn * dy)
+    var phi = Pi / 2 - 2 * atan(tp)
+    var i = 0
+    while (i < 8) {
+      phi = Pi / 2 - 2 * atan(tp * pow((1 - e * sin(phi)) / (1 + e * sin(phi)), e / 2))
+      i += 1
+    }
+    (toDegrees(th / n + lam0), toDegrees(phi))
+  }
+}
+
+/** Albers equal-area conic, 2 standard parallels, ellipsoidal form —
+  * the continental-statistics projection (CONUS Albers EPSG:5070).
+  * Snyder, USGS PP 1395 eq. 14-1..14-12 (public formulas). The inverse
+  * iterates Snyder 3-16 on the authalic latitude (10 rounds, far past
+  * convergence). Same datum note as [[LambertConformalConic]]. */
+final case class AlbersEqualArea(a: Double, invF: Double,
+    lat0: Double, lon0: Double, sp1: Double, sp2: Double,
+    falseE: Double, falseN: Double) {
+  import math._
+  private val f = 1.0 / invF
+  private val e2 = f * (2 - f)
+  private val e = sqrt(e2)
+  private def m(phi: Double) = cos(phi) / sqrt(1 - e2 * sin(phi) * sin(phi))
+  /** Snyder 3-12: q, the authalic-latitude kernel. */
+  private def q(phi: Double) = {
+    val s = sin(phi)
+    (1 - e2) * (s / (1 - e2 * s * s) - (1 / (2 * e)) * log((1 - e * s) / (1 + e * s)))
+  }
+  private val phi0 = toRadians(lat0); private val lam0 = toRadians(lon0)
+  private val p1 = toRadians(sp1); private val p2 = toRadians(sp2)
+  val n: Double = (m(p1) * m(p1) - m(p2) * m(p2)) / (q(p2) - q(p1))
+  private val c = m(p1) * m(p1) + n * q(p1)
+  private def rho(phi: Double) = a * sqrt(c - n * q(phi)) / n
+  private val rho0 = rho(phi0)
+
+  def fromLatLng(lon: Double, lat: Double): (Double, Double) = {
+    val th = n * (toRadians(lon) - lam0)
+    val r = rho(toRadians(lat))
+    (falseE + r * sin(th), falseN + rho0 - r * cos(th))
+  }
+  def toLatLng(x: Double, y: Double): (Double, Double) = {
+    val dx = x - falseE; val dy = rho0 - (y - falseN)
+    val sgn = if (n < 0) -1.0 else 1.0
+    val rp = sgn * sqrt(dx * dx + dy * dy)
+    val th = atan2(sgn * dx, sgn * dy)
+    val rn = rp * n / a
+    val qp = (c - rn * rn) / n
+    var phi = asin(min(1.0, max(-1.0, qp / 2)))
+    var i = 0
+    while (i < 10) {
+      val s = sin(phi)
+      phi += pow(1 - e2 * s * s, 2) / (2 * cos(phi)) *
+        (qp / (1 - e2) - s / (1 - e2 * s * s) +
+          (1 / (2 * e)) * log((1 - e * s) / (1 + e * s)))
+      i += 1
+    }
+    (toDegrees(th / n + lam0), toDegrees(phi))
+  }
+}
+
 /** CRS transforms available offline. Serializable (used inside
   * aggregator kernels on executors). Open for extension: a user CRS is
   * just a forward/inverse pair (no exhaustive matches depend on the
@@ -195,6 +295,16 @@ final case class LatLngToUtm(zone: Int, north: Boolean) extends CrsTransform {
   def forward(x: Double, y: Double): (Double, Double) = utm.fromLatLng(x, y)
   def inverse(x: Double, y: Double): (Double, Double) = utm.toLatLng(x, y)
 }
+/** EPSG:4326 -> a Lambert conformal conic grid. */
+final case class LatLngToLcc(lcc: LambertConformalConic) extends CrsTransform {
+  def forward(x: Double, y: Double): (Double, Double) = lcc.fromLatLng(x, y)
+  def inverse(x: Double, y: Double): (Double, Double) = lcc.toLatLng(x, y)
+}
+/** EPSG:4326 -> an Albers equal-area grid. */
+final case class LatLngToAlbers(aea: AlbersEqualArea) extends CrsTransform {
+  def forward(x: Double, y: Double): (Double, Double) = aea.fromLatLng(x, y)
+  def inverse(x: Double, y: Double): (Double, Double) = aea.toLatLng(x, y)
+}
 /** Flip a transform's direction. */
 final case class Inverted(t: CrsTransform) extends CrsTransform {
   def forward(x: Double, y: Double): (Double, Double) = t.inverse(x, y)
@@ -214,8 +324,13 @@ final case class Composed(a: CrsTransform, b: CrsTransform) extends CrsTransform
   * composing through the lon/lat hub — the role proj4's CRS factory
   * plays in ManyLayersToMultibandLayer.scala:244-248. Supported offline:
   * EPSG:4326, EPSG:3857, EPSG:32601-32660 (UTM N), EPSG:32701-32760
-  * (UTM S). */
+  * (UTM S), EPSG:2154 (Lambert-93), EPSG:3978 (Canada Atlas Lambert),
+  * EPSG:5070 (CONUS Albers). Parameters are the published EPSG
+  * registry definitions on GRS80 (treated as the WGS84 lon/lat hub —
+  * flattening differs by ~1e-11, sub-mm here). */
 object Crs {
+  private val Grs80InvF = 298.257222101
+
   /** transform whose forward goes lon/lat -> the named CRS;
     * IdentityTransform for EPSG:4326 itself. */
   private def fromLatLngTo(code: String): CrsTransform = code.toUpperCase match {
@@ -225,6 +340,18 @@ object Crs {
       LatLngToUtm(c.drop(8).toInt, north = true)
     case c if c.startsWith("EPSG:327") && c.length == 10 =>
       LatLngToUtm(c.drop(8).toInt, north = false)
+    // RGF93 / Lambert-93 (France national grid)
+    case "EPSG:2154" => LatLngToLcc(LambertConformalConic(
+      a = 6378137.0, invF = Grs80InvF, lat0 = 46.5, lon0 = 3.0,
+      sp1 = 49.0, sp2 = 44.0, falseE = 700000.0, falseN = 6600000.0))
+    // NAD83 / Canada Atlas Lambert
+    case "EPSG:3978" => LatLngToLcc(LambertConformalConic(
+      a = 6378137.0, invF = Grs80InvF, lat0 = 49.0, lon0 = -95.0,
+      sp1 = 49.0, sp2 = 77.0, falseE = 0.0, falseN = 0.0))
+    // NAD83 / CONUS Albers (the USGS national products grid)
+    case "EPSG:5070" => LatLngToAlbers(AlbersEqualArea(
+      a = 6378137.0, invF = Grs80InvF, lat0 = 23.0, lon0 = -96.0,
+      sp1 = 29.5, sp2 = 45.5, falseE = 0.0, falseN = 0.0))
     case other => throw new IllegalArgumentException(s"unsupported CRS $other (offline registry)")
   }
 

@@ -2674,20 +2674,26 @@ object AdvancedQueries {
     * no decimal quantization anywhere (a first attempt quantized the
     * per-step doubles to DECIMAL(28,12) and the two engines' double→
     * decimal rounding diverged at ~1e-12). Headroom: araw ≤ 2^20 ·
-    * outdeg, so the div's numerator stays under 2^63 up to ~4e6
-    * authorities. Init h₀ = (2^20 div n_hubs); the oracle unrolls the
-    * identical arithmetic. Per iteration: two node-keyed join+agg
-    * pairs — rank tables are O(nodes), the fact table builds the edge
-    * list once. */
+    * outdeg after the first normalization, so the div's numerator
+    * stays under 2^63 up to ~4e6 authorities. Init h₀ = (2^40 div
+    * n_hubs) — the chain is invariant to h₀'s absolute scale (every
+    * step renormalizes by the L1 sum), so the wide init only exists to
+    * keep h₀ > 0: a 2^20 init would truncate to ZERO hubs past ~1e6
+    * distinct customers and the first renormalization would divide by
+    * zero; 2^40 holds to n_hubs < 2^40 (iteration-1 numerator ar·2^20
+    * ≤ 2^60). The oracle unrolls the identical arithmetic. Per
+    * iteration: two node-keyed join+agg pairs — rank tables are
+    * O(nodes), the fact table builds the edge list once. */
   val hits: Q = (s, dir) => {
     val SFP = 1048576L // 2^20 fixed-point scale
+    val InitFP = 1099511627776L // 2^40: h0 init (see scaladoc)
     val e = table(s, dir, "orders")
       .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
       .distinct().localCheckpoint(false)
     val nC = broadcast(e.select(col("c")).distinct().agg(count(lit(1)).as("n_c")))
     var h = e.select(col("c")).distinct().crossJoin(nC)
-      .select(col("c"), expr(s"$SFP div n_c").as("h"))
+      .select(col("c"), expr(s"$InitFP div n_c").as("h"))
     var a: DataFrame = null
     for (k <- 1 to 2) {
       val araw = e.join(h, Seq("c")).groupBy(col("sup"))
@@ -2724,7 +2730,7 @@ object AdvancedQueries {
     s"""WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
        |nc AS (SELECT COUNT(DISTINCT c) AS n_c FROM e),
-       |h0 AS (SELECT DISTINCT c, $SFP // n_c AS h FROM e, nc),
+       |h0 AS (SELECT DISTINCT c, ${1099511627776L} // n_c AS h FROM e, nc),
        |$iters
        |SELECT 'auth' AS role, CAST(sup AS BIGINT) AS id,
        |       CAST(a AS DOUBLE) / $SFP.0 AS score FROM a2

@@ -606,47 +606,56 @@ object SimQueries {
       |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
       |GROUP BY 1, 2""".stripMargin
 
-  /** Top principal direction by THREE power iterations on the exact
-    * integer scatter matrix — PCA's core loop run entirely inside the
-    * bitwise oracle. Input is [[covariance]]'s one-pass moments: the
-    * scatter entry n·Σxy − Σx·Σy is exact in DECIMAL(38,0) (HUGEINT on
-    * the DuckDB side), the mat-vec is a 2-Exchange join+agg on the
-    * d²-row matrix (corpus is touched ZERO times after the moment
-    * pass — this is why PCA-at-100TB is cheap: one scan, then d²-sized
-    * algebra), and each renormalization divides by max|Mv| using an
-    * explicit FLOOR-division identity (x − ((x%d + d)%d)) / d that
-    * both engines evaluate exactly on integers of either sign —
-    * truncating `div` would disagree with DuckDB's flooring `//` on
-    * negative components. Eigenvector components emerge in ±2^20
-    * fixed point. Headroom: |Mv| < 10^38 up to ~1e8 rows at the 2^20
-    * feature quantization; beyond that, downshift the scatter once
-    * (same fdiv) before iterating. */
-  val pcaPower: Q = (s, dir) => {
-    val SFP = 1048576L
-    def fdiv(x: org.apache.spark.sql.Column,
-             d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      ((x - (((x % d) + d) % d)) / d).cast("decimal(38,0)")
-    val mom = covariance(s, dir)
-      .select(col("i"), col("j"),
-        (col("n").cast("decimal(38,0)") * col("sxy").cast("decimal(38,0)")
-          - col("sx").cast("decimal(38,0)") * col("sy").cast("decimal(38,0)")).as("sc"))
-    val msym = mom.unionByName(
-        mom.where(col("i") =!= col("j"))
-          .select(col("j").as("i"), col("i").as("j"), col("sc")))
-      .localCheckpoint(false)
-    var v = s.range(DIM).select(col("id").cast("int").as("j"),
-      lit(SFP).cast("decimal(38,0)").as("v"))
-    for (k <- 1 to 3) {
-      val mv = msym.join(v, Seq("j")).groupBy(col("i"))
-        .agg(sum(col("sc") * col("v")).as("mv"))
-      val nrm = broadcast(mv.agg(max(abs(col("mv"))).as("nm")))
-      v = mv.crossJoin(nrm)
-        .select(col("i").as("j"),
-          fdiv(col("mv") * lit(SFP).cast("decimal(38,0)"), col("nm")).as("v"))
-      if (k < 3) v = v.localCheckpoint(false)
+  /** PC1 in ±2^20 fixed point: THREE exact power iterations on the
+    * integer scatter matrix n·Σxy − Σx·Σy, renormalizing by max|Mv|
+    * with the floor-division identity (x − ((x%d + d)%d)) / d — the
+    * same recurrence the oracle CTE chain replays in HUGEINT, so the
+    * components match bitwise. The corpus contributes ONE mergeable
+    * Gram pass ([[Similarity.gram]], 17 KB buffer, map-side combined);
+    * the d²-sized algebra then runs DRIVER-SIDE in BigInt — collecting
+    * d(d+1)/2 moments is bounded by the dimension, not the data, and
+    * hoisting the iteration off the cluster removes the 3-round
+    * join+checkpoint chain whose per-round planning dominated the
+    * measured cost (6.6 s cold vs 1.3 s warm at sf0.1; the distributed
+    * mat-vec only wins once d² rows stop fitting one driver — ~16M
+    * entries at d=4096, far beyond embedding widths). */
+  private def pc1FixedPoint(s: SparkSession, dir: String): Array[Long] = {
+    val d = DIM
+    val g = table(s, dir, "embeddings")
+      .agg(Similarity.gram(col("embedding"), d).as("g"))
+      .select(col("g.n"), col("g.sums"), col("g.prods")).head()
+    val n = BigInt(g.getLong(0))
+    val sums = g.getSeq[Long](1).toArray
+    val prods = g.getSeq[Long](2).toArray
+    val sc = Array.ofDim[BigInt](d, d)
+    var k = 0; var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val v = n * BigInt(prods(k)) - BigInt(sums(i)) * BigInt(sums(j))
+        sc(i)(j) = v; sc(j)(i) = v; k += 1; j += 1
+      }
+      i += 1
     }
-    v.select(col("j").as("dim"), col("v").cast("long").as("v_fp"),
-      (col("v").cast("double") / SFP.toDouble).as("loading"))
+    val SFP = BigInt(1048576L)
+    def fdiv(x: BigInt, dd: BigInt): BigInt = (x - ((x % dd + dd) % dd)) / dd
+    var v = Array.fill(d)(SFP)
+    for (_ <- 1 to 3) {
+      val mv = Array.tabulate(d) { r =>
+        var acc = BigInt(0); var c = 0
+        while (c < d) { acc += sc(r)(c) * v(c); c += 1 }
+        acc
+      }
+      val nm = mv.map(_.abs).max
+      v = mv.map(x => fdiv(x * SFP, nm))
+    }
+    v.map(_.toLong)
+  }
+
+  val pcaPower: Q = (s, dir) => {
+    val v = pc1FixedPoint(s, dir)
+    val rows = v.zipWithIndex.map { case (x, i) => (i, x, x.toDouble / 1048576.0) }
+    s.createDataFrame(rows.toIndexedSeq).toDF("dim", "v_fp", "loading")
   }
 
   /** The power-iteration CTE chain, shared by [[pcaPowerSql]] and the
@@ -683,19 +692,17 @@ object SimQueries {
     * vector's coordinate along the learned direction, as the exact
     * integer dot product of the 2^20-quantized features with the
     * 2^20 fixed-point eigenvector (≤2^46 per vector — plain BIGINT).
-    * The 64-component direction broadcasts as one array row against a
+    * The 64-component direction (one Gram pass + driver-side algebra,
+    * [[pc1FixedPoint]]) is inlined as an array literal against a
     * single corpus scan; this is the shape dimensionality reduction
     * takes at 100 TB (model tiny and broadcast, data touched once). */
   val pcaScores: Q = (s, dir) => {
     val SFP = 1048576L
-    val vec = pcaPower(s, dir)
-      .groupBy()
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("v_fp")))),
-        x => x("v_fp")).as("pc1"))
+    val pc1 = pc1FixedPoint(s, dir)
     table(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => floor(x.cast("double") * SFP).cast("long")).as("q"))
-      .crossJoin(broadcast(vec))
+      .withColumn("pc1", typedLit(pc1.toSeq))
       .select(col("vec_id"),
         aggregate(zip_with(col("q"), col("pc1"), (a, b) => a * b), lit(0L), (a, x) => a + x)
           .as("score_fp"))

@@ -456,14 +456,24 @@ object TextQueries {
   val dedupKeeper: Q = (s, dir) => {
     val cl = TextOps.connectedComponents(minhashLsh(s, dir).select(col("a"), col("b")))
       .select(col("node").as("doc_id"), col("cluster"))
-    val d = table(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-    val labeled = d.join(cl, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"), col("n_chars"))
-    val keepers = labeled.groupBy(col("cluster"))
-      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("top"))
-      .select(col("cluster"), (-col("top.neg_id")).as("keeper"))
-    labeled.join(keepers, Seq("cluster"))
-      .select(col("doc_id"), col("cluster"), (col("doc_id") === col("keeper")).as("kept"))
+    TextOps.keeperFromClusters(
+      table(s, dir, "documents").select(col("doc_id"), col("n_chars")), cl)
+  }
+
+  /** Keeper from a MATERIALIZED cluster table — the pipeline pattern
+    * t_dedup_keeper's self-contained form cannot show: the cluster
+    * assignment (t_dedup_clusters' output) is written once and the
+    * keeper stage reads it back as an input, so the keeper's own plan
+    * contains ZERO MinHash/LSH/CC work — two key joins and a
+    * partial-agg groupBy over (doc_id, cluster, n_chars). Same final
+    * table as t_dedup_keeper, same oracle shape. */
+  val keeperFromClusterTable: Q = (s, dir) => {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_clusters_" +
+      s"${java.lang.ProcessHandle.current().pid()}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    dedupClusters(s, dir).write.mode("overwrite").parquet(base)
+    TextOps.keeperFromClusters(
+      table(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+      s.read.parquet(base))
   }
 
   val dedupKeeperSql: String =
@@ -2440,6 +2450,7 @@ object TextQueries {
     "t_lsh_verify" -> (lshVerify, Some(lshVerifySql)),
     "t_dedup_clusters" -> (dedupClusters, Some(dedupClustersSql)),
     "t_dedup_keeper" -> (dedupKeeper, Some(dedupKeeperSql)),
+    "t_keeper_from_clusters" -> (keeperFromClusterTable, Some(dedupKeeperSql)),
     "t_mixture_sample" -> (mixtureSample, Some(mixtureSampleSql)),
     "t_triangles" -> (triangles, Some(trianglesSql)),
     "t_label_prop" -> (labelProp, Some(labelPropSql)),

@@ -429,6 +429,28 @@ object TextOps {
       .select(col("node"), coalesce(col("cluster"), col("node")).as("cluster"))
   }
 
+  /** Dedup survivorship from a PRE-COMPUTED cluster table — the
+    * pipeline form of the keeper stage: in a real corpus run the
+    * cluster assignment is materialized once (t_dedup_clusters) and
+    * every later stage JOINS it instead of re-deriving the
+    * MinHash+LSH+CC chain. `docs` needs (doc_id, n_chars); `clusters`
+    * needs (doc_id, cluster); docs in no cluster keep themselves.
+    * Keeper policy: longest text, ties to the smallest doc_id. Scale
+    * shape: two key joins plus a partial-aggregating groupBy(cluster)
+    * max(struct) — ONE row per cluster crosses the shuffle (never a
+    * per-cluster sort window). */
+  def keeperFromClusters(docs: org.apache.spark.sql.DataFrame,
+                         clusters: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val labeled = docs.select(col("doc_id"), col("n_chars"))
+      .join(clusters.select(col("doc_id"), col("cluster")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"), col("n_chars"))
+    val keepers = labeled.groupBy(col("cluster"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("top"))
+      .select(col("cluster"), (-col("top.neg_id")).as("keeper"))
+    labeled.join(keepers, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), (col("doc_id") === col("keeper")).as("kept"))
+  }
+
   /** Fixed-iteration PageRank over an undirected edge list (`a`, `b`) —
     * the ranking stage of TextRank-style keyword extraction (Mihalcea &
     * Tarau, EMNLP 2004) and of link-graph quality scoring in corpus

@@ -131,6 +131,87 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("LCC golden values: EPSG worked example, standard-parallel scale, anchors, round-trip") {
+    // EPSG Guidance Note 7-2 worked example (LCC 2SP): NAD27 / Texas
+    // South Central, Clarke 1866 in US survey feet. Published result
+    // for 28°30'N 96°00'W: E = 2963503.91 ft, N = 254759.80 ft.
+    val tx = LambertConformalConic(a = 20925832.16, invF = 294.978698214,
+      lat0 = 27.0 + 50.0 / 60, lon0 = -99.0,
+      sp1 = 28.0 + 23.0 / 60, sp2 = 30.0 + 17.0 / 60,
+      falseE = 2000000.0, falseN = 0.0)
+    val (te, tn) = tx.fromLatLng(-96.0, 28.5)
+    assert(math.abs(te - 2963503.91) < 0.05 && math.abs(tn - 254759.80) < 0.05,
+      s"EPSG example: got ($te, $tn)")
+
+    // Lambert-93: the grid origin maps to the false origin exactly
+    val l93 = LambertConformalConic(6378137.0, 298.257222101,
+      46.5, 3.0, 49.0, 44.0, 700000.0, 6600000.0)
+    val (ox, oy) = l93.fromLatLng(3.0, 46.5)
+    assert(math.abs(ox - 700000.0) < 1e-6 && math.abs(oy - 6600000.0) < 1e-6)
+    // conformal invariant: scale factor is EXACTLY 1 on both standard
+    // parallels (finite-difference east-west scale vs the ellipsoidal
+    // parallel arc nu*cos(phi)*dLambda)
+    val a = 6378137.0; val f = 1 / 298.257222101; val e2 = f * (2 - f)
+    def parallelScale(lcc: LambertConformalConic, lat: Double, lon: Double): Double = {
+      val h = 1e-6 // degrees
+      val (x1, y1) = lcc.fromLatLng(lon - h, lat)
+      val (x2, y2) = lcc.fromLatLng(lon + h, lat)
+      val proj = math.hypot(x2 - x1, y2 - y1)
+      val phi = math.toRadians(lat)
+      val nu = a / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+      proj / (nu * math.cos(phi) * math.toRadians(2 * h))
+    }
+    for (sp <- Seq(49.0, 44.0); lon <- Seq(-1.0, 3.0, 7.0))
+      assert(math.abs(parallelScale(l93, sp, lon) - 1.0) < 1e-8, s"k($sp,$lon)")
+    // between the parallels the cone cuts below the surface: k < 1
+    assert(parallelScale(l93, 46.5, 3.0) < 1.0)
+    // outside: k > 1
+    assert(parallelScale(l93, 51.5, 3.0) > 1.0)
+    // round-trip across France
+    for (i <- 0 to 6; j <- 0 to 6) {
+      val lon = -4.0 + 2.0 * i; val lat = 42.0 + 1.5 * j
+      val (x, y) = l93.fromLatLng(lon, lat)
+      val (lon2, lat2) = l93.toLatLng(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9, s"($lon,$lat)")
+    }
+  }
+
+  test("Albers golden values: equal-area Jacobian, anchors, round-trip (EPSG:5070)") {
+    val aea = AlbersEqualArea(6378137.0, 298.257222101,
+      23.0, -96.0, 29.5, 45.5, 0.0, 0.0)
+    // grid origin
+    val (ox, oy) = aea.fromLatLng(-96.0, 23.0)
+    assert(math.abs(ox) < 1e-6 && math.abs(oy) < 1e-6)
+    // the DEFINING invariant: the projected area element equals the
+    // ellipsoidal area element M*nu*cos(phi) everywhere (not just on
+    // the standard parallels) — finite-difference Jacobian determinant
+    val a = 6378137.0; val f = 1 / 298.257222101; val e2 = f * (2 - f)
+    def areaScale(lat: Double, lon: Double): Double = {
+      val h = 1e-6
+      val (x0, y0) = aea.fromLatLng(lon - h, lat)
+      val (x1, y1) = aea.fromLatLng(lon + h, lat)
+      val (x2, y2) = aea.fromLatLng(lon, lat - h)
+      val (x3, y3) = aea.fromLatLng(lon, lat + h)
+      val dxdl = (x1 - x0) / (2 * h); val dydl = (y1 - y0) / (2 * h)
+      val dxdp = (x3 - x2) / (2 * h); val dydp = (y3 - y2) / (2 * h)
+      val jac = math.abs(dxdl * dydp - dydl * dxdp) * math.pow(180 / math.Pi, 2)
+      val phi = math.toRadians(lat)
+      val sin2 = math.sin(phi) * math.sin(phi)
+      val nu = a / math.sqrt(1 - e2 * sin2)
+      val bigM = a * (1 - e2) / math.pow(1 - e2 * sin2, 1.5)
+      jac / (bigM * nu * math.cos(phi))
+    }
+    for (lat <- Seq(25.0, 29.5, 37.0, 45.5, 49.0); lon <- Seq(-120.0, -96.0, -75.0))
+      assert(math.abs(areaScale(lat, lon) - 1.0) < 1e-5, s"area($lat,$lon)=${areaScale(lat, lon)}")
+    // round-trip across CONUS
+    for (i <- 0 to 7; j <- 0 to 5) {
+      val lon = -124.0 + 8.0 * i; val lat = 24.0 + 5.0 * j
+      val (x, y) = aea.fromLatLng(lon, lat)
+      val (lon2, lat2) = aea.toLatLng(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9, s"($lon,$lat)")
+    }
+  }
+
   test("Crs registry composes arbitrary EPSG pairs through lon/lat") {
     val t = Crs.transform("EPSG:32632", "EPSG:3857")
     val (lon, lat) = (9.5, 48.0)
@@ -142,6 +223,63 @@ class LayoutSpec extends AnyFunSuite {
     assert(math.abs(bx - ux) < 1e-3 && math.abs(by - uy) < 1e-3)
     assert(Crs.transform("EPSG:4326", "EPSG:32701").isInstanceOf[LatLngToUtm])
     intercept[IllegalArgumentException](Crs.transform("EPSG:4326", "EPSG:9999"))
+    // conic families compose through the hub like any other pair
+    val l2w = Crs.transform("EPSG:2154", "EPSG:3857")
+    val l93 = LambertConformalConic(6378137.0, 298.257222101,
+      46.5, 3.0, 49.0, 44.0, 700000.0, 6600000.0)
+    val (lx, ly) = l93.fromLatLng(2.35, 48.85)
+    val (wx2, wy2) = l2w.forward(lx, ly)
+    val (exx, exy) = WebMercator.fromLatLng(2.35, 48.85)
+    assert(math.abs(wx2 - exx) < 1e-3 && math.abs(wy2 - exy) < 1e-3)
+    val u2a = Crs.transform("EPSG:32614", "EPSG:5070") // Texas UTM -> CONUS Albers
+    val (ux14, uy14) = Utm(14, north = true).fromLatLng(-98.0, 31.0)
+    val (ax, ay) = u2a.forward(ux14, uy14)
+    val (bx2, by2) = u2a.inverse(ax, ay)
+    assert(math.abs(bx2 - ux14) < 1e-3 && math.abs(by2 - uy14) < 1e-3)
+  }
+
+  test("cross-CRS stack: Lambert-93 layer reprojected to WebMercator hash-matches the native stack") {
+    import spark.implicits._
+    val ts = 16
+    val zoom = 7
+    val wm = WebMercator.layoutForZoom(zoom, ts)
+    // a patch over central France (inside EPSG:2154's validity)
+    val (cwx, cwy) = WebMercator.fromLatLng(3.0, 47.0)
+    val (kc, kr) = wm.mapToKey(cwx, cwy)
+    val pixels = (for (tc <- kc to kc + 1; tr <- kr to kr + 1; px <- 0 until ts; py <- 0 until ts)
+      yield (tc, tr, px, py, (tc * 7 + tr * 3 + (px / 4) + (py / 4)).toDouble))
+      .toDF("tile_col", "tile_row", "px", "py", "v")
+    val native = graft.ops.Raster.assemble(pixels, ts, ts)
+    val wmToLcc = Crs.transform("EPSG:3857", "EPSG:2154")
+    val e = wm.keyToExtent(kc, kr).combine(wm.keyToExtent(kc + 1, kr + 1))
+    val (lxmin, lymin) = wmToLcc.forward(e.xmin, e.ymin)
+    val (lxmax, lymax) = wmToLcc.forward(e.xmax, e.ymax)
+    val cell = (lxmax - lxmin) / (2.0 * ts) / 3.2
+    val lccLayout = FloatingLayout.fit(
+      Extent(lxmin - 10 * cell, lymin - 10 * cell, lxmax + 10 * cell, lymax + 10 * cell), cell, cell, ts)
+    val lccPixels = (for {
+      tc <- 0 until lccLayout.layoutCols; tr <- 0 until lccLayout.layoutRows
+      px <- 0 until ts; py <- 0 until ts
+    } yield {
+      val (ux, uy) = lccLayout.cellCenter(tc, tr, px, py)
+      val (wx, wy) = wmToLcc.inverse(ux, uy)
+      val (wtc, wtr) = wm.mapToKey(wx, wy)
+      val gx = ((wx - wm.extent.xmin) / wm.cellWidth).toLong
+      val gy = ((wm.extent.ymax - wy) / wm.cellHeight).toLong
+      val wpx = (gx - wtc.toLong * ts).toInt
+      val wpy = (gy - wtr.toLong * ts).toInt
+      (tc, tr, px, py, (wtc * 7 + wtr * 3 + (wpx / 4) + (wpy / 4)).toDouble)
+    }).toDF("tile_col", "tile_row", "px", "py", "v")
+    val lccTiles = graft.ops.Raster.assemble(lccPixels, ts, ts)
+    val reproj = Reproject(lccTiles, lccLayout, wm, Inverted(wmToLcc))
+      .where($"tile_col".between(kc, kc + 1) && $"tile_row".between(kr, kr + 1))
+    val cross = graft.ops.Raster.stackBands(Seq(native, reproj))
+    val same = graft.ops.Raster.stackBands(Seq(native, native))
+    def bandMap(stack: org.apache.spark.sql.DataFrame, b: Int) =
+      graft.ops.Raster.pixelize(graft.ops.Raster.selectBand(stack, b), ts)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) -> r.getDouble(4)).toMap
+    assert(bandMap(cross, 0) == bandMap(same, 0))
+    assert(bandMap(cross, 1) == bandMap(same, 1))
   }
 
   test("cross-CRS stack: UTM layer reprojected to WebMercator hash-matches the native stack") {

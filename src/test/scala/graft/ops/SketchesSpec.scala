@@ -207,6 +207,45 @@ class SketchesSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("hll window: streaming twin equals the a_hll_window gate across micro-batches") {
+    // the gate's rows (win_start, exact_users, denom_users, zeros_users)
+    // rebuilt by a complete-mode streaming query over the SAME events
+    // rows fed in three micro-batches — merge law under real
+    // incremental state, proven bitwise against the batch gate
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.Fixtures.events(spark, sf)
+      .select(col("ts"), col("user_id"))
+      .as[(java.sql.Timestamp, Long)].collect().toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+    // no countDistinct here: Spark rejects distinct aggs on streams —
+    // the HLL registers are the streaming-legal replacement, which is
+    // the point of the operator; the twin therefore compares the
+    // sketch-derived columns of the gate
+    val agged = input.toDS().toDF("ts", "user_id")
+      .select(window(col("ts"), "5 minutes").as("w"),
+        TextOps.h60(col("user_id").cast("string")).as("h"))
+      .groupBy(col("w"))
+      .agg(Sketches.hllSketch(col("h"), 8).as("r"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+        expr("aggregate(r, CAST(0 AS BIGINT), (acc, x) -> acc + shiftleft(CAST(1 AS BIGINT), 53 - x))").as("denom_users"),
+        expr("aggregate(r, CAST(0 AS BIGINT), (acc, x) -> acc + IF(x = 0, 1, 0))").as("zeros_users"))
+    val q = agged.writeStream.format("memory").queryName("hll_win_stream")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(math.max(1, rows.size / 3 + 1)).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("hll_win_stream")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val batch = graft.queries.AdvancedQueries.hllWindow(spark, sf)
+      .select(col("win_start"), col("denom_users"), col("zeros_users"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("hll: distributed aggregation equals driver-side fold") {
     val hashes = (0 until 5000).map(i => TextOps.hash60(s"v${i % 987}"): Long)
     val viaSpark = hashes.toDF("h").repartition(7)

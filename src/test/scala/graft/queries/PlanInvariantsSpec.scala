@@ -18,11 +18,20 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // cached-plan substitution swaps InMemoryTableScans into fragments
     // of these plans and defeats exchange reuse, which is harness
     // noise, not a product regression. Plan against the state a fresh
-    // session would see.
-    spark.sharedState.cacheManager.clearCache()
-    Registry.suites.map { case (name, (fn, _)) =>
+    // session would see — but scoped to THIS spec: instead of
+    // clearCache() (which silently unpersists every other suite's
+    // suite-lifetime caches for the rest of the JVM run), swap the
+    // CacheManager's entry list to empty for the duration of the
+    // planning pass and restore it — no block is unpersisted, no other
+    // suite observes a cache-state change.
+    val cm = spark.sharedState.cacheManager
+    val fld = cm.getClass.getDeclaredField("cachedData")
+    fld.setAccessible(true)
+    val snapshot = fld.get(cm)
+    fld.set(cm, scala.collection.immutable.IndexedSeq.empty)
+    try Registry.suites.map { case (name, (fn, _)) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
-    }
+    } finally fld.set(cm, snapshot)
   }
 
   test("no gate query plans a CartesianProduct") {
