@@ -298,6 +298,87 @@ object TextQueries {
        |JOIN sizes sb ON sb.doc_id = p.b
        |WHERE p.inter >= 2""".stripMargin
 
+  /** Prefix-filtered set-similarity join (Bayardo et al. All-Pairs /
+    * PPJoin candidate rule, WWW'07 — public algorithm): EXACT Jaccard
+    * ≥ τ pairs over distinct 3-shingle-hash sets WITHOUT the df-cap
+    * heuristic's recall loss (the guaranteed-recall complement of
+    * t_ngram_jaccard). Every set is ordered by global (df, hash); a
+    * doc's PREFIX is its first |d| − ceil(τ·|d|) + 1 rarest shingles,
+    * and the prefix-filter theorem guarantees any pair with J ≥ τ
+    * shares its smallest common element inside BOTH prefixes — so the
+    * candidate join touches only prefix shingles, with the PPJoin size
+    * filter (τ·|a| ≤ |b| ≤ |a|/τ) applied inside the join; the exact
+    * intersection is then counted over surviving candidates only.
+    * The join runs on SHINGLES, not word tokens, deliberately: set
+    * elements must be discriminative for prefix filtering to prune
+    * (on this corpus's 31-word vocabulary a word-level join is
+    * inherently quadratic in the OUTPUT — 90k of 125k pairs pass τ —
+    * while the 16k-shingle universe yields the true near-dups only).
+    * ceil(τ·len) at τ=0.5 is the integer (len+1) div 2, so both
+    * engines cut identical prefixes. */
+  val prefixJoin: Q = (s, dir) => {
+    // five consumers (df census, sizes, prefix, verify a/b) — compute
+    // the md5 shingle hashing once, not per branch
+    val sh = docs(s, dir)
+      .select(col("doc_id"), explode(array_distinct(TextOps.shingles3(col("toks")))).as("shs"))
+      .select(col("doc_id"), TextOps.h60(col("shs")).as("sh"))
+      .localCheckpoint(false)
+    val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("dfc"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("dfc"), col("sh"))
+    val prefix = sh.join(dfc, Seq("sh")).join(sizes, Seq("doc_id"))
+      .withColumn("rn", row_number().over(wDoc))
+      .where(col("rn") <= col("len") - expr("(len + 1) div 2") + 1)
+      .select(col("sh"), col("doc_id"), col("len"))
+    val cand = prefix.select(col("sh"), col("doc_id").as("a"), col("len").as("la"))
+      .join(prefix.select(col("sh"), col("doc_id").as("b"), col("len").as("lb")), Seq("sh"))
+      .where(col("a") < col("b") &&
+        lit(2) * col("lb") >= col("la") && lit(2) * col("la") >= col("lb"))
+      .select(col("a"), col("b")).distinct()
+    val shared = cand
+      .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    shared
+      .join(sizes.select(col("doc_id").as("a"), col("len").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("len").as("nb")), Seq("b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .where(col("jaccard") >= 0.5)
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"), col("jaccard"))
+  }
+
+  val prefixJoinSql: String =
+    s"""WITH $docsCte,
+       |tk AS (
+       |  SELECT DISTINCT doc_id, ${TextOps.h60Sql("g.shs")} AS sh
+       |  FROM docs, unnest(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) g(shs)),
+       |dfc AS (SELECT sh, COUNT(*) AS dfc FROM tk GROUP BY 1),
+       |sizes AS (SELECT doc_id, COUNT(*) AS len FROM tk GROUP BY 1),
+       |ranked AS (
+       |  SELECT t.doc_id, t.sh, s.len,
+       |         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY d.dfc, t.sh) AS rn
+       |  FROM tk t JOIN dfc d ON t.sh = d.sh JOIN sizes s ON t.doc_id = s.doc_id),
+       |prefix AS (SELECT sh, doc_id, len FROM ranked WHERE rn <= len - (len + 1) // 2 + 1),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM prefix x JOIN prefix y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  WHERE 2 * y.len >= x.len AND 2 * x.len >= y.len),
+       |shared AS (
+       |  SELECT c.a, c.b, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN tk ta ON ta.doc_id = c.a
+       |  JOIN tk tb ON tb.doc_id = c.b AND tb.sh = ta.sh
+       |  GROUP BY 1, 2)
+       |SELECT s.a, s.b, s.inter, sa.len AS na, sb.len AS nb,
+       |       CAST(s.inter AS DOUBLE) / CAST(sa.len + sb.len - s.inter AS DOUBLE) AS jaccard
+       |FROM shared s
+       |JOIN sizes sa ON sa.doc_id = s.a
+       |JOIN sizes sb ON sb.doc_id = s.b
+       |WHERE CAST(s.inter AS DOUBLE) / CAST(sa.len + sb.len - s.inter AS DOUBLE) >= 0.5""".stripMargin
+
   /** SimHash-64: single-pass per-doc signature; oracle expands the
     * per-bit vote relationally. */
   val simhash: Q = (s, dir) =>
@@ -2451,6 +2532,7 @@ object TextQueries {
     "t_dedup_clusters" -> (dedupClusters, Some(dedupClustersSql)),
     "t_dedup_keeper" -> (dedupKeeper, Some(dedupKeeperSql)),
     "t_keeper_from_clusters" -> (keeperFromClusterTable, Some(dedupKeeperSql)),
+    "t_prefix_join" -> (prefixJoin, Some(prefixJoinSql)),
     "t_mixture_sample" -> (mixtureSample, Some(mixtureSampleSql)),
     "t_triangles" -> (triangles, Some(trianglesSql)),
     "t_label_prop" -> (labelProp, Some(labelPropSql)),

@@ -52,3 +52,39 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fps(0) != fps(1))
   }
 }
+
+/** Prefix-filter correctness: the t_prefix_join candidate rule must
+  * lose NO pair at the threshold (the guarantee the df-cap heuristic
+  * trades away). Brute-force all-pairs Jaccard over sf0.001 documents
+  * is the ground truth. */
+class PrefixJoinSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("prefix-filtered join finds exactly the brute-force shingle-Jaccard >= 0.5 pairs") {
+    val sf = "/root/testdata/sf0.001"
+    val gate = graft.queries.TextQueries.prefixJoin(spark, sf)
+      .select($"a", $"b", $"jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // brute force: every doc pair, exact distinct-3-shingle Jaccard
+    val sets = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val w = t.split(" ").filter(_.nonEmpty)
+        id -> (if (w.length < 3) Set.empty[String]
+               else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet)
+      }
+      .sortBy(_._1)
+    val brute = (for {
+      i <- sets.indices; j <- i + 1 until sets.length
+      (a, sa) = sets(i); (b, sb) = sets(j)
+      if sa.nonEmpty && sb.nonEmpty
+      inter = (sa intersect sb).size
+      jac = inter.toDouble / (sa.size + sb.size - inter)
+      if jac >= 0.5
+    } yield (a, b) -> jac).toMap
+    assert(gate.keySet == brute.keySet,
+      s"missing=${(brute.keySet -- gate.keySet).take(5)} extra=${(gate.keySet -- brute.keySet).take(5)}")
+    assert(brute.nonEmpty, "fixture must contain at least one near-dup pair at 0.5")
+    gate.foreach { case (k, j) => assert(math.abs(j - brute(k)) < 1e-12) }
+  }
+}
