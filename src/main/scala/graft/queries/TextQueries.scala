@@ -1026,9 +1026,13 @@ object TextQueries {
     * (t_inverted_index) exists to serve. Exact integer tf/df/dl feed a
     * fixed-order per-(doc, term) scalar chain; each term score lands in
     * DECIMAL(18,6) BEFORE the per-doc sum, so the aggregation is
-    * order-free (the lmScore ln-on-grid argument). Scale shape: the
-    * posting filter is 4 literal terms (pushed to the scan side of the
-    * explode), df and corpus stats broadcast, ONE doc-keyed sum. */
+    * order-free (the lmScore ln-on-grid argument). The idf uses the
+    * bit-portable integer ln: (N−df+0.5)/(df+0.5)+1 = (2N+2)/(2df+1)
+    * exactly, so idf = lnI(2N+2) − lnI(2df+1)
+    * ([[TextOps.lnIntInlineSql]] — engine ln at a decimal cliff is the
+    * round-6 t_psi failure class). Scale shape: the posting filter is
+    * 4 literal terms (pushed to the scan side of the explode), df and
+    * corpus stats broadcast, ONE doc-keyed sum. */
   val bm25Terms = Seq("spark", "join", "window", "hash")
 
   val bm25: Q = (s, dir) => {
@@ -1038,8 +1042,8 @@ object TextQueries {
       .where(col("term").isin(bm25Terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
     val dfs = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val idf = log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
-      / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val idf = expr(TextOps.lnIntInlineSql("(2 * n_docs + 2)", spark = true)) -
+      expr(TextOps.lnIntInlineSql("(2 * df + 1)", spark = true))
     val denom = col("tf").cast("double") + lit(1.2) * (lit(0.25)
       + lit(0.75) * col("dl").cast("double")
         / (col("sum_dl").cast("double") / col("n_docs").cast("double")))
@@ -1063,8 +1067,8 @@ object TextQueries {
        |dfs AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY 1),
        |sc AS (
        |  SELECT h.doc_id,
-       |         CAST(ln((CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
-       |                   / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+       |         CAST((${TextOps.lnIntInlineSql("(2 * s.n_docs + 2)", spark = false)}
+       |               - ${TextOps.lnIntInlineSql("(2 * f.df + 1)", spark = false)})
        |              * (CAST(h.tf AS DOUBLE) * 2.2)
        |              / (CAST(h.tf AS DOUBLE) + 1.2 * (0.25
        |                   + 0.75 * CAST(h.dl AS DOUBLE)
@@ -1628,17 +1632,18 @@ object TextQueries {
     * corpus itself (p(b|a) = c(a b) / c(a ·)), then score every
     * document by the sum of its bigram log-probabilities. Each
     * per-bigram ln lands in a DECIMAL(18,6) BEFORE the per-doc sum, so
-    * the aggregation is order-free and engine-exact: the only
-    * cross-engine wiggle is the last ulp of ln against a 1e-6 grid
-    * (odds ~1e-10 per row; the decimal→double finish is exact at these
-    * magnitudes, same argument as Fixtures.dsum). Docs with fewer than
-    * 2 tokens keep a defined score of 0.0 via the outer join — the
-    * short-doc rule t_repetition adopted from round-5 ADVICE. Scale
-    * shape: both model aggregations key on vocabulary-bounded spaces
-    * (bigram, context word), not the corpus; the model joins back
-    * occurrence-side with AQE free to broadcast when it fits and
-    * shuffle when a vocabulary outgrows the executor (same trade as
-    * t_collocations); then ONE doc-keyed aggregation. */
+    * the aggregation is order-free; the ln itself is the bit-portable
+    * integer form (ln(n_ab/n_a) = lnI(n_ab) − lnI(n_a),
+    * [[TextOps.lnIntInlineSql]]) computed on the vocab-bounded BIGRAM
+    * TYPE table, not per occurrence — engine ln at a 1e-6 grid cliff
+    * is the round-6 t_psi failure class, and lp is a function of the
+    * type, so the corpus-sized side only joins and sums. Docs with
+    * fewer than 2 tokens keep a defined score of 0.0 via the outer
+    * join — the short-doc rule t_repetition adopted from round-5
+    * ADVICE. Scale shape: both model aggregations key on
+    * vocabulary-bounded spaces (bigram, context word), not the corpus;
+    * the model joins back occurrence-side with AQE free to broadcast
+    * when it fits; then ONE doc-keyed aggregation. */
   val lmScore: Q = (s, dir) => {
     val big = docs(s, dir).where(size(col("toks")) >= 2)
       .select(col("doc_id"),
@@ -1648,11 +1653,14 @@ object TextQueries {
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
     val bg = big.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
     val ctx = big.groupBy(col("a")).agg(count(lit(1)).as("n_a"))
-    val lp = log(col("n_ab").cast("double") / col("n_a").cast("double"))
-      .cast("decimal(18,6)")
-    val scored = big.join(bg, Seq("a", "b")).join(ctx, Seq("a"))
+    val lpTab = bg.join(ctx, Seq("a"))
+      .select(col("a"), col("b"),
+        (expr(TextOps.lnIntInlineSql("n_ab", spark = true))
+          - expr(TextOps.lnIntInlineSql("n_a", spark = true)))
+          .cast("decimal(18,6)").as("lp"))
+    val scored = big.join(lpTab, Seq("a", "b"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_big"), sum(lp).cast("double").as("sum_lp"))
+      .agg(count(lit(1)).as("n_big"), sum(col("lp")).cast("double").as("sum_lp"))
     table(s, dir, "documents").select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1667,10 +1675,14 @@ object TextQueries {
        |        FROM docs, unnest(range(1, len(toks))) r(i)),
        |bg AS (SELECT a, b, COUNT(*) AS n_ab FROM big GROUP BY 1, 2),
        |ctx AS (SELECT a, COUNT(*) AS n_a FROM big GROUP BY 1),
+       |lp AS (SELECT bg.a, bg.b,
+       |         CAST((${TextOps.lnIntInlineSql("n_ab", spark = false)}
+       |               - ${TextOps.lnIntInlineSql("n_a", spark = false)})
+       |              AS DECIMAL(18,6)) AS lp
+       |       FROM bg JOIN ctx USING (a)),
        |sc AS (SELECT big.doc_id, COUNT(*) AS n_big,
-       |         CAST(SUM(CAST(ln(CAST(bg.n_ab AS DOUBLE) / CAST(ctx.n_a AS DOUBLE))
-       |                       AS DECIMAL(18,6))) AS DOUBLE) AS sum_lp
-       |       FROM big JOIN bg USING (a, b) JOIN ctx USING (a)
+       |         CAST(SUM(l.lp) AS DOUBLE) AS sum_lp
+       |       FROM big JOIN lp l USING (a, b)
        |       GROUP BY 1)
        |SELECT d.doc_id, COALESCE(sc.n_big, 0) AS n_big,
        |       COALESCE(sc.sum_lp, 0.0) AS sum_lp
@@ -1776,17 +1788,23 @@ object TextQueries {
     * Σ c·ln c, where each ln c is quantized to DECIMAL(18,6) BEFORE
     * the bigint-weighted, order-free DECIMAL sum (the lmScore
     * discipline); ln N is likewise quantized so the final three-op
-    * scalar chain is identical in both engines. Scale shape: one
-    * (source, token) aggregation, then a source-keyed rollup. */
+    * scalar chain is identical in both engines. Both lns are the
+    * bit-portable integer form ([[TextOps.lnIntInlineSql]]) — engine
+    * ln at a DECIMAL(18,6) cliff is the exact class that failed t_psi
+    * at the round-6 driver; counts are integers so no decomposition is
+    * even needed. Scale shape: one (source, token) aggregation, then a
+    * source-keyed rollup (both vocab-bounded). */
   val entropy: Q = (s, dir) => {
     val toks = table(s, dir, "documents")
       .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
     val c = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
     c.groupBy(col("source"))
       .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
-        sum(col("c") * log(col("c").cast("double")).cast("decimal(18,6)")).as("slc"))
+        sum(col("c") * expr(TextOps.lnIntInlineSql("c", spark = true))
+          .cast("decimal(18,6)")).as("slc"))
       .select(col("source"), col("n_tokens"), col("n_types"),
-        (log(col("n_tokens").cast("double")).cast("decimal(18,6)").cast("double")
+        (expr(TextOps.lnIntInlineSql("n_tokens", spark = true))
+          .cast("decimal(18,6)").cast("double")
           - col("slc").cast("double") / col("n_tokens").cast("double")).as("entropy"))
   }
 
@@ -1798,10 +1816,10 @@ object TextQueries {
        |c AS (SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2),
        |g AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
        |             COUNT(*) AS n_types,
-       |             SUM(c * CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,6))) AS slc
+       |             SUM(c * CAST(${TextOps.lnIntInlineSql("c", spark = false)} AS DECIMAL(18,6))) AS slc
        |      FROM c GROUP BY 1)
        |SELECT source, n_tokens, n_types,
-       |       CAST(CAST(ln(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE)
+       |       CAST(CAST(${TextOps.lnIntInlineSql("n_tokens", spark = false)} AS DECIMAL(18,6)) AS DOUBLE)
        |         - CAST(slc AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS entropy
        |FROM g""".stripMargin
 
@@ -2165,14 +2183,19 @@ object TextQueries {
     val vocab = trainToks.select(col("tok")).distinct().agg(count(lit(1)).as("v"))
     val ndc = train.groupBy(col("source")).agg(count(lit(1)).as("n_docs_s"))
     val ndt = train.agg(count(lit(1)).as("n_docs"))
+    // portable integer ln everywhere (lnI(n_s+V); lnI(n_docs_s) −
+    // lnI(n_docs); lnI(c+1)) — all on source/vocab-bounded tables
     val consts = ns.join(ndc, Seq("source")).crossJoin(broadcast(vocab))
       .crossJoin(broadcast(ndt))
       .select(col("source"),
-        log((col("n_s") + col("v")).cast("double")).cast("decimal(18,6)").as("ln_nv"),
-        log(col("n_docs_s").cast("double") / col("n_docs").cast("double"))
+        expr(TextOps.lnIntInlineSql("(n_s + v)", spark = true))
+          .cast("decimal(18,6)").as("ln_nv"),
+        (expr(TextOps.lnIntInlineSql("n_docs_s", spark = true))
+          - expr(TextOps.lnIntInlineSql("n_docs", spark = true)))
           .cast("decimal(18,6)").as("ln_prior"))
     val lnc = cst.select(col("source"), col("tok"),
-      log((col("c") + 1).cast("double")).cast("decimal(18,6)").as("ln_c"))
+      expr(TextOps.lnIntInlineSql("(c + 1)", spark = true))
+        .cast("decimal(18,6)").as("ln_c"))
     (consts, lnc)
   }
 
@@ -2225,12 +2248,15 @@ object TextQueries {
        |ndt AS (SELECT COUNT(*) AS n_docs FROM dd WHERE b <> 9),
        |consts AS (
        |  SELECT ns.source,
-       |         CAST(ln(CAST(ns.n_s + vb.v AS DOUBLE)) AS DECIMAL(18,6)) AS ln_nv,
-       |         CAST(ln(CAST(ndc.n_docs_s AS DOUBLE) / CAST(ndt.n_docs AS DOUBLE))
+       |         CAST(${TextOps.lnIntInlineSql("(ns.n_s + vb.v)", spark = false)}
+       |              AS DECIMAL(18,6)) AS ln_nv,
+       |         CAST((${TextOps.lnIntInlineSql("ndc.n_docs_s", spark = false)}
+       |               - ${TextOps.lnIntInlineSql("ndt.n_docs", spark = false)})
        |              AS DECIMAL(18,6)) AS ln_prior
        |  FROM ns JOIN ndc USING (source), vb, ndt),
        |lnc AS (SELECT source, tok,
-       |          CAST(ln(CAST(c + 1 AS DOUBLE)) AS DECIMAL(18,6)) AS ln_c
+       |          CAST(${TextOps.lnIntInlineSql("(c + 1)", spark = false)}
+       |               AS DECIMAL(18,6)) AS ln_c
        |        FROM cst),
        |te AS (SELECT doc_id, source AS label, toks FROM dd WHERE b = 9),
        |seen AS (

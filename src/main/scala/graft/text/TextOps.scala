@@ -195,6 +195,19 @@ object TextOps {
     s"(CAST($e AS DOUBLE) * 0.6931471805599453 + " +
       s"2.0 * $z * (${atanhPolySql(s"($z * $z)")}))"
 
+  /** Single-expression form of the portable ln for a positive BIGINT
+    * expression `v` — no staging CTEs, at the price of ~10 KB of SQL
+    * text and ~40 recomputed IEEE ops per row (the subterms repeat
+    * textually). Use on SMALL relations only (vocab-bounded tables:
+    * per-term idf, per-bigram PMI, per-(token,source) NB weights) and
+    * keep `v` a short column reference. */
+  def lnIntInlineSql(v: String, spark: Boolean): String = {
+    val (msb, m) = lnIntPartsSql(v, spark)
+    val z = s"(($m - 1.0) / ($m + 1.0))"
+    s"(CAST($msb AS DOUBLE) * 0.6931471805599453 + " +
+      s"2.0 * $z * (${atanhPolySql(s"($z * $z)")}))"
+  }
+
   /** Word n-gram shingles (n=3): the standard near-dup unit. JVM kernel
     * rather than transform/concat_ws — Spark runs HOF lambdas
     * interpreted, which dominates the runtime at corpus scale. */
