@@ -155,6 +155,29 @@ class MiscSpec extends AnyFunSuite {
       s"one class absorbs ${byPred.values.max} of $total predictions")
   }
 
+  test("ml: fixed-point trainer — coverage, determinism across partitionings, guard trips") {
+    import graft.ml.Classify
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val cm = Classify.fixedPointConfusion(emb)
+      .select($"label".cast("long"), $"pred".cast("long"), $"n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // every test row classified exactly once
+    val nTest = emb.where(graft.text.TextOps.hashBucket($"vec_id", 10) === 9).count()
+    assert(cm.map(_._3).sum == nTest && cm.nonEmpty)
+    // bit-determinism under a different physical partitioning (the
+    // closed-form moments are exact integers — no fold-order wiggle)
+    val cm2 = Classify.fixedPointConfusion(emb.repartition(13))
+      .select($"label".cast("long"), $"pred".cast("long"), $"n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(cm == cm2)
+    // degenerate-feature guard: constant embeddings have zero variance
+    // on every Walsh projection
+    val flat = spark.range(40).select($"id".as("vec_id"),
+      typedLit(Seq.fill(64)(0.5f)).as("embedding"), lit(0).as("label"))
+    val e = intercept[Exception](Classify.fixedPointConfusion(flat))
+    assert(e.getMessage.contains("zero train variance"))
+  }
+
   test("ml: OVA LinearSVC fits the training set beyond majority baseline") {
     // The synthetic labels carry no generalizable signal (test acc ==
     // chance for every model family), so the meaningful check is that

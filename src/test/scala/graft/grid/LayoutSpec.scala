@@ -176,6 +176,32 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("Canada Atlas Lambert (EPSG:3978): anchors, standard-parallel scale, round-trip") {
+    val t = Crs.transform("EPSG:4326", "EPSG:3978")
+    // grid origin (49N 95W) -> (0, 0)
+    val (ox, oy) = t.forward(-95.0, 49.0)
+    assert(math.abs(ox) < 1e-6 && math.abs(oy) < 1e-6)
+    // k = 1 on both standard parallels (49N, 77N)
+    val a = 6378137.0; val f = 1 / 298.257222101; val e2 = f * (2 - f)
+    def k(lat: Double, lon: Double): Double = {
+      val h = 1e-6
+      val (x1, y1) = t.forward(lon - h, lat)
+      val (x2, y2) = t.forward(lon + h, lat)
+      val phi = math.toRadians(lat)
+      val nu = a / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+      math.hypot(x2 - x1, y2 - y1) / (nu * math.cos(phi) * math.toRadians(2 * h))
+    }
+    for (sp <- Seq(49.0, 77.0); lon <- Seq(-123.0, -95.0, -60.0))
+      assert(math.abs(k(sp, lon) - 1.0) < 1e-8, s"k($sp,$lon)=${k(sp, lon)}")
+    // round-trip across Canada
+    for (i <- 0 to 7; j <- 0 to 5) {
+      val lon = -140.0 + 10.0 * i; val lat = 42.0 + 6.0 * j
+      val (x, y) = t.forward(lon, lat)
+      val (lon2, lat2) = t.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9, s"($lon,$lat)")
+    }
+  }
+
   test("Albers golden values: equal-area Jacobian, anchors, round-trip (EPSG:5070)") {
     val aea = AlbersEqualArea(6378137.0, 298.257222101,
       23.0, -96.0, 29.5, 45.5, 0.0, 0.0)
