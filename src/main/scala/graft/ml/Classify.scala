@@ -128,13 +128,12 @@ object Classify {
         (1 to K).map(k => sum(col(s"f$k")).as(s"sf$k")) ++
           (1 to K).map(k => sum(col(s"f$k") * col(s"f$k")).as(s"sff$k")): _*)
       .collect()
-    val n = byClass.map(_.getAs[Long]("nc")).sum
-    val sf = (1 to K).map(k => byClass.map(_.getAs[Long](s"sf$k")).sum)
-    val sff = (1 to K).map(k => byClass.map(_.getAs[Long](s"sff$k")).sum)
-    // Long-overflow guard for the n·ΣF² products below; the exact
-    // <2^53 cast bounds are asserted per computed A/D value
-    require(n > 0 && sff.forall(s => s <= Long.MaxValue / n),
-      s"fixed-point moments overflow Long at n=$n: requantize features")
+    def sumExact(xs: Iterable[Long]): Long =
+      xs.foldLeft(0L)(java.lang.Math.addExact)
+    val n = sumExact(byClass.map(_.getAs[Long]("nc")))
+    val sf = (1 to K).map(k => sumExact(byClass.map(_.getAs[Long](s"sf$k"))))
+    val sff = (1 to K).map(k => sumExact(byClass.map(_.getAs[Long](s"sff$k"))))
+    require(n > 0, "empty training split")
 
     // per (class, k): exact integer A, D then the fixed double op tree
     val params: Seq[(Int, Seq[(Double, Double, Double)])] = byClass.toSeq.map { r =>
@@ -144,8 +143,15 @@ object Classify {
       val per = (1 to K).map { k =>
         val sfc = r.getAs[Long](s"sf$k")
         val sfk = sf(k - 1); val sffk = sff(k - 1)
-        val a = n * (2L * sfc - sfk) - sfk * sy
-        val d = n * sffk - sfk * sfk
+        // exact-or-throw integer moment algebra: a silent Long wrap
+        // here would train wrong weights while the oracle computes the
+        // same expression exactly in HUGEINT — a loud error beats a
+        // silent divergence (review finding, round 7)
+        import java.lang.Math.{addExact, multiplyExact, subtractExact}
+        val a = subtractExact(
+          multiplyExact(n, subtractExact(multiplyExact(2L, sfc), sfk)),
+          multiplyExact(sfk, sy))
+        val d = subtractExact(multiplyExact(n, sffk), multiplyExact(sfk, sfk))
         require(d > 0, s"degenerate feature f$k (zero train variance)")
         require(d < (1L << 53) && math.abs(a) < (1L << 53),
           s"A/D exceed 2^53 (exact int→double cast bound): requantize")

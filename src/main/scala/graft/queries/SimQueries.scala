@@ -255,15 +255,18 @@ object SimQueries {
   /** Oracle twin of Similarity.cappedCandidates: the hot-bucket cap on
     * the candidate side of the pair generators (never binds at gate
     * scale — 64 buckets over ≤2k vectors — but keeps larger-scale
-    * probes bitwise-equal to the capped operators). Expects a CTE named
-    * `b` with (vec_id, embedding, bucket). */
-  private val candCte: String =
-    s"""cand AS (
+    * probes bitwise-equal to the capped operators). One definition for
+    * every consumer (cosine dedup, knn graph, both HNSW layers) so the
+    * cap and its ordering can never drift between oracles. */
+  private def candCteFor(src: String, name: String): String =
+    s"""$name AS (
        |  SELECT vec_id, embedding, bucket FROM (
        |    SELECT vec_id, embedding, bucket,
        |           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
-       |    FROM b)
+       |    FROM $src)
        |  WHERE bn <= ${Similarity.DefaultMaxBucket})""".stripMargin
+
+  private val candCte: String = candCteFor("b", "cand")
 
   /** Sign-LSH bucketed cosine top-k: candidates pruned to the query's
     * random-hyperplane bucket (leading-dim signs degrade on correlated
@@ -618,7 +621,11 @@ object SimQueries {
     * join+checkpoint chain whose per-round planning dominated the
     * measured cost (6.6 s cold vs 1.3 s warm at sf0.1; the distributed
     * mat-vec only wins once d² rows stop fitting one driver — ~16M
-    * entries at d=4096, far beyond embedding widths). */
+    * entries at d=4096, far beyond embedding widths). Trade-off: the
+    * gate's returned plan is a LocalRelation, so the plan-invariant
+    * audit no longer sees the Gram pass through THIS gate — the
+    * distributed moment plan stays audited via s_covariance, which
+    * plans the same [[Similarity.gram]] aggregation. */
   private def pc1FixedPoint(s: SparkSession, dir: String): Array[Long] = {
     val d = DIM
     val g = table(s, dir, "embeddings")
@@ -2102,12 +2109,7 @@ object SimQueries {
          |  FROM b$k)""".stripMargin
     val steps = (1 to 2).map(stepSql(_, "edges1")) ++ (3 to 5).map(stepSql(_, "edges0"))
     s"""WITH lay0 AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
-       |cand0 AS (
-       |  SELECT vec_id, embedding, bucket FROM (
-       |    SELECT vec_id, embedding, bucket,
-       |           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
-       |    FROM lay0)
-       |  WHERE bn <= ${Similarity.DefaultMaxBucket}),
+       |${candCteFor("lay0", "cand0")},
        |pairs0 AS (
        |  SELECT x.vec_id AS qid, y.vec_id AS cid,
        |         ${cosSql("x.embedding", "y.embedding")} AS cos
@@ -2118,12 +2120,7 @@ object SimQueries {
        |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
        |    FROM pairs0) WHERE rank <= $K),
        |lay1 AS (SELECT vec_id, embedding, bucket FROM lay0 WHERE vec_id % 8 = 0),
-       |cand1 AS (
-       |  SELECT vec_id, embedding, bucket FROM (
-       |    SELECT vec_id, embedding, bucket,
-       |           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS bn
-       |    FROM lay1)
-       |  WHERE bn <= ${Similarity.DefaultMaxBucket}),
+       |${candCteFor("lay1", "cand1")},
        |pairs1 AS (
        |  SELECT x.vec_id AS qid, y.vec_id AS cid,
        |         ${cosSql("x.embedding", "y.embedding")} AS cos

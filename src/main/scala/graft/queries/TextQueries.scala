@@ -547,7 +547,12 @@ object TextQueries {
     * keeper stage reads it back as an input, so the keeper's own plan
     * contains ZERO MinHash/LSH/CC work — two key joins and a
     * partial-agg groupBy over (doc_id, cluster, n_chars). Same final
-    * table as t_dedup_keeper, same oracle shape. */
+    * table as t_dedup_keeper, same oracle shape. Side-effecting by
+    * design (the materialization IS the point): the tmp path is
+    * per-process+per-dir like the catalog gates' tmpCatalog, rewritten
+    * idempotently (mode=overwrite) on every invocation — including the
+    * plan-audit pass — and reclaimed with the OS tmpdir, the same
+    * lifecycle every c_* catalog gate has. */
   val keeperFromClusterTable: Q = (s, dir) => {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_clusters_" +
       s"${java.lang.ProcessHandle.current().pid()}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"

@@ -25,13 +25,35 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // planning pass and restore it — no block is unpersisted, no other
     // suite observes a cache-state change.
     val cm = spark.sharedState.cacheManager
-    val fld = cm.getClass.getDeclaredField("cachedData")
-    fld.setAccessible(true)
-    val snapshot = fld.get(cm)
-    fld.set(cm, scala.collection.immutable.IndexedSeq.empty)
-    try Registry.suites.map { case (name, (fn, _)) =>
-      name -> fn(spark, sf).queryExecution.executedPlan.toString
-    } finally fld.set(cm, snapshot)
+    val fld =
+      try {
+        val f = cm.getClass.getDeclaredField("cachedData")
+        f.setAccessible(true)
+        // sanity: the swap only works on the immutable-IndexedSeq shape
+        if (f.get(cm).isInstanceOf[scala.collection.immutable.IndexedSeq[_]]) Some(f)
+        else None
+      } catch { case _: ReflectiveOperationException => None }
+    fld match {
+      case None =>
+        // Spark changed the private field: fall back to the blunt
+        // JVM-wide clear (the pre-round-7 behavior) rather than fail
+        cm.clearCache()
+        Registry.suites.map { case (name, (fn, _)) =>
+          name -> fn(spark, sf).queryExecution.executedPlan.toString
+        }
+      case Some(f) =>
+        val snapshot = f.get(cm).asInstanceOf[scala.collection.immutable.IndexedSeq[AnyRef]]
+        f.set(cm, scala.collection.immutable.IndexedSeq.empty)
+        try Registry.suites.map { case (name, (fn, _)) =>
+          name -> fn(spark, sf).queryExecution.executedPlan.toString
+        } finally {
+          // several gates execute real jobs while "planning" (bounded
+          // collects, tmp-catalog writes); anything they cached during
+          // the pass must stay tracked, so MERGE rather than overwrite
+          val duringPass = f.get(cm).asInstanceOf[scala.collection.immutable.IndexedSeq[AnyRef]]
+          f.set(cm, snapshot ++ duringPass)
+        }
+    }
   }
 
   test("no gate query plans a CartesianProduct") {
