@@ -1047,14 +1047,19 @@ object TextQueries {
       .where(col("term").isin(bm25Terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
     val dfs = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val idf = expr(TextOps.lnIntInlineSql("(2 * n_docs + 2)", spark = true)) -
-      expr(TextOps.lnIntInlineSql("(2 * df + 1)", spark = true))
+    // idf staged per TERM (4 rows), not inline per posting row: the
+    // portable-ln op tree is identical either way, the 20 KB inline
+    // expansion is not worth codegen'ing into the posting pipeline
+    val idfTab = psLnStage(dfs.crossJoin(broadcast(stats)),
+      Seq("(2 * n_docs + 2)" -> "nd", "(2 * df + 1)" -> "dfr"))
+      .select(col("term"), col("n_docs"), col("sum_dl"),
+        (col("ln_nd_raw") - col("ln_dfr_raw")).as("idf"))
     val denom = col("tf").cast("double") + lit(1.2) * (lit(0.25)
       + lit(0.75) * col("dl").cast("double")
         / (col("sum_dl").cast("double") / col("n_docs").cast("double")))
-    hits.join(broadcast(dfs), Seq("term")).crossJoin(broadcast(stats))
+    hits.join(broadcast(idfTab), Seq("term"))
       .select(col("doc_id"),
-        (idf * (col("tf").cast("double") * lit(2.2)) / denom).cast("decimal(18,6)").as("sc"))
+        (col("idf") * (col("tf").cast("double") * lit(2.2)) / denom).cast("decimal(18,6)").as("sc"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms_hit"), sum(col("sc")).cast("double").as("bm25"))
   }
@@ -1802,15 +1807,17 @@ object TextQueries {
   val entropy: Q = (s, dir) => {
     val toks = table(s, dir, "documents")
       .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
-    val c = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
-    c.groupBy(col("source"))
-      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
-        sum(col("c") * expr(TextOps.lnIntInlineSql("c", spark = true))
-          .cast("decimal(18,6)")).as("slc"))
-      .select(col("source"), col("n_tokens"), col("n_types"),
-        (expr(TextOps.lnIntInlineSql("n_tokens", spark = true))
-          .cast("decimal(18,6)").cast("double")
-          - col("slc").cast("double") / col("n_tokens").cast("double")).as("entropy"))
+    val c = psLnStage(
+      toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c")),
+      Seq("c" -> "c"))
+    val g = psLnStage(
+      c.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(col("c") * col("ln_c_raw").cast("decimal(18,6)")).as("slc")),
+      Seq("n_tokens" -> "nt"))
+    g.select(col("source"), col("n_tokens"), col("n_types"),
+      (col("ln_nt_raw").cast("decimal(18,6)").cast("double")
+        - col("slc").cast("double") / col("n_tokens").cast("double")).as("entropy"))
   }
 
   val entropySql: String =
@@ -1877,6 +1884,20 @@ object TextQueries {
   /** Smoothed-count ln arguments, Spark column expressions (the oracle
     * wraps each in a BIGINT cast — DuckDB SUMs to HUGEINT). */
   private val psiLnArgs = Seq("ca + 1", "nb + 10", "cb + 1", "na + 10")
+
+  /** Stage portable-ln columns on a DataFrame: for each (vExpr, tag)
+    * adds e/m/z intermediates and `ln_<tag>_raw` (double) — the cheap
+    * column-staged form of [[TextOps.lnIntInlineSql]] for plans where
+    * the 10 KB inline expansion shows up in codegen time. */
+  private def psLnStage(df0: DataFrame, vs: Seq[(String, String)]): DataFrame =
+    vs.foldLeft(df0) { case (df, (v, tag)) =>
+      val (msb, m) = TextOps.lnIntPartsSql(v, spark = true)
+      df.withColumn(s"e_$tag", expr(msb))
+        .withColumn(s"m_$tag", expr(m))
+        .withColumn(s"z_$tag", expr(s"(m_$tag - 1.0) / (m_$tag + 1.0)"))
+        .withColumn(s"ln_${tag}_raw",
+          expr(TextOps.lnIntFromStagedSql(s"e_$tag", s"z_$tag")))
+    }
 
   val psiSql: String = {
     val staged = psiLnArgs.zipWithIndex.map { case (v, ix) =>
@@ -2189,18 +2210,20 @@ object TextQueries {
     val ndc = train.groupBy(col("source")).agg(count(lit(1)).as("n_docs_s"))
     val ndt = train.agg(count(lit(1)).as("n_docs"))
     // portable integer ln everywhere (lnI(n_s+V); lnI(n_docs_s) −
-    // lnI(n_docs); lnI(c+1)) — all on source/vocab-bounded tables
-    val consts = ns.join(ndc, Seq("source")).crossJoin(broadcast(vocab))
-      .crossJoin(broadcast(ndt))
+    // lnI(n_docs); lnI(c+1)) — all on source/vocab-bounded tables.
+    // STAGED columns (the t_psi shape), not the inline form: three
+    // inline expansions made the generated code ~30 KB and doubled the
+    // gate's plan+codegen cost
+    val consts = psLnStage(
+      ns.join(ndc, Seq("source")).crossJoin(broadcast(vocab))
+        .crossJoin(broadcast(ndt)),
+      Seq("(n_s + v)" -> "nv", "n_docs_s" -> "ds", "n_docs" -> "dt"))
       .select(col("source"),
-        expr(TextOps.lnIntInlineSql("(n_s + v)", spark = true))
-          .cast("decimal(18,6)").as("ln_nv"),
-        (expr(TextOps.lnIntInlineSql("n_docs_s", spark = true))
-          - expr(TextOps.lnIntInlineSql("n_docs", spark = true)))
-          .cast("decimal(18,6)").as("ln_prior"))
-    val lnc = cst.select(col("source"), col("tok"),
-      expr(TextOps.lnIntInlineSql("(c + 1)", spark = true))
-        .cast("decimal(18,6)").as("ln_c"))
+        col("ln_nv_raw").cast("decimal(18,6)").as("ln_nv"),
+        (col("ln_ds_raw") - col("ln_dt_raw")).cast("decimal(18,6)").as("ln_prior"))
+    val lnc = psLnStage(cst, Seq("(c + 1)" -> "c1"))
+      .select(col("source"), col("tok"),
+        col("ln_c1_raw").cast("decimal(18,6)").as("ln_c"))
     (consts, lnc)
   }
 
