@@ -26,6 +26,14 @@ object Verify {
         val df = fn(spark, sfDir)
         val ordered = df.orderBy(df.columns.sorted.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
         ordered.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // Exact Catalyst result types beside the parquet: a driver-side
+        // hash mismatch can then be diffed on TYPE vs VALUE without
+        // guessing (round-7 lesson: DuckDB HUGEINT vs Spark BIGINT was
+        // invisible in pandas-coerced value compares).
+        Files.writeString(Paths.get(s"$outDir/$name/schema.json"),
+          df.schema.fields.sortBy(_.name)
+            .map(f => s"""\"${f.name}\": \"${f.dataType.sql}\"""")
+            .mkString("{", ", ", "}"))
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

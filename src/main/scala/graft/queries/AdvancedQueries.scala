@@ -793,8 +793,9 @@ object AdvancedQueries {
        |  CROSS JOIN range(0, 256) r
        |  LEFT JOIN regs_$suffix rg ON rg.g = gs.g AND rg.idx = r.range),
        |agg_$suffix AS (
-       |  SELECT g, SUM(CAST(1 AS BIGINT) << (53 - CAST(mr AS INT))) AS denom,
-       |         SUM(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS zeros
+       |  SELECT g,
+       |         CAST(SUM(CAST(1 AS BIGINT) << (53 - CAST(mr AS INT))) AS BIGINT) AS denom,
+       |         CAST(SUM(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
        |  FROM full_$suffix GROUP BY g)""".stripMargin
 
   val hllDistinctSql: String =
@@ -1173,7 +1174,7 @@ object AdvancedQueries {
       |      FROM h),
       |c2 AS (SELECT *, cum - nb AS cum0 FROM c),
       |p AS (SELECT unnest([0.5, 0.9, 0.99]) AS p)
-      |SELECT p.p, c2.bin,
+      |SELECT CAST(p.p AS DOUBLE) AS p, c2.bin,
       |       mn + ((mx - mn) / 100.0) * CAST(bin AS DOUBLE)
       |          + ((mx - mn) / 100.0)
       |            * ((p.p * CAST(n AS DOUBLE) - CAST(cum0 AS DOUBLE)) / CAST(nb AS DOUBLE)) AS est
@@ -1357,7 +1358,7 @@ object AdvancedQueries {
        |  GROUP BY 1),
        |tot AS (SELECT ${dsumSql("rev")} AS total FROM rev)
        |SELECT n_name, rev, rev / total AS share,
-       |       RANK() OVER (ORDER BY rev DESC, n_name) AS rnk
+       |       CAST(RANK() OVER (ORDER BY rev DESC, n_name) AS INT) AS rnk
        |FROM rev, tot""".stripMargin
 
   /** Year-over-year growth — per nation and order year, revenue beside
@@ -2540,7 +2541,7 @@ object AdvancedQueries {
     """WITH names AS (SELECT DISTINCT p_name,
       |                      split_part(p_name, ' ', 2) AS blk FROM part)
       |SELECT a.p_name AS name_a, b.p_name AS name_b,
-      |       levenshtein(a.p_name, b.p_name) AS dist
+      |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
       |FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
       |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin
 

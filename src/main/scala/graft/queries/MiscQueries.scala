@@ -1002,7 +1002,12 @@ object MiscQueries {
     "m_media_features" -> (mediaFeatures, Some(mediaFeaturesSql)),
     "m_media_resize" -> (mediaResize, Some(mediaResizeSql)),
     "m_phash_dedup" -> (phashDedup, Some(phashDedupSql)),
-    "m_ml_confusion" -> (mlConfusion, None),
+    // NOTE: the SGD trainer (mlConfusion) is intentionally NOT
+    // registered: SGD boundary predictions are float-order sensitive,
+    // so no engine-independent oracle exists. Its OVA semantics are
+    // driver-gated through the hash-matched closed-form twin below
+    // (m_svm_fixedpoint) and the SGD path itself is covered by
+    // MiscSpec's accuracy-band test.
     "m_svm_fixedpoint" -> (svmFixedpoint, Some(svmFixedpointSql)),
   )
 }

@@ -988,7 +988,7 @@ object RasterQueries {
        |best AS (SELECT gx, gy, MIN(lbl) AS label FROM lab GROUP BY 1, 2)
        |SELECT CAST(gx // $TS AS INT) AS tile_col, CAST(gy // $TS AS INT) AS tile_row,
        |       CAST(gx % $TS AS INT) AS px, CAST(gy % $TS AS INT) AS py,
-       |       label
+       |       CAST(label AS BIGINT) AS label
        |FROM best""".stripMargin
   }
 
@@ -1023,7 +1023,7 @@ object RasterQueries {
        |    ON (ABS(c.gx - l.gx) + ABS(c.gy - l.gy)) = 1
        |  WHERE l.lbl < c.gx * $w + c.gy),
        |best AS (SELECT gx, gy, MIN(lbl) AS label FROM lab GROUP BY 1, 2)
-       |SELECT b.label, COUNT(*) AS n_cells,
+       |SELECT CAST(b.label AS BIGINT) AS label, COUNT(*) AS n_cells,
        |       CAST(SUM(p.v) AS BIGINT) AS sum_b,
        |       SUM(p.v) / COUNT(*) AS mean_b
        |FROM best b JOIN pgb p ON p.gx = b.gx AND p.gy = b.gy
@@ -1488,7 +1488,7 @@ object RasterQueries {
        |  FROM best),
        |sz AS (SELECT label, COUNT(*) AS n_cells FROM px GROUP BY 1)
        |SELECT p.tile_col, p.tile_row, p.px, p.py, s.n_cells,
-       |       CASE WHEN s.n_cells < 4 THEN -1 ELSE p.label END AS label
+       |       CAST(CASE WHEN s.n_cells < 4 THEN -1 ELSE p.label END AS BIGINT) AS label
        |FROM px p JOIN sz s ON s.label = p.label""".stripMargin
   }
 

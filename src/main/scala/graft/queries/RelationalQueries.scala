@@ -476,7 +476,8 @@ object RelationalQueries {
        |m AS (SELECT DISTINCT user_id,
        |        (year(ts) - 2020) * 12 + month(ts) - 1 AS m FROM evts),
        |f AS (SELECT user_id, MIN(m) AS m0 FROM m GROUP BY 1)
-       |SELECT m0 AS cohort_month, m - m0 AS months_since, COUNT(*) AS n_users
+       |SELECT CAST(m0 AS INT) AS cohort_month, CAST(m - m0 AS INT) AS months_since,
+       |       COUNT(*) AS n_users
        |FROM m JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin
 
   /** RFM segmentation — recency/frequency/monetary quartiles per
@@ -520,7 +521,8 @@ object RelationalQueries {
        |         NTILE(4) OVER (ORDER BY m DESC, o_custkey) AS m_q
        |  FROM base)
        |SELECT o_custkey, CAST(r AS INT) AS r, f, CAST(m AS DOUBLE) AS m,
-       |       r_q, f_q, m_q, r_q * 100 + f_q * 10 + m_q AS segment
+       |       CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q, CAST(m_q AS INT) AS m_q,
+       |       CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS segment
        |FROM q""".stripMargin
 
   /** Rolling active users (DAU/WAU) — the product-analytics staple:

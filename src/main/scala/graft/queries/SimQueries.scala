@@ -2329,10 +2329,10 @@ object SimQueries {
        |  SELECT qid, hits,
        |         CAST(b1 AS DOUBLE) * $d1 + CAST(b2 AS DOUBLE) * $d2
        |           + CAST(b3 AS DOUBLE) * $d3 AS dcg,
-       |         CASE WHEN hits = 0 THEN 0.0
+       |         CAST(CASE WHEN hits = 0 THEN 0.0
        |              WHEN hits = 1 THEN $d1
        |              WHEN hits = 2 THEN ${d1 + d2}
-       |              ELSE ${d1 + d2 + d3} END AS idcg
+       |              ELSE ${d1 + d2 + d3} END AS DOUBLE) AS idcg
        |  FROM perq)
        |SELECT q.qid, COALESCE(w.hits, 0) AS hits,
        |       COALESCE(w.dcg, 0.0) AS dcg, COALESCE(w.idcg, 0.0) AS idcg,

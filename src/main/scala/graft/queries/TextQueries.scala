@@ -554,8 +554,14 @@ object TextQueries {
     * plan-audit pass — and reclaimed with the OS tmpdir, the same
     * lifecycle every c_* catalog gate has. */
   val keeperFromClusterTable: Q = (s, dir) => {
+    // collision-free dir key: hash the absolute path, not a lossy
+    // [^a-zA-Z0-9]->'_' sanitization (".../sf0.1" and ".../sf0_1"
+    // collided under the old scheme when one process touched both)
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_clusters_" +
-      s"${java.lang.ProcessHandle.current().pid()}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      s"${java.lang.ProcessHandle.current().pid()}_$dirKey"
     dedupClusters(s, dir).write.mode("overwrite").parquet(base)
     TextOps.keeperFromClusters(
       table(s, dir, "documents").select(col("doc_id"), col("n_chars")),
@@ -1663,11 +1669,14 @@ object TextQueries {
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
     val bg = big.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
     val ctx = big.groupBy(col("a")).agg(count(lit(1)).as("n_a"))
-    val lpTab = bg.join(ctx, Seq("a"))
+    // column-staged portable ln (same IEEE op tree as the inline form,
+    // ~50x less codegen text — the b89cfe9 playbook: the 10 KB inline
+    // expansion showed up as whole-plan codegen compile time in the
+    // driver's cold single-shot sweep)
+    val lpTab = psLnStage(bg.join(ctx, Seq("a")),
+        Seq("n_ab" -> "ab", "n_a" -> "na"))
       .select(col("a"), col("b"),
-        (expr(TextOps.lnIntInlineSql("n_ab", spark = true))
-          - expr(TextOps.lnIntInlineSql("n_a", spark = true)))
-          .cast("decimal(18,6)").as("lp"))
+        (col("ln_ab_raw") - col("ln_na_raw")).cast("decimal(18,6)").as("lp"))
     val scored = big.join(lpTab, Seq("a", "b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_big"), sum(col("lp")).cast("double").as("sum_lp"))
@@ -1840,9 +1849,12 @@ object TextQueries {
     * between two snapshots of a feed before retraining on it. Counts
     * are add-one smoothed (so empty bins stay defined), each bin's
     * (p_a − p_b)·ln(p_a/p_b) is a fixed-order scalar chain quantized
-    * to DECIMAL(18,6) before the cross-bin sums (per-row psi_term and
-    * the orderless window total). One conditional aggregation over the
-    * bin key; group sizes ride an orderless window sum.
+    * with FLOOR(term·1e6) into a BIGINT before the cross-bin sums
+    * (per-row psi_term and the orderless window total) — FLOOR of a
+    * double agrees bit-for-bit across engines where double→DECIMAL
+    * casts have build-dependent rounding (the dsum lesson). One
+    * conditional aggregation over the bin key; group sizes ride an
+    * orderless window sum.
     *
     * Bit-portability: engine-native ln broke the round-6 driver hash
     * (two DuckDB builds disagree in the last ulp at a quantization
@@ -1874,11 +1886,11 @@ object TextQueries {
         .withColumn(s"z$i", expr(s"(m$i - 1.0) / (m$i + 1.0)"))
         .withColumn(s"l$i", expr(TextOps.lnIntFromStagedSql(s"e$i", s"z$i")))
     }
-    ld.withColumn("term",
-        ((pa - pb) * expr("((l1 + l2) - l3) - l4")).cast("decimal(18,6)"))
+    ld.withColumn("tq",
+        floor(((pa - pb) * expr("((l1 + l2) - l3) - l4")) * lit(1000000.0)))
       .select(col("bin"), col("ca").as("n_a"), col("cb").as("n_b"),
-        col("term").cast("double").as("psi_term"),
-        sum(col("term")).over(w).cast("double").as("psi"))
+        (col("tq").cast("double") / lit(1000000.0)).as("psi_term"),
+        (sum(col("tq")).over(w).cast("double") / lit(1000000.0)).as("psi"))
   }
 
   /** Smoothed-count ln arguments, Spark column expressions (the oracle
@@ -1928,11 +1940,11 @@ object TextQueries {
       |  FROM z),
       |t AS (
       |  SELECT bin, ca, cb,
-      |         CAST((pa - pb) * (((l1 + l2) - l3) - l4) AS DECIMAL(18,6)) AS term
+      |         CAST(FLOOR(((pa - pb) * (((l1 + l2) - l3) - l4)) * 1000000.0) AS BIGINT) AS tq
       |  FROM l)
-      |SELECT bin, ca AS n_a, cb AS n_b,
-      |       CAST(term AS DOUBLE) AS psi_term,
-      |       CAST(SUM(term) OVER () AS DOUBLE) AS psi
+      |SELECT bin, CAST(ca AS BIGINT) AS n_a, CAST(cb AS BIGINT) AS n_b,
+      |       CAST(tq AS DOUBLE) / 1000000.0 AS psi_term,
+      |       CAST(CAST(SUM(tq) OVER () AS BIGINT) AS DOUBLE) / 1000000.0 AS psi
       |FROM t""".stripMargin
   }
 

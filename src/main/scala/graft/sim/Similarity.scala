@@ -571,9 +571,27 @@ object Similarity {
   /** Apply an orthonormal rotation to the embedding column (float
     * storage kept so every downstream PQ/ANN path sees the same
     * schema). Map-side literal-weight folds — zero Exchange. */
-  def rotate(vectors: DataFrame, r: Array[Array[Double]]): DataFrame =
-    vectors.withColumn("embedding",
-      array(pcaProjectCols(col("embedding"), r).map(_.cast("float")): _*))
+  /** Apply a dense rotation map-side. JVM kernel, not an expression
+    * tree: a d×d matrix-vector product is d² multiply-adds (4096 at
+    * d=64), which as a single codegen'd projection exceeds the JVM's
+    * 64 KB method limit — Spark then logs "Failed to compile" and
+    * silently falls back to interpreted eval (~10-100x/row). The
+    * kernel is the same sequential accumulation order as the
+    * expression form and stays map-side/shuffle-free. */
+  def rotate(vectors: DataFrame, r: Array[Array[Double]]): DataFrame = {
+    val f = udf((v: Seq[Float]) => {
+      val out = new Array[Float](r.length)
+      var i = 0
+      while (i < r.length) {
+        val row = r(i)
+        var s = 0.0; var j = 0
+        while (j < row.length) { s += v(j).toDouble * row(j); j += 1 }
+        out(i) = s.toFloat; i += 1
+      }
+      out
+    })
+    vectors.withColumn("embedding", f(col("embedding")))
+  }
 
   /** Greedy Maximal Marginal Relevance selection over a BOUNDED
     * candidate set (the post-retrieval diversification step a

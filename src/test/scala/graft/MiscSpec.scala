@@ -125,10 +125,12 @@ class MiscSpec extends AnyFunSuite {
   }
 
   test("ml: confusion-count gate has teeth — seeded per-class bands at sf0.01") {
-    // m_ml_confusion is rows-only in the driver gate (SGD boundary
-    // floats); this spec is its declared backstop: the SAME query at the
-    // SAME scale must produce a complete, seeded-stable confusion matrix
-    // with per-class marginals in a tolerance band, not just rows > 0.
+    // The SGD trainer is NOT driver-registered (boundary floats have no
+    // engine-independent oracle; the OVA semantics are driver-gated via
+    // the hash-matched m_svm_fixedpoint twin); this spec is the SGD
+    // path's declared backstop: the SAME query at the SAME scale must
+    // produce a complete, seeded-stable confusion matrix with per-class
+    // marginals in a tolerance band, not just rows > 0.
     val emb10 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val cm = graft.ml.Classify.trainPredictCounts(emb10)
       .select($"label".cast("long"), $"prediction".cast("long"), $"n")

@@ -12,7 +12,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private lazy val plans: Map[String, String] = {
+  private lazy val plans: Map[String, String] =
+    planObjs.map { case (k, p) => k -> p.toString }
+
+  private lazy val planObjs: Map[String, org.apache.spark.sql.execution.SparkPlan] = {
     // Earlier suites in the shared JVM cache DataFrames over the same
     // parquet paths (SimilaritySpec/SamplingSpec cache embeddings);
     // cached-plan substitution swaps InMemoryTableScans into fragments
@@ -39,13 +42,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
         // JVM-wide clear (the pre-round-7 behavior) rather than fail
         cm.clearCache()
         Registry.suites.map { case (name, (fn, _)) =>
-          name -> fn(spark, sf).queryExecution.executedPlan.toString
+          name -> fn(spark, sf).queryExecution.executedPlan
         }
       case Some(f) =>
         val snapshot = f.get(cm).asInstanceOf[scala.collection.immutable.IndexedSeq[AnyRef]]
         f.set(cm, scala.collection.immutable.IndexedSeq.empty)
         try Registry.suites.map { case (name, (fn, _)) =>
-          name -> fn(spark, sf).queryExecution.executedPlan.toString
+          name -> fn(spark, sf).queryExecution.executedPlan
         } finally {
           // several gates execute real jobs while "planning" (bounded
           // collects, tmp-catalog writes); anything they cached during
@@ -145,5 +148,41 @@ class PlanInvariantsSpec extends AnyFunSuite {
   test("k-fold CV reads the embeddings corpus at most twice (subtraction trick)") {
     val n = "Scan ".r.findAllIn(plans("m_kfold_cv")).size
     assert(n <= 2, s"m_kfold_cv plans $n scans; per-fold training must NOT rescan per fold")
+  }
+
+  test("every gate's whole-stage codegen COMPILES (no silent interpreted fallback)") {
+    // Round-7 lesson: a >64 KB generated method (e.g. a literal-heavy
+    // dxd rotation projection or a 10 KB inline portable-ln tree) makes
+    // Janino throw "Code grows beyond 64 KB"; Spark CATCHES it and
+    // silently falls back to interpreted evaluation — results stay
+    // correct, but the hot path is 10-100x slower per row and only a
+    // log line betrays it. Compile every registered gate's codegen
+    // fragments eagerly and fail LOUDLY instead. Also bound the largest
+    // generated method under spark.sql.codegen.hugeMethodLimit (the
+    // other, size-triggered fallback).
+    import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val hugeLimit = spark.sessionState.conf.hugeMethodLimit
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    planObjs.toSeq.sortBy(_._1).foreach { case (name, plan0) =>
+      val frags = unwrap(plan0).collect { case w: WholeStageCodegenExec => w }
+      frags.foreach { w =>
+        try {
+          val (_, code) = w.doCodeGen()
+          val (_, stats) = CodeGenerator.compile(code)
+          if (stats.maxMethodCodeSize > hugeLimit)
+            failures += s"$name: method ${stats.maxMethodCodeSize}B > hugeMethodLimit $hugeLimit (size fallback)"
+        } catch {
+          case e: Exception =>
+            failures += s"$name: codegen compile FAILED: ${e.getMessage.take(200)}"
+        }
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
   }
 }

@@ -6,7 +6,12 @@ Usage: python3 tools/local_verify.py [sfDir] [outDir] [--skip-run] [query...]
 1. sbt runMain graft.Verify <sfDir> <outDir>   (unless --skip-run)
 2. for each query result parquet + its oracle SQL: run the oracle in
    DuckDB over the same tables, sort columns by name and rows by all
-   columns, compare exactly (bitwise on floats).
+   columns, compare exactly (bitwise on floats) AND type-strictly on
+   the Arrow schema — the round-7 lesson: the driver's hash is
+   type-sensitive, so a DuckDB HUGEINT (bare SUM over BIGINT) against
+   a Spark BIGINT fails at the driver even though every VALUE matches
+   after pandas coercion. `--selftest` proves the dtype gate has teeth
+   (an uncast SUM(1) oracle must FAIL here).
 """
 import json, math, subprocess, sys
 from pathlib import Path
@@ -17,6 +22,8 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def main():
+    if "--selftest" in sys.argv:
+        selftest(); return
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     skip_run = "--skip-run" in sys.argv
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
@@ -53,12 +60,18 @@ def main():
         if not Path(rp).exists():
             results[name] = "SPARK-FAILED"; continue
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{rp}/*.parquet')").fetch_df()
-            want = con.execute(sql).fetch_df()
+            got_t = con.execute(
+                f"SELECT * FROM read_parquet('{rp}/*.parquet')").fetch_arrow_table()
+            want_t = con.execute(sql).fetch_arrow_table()
         except Exception as e:
             results[name] = f"ORACLE-ERROR: {e}"; continue
-        results[name] = compare(got, want)
+        dt = compare_types(got_t, want_t)
+        if dt is not None:
+            sj = Path(f"{rp}/schema.json")
+            if sj.exists():
+                dt += f" | catalyst={sj.read_text()}"
+            results[name] = dt; continue
+        results[name] = compare(got_t.to_pandas(), want_t.to_pandas())
 
     # queries without oracle: row-count > 0 check only
     for d in sorted(Path(out_dir).iterdir()):
@@ -75,6 +88,48 @@ def main():
         print(f"{'PASS' if str(v).startswith('OK') else 'FAIL':4} {name}: {v}")
     print(f"\n{ok}/{len(results)} pass")
     sys.exit(0 if ok == len(results) else 1)
+
+
+def compare_types(got_t, want_t):
+    """Arrow-schema strictness: the driver hash is type-sensitive
+    (round 7: DuckDB HUGEINT vs Spark BIGINT failed three gates whose
+    pandas-coerced VALUES were identical). Timestamp tz metadata is the
+    one tolerated difference (parquet round-trip artifact)."""
+    gt = {f.name: normalize_type(f.type) for f in got_t.schema}
+    wt = {f.name: normalize_type(f.type) for f in want_t.schema}
+    if sorted(gt) != sorted(wt):
+        return None  # column-set diff reported by compare()
+    bad = {c: (gt[c], wt[c]) for c in gt if gt[c] != wt[c]}
+    if bad:
+        return "DTYPE " + "; ".join(
+            f"col={c}: spark={a} oracle={b}" for c, (a, b) in sorted(bad.items()))
+    return None
+
+
+def normalize_type(t):
+    import pyarrow as pa
+    if pa.types.is_timestamp(t):
+        return "timestamp"  # tz/unit metadata differs benignly
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return f"list<{normalize_type(t.value_type)}>"
+    return str(t)
+
+
+def selftest():
+    """The dtype gate must catch the round-7 failure class: an oracle
+    emitting a bare SUM (HUGEINT/decimal in DuckDB) against a Spark
+    BIGINT result column."""
+    con = duckdb.connect()
+    got = con.execute("SELECT CAST(3 AS BIGINT) AS s").fetch_arrow_table()
+    want = con.execute("SELECT SUM(x) AS s FROM (SELECT CAST(1 AS BIGINT) AS x UNION ALL SELECT 2)").fetch_arrow_table()
+    assert got.to_pandas()["s"][0] == want.to_pandas()["s"][0], "values should coerce equal"
+    d = compare_types(got, want)
+    assert d is not None and "DTYPE" in d, f"uncast SUM must fail type-strict compare, got {d!r}"
+    ok = compare_types(got, con.execute("SELECT CAST(SUM(x) AS BIGINT) AS s FROM (SELECT CAST(1 AS BIGINT) AS x UNION ALL SELECT 2)").fetch_arrow_table())
+    assert ok is None, f"cast SUM must pass, got {ok!r}"
+    print(f"SELFTEST PASS: uncast SUM flagged ({d}); cast SUM clean")
 
 
 def compare(got, want):
