@@ -270,6 +270,71 @@ final case class AlbersEqualArea(a: Double, invF: Double,
   }
 }
 
+/** Polar stereographic, variant B (standard parallel), ellipsoidal —
+  * the polar-scene family (Antarctic EPSG:3031/3032, NSIDC sea-ice
+  * grids EPSG:3413/3976) the reference reaches through proj4's
+  * any-EPSG warp (GeotiffTilingExample.scala:56-60). EPSG method 9829
+  * / Snyder, USGS PP 1395 eq. 21-33..21-41 (public formulas). The
+  * hemisphere comes from the SIGN of `latTs` (standard parallel):
+  * north aspect for latTs > 0, south otherwise. Forward is closed
+  * form; the inverse iterates the conformal-latitude fixed point 8
+  * times (quadratic convergence, <1e-12 rad after 4). Angles in
+  * degrees, lengths in the ellipsoid's meters; same datum-hub note as
+  * [[LambertConformalConic]]. Golden-tested in LayoutSpec against the
+  * IOGP GN7-2 variant-B worked example (75°S 120°E → 7255380.79 E,
+  * 7053389.56 N on EPSG:3032) to sub-cm. */
+final case class PolarStereographic(a: Double, invF: Double,
+    latTs: Double, lon0: Double, falseE: Double, falseN: Double) {
+  import math._
+  private val north = latTs > 0
+  private val f = 1.0 / invF
+  private val e2 = f * (2 - f)
+  private val e = sqrt(e2)
+  /** isometric-latitude kernel, aspect-mirrored so t > 0 shrinks
+    * toward the projection pole in both hemispheres. */
+  private def t(phi: Double): Double =
+    if (north)
+      tan(Pi / 4 - phi / 2) * pow((1 + e * sin(phi)) / (1 - e * sin(phi)), e / 2)
+    else
+      tan(Pi / 4 + phi / 2) / pow((1 + e * sin(phi)) / (1 - e * sin(phi)), e / 2)
+  private def m(phi: Double) = cos(phi) / sqrt(1 - e2 * sin(phi) * sin(phi))
+  private val phic = toRadians(latTs)
+  private val lam0 = toRadians(lon0)
+  private val tc = t(phic)
+  private val mc = m(phic)
+  /** radius scale at the standard parallel: rho = a·mc·t/tc. */
+  private val rhoK = a * mc / tc
+
+  def fromLatLng(lon: Double, lat: Double): (Double, Double) = {
+    val rho = rhoK * t(toRadians(lat))
+    val th = toRadians(lon) - lam0
+    if (north) (falseE + rho * sin(th), falseN - rho * cos(th))
+    else (falseE + rho * sin(th), falseN + rho * cos(th))
+  }
+
+  def toLatLng(x: Double, y: Double): (Double, Double) = {
+    val dx = x - falseE; val dy = y - falseN
+    val rho = sqrt(dx * dx + dy * dy)
+    val tp = rho / rhoK
+    var phi =
+      if (north) Pi / 2 - 2 * atan(tp) else 2 * atan(tp) - Pi / 2
+    var i = 0
+    while (i < 8) {
+      phi =
+        if (north)
+          Pi / 2 - 2 * atan(tp * pow((1 - e * sin(phi)) / (1 + e * sin(phi)), e / 2))
+        else
+          2 * atan(tp * pow((1 + e * sin(phi)) / (1 - e * sin(phi)), e / 2)) - Pi / 2
+      i += 1
+    }
+    val lam =
+      if (rho == 0.0) lam0
+      else if (north) lam0 + atan2(dx, -dy)
+      else lam0 + atan2(dx, dy)
+    (toDegrees(lam), toDegrees(phi))
+  }
+}
+
 /** CRS transforms available offline. Serializable (used inside
   * aggregator kernels on executors). Open for extension: a user CRS is
   * just a forward/inverse pair (no exhaustive matches depend on the
@@ -305,6 +370,11 @@ final case class LatLngToAlbers(aea: AlbersEqualArea) extends CrsTransform {
   def forward(x: Double, y: Double): (Double, Double) = aea.fromLatLng(x, y)
   def inverse(x: Double, y: Double): (Double, Double) = aea.toLatLng(x, y)
 }
+/** EPSG:4326 -> a polar stereographic grid. */
+final case class LatLngToPolar(ps: PolarStereographic) extends CrsTransform {
+  def forward(x: Double, y: Double): (Double, Double) = ps.fromLatLng(x, y)
+  def inverse(x: Double, y: Double): (Double, Double) = ps.toLatLng(x, y)
+}
 /** Flip a transform's direction. */
 final case class Inverted(t: CrsTransform) extends CrsTransform {
   def forward(x: Double, y: Double): (Double, Double) = t.inverse(x, y)
@@ -325,11 +395,13 @@ final case class Composed(a: CrsTransform, b: CrsTransform) extends CrsTransform
   * plays in ManyLayersToMultibandLayer.scala:244-248. Supported offline:
   * EPSG:4326, EPSG:3857, EPSG:32601-32660 (UTM N), EPSG:32701-32760
   * (UTM S), EPSG:2154 (Lambert-93), EPSG:3978 (Canada Atlas Lambert),
+  * EPSG:3031/3032/3413/3976 (polar stereographic),
   * EPSG:5070 (CONUS Albers). Parameters are the published EPSG
   * registry definitions on GRS80 (treated as the WGS84 lon/lat hub —
   * flattening differs by ~1e-11, sub-mm here). */
 object Crs {
   private val Grs80InvF = 298.257222101
+  private val Wgs84InvF = 298.257223563
 
   /** transform whose forward goes lon/lat -> the named CRS;
     * IdentityTransform for EPSG:4326 itself. */
@@ -352,6 +424,24 @@ object Crs {
     case "EPSG:5070" => LatLngToAlbers(AlbersEqualArea(
       a = 6378137.0, invF = Grs80InvF, lat0 = 23.0, lon0 = -96.0,
       sp1 = 29.5, sp2 = 45.5, falseE = 0.0, falseN = 0.0))
+    // WGS 84 / Antarctic Polar Stereographic (the Landsat/MODIS
+    // Antarctica products grid)
+    case "EPSG:3031" => LatLngToPolar(PolarStereographic(
+      a = 6378137.0, invF = Wgs84InvF, latTs = -71.0, lon0 = 0.0,
+      falseE = 0.0, falseN = 0.0))
+    // WGS 84 / Australian Antarctic Polar Stereographic (the IOGP
+    // GN7-2 variant-B worked example lives on this grid)
+    case "EPSG:3032" => LatLngToPolar(PolarStereographic(
+      a = 6378137.0, invF = Wgs84InvF, latTs = -71.0, lon0 = 70.0,
+      falseE = 6000000.0, falseN = 6000000.0))
+    // WGS 84 / NSIDC Sea Ice Polar Stereographic North
+    case "EPSG:3413" => LatLngToPolar(PolarStereographic(
+      a = 6378137.0, invF = Wgs84InvF, latTs = 70.0, lon0 = -45.0,
+      falseE = 0.0, falseN = 0.0))
+    // WGS 84 / NSIDC Sea Ice Polar Stereographic South
+    case "EPSG:3976" => LatLngToPolar(PolarStereographic(
+      a = 6378137.0, invF = Wgs84InvF, latTs = -70.0, lon0 = 0.0,
+      falseE = 0.0, falseN = 0.0))
     case other => throw new IllegalArgumentException(s"unsupported CRS $other (offline registry)")
   }
 

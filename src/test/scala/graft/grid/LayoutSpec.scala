@@ -238,6 +238,82 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("Polar stereographic golden values: GN7-2 worked example, scale, anchors, round-trip") {
+    // IOGP Guidance Note 7-2 worked example (Polar Stereographic
+    // variant B): WGS 84 / Australian Antarctic Polar Stereographic
+    // (EPSG:3032). Published result for 75°00'00"S 120°00'00"E:
+    // E = 7255380.79 m, N = 7053389.56 m.
+    val aps = PolarStereographic(a = 6378137.0, invF = 298.257223563,
+      latTs = -71.0, lon0 = 70.0, falseE = 6000000.0, falseN = 6000000.0)
+    val (ge, gn) = aps.fromLatLng(120.0, -75.0)
+    assert(math.abs(ge - 7255380.79) < 0.05 && math.abs(gn - 7053389.56) < 0.05,
+      s"GN7-2 example: got ($ge, $gn)")
+    // ...and the published inverse leg recovers the input coordinates
+    val (glon, glat) = aps.toLatLng(7255380.79, 7053389.56)
+    assert(math.abs(glon - 120.0) < 1e-6 && math.abs(glat - (-75.0)) < 1e-6)
+
+    // anchors: each grid's projection pole maps to the false origin
+    val s3031 = Crs.transform("EPSG:4326", "EPSG:3031")
+    val (px, py) = s3031.forward(45.0, -90.0) // any lon at the pole
+    assert(math.abs(px) < 1e-6 && math.abs(py) < 1e-6)
+    val n3413 = Crs.transform("EPSG:4326", "EPSG:3413")
+    val (qx, qy) = n3413.forward(123.0, 90.0)
+    assert(math.abs(qx) < 1e-6 && math.abs(qy) < 1e-6)
+    // EPSG:3031 axis orientation: on the 0° meridian, Antarctic points
+    // sit at x=0 with y > 0 (grid north along 0°E away from the pole)
+    val (zx, zy) = s3031.forward(0.0, -75.0)
+    assert(math.abs(zx) < 1e-6 && zy > 0)
+
+    // conformal invariant: k = 1 exactly on the standard parallel, in
+    // both the east-west and north-south directions (conformality),
+    // k < 1 poleward of it, k > 1 equatorward (secant geometry)
+    val A = 6378137.0; val f = 1 / 298.257223563; val e2 = f * (2 - f)
+    def kPar(t: CrsTransform, lat: Double, lon: Double): Double = {
+      val h = 1e-6
+      val (x1, y1) = t.forward(lon - h, lat)
+      val (x2, y2) = t.forward(lon + h, lat)
+      val phi = math.toRadians(lat)
+      val nu = A / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+      math.hypot(x2 - x1, y2 - y1) / (nu * math.cos(phi) * math.toRadians(2 * h))
+    }
+    def kMer(t: CrsTransform, lat: Double, lon: Double): Double = {
+      val h = 1e-6
+      val (x1, y1) = t.forward(lon, lat - h)
+      val (x2, y2) = t.forward(lon, lat + h)
+      val phi = math.toRadians(lat)
+      val rho = A * (1 - e2) / math.pow(1 - e2 * math.sin(phi) * math.sin(phi), 1.5)
+      math.hypot(x2 - x1, y2 - y1) / (rho * math.toRadians(2 * h))
+    }
+    for (lon <- Seq(-120.0, 0.0, 60.0)) {
+      assert(math.abs(kPar(s3031, -71.0, lon) - 1.0) < 5e-8, s"k3031($lon)")
+      assert(math.abs(kMer(s3031, -71.0, lon) - 1.0) < 1e-6, s"kM3031($lon)")
+      assert(math.abs(kPar(n3413, 70.0, lon) - 1.0) < 5e-8, s"k3413($lon)")
+    }
+    assert(kPar(s3031, -80.0, 0.0) < 1.0 && kPar(s3031, -60.0, 0.0) > 1.0)
+    assert(kPar(n3413, 80.0, 0.0) < 1.0 && kPar(n3413, 60.0, 0.0) > 1.0)
+
+    // round-trip across Antarctica and the Arctic basin
+    for (i <- 0 until 12; j <- 0 to 5) {
+      val lon = -180.0 + 30.0 * i
+      val latS = -88.0 + 5.0 * j
+      val (x, y) = s3031.forward(lon, latS)
+      val (lon2, lat2) = s3031.inverse(x, y)
+      assert(math.abs(lat2 - latS) < 1e-9, s"S($lon,$latS)")
+      assert(math.abs(lon2 - lon) < 1e-9 || math.abs(math.abs(lon2 - lon) - 360) < 1e-9)
+      val latN = 58.0 + 6.0 * j
+      val (nx, ny) = n3413.forward(lon, latN)
+      val (lon3, lat3) = n3413.inverse(nx, ny)
+      assert(math.abs(lat3 - latN) < 1e-9, s"N($lon,$latN)")
+      assert(math.abs(lon3 - lon) < 1e-9 || math.abs(math.abs(lon3 - lon) - 360) < 1e-9)
+    }
+    // registry composition through the hub, like every other family
+    val p2w = Crs.transform("EPSG:3031", "EPSG:3857")
+    val (sx, sy) = s3031.forward(10.0, -75.0)
+    val (wx, wy) = p2w.forward(sx, sy)
+    val (ex, ey) = WebMercator.fromLatLng(10.0, -75.0)
+    assert(math.abs(wx - ex) < 1e-3 && math.abs(wy - ey) < 1e-3)
+  }
+
   test("Crs registry composes arbitrary EPSG pairs through lon/lat") {
     val t = Crs.transform("EPSG:32632", "EPSG:3857")
     val (lon, lat) = (9.5, 48.0)
@@ -298,6 +374,55 @@ class LayoutSpec extends AnyFunSuite {
     }).toDF("tile_col", "tile_row", "px", "py", "v")
     val lccTiles = graft.ops.Raster.assemble(lccPixels, ts, ts)
     val reproj = Reproject(lccTiles, lccLayout, wm, Inverted(wmToLcc))
+      .where($"tile_col".between(kc, kc + 1) && $"tile_row".between(kr, kr + 1))
+    val cross = graft.ops.Raster.stackBands(Seq(native, reproj))
+    val same = graft.ops.Raster.stackBands(Seq(native, native))
+    def bandMap(stack: org.apache.spark.sql.DataFrame, b: Int) =
+      graft.ops.Raster.pixelize(graft.ops.Raster.selectBand(stack, b), ts)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) -> r.getDouble(4)).toMap
+    assert(bandMap(cross, 0) == bandMap(same, 0))
+    assert(bandMap(cross, 1) == bandMap(same, 1))
+  }
+
+  test("cross-CRS stack: Antarctic polar (EPSG:3031) layer reprojected to WebMercator hash-matches the native stack") {
+    import spark.implicits._
+    val ts = 16
+    val zoom = 7
+    val wm = WebMercator.layoutForZoom(zoom, ts)
+    // a patch over Dronning Maud Land (well inside EPSG:3031's range,
+    // still inside WebMercator's ±85° validity)
+    val (cwx, cwy) = WebMercator.fromLatLng(10.0, -75.0)
+    val (kc, kr) = wm.mapToKey(cwx, cwy)
+    val pixels = (for (tc <- kc to kc + 1; tr <- kr to kr + 1; px <- 0 until ts; py <- 0 until ts)
+      yield (tc, tr, px, py, (tc * 7 + tr * 3 + (px / 4) + (py / 4)).toDouble))
+      .toDF("tile_col", "tile_row", "px", "py", "v")
+    val native = graft.ops.Raster.assemble(pixels, ts, ts)
+    val wmToPs = Crs.transform("EPSG:3857", "EPSG:3031")
+    val e = wm.keyToExtent(kc, kr).combine(wm.keyToExtent(kc + 1, kr + 1))
+    // polar grid axes are rotated vs WebMercator near this longitude:
+    // bound the patch by projecting all four corners
+    val corners = Seq((e.xmin, e.ymin), (e.xmin, e.ymax), (e.xmax, e.ymin), (e.xmax, e.ymax))
+      .map { case (x, y) => wmToPs.forward(x, y) }
+    val lxmin = corners.map(_._1).min; val lxmax = corners.map(_._1).max
+    val lymin = corners.map(_._2).min; val lymax = corners.map(_._2).max
+    val cell = (lxmax - lxmin) / (2.0 * ts) / 3.2
+    val psLayout = FloatingLayout.fit(
+      Extent(lxmin - 10 * cell, lymin - 10 * cell, lxmax + 10 * cell, lymax + 10 * cell), cell, cell, ts)
+    val psPixels = (for {
+      tc <- 0 until psLayout.layoutCols; tr <- 0 until psLayout.layoutRows
+      px <- 0 until ts; py <- 0 until ts
+    } yield {
+      val (ux, uy) = psLayout.cellCenter(tc, tr, px, py)
+      val (wx, wy) = wmToPs.inverse(ux, uy)
+      val (wtc, wtr) = wm.mapToKey(wx, wy)
+      val gx = ((wx - wm.extent.xmin) / wm.cellWidth).toLong
+      val gy = ((wm.extent.ymax - wy) / wm.cellHeight).toLong
+      val wpx = (gx - wtc.toLong * ts).toInt
+      val wpy = (gy - wtr.toLong * ts).toInt
+      (tc, tr, px, py, (wtc * 7 + wtr * 3 + (wpx / 4) + (wpy / 4)).toDouble)
+    }).toDF("tile_col", "tile_row", "px", "py", "v")
+    val psTiles = graft.ops.Raster.assemble(psPixels, ts, ts)
+    val reproj = Reproject(psTiles, psLayout, wm, Inverted(wmToPs))
       .where($"tile_col".between(kc, kc + 1) && $"tile_row".between(kr, kr + 1))
     val cross = graft.ops.Raster.stackBands(Seq(native, reproj))
     val same = graft.ops.Raster.stackBands(Seq(native, native))
