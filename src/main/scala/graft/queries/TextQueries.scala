@@ -1505,6 +1505,63 @@ object TextQueries {
        |       CAST(SUM(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS shared_frac
        |FROM chunks JOIN nd USING (h) GROUP BY 1""".stripMargin
 
+  /** Global line/chunk-level dedup with RECONSTRUCTION — the C4 /
+    * RefinedWeb granularity that document-level dedup misses: a
+    * boilerplate chunk repeated across thousands of pages (nav bars,
+    * license headers, cookie banners) is kept exactly ONCE corpus-wide
+    * (its first occurrence: smallest doc_id, then smallest position)
+    * and every later repeat is dropped; each document is then
+    * reconstructed from its surviving chunks. Unlike t_chunk_dedup
+    * (a shared-fraction census) this emits the dedup DECISION — per
+    * doc, how many chunks and tokens survive. Keeper selection is the
+    * same two-step min the cluster-keeper gates use (min doc, then min
+    * position within it — exact integers, engine-portable). Scale
+    * shape: one chunk-hash groupBy whose output is ≤ the DISTINCT
+    * chunk count (boilerplate collapses map-side), one min refinement
+    * join on the duplicated hashes only, one hash-keyed join back, one
+    * doc-keyed aggregation — the corpus is never self-joined and no
+    * row wider than (doc_id, idx, h) crosses a shuffle. */
+  val lineDedup: Q = (s, dir) => {
+    val chunks = docs(s, dir).select(col("doc_id"),
+      posexplode(TextOps.chunkTexts(col("toks"), ChunkTokens)).as(Seq("idx", "chunk")))
+      .select(col("doc_id"), col("idx"),
+        TextOps.h60(col("chunk")).as("h"),
+        size(split(col("chunk"), " ")).as("n_toks"))
+    val firstDoc = chunks.groupBy(col("h")).agg(min(col("doc_id")).as("kd"))
+    val keeper = chunks.select(col("h").as("fh"), col("doc_id"), col("idx"))
+      .join(firstDoc, col("fh") === firstDoc("h") && col("doc_id") === firstDoc("kd"))
+      .groupBy(col("fh")).agg(min(col("idx")).as("ki"), min(col("kd")).as("kd"))
+      .select(col("fh").as("h"), col("ki"), col("kd"))
+    chunks.join(keeper, Seq("h"))
+      .withColumn("keep",
+        (col("doc_id") === col("kd") && col("idx") === col("ki")).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("keep")).as("n_kept"),
+        sum(col("keep") * col("n_toks")).as("kept_tokens"))
+  }
+
+  val lineDedupSql: String =
+    s"""WITH $docsCte,
+       |chunks0 AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |          range(0, greatest(CAST(ceil(len(ctoks) / $ChunkTokens.0) AS BIGINT), 1)),
+       |          i -> {'i': i, 'c': array_to_string(list_slice(ctoks, i*$ChunkTokens + 1, i*$ChunkTokens + $ChunkTokens), ' ')})) AS u
+       |  FROM (SELECT doc_id, coalesce(toks, []) AS ctoks FROM docs)),
+       |chunks AS (
+       |  SELECT doc_id, CAST(u.i AS INT) AS idx, ${TextOps.h60Sql("u.c")} AS h,
+       |         len(string_split(u.c, ' ')) AS n_toks
+       |  FROM chunks0),
+       |fd AS (SELECT h, MIN(doc_id) AS kd FROM chunks GROUP BY 1),
+       |kp AS (SELECT c.h, MIN(c.idx) AS ki, MIN(fd.kd) AS kd
+       |       FROM chunks c JOIN fd ON c.h = fd.h AND c.doc_id = fd.kd
+       |       GROUP BY 1)
+       |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |       CAST(SUM(CASE WHEN c.doc_id = kp.kd AND c.idx = kp.ki THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(SUM(CASE WHEN c.doc_id = kp.kd AND c.idx = kp.ki THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
+       |FROM chunks c JOIN kp ON c.h = kp.h
+       |GROUP BY 1""".stripMargin
+
   /** Pattern scan (the PII / markup census a quality pipeline runs):
     * per-doc counts of email-ish, URL-ish and digit-run matches — all
     * map-side regexp counting. */
@@ -2678,6 +2735,7 @@ object TextQueries {
     "t_quality_filter" -> (qualityFilter, Some(qualityFilterSql)),
     "t_corpus_prep" -> (corpusPrep, Some(corpusPrepSql)),
     "t_chunk_dedup" -> (chunkDedup, Some(chunkDedupSql)),
+    "t_line_dedup" -> (lineDedup, Some(lineDedupSql)),
     "t_inverted_index" -> (invertedIndex, Some(invertedIndexSql)),
     "t_collocations" -> (collocations, Some(collocationsSql)),
     "t_weighted_sample" -> (weightedSample, Some(weightedSampleSql)),

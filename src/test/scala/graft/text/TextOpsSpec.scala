@@ -87,4 +87,34 @@ class PrefixJoinSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture must contain at least one near-dup pair at 0.5")
     gate.foreach { case (k, j) => assert(math.abs(j - brute(k)) < 1e-12) }
   }
+  test("line dedup keeps each repeated chunk exactly once, at its first occurrence") {
+    // 3 docs sharing one 16-token boilerplate chunk; doc 0 also
+    // repeats it internally. Global line dedup must keep the chunk
+    // ONLY at (doc 0, idx 0) and count per-doc survivors correctly.
+    val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
+    val uniq = (d: Int) => (1 to 16).map(i => s"u${d}_$i").mkString(" ")
+    val df = Seq(
+      (0L, s"$boiler $boiler ${uniq(0)}"),   // boiler at idx 0 AND 1
+      (1L, s"${uniq(1)} $boiler"),           // later doc: repeat dropped
+      (2L, s"$boiler ${uniq(2)}"))           // later doc: repeat dropped
+      .toDF("doc_id", "text")
+      .withColumn("toks", split(col("text"), " "))
+    // drive the gate query through a temp dir shim: reuse the internal
+    // chunking directly for a pure-semantics check
+    val chunks = df.select(col("doc_id"),
+      posexplode(TextOps.chunkTexts(col("toks"), 16)).as(Seq("idx", "chunk")))
+      .select(col("doc_id"), col("idx"), TextOps.h60(col("chunk")).as("h"))
+    val firstDoc = chunks.groupBy(col("h")).agg(min(col("doc_id")).as("kd"))
+    val keeper = chunks.select(col("h").as("fh"), col("doc_id"), col("idx"))
+      .join(firstDoc, col("fh") === firstDoc("h") && col("doc_id") === firstDoc("kd"))
+      .groupBy(col("fh")).agg(min(col("idx")).as("ki"), min(col("kd")).as("kd"))
+      .select(col("fh").as("h"), col("ki"), col("kd"))
+    val kept = chunks.join(keeper, Seq("h"))
+      .where(col("doc_id") === col("kd") && col("idx") === col("ki"))
+      .select(col("doc_id"), col("idx")).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // every distinct chunk survives exactly once; boiler only at (0,0)
+    assert(kept == Set((0L, 0), (0L, 2), (1L, 0), (2L, 1)),
+      s"kept=$kept")
+  }
+
 }
