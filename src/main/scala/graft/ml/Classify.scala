@@ -86,10 +86,12 @@ object Classify {
     * 88-111) but every number is reproducible bit-for-bit:
     *
     *  - features: f_k = Σ_i emb[i]·(1−2·bit_k(i)) as a strict
-    *    left-fold (the s_ann_brute discipline), then quantized to
-    *    DECIMAL(12,3) and carried as the scaled BIGINT F = 1000·f;
+    *    left-fold (the s_ann_brute discipline), then quantized with
+    *    FLOOR(f·p) into a BIGINT, where the scale p ∈ {1000, 100, 10,
+    *    1} is picked from the train count by thresholds BOTH engines
+    *    state (n·33·p < 2^26.5 keeps every moment under 2^53);
     *  - moments per (class, k): exact integer sums (n, ΣF, ΣF², n_c,
-    *    ΣF_c) — all < 2^53 for |f| ≤ 32 and n ≤ 10^5 (asserted), so
+    *    ΣF_c) — under 2^53 by the p rule (and still asserted), so
     *    later int→double casts are exact in any engine;
     *  - weights: w = s·A/D, b = Σy/n − A·ΣF/(D·n) with A = n·ΣFy −
     *    ΣF·Σy, D = n·ΣF² − (ΣF)² — evaluated as a FIXED IEEE op tree
@@ -111,12 +113,29 @@ object Classify {
     def signs(k: Int): Seq[Double] =
       (0 until 64).map(i => if (((i >> k) & 1) == 0) 1.0 else -1.0)
     val bkt = graft.text.TextOps.hashBucket(col("vec_id"), 10)
+    // Scale-adaptive quantization (round-8 sf10 finding): the exact
+    // integer moments d = n·Σf² − (Σf)² grow as n²·(33·p)², so a fixed
+    // p = 1000 blows the 2^53 exact-cast bound near n ≈ 3k train rows'
+    // worst case (first tripped at the 100x probe's 180k). Both engines
+    // derive p from the SAME train count with the SAME thresholds
+    // (n·33·p < 2^26.5 guarantees the bound), and quantize with
+    // FLOOR(dot·p) — the bit-portable quantizer (the dsum/psi lesson) —
+    // instead of a double→DECIMAL cast whose rounding is DuckDB-build
+    // dependent. Past 2.8M train rows the Long algebra would need
+    // BigInt weights: loud error, documented cap.
+    val nTrain = df.where(bkt =!= 9).count()
+    val p: Double =
+      if (nTrain <= 2800L) 1000.0
+      else if (nTrain <= 28000L) 100.0
+      else if (nTrain <= 280000L) 10.0
+      else if (nTrain <= 2800000L) 1.0
+      else throw new IllegalArgumentException(
+        s"fixed-point trainer beyond exact-Long range at n=$nTrain: use BigInt weights")
     val feats = df.select(
       Seq(col("vec_id"), col("label"), bkt.as("bkt")) ++
         (1 to K).map { k =>
           val sarr = array(signs(k - 1).map(lit): _*)
-          Similarity.dot(col("embedding"), sarr)
-            .cast("decimal(12,3)").multiply(lit(1000)).cast("long").as(s"f$k")
+          floor(Similarity.dot(col("embedding"), sarr) * lit(p)).as(s"f$k")
         }: _*)
     val train = feats.where(col("bkt") =!= 9)
     val test = feats.where(col("bkt") === 9)

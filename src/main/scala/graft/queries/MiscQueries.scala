@@ -430,8 +430,12 @@ object MiscQueries {
          |      i -> CAST(embedding[i] AS DOUBLE)
          |           * CAST(1 - 2 * (((i - 1) >> ${k - 1}) & 1) AS DOUBLE)),
          |    (x, y) -> x + y)""".stripMargin
+    // scale-adaptive quantization, same thresholds as the Scala side
+    // (Classify.fixedPointConfusion): p from the train count keeps the
+    // exact integer moments under 2^53; FLOOR is the bit-portable
+    // quantizer (double→DECIMAL casts round build-dependently)
     val featCols = ks.map(k =>
-      s"CAST(CAST(${dotWalsh(k)} AS DECIMAL(12,3)) * 1000 AS BIGINT) AS f$k")
+      s"CAST(FLOOR(${dotWalsh(k)} * pq.p) AS BIGINT) AS f$k")
     val gmCols = ks.map(k => s"SUM(f$k) AS sf$k, SUM(f$k * f$k) AS sff$k")
     val cmCols = ks.map(k => s"SUM(f$k) AS csf$k")
     val adCols = ks.map(k =>
@@ -446,11 +450,19 @@ object MiscQueries {
     val sCols = ks.map(k =>
       s"""((CAST(pr.a$k AS DOUBLE) * CAST(te.f$k AS DOUBLE))
          |           / CAST(pr.d$k AS DOUBLE) + pr.cst$k) AS s$k""".stripMargin)
-    s"""WITH f AS (
-       |  SELECT vec_id, label,
-       |         ${graft.text.TextOps.hashBucketSql("vec_id", 10)} AS bkt,
-       |         ${featCols.mkString(",\n         ")}
+    s"""WITH b0 AS (
+       |  SELECT vec_id, label, embedding,
+       |         ${graft.text.TextOps.hashBucketSql("vec_id", 10)} AS bkt
        |  FROM embeddings),
+       |nt AS (SELECT COUNT(*) AS ntr FROM b0 WHERE bkt <> 9),
+       |pq AS (SELECT CASE WHEN ntr <= 2800 THEN 1000.0
+       |                   WHEN ntr <= 28000 THEN 100.0
+       |                   WHEN ntr <= 280000 THEN 10.0
+       |                   ELSE 1.0 END AS p FROM nt),
+       |f AS (
+       |  SELECT vec_id, label, bkt,
+       |         ${featCols.mkString(",\n         ")}
+       |  FROM b0 CROSS JOIN pq),
        |tr AS (SELECT * FROM f WHERE bkt <> 9),
        |te AS (SELECT * FROM f WHERE bkt = 9),
        |gm AS (SELECT COUNT(*) AS n, ${gmCols.mkString(", ")} FROM tr),
