@@ -1324,28 +1324,48 @@ object RasterQueries {
       col("c_custkey").as("pid"),
       (col("c_custkey") % 163).cast("long").as("px"),
       (col("c_custkey") % 157).cast("long").as("py"))
-    val a = pts.select(col("pid").as("qid"), col("px").as("qx"), col("py").as("qy"),
+    // COINCIDENT-POINT CONTRACTION (round-8 100x-probe fix): coreness
+    // and cluster membership are functions of the POSITION, not the
+    // point — every point at (px,py) has the same eps-disk, the same
+    // neighbor count nn = Σ counts(disk) − 1 and therefore the same
+    // label. Replicated/heaped data (100x probe: ~59 points per
+    // lattice cell) made point-level pairing a ~2e9-row blowup; the
+    // contracted graph is |distinct positions| nodes (25.6k at 100x —
+    // pairing drops seven orders of magnitude) and the result is
+    // VALUE-IDENTICAL: the position node id is its min pid, so CC's
+    // min-label component ids are exactly the point-level min core
+    // pid. Output still one row per core POINT (the multiplicity
+    // rejoins map-side at the end).
+    val pos = pts.groupBy(col("px"), col("py"))
+      .agg(count(lit(1)).as("cnt"), min(col("pid")).as("posid"))
+    val a = pos.select(col("posid").as("qid"), col("px").as("qx"), col("py").as("qy"),
+      col("cnt").as("qcnt"),
       expr("px div 3").as("cx"), expr("py div 3").as("cy"))
-    val b = pts
+    val b = pos
       .withColumn("dx", explode(sequence(lit(-1L), lit(1L))))
       .withColumn("dy", explode(sequence(lit(-1L), lit(1L))))
-      .select(col("pid").as("cid"), col("px").as("sx"), col("py").as("sy"),
+      .select(col("posid").as("cid"), col("px").as("sx"), col("py").as("sy"),
+        col("cnt").as("ccnt"),
         (expr("px div 3") + col("dx")).as("cx"), (expr("py div 3") + col("dy")).as("cy"))
+    // disk INCLUDES the own position (coincident neighbors): nn =
+    // Σ cnt(positions with d2 <= 8) − 1, identical to the point count
     val pairs = a.join(b, Seq("cx", "cy"))
-      .where(col("qid") =!= col("cid"))
       .withColumn("d2", (col("qx") - col("sx")) * (col("qx") - col("sx"))
         + (col("qy") - col("sy")) * (col("qy") - col("sy")))
       .where(col("d2") <= 8)
-    val cores = pairs.groupBy(col("qid")).agg(count(lit(1)).as("nn"))
-      .where(col("nn") >= 3).select(col("qid"))
+    val nn = pairs.groupBy(col("qid")).agg((sum(col("ccnt")) - 1).as("nn"))
+    val corePos = nn.where(col("nn") >= 3).select(col("qid"))
     val edges = pairs.select(col("qid").as("a"), col("cid").as("b"))
       .where(col("a") < col("b"))
-      .join(cores.select(col("qid").as("a")), Seq("a"))
-      .join(cores.select(col("qid").as("b")), Seq("b"))
+      .join(corePos.select(col("qid").as("a")), Seq("a"))
+      .join(corePos.select(col("qid").as("b")), Seq("b"))
     val cc = graft.text.TextOps.connectedComponents(edges)
-    cores.select(col("qid").as("pid"))
-      .join(cc.select(col("node").as("pid"), col("cluster")), Seq("pid"), "left")
-      .select(col("pid"), coalesce(col("cluster"), col("pid")).as("cluster"))
+    val posLabel = corePos
+      .join(cc.select(col("node").as("qid"), col("cluster")), Seq("qid"), "left")
+      .select(col("qid").as("posid"), coalesce(col("cluster"), col("qid")).as("cluster"))
+    pts.join(pos, Seq("px", "py"))
+      .join(posLabel, Seq("posid"))
+      .select(col("pid"), col("cluster"))
   }
 
   val dbscanCoreSql: String =
@@ -1384,36 +1404,42 @@ object RasterQueries {
       col("c_custkey").as("pid"),
       (col("c_custkey") % 163).cast("long").as("px"),
       (col("c_custkey") % 157).cast("long").as("py"))
-    val a = pts.select(col("pid").as("qid"), col("px").as("qx"), col("py").as("qy"),
+    // same coincident-point contraction as r_dbscan_core (see its
+    // scaladoc): coreness, cluster AND role are position-level
+    // invariants — border-ness of a non-core point means "a core
+    // POSITION inside my eps-disk", identical for coincident points.
+    val pos = pts.groupBy(col("px"), col("py"))
+      .agg(count(lit(1)).as("cnt"), min(col("pid")).as("posid"))
+    val a = pos.select(col("posid").as("qid"), col("px").as("qx"), col("py").as("qy"),
       expr("px div 3").as("cx"), expr("py div 3").as("cy"))
-    val b = pts
+    val b = pos
       .withColumn("dx", explode(sequence(lit(-1L), lit(1L))))
       .withColumn("dy", explode(sequence(lit(-1L), lit(1L))))
-      .select(col("pid").as("cid"), col("px").as("sx"), col("py").as("sy"),
+      .select(col("posid").as("cid"), col("px").as("sx"), col("py").as("sy"),
+        col("cnt").as("ccnt"),
         (expr("px div 3") + col("dx")).as("cx"), (expr("py div 3") + col("dy")).as("cy"))
     val pairs = a.join(b, Seq("cx", "cy"))
-      .where(col("qid") =!= col("cid"))
       .withColumn("d2", (col("qx") - col("sx")) * (col("qx") - col("sx"))
         + (col("qy") - col("sy")) * (col("qy") - col("sy")))
       .where(col("d2") <= 8)
-    val cores = pairs.groupBy(col("qid")).agg(count(lit(1)).as("nn"))
-      .where(col("nn") >= 3).select(col("qid"))
+    val nn = pairs.groupBy(col("qid")).agg((sum(col("ccnt")) - 1).as("nn"))
+    val corePos = nn.where(col("nn") >= 3).select(col("qid"))
     val edges = pairs.select(col("qid").as("a"), col("cid").as("b"))
       .where(col("a") < col("b"))
-      .join(cores.select(col("qid").as("a")), Seq("a"))
-      .join(cores.select(col("qid").as("b")), Seq("b"))
+      .join(corePos.select(col("qid").as("a")), Seq("a"))
+      .join(corePos.select(col("qid").as("b")), Seq("b"))
     val cc = graft.text.TextOps.connectedComponents(edges)
-    val coreLab = cores.select(col("qid").as("pid"))
-      .join(cc.select(col("node").as("pid"), col("cluster")), Seq("pid"), "left")
-      .select(col("pid"), coalesce(col("cluster"), col("pid")).as("cluster"))
-    val borders = pairs.select(col("qid").as("pid"), col("cid"))
-      .join(coreLab.select(col("pid").as("cid"), col("cluster")), Seq("cid"))
-      .join(coreLab.select(col("pid")), Seq("pid"), "left_anti")
-      .groupBy(col("pid")).agg(min(col("cluster")).as("cluster"))
-    val labeled = coreLab.select(col("pid"), col("cluster"), lit("core").as("role"))
-      .unionByName(borders.select(col("pid"), col("cluster"), lit("border").as("role")))
-    pts.select(col("pid"))
-      .join(labeled, Seq("pid"), "left")
+    val coreLab = corePos.select(col("qid").as("posid"))
+      .join(cc.select(col("node").as("posid"), col("cluster")), Seq("posid"), "left")
+      .select(col("posid"), coalesce(col("cluster"), col("posid")).as("cluster"))
+    val borders = pairs.select(col("qid").as("posid"), col("cid"))
+      .join(coreLab.select(col("posid").as("cid"), col("cluster")), Seq("cid"))
+      .join(coreLab.select(col("posid")), Seq("posid"), "left_anti")
+      .groupBy(col("posid")).agg(min(col("cluster")).as("cluster"))
+    val labeled = coreLab.select(col("posid"), col("cluster"), lit("core").as("role"))
+      .unionByName(borders.select(col("posid"), col("cluster"), lit("border").as("role")))
+    pts.join(pos.select(col("px"), col("py"), col("posid")), Seq("px", "py"))
+      .join(labeled, Seq("posid"), "left")
       .select(col("pid"), coalesce(col("cluster"), lit(-1L)).as("cluster"),
         coalesce(col("role"), lit("noise")).as("role"))
   }
