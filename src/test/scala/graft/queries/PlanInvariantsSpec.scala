@@ -174,6 +174,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
     for (name <- Seq("t_minhash_sig", "t_minhash_lsh"))
       assert(!plans(name).contains("graft_sigfront"),
         s"$name must derive signatures in-plan (it oracles the derivation)")
+    // the raster twin: zonal stats and sieve consume the materialized
+    // region-label front; the labeling gate derives it in-plan
+    for (name <- Seq("r_region_stats", "r_sieve_filter"))
+      assert(plans(name).contains("graft_regionfront"),
+        s"$name must consume the materialized region-label front")
+    assert(!plans("r_region_label").contains("graft_regionfront"),
+      "r_region_label must derive the labeling in-plan (it oracles the CC loop)")
   }
 
   test("every gate's whole-stage codegen COMPILES (no silent interpreted fallback)") {
