@@ -245,6 +245,29 @@ object TextQueries {
       .where(col("inter") >= 2)
   }
 
+  /** MATERIALIZED candidate-pair front: shinglePairs' (a, b, inter,
+    * na, nb) written once per process per data dir — the third
+    * instance of the round-8 front pattern (MinHash sigFront, raster
+    * regionLabelFront): the capped-posting-list candidate table is a
+    * pipeline artifact that containment scoring, weighted graph
+    * analytics and the recall audit all READ. t_ngram_jaccard stays
+    * fully in-plan (it oracles the whole posting-list derivation);
+    * exact integers through the parquet round-trip keep every
+    * consumer's hash unchanged. */
+  private val pairFrontPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def shinglePairsFront(s: SparkSession, dir: String): DataFrame = {
+    val path = pairFrontPaths.computeIfAbsent(dir, _ => {
+      val dirKey = java.security.MessageDigest.getInstance("MD5")
+        .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_pairfront_" +
+        s"${java.lang.ProcessHandle.current().pid()}_$dirKey"
+      shinglePairs(s, dir).write.mode("overwrite").parquet(base)
+      base
+    })
+    s.read.parquet(path)
+  }
+
   val ngramJaccard: Q = (s, dir) =>
     shinglePairs(s, dir).select(col("a"), col("b"),
       (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
@@ -256,7 +279,7 @@ object TextQueries {
     * stays < 0.5 — the quote/boilerplate-extraction candidates. Same
     * single-shuffle posting-list pipeline as t_ngram_jaccard. */
   val containment: Q = (s, dir) =>
-    shinglePairs(s, dir).select(col("a"), col("b"), col("inter"),
+    shinglePairsFront(s, dir).select(col("a"), col("b"), col("inter"),
       (col("inter").cast("double") / least(col("na"), col("nb"))).as("containment"),
       (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .withColumn("is_subset",
@@ -2166,7 +2189,7 @@ object TextQueries {
 
   val sssp: Q = (s, dir) => {
     import graft.ops.Materialize.checkpointFresh
-    val pw = shinglePairs(s, dir).select(col("a"), col("b"),
+    val pw = shinglePairsFront(s, dir).select(col("a"), col("b"),
       (lit(11L) - expr("(10L * inter) div (na + nb - inter)")).as("w"))
     val sym = pw.unionByName(pw.select(col("b").as("a"), col("a").as("b"), col("w")))
       .localCheckpoint(false)
@@ -2225,7 +2248,10 @@ object TextQueries {
     * production banding; the final overlap join ships only (a, b)
     * pairs. */
   val lshRecall: Q = (s, dir) => {
-    val truth = ngramJaccard(s, dir).where(col("jaccard") >= 0.5)
+    val truth = shinglePairsFront(s, dir)
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
       .select(col("a"), col("b"))
     val cand = minhashLshStaged(s, dir).select(col("a"), col("b"))
     val hits = truth.join(cand.withColumn("hit", lit(1L)), Seq("a", "b"), "left")

@@ -181,6 +181,21 @@ class PlanInvariantsSpec extends AnyFunSuite {
         s"$name must consume the materialized region-label front")
     assert(!plans("r_region_label").contains("graft_regionfront"),
       "r_region_label must derive the labeling in-plan (it oracles the CC loop)")
+    // the shingle candidate-pair front: containment and the recall
+    // audit consume it; the Jaccard gate derives the posting-list
+    // pipeline in-plan (t_sssp's checkpointed loop hides the scan)
+    for (name <- Seq("t_containment", "t_lsh_recall"))
+      assert(plans(name).contains("graft_pairfront"),
+        s"$name must consume the materialized candidate-pair front")
+    assert(!plans("t_ngram_jaccard").contains("graft_pairfront"),
+      "t_ngram_jaccard must derive the posting lists in-plan (it oracles them)")
+    // the DBSCAN core-label front: BOTH gates read the cluster
+    // assignment (each hashes its full output against a fully
+    // relational oracle, so the CC derivation stays oracle-gated
+    // without a derivation-only gate)
+    for (name <- Seq("r_dbscan_core", "r_dbscan_labels"))
+      assert(plans(name).contains("graft_dbscanfront"),
+        s"$name must consume the materialized core-label front")
   }
 
   test("every gate's whole-stage codegen COMPILES (no silent interpreted fallback)") {
