@@ -26,6 +26,13 @@ object TextQueries {
       |  list_filter(string_split(text, ' '), t -> t <> '') AS toks
       |FROM documents)""".stripMargin
 
+  /** docs CTE variant carrying lang/source (mixRaking needs the domain
+    * columns the shared docsCte drops). */
+  private val docsCte2 =
+    """docs2 AS (SELECT doc_id, lang, source,
+      |  list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |FROM documents)""".stripMargin
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents").select(col("doc_id"), col("text"),
       TextOps.tokens(col("text")).as("toks"))
@@ -2595,6 +2602,76 @@ object TextQueries {
        |           <= w.budget - w.prev)) AS kept
        |FROM base b JOIN bw w ON w.iq = b.iq""".stripMargin
 
+  /** Mixture raking (iterative proportional fitting, Deming-Stephan
+    * 1940) over the (lang, source) domain grid — the data-MIXING step
+    * of corpus assembly: per-cell sampling weights adjusted so the
+    * sampled TOKEN share matches a uniform target margin on BOTH
+    * dimensions (the DoReMi-class domain reweighting, with IPF in
+    * place of the reference-model loss). Three alternating rounds,
+    * each: margin totals from exact integer micro-weight×token
+    * products (order-free Long sums, addExact/multiplyExact guarded),
+    * one fixed-order double chain per cell — wq' = FLOOR(wq ·
+    * ((tot/nKeys)/margin)) — so the oracle unrolls the identical six
+    * stages. Scale shape: the corpus contracts ONCE to the
+    * |langs|×|sources| cell table (one groupBy); the IPF loop runs on
+    * ≤ tens of rows driver-side (the bounded-collect family: IVF
+    * centroids, MMR candidates) and the weights join back map-side —
+    * at 100 TB the corpus is scanned exactly once. */
+  val mixRaking: Q = (s, dir) => {
+    import java.lang.Math.{addExact, multiplyExact}
+    val cells = table(s, dir, "documents")
+      .select(col("lang"), col("source"), TextOps.tokens(col("text")).as("toks"))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(size(col("toks")).cast("long")).as("toks"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val w = Array.fill(cells.length)(1000000L)
+    for (_ <- 1 to 3; dim <- 0 to 1) {
+      val keyOf: Int => String = i => if (dim == 0) cells(i)._1 else cells(i)._2
+      val keys = cells.indices.map(keyOf).distinct
+      val tot = cells.indices
+        .map(i => multiplyExact(w(i), cells(i)._3)).foldLeft(0L)(addExact)
+      val marg = keys.map(k => k -> cells.indices.filter(i => keyOf(i) == k)
+        .map(i => multiplyExact(w(i), cells(i)._3)).foldLeft(0L)(addExact)).toMap
+      cells.indices.foreach { i =>
+        val m = marg(keyOf(i))
+        require(m > 0, s"empty margin ${keyOf(i)}")
+        // fixed op order, one rounding per op: div, div, mul, floor —
+        // the oracle states the identical parenthesization
+        w(i) = math.floor(w(i).toDouble *
+          ((tot.toDouble / keys.length.toDouble) / m.toDouble)).toLong
+      }
+    }
+    val out = cells.indices.map(i => (cells(i)._1, cells(i)._2, cells(i)._3, w(i)))
+    s.createDataFrame(out).toDF("lang", "source", "cell_tokens", "wq")
+  }
+
+  val mixRakingSql: String = {
+    def stage(n: Int, key: String): String =
+      s"""m$n AS (SELECT $key AS k, CAST(SUM(wq * toks) AS BIGINT) AS marg
+         |        FROM c$n GROUP BY 1),
+         |g$n AS (SELECT CAST(SUM(wq * toks) AS BIGINT) AS tot,
+         |               (SELECT CAST(COUNT(*) AS BIGINT) FROM m$n) AS nk
+         |        FROM c$n),
+         |c${n + 1} AS (
+         |  SELECT c.lang, c.source, c.toks,
+         |         CAST(FLOOR(CAST(c.wq AS DOUBLE) *
+         |           ((CAST(g.tot AS DOUBLE) / CAST(g.nk AS DOUBLE))
+         |            / CAST(m.marg AS DOUBLE))) AS BIGINT) AS wq
+         |  FROM c$n c JOIN m$n m ON c.$key = m.k CROSS JOIN g$n g)""".stripMargin
+    val stages = (0 until 6)
+      .map(n => stage(n, if (n % 2 == 0) "lang" else "source"))
+      .mkString(",\n       |")
+    s"""WITH $docsCte2,
+       |c0 AS (
+       |  SELECT lang, source, CAST(SUM(len(toks)) AS BIGINT) AS toks,
+       |         CAST(1000000 AS BIGINT) AS wq
+       |  FROM docs2 GROUP BY 1, 2),
+       |$stages
+       |SELECT lang, source, toks AS cell_tokens, wq FROM c6""".stripMargin
+  }
+
+
   /** BPE tokenizer TRAINING (Sennrich 2016), three merge rounds as a
     * deterministic query: words collapse to a (word, freq) vocabulary
     * (the corpus-sized shuffle happens once), each word becomes a
@@ -2714,6 +2791,7 @@ object TextQueries {
     "t_bpe_train" -> (bpeTrain, Some(bpeTrainSql)),
     "t_bpe_encode" -> (bpeEncode, Some(bpeEncodeSql)),
     "t_token_budget" -> (tokenBudget, Some(tokenBudgetSql)),
+    "t_mix_raking" -> (mixRaking, Some(mixRakingSql)),
     "t_dedup_rewrite" -> (dedupRewrite, Some(dedupRewriteSql)),
     "t_unicode_clean" -> (unicodeClean, Some(unicodeCleanSql)),
     "m_naive_bayes" -> (naiveBayes, Some(naiveBayesSql)),
