@@ -30,7 +30,10 @@ object Verify {
         // hash mismatch can then be diffed on TYPE vs VALUE without
         // guessing (round-7 lesson: DuckDB HUGEINT vs Spark BIGINT was
         // invisible in pandas-coerced value compares).
-        Files.writeString(Paths.get(s"$outDir/$name/schema.json"),
+        // MUST be underscore-prefixed: pyarrow/pandas directory reads fail
+        // on any non-`_`-prefixed foreign file in a parquet dir (this
+        // exact sidecar, unprefixed, zeroed the round-8 driver artifact).
+        Files.writeString(Paths.get(s"$outDir/$name/_schema.json"),
           df.schema.fields.sortBy(_.name)
             .map(f => s"""\"${f.name}\": \"${f.dataType.sql}\"""")
             .mkString("{", ", ", "}"))

@@ -59,6 +59,9 @@ def main():
         rp = f"{out_dir}/{name}"
         if not Path(rp).exists():
             results[name] = "SPARK-FAILED"; continue
+        smoke = driver_reader_smoke(rp)
+        if smoke is not None:
+            results[name] = smoke; continue
         try:
             got_t = con.execute(
                 f"SELECT * FROM read_parquet('{rp}/*.parquet')").fetch_arrow_table()
@@ -67,7 +70,7 @@ def main():
             results[name] = f"ORACLE-ERROR: {e}"; continue
         dt = compare_types(got_t, want_t)
         if dt is not None:
-            sj = Path(f"{rp}/schema.json")
+            sj = Path(f"{rp}/_schema.json")
             if sj.exists():
                 dt += f" | catalyst={sj.read_text()}"
             results[name] = dt; continue
@@ -88,6 +91,24 @@ def main():
         print(f"{'PASS' if str(v).startswith('OK') else 'FAIL':4} {name}: {v}")
     print(f"\n{ok}/{len(results)} pass")
     sys.exit(0 if ok == len(results) else 1)
+
+
+def driver_reader_smoke(rp):
+    """Driver-reader compatibility: the driver reads each gate dir the
+    NAIVE way (pyarrow.parquet.read_table on the directory). Round 8's
+    schema.json sidecar broke exactly this and zeroed the whole round.
+    Fail loudly here on any foreign (non-underscore/dot-prefixed,
+    non-parquet) file, and on the naive read itself."""
+    import pyarrow.parquet as pq
+    foreign = [f.name for f in Path(rp).iterdir()
+               if not f.name.startswith(("_", ".")) and not f.name.endswith(".parquet")]
+    if foreign:
+        return f"FOREIGN-FILE: {foreign} would break the driver's directory read"
+    try:
+        pq.read_table(rp)
+    except Exception as e:
+        return f"DRIVER-READ-ERROR: {e}"
+    return None
 
 
 def compare_types(got_t, want_t):
