@@ -458,7 +458,9 @@ object MiscQueries {
        |pq AS (SELECT CASE WHEN ntr <= 2800 THEN 1000.0
        |                   WHEN ntr <= 28000 THEN 100.0
        |                   WHEN ntr <= 280000 THEN 10.0
-       |                   ELSE 1.0 END AS p FROM nt),
+       |                   WHEN ntr <= 2800000 THEN 1.0
+       |                   ELSE error('fixed-point trainer beyond exact-Long range: use BigInt weights')
+       |              END AS p FROM nt),
        |f AS (
        |  SELECT vec_id, label, bkt,
        |         ${featCols.mkString(",\n         ")}

@@ -983,9 +983,11 @@ object RasterQueries {
     * through the parquet round-trip, so consumer hashes are unchanged. */
   private val regionFrontPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
   def regionLabelFront(s: SparkSession, dir: String): DataFrame = {
-    val path = regionFrontPaths.computeIfAbsent(dir, _ => {
+    // canonical-path key: see TextQueries.shinglePairsFront
+    val path = regionFrontPaths.computeIfAbsent(
+      new java.io.File(dir).getAbsolutePath, abs => {
       val dirKey = java.security.MessageDigest.getInstance("MD5")
-        .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+        .digest(abs.getBytes("UTF-8"))
         .take(8).map(b => f"$b%02x").mkString
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_regionfront_" +
         s"${java.lang.ProcessHandle.current().pid()}_$dirKey"
@@ -1391,9 +1393,11 @@ object RasterQueries {
     * (it oracles the CC derivation). */
   private val dbscanFrontPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
   def dbscanCoreLabFront(s: SparkSession, dir: String): DataFrame = {
-    val path = dbscanFrontPaths.computeIfAbsent(dir, _ => {
+    // canonical-path key: see TextQueries.shinglePairsFront
+    val path = dbscanFrontPaths.computeIfAbsent(
+      new java.io.File(dir).getAbsolutePath, abs => {
       val dirKey = java.security.MessageDigest.getInstance("MD5")
-        .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+        .digest(abs.getBytes("UTF-8"))
         .take(8).map(b => f"$b%02x").mkString
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_dbscanfront_" +
         s"${java.lang.ProcessHandle.current().pid()}_$dirKey"

@@ -263,9 +263,13 @@ object TextQueries {
     * consumer's hash unchanged. */
   private val pairFrontPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
   def shinglePairsFront(s: SparkSession, dir: String): DataFrame = {
-    val path = pairFrontPaths.computeIfAbsent(dir, _ => {
+    // map key = canonical path (not the raw string): two aliases of the
+    // same dir must share one entry, or the second recomputes and
+    // overwrites the parquet while the first is reading it
+    val path = pairFrontPaths.computeIfAbsent(
+      new java.io.File(dir).getAbsolutePath, abs => {
       val dirKey = java.security.MessageDigest.getInstance("MD5")
-        .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+        .digest(abs.getBytes("UTF-8"))
         .take(8).map(b => f"$b%02x").mkString
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_pairfront_" +
         s"${java.lang.ProcessHandle.current().pid()}_$dirKey"
@@ -511,9 +515,11 @@ object TextQueries {
     * so every consumer's hash is unchanged. */
   private val sigFrontPaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
   def sigFront(s: SparkSession, dir: String): DataFrame = {
-    val path = sigFrontPaths.computeIfAbsent(dir, _ => {
+    // canonical-path key: see shinglePairsFront
+    val path = sigFrontPaths.computeIfAbsent(
+      new java.io.File(dir).getAbsolutePath, abs => {
       val dirKey = java.security.MessageDigest.getInstance("MD5")
-        .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+        .digest(abs.getBytes("UTF-8"))
         .take(8).map(b => f"$b%02x").mkString
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_sigfront_" +
         s"${java.lang.ProcessHandle.current().pid()}_$dirKey"
@@ -2657,7 +2663,8 @@ object TextQueries {
          |  SELECT c.lang, c.source, c.toks,
          |         CAST(FLOOR(CAST(c.wq AS DOUBLE) *
          |           ((CAST(g.tot AS DOUBLE) / CAST(g.nk AS DOUBLE))
-         |            / CAST(m.marg AS DOUBLE))) AS BIGINT) AS wq
+         |            / CAST(CASE WHEN m.marg > 0 THEN m.marg
+         |                        ELSE error('empty margin') END AS DOUBLE))) AS BIGINT) AS wq
          |  FROM c$n c JOIN m$n m ON c.$key = m.k CROSS JOIN g$n g)""".stripMargin
     val stages = (0 until 6)
       .map(n => stage(n, if (n % 2 == 0) "lang" else "source"))

@@ -148,6 +148,45 @@ object Similarity {
       json.getBytes("UTF-8")): Unit
   }
 
+  /** Deterministic-codebook IVF: identical on-disk layout to
+    * [[buildIvfIndex]] (cluster-partitioned assignments +
+    * `_centroids.json`, probed by the same [[ivfProbe]]), but the
+    * coarse quantizer is the embeddings of the `nlist` smallest
+    * vec_ids (Forgy initialization, zero k-means iterations) instead
+    * of converged k-means centroids. K-means centroids are
+    * float-order-sensitive, so a k-means index can never be hash-gated
+    * against a SQL oracle; a fixed data-sampled codebook is
+    * bit-reproducible end to end — assignment = argmax of the exact
+    * strict-fold cosine, ties on the smaller cluster id — which lets
+    * the pruned-probe classifier gates stay oracled while each query
+    * scans ~nprobe/nlist of the corpus. Centroids are serialized as
+    * the DOUBLE values of the float embeddings (Double.toString
+    * round-trips), so the probe's JSON-parsed centroids carry the
+    * identical bits an oracle gets from CAST(embedding AS DOUBLE). */
+  def buildIvfIndexDet(vectors: DataFrame, path: String, nlist: Int): Unit = {
+    val cb = vectors.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(nlist)
+      .collect() // nlist-bounded by construction (bounded-collect family)
+      .sortBy(_.getLong(0))
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).map(_.toDouble)) }
+    val cdf = vectors.sparkSession.createDataFrame(cb.toIndexedSeq)
+      .toDF("cluster", "centroid")
+    val assigned = vectors.join(broadcast(cdf), lit(true))
+      .withColumn("cdist", -cosine(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cdist"), col("cluster"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    assigned.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/assignments")
+    val json = cb
+      .map { case (i, c) => s"""{"cluster":$i,"centroid":[${c.mkString(",")}]}""" }
+      .mkString("[\n", ",\n", "\n]")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/_centroids.json"),
+      json.getBytes("UTF-8")): Unit
+  }
+
   /** Probe a persisted IVF index: rank centroids driver-side
     * (nlist-bounded), prune the assignment scan to the probed clusters
     * (static partition pruning), exact cosine + top-k within. */
@@ -579,16 +618,24 @@ object Similarity {
     * kernel is the same sequential accumulation order as the
     * expression form and stays map-side/shuffle-free. */
   def rotate(vectors: DataFrame, r: Array[Array[Double]]): DataFrame = {
+    // null-propagating like the expression-tree form it replaced; a
+    // short vector is a caller bug — fail with the dimensions, not an
+    // opaque IndexOutOfBounds from the hot loop
     val f = udf((v: Seq[Float]) => {
-      val out = new Array[Float](r.length)
-      var i = 0
-      while (i < r.length) {
-        val row = r(i)
-        var s = 0.0; var j = 0
-        while (j < row.length) { s += v(j).toDouble * row(j); j += 1 }
-        out(i) = s.toFloat; i += 1
+      if (v == null) null
+      else {
+        require(r.isEmpty || v.length >= r(0).length,
+          s"rotate: vector dim ${v.length} < rotation row dim ${r(0).length}")
+        val out = new Array[Float](r.length)
+        var i = 0
+        while (i < r.length) {
+          val row = r(i)
+          var s = 0.0; var j = 0
+          while (j < row.length) { s += v(j).toDouble * row(j); j += 1 }
+          out(i) = s.toFloat; i += 1
+        }
+        out
       }
-      out
     })
     vectors.withColumn("embedding", f(col("embedding")))
   }

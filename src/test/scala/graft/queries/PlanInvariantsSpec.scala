@@ -198,6 +198,22 @@ class PlanInvariantsSpec extends AnyFunSuite {
         s"$name must consume the materialized core-label front")
   }
 
+  test("classifier-evaluation gates probe the persisted det-IVF index, never corpus x corpus") {
+    // Round-9 repoint: m_knn_confusion / m_prf_report score the
+    // pruned-probe predictions (deterministic-codebook IVF). The plan
+    // must (a) read the persisted index front and (b) partition-prune
+    // the assignment scan by the probed clusters; the only remaining
+    // BNLJ side is the nlist-row codebook, never a second corpus scan
+    // (the exact O(test x train) path lives only in SimilaritySpec).
+    for (name <- Seq("m_knn_confusion", "m_prf_report")) {
+      val p = plans(name)
+      assert(p.contains("graft_ivffront"),
+        s"$name must read the persisted det-IVF index front")
+      assert(p.contains("PartitionFilters"),
+        s"$name must partition-prune the assignment scan by probed cluster")
+    }
+  }
+
   test("every gate's whole-stage codegen COMPILES (no silent interpreted fallback)") {
     // Round-7 lesson: a >64 KB generated method (e.g. a literal-heavy
     // dxd rotation projection or a 10 KB inline portable-ln tree) makes

@@ -135,6 +135,65 @@ class SimilaritySpec extends AnyFunSuite {
     assert(agree >= 0.3, s"IVF k-NN agreement below the random-data floor: $agree")
   }
 
+  test("det-codebook IVF: full probe reproduces the exact classifier; assignment is total") {
+    val dir10 = "/root/testdata/sf0.01"
+    val e10 = spark.read.parquet(s"$dir10/embeddings.parquet")
+    val train = e10.where(graft.text.TextOps.hashBucket($"vec_id", 10) =!= 9)
+      .select($"vec_id", $"embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft_knn_ivfdet").toString
+    Similarity.buildIvfIndexDet(train, idx, nlist = 16)
+    // every train vector lands in exactly one list (no row lost/duped)
+    val assigned = spark.read.parquet(s"$idx/assignments")
+    assert(assigned.count() == train.count())
+    assert(assigned.select($"vec_id").distinct().count() == train.count())
+    // probing EVERY list reproduces the exact classifier bit-for-bit —
+    // the det codebook changes WHERE vectors live, not what a
+    // full-coverage probe can see
+    val exact = graft.queries.SimQueries.knnPredictions(spark, dir10)
+      .select($"qid", $"pred").as[(Long, Long)].collect().toMap
+    val full = graft.queries.SimQueries.knnPredictionsIvf(spark, dir10, idx, nprobe = 16)
+      .select($"qid", $"pred").as[(Long, Long)].collect().toMap
+    assert(full == exact, "full-probe det-IVF k-NN must equal the exact classifier")
+    // centroid JSON round-trip is exact: parsed doubles == the float
+    // embeddings of the 16 smallest train vec_ids
+    val cb = train.orderBy($"vec_id").limit(16)
+      .as[(Long, Seq[Float])].collect().map(_._2.map(_.toDouble))
+    val probedPlan = Similarity.ivfProbe(
+      e10.where($"vec_id" < 4).select($"vec_id", $"embedding"), idx, 3, 2)
+    assert(probedPlan.queryExecution.executedPlan.toString.contains("PartitionFilters"),
+      "det-index probe must prune assignment partitions")
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$idx/_centroids.json")), "UTF-8")
+    val parsed = {
+      implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+      org.json4s.jackson.JsonMethods.parse(raw).extract[Seq[Map[String, Any]]]
+        .sortBy(_("cluster").toString.toDouble.toInt)
+        .map(_("centroid").asInstanceOf[Seq[Any]].map(_.toString.toDouble))
+    }
+    assert(parsed.zip(cb.toSeq).forall { case (a, b) => a == b },
+      "JSON centroid round-trip must be bit-exact")
+  }
+
+  test("rotate guards degenerate inputs: null propagates, short vector fails loudly") {
+    import spark.implicits._
+    val r = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val withNull = Seq((1L, Seq(1.0f, 2.0f)), (2L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.rotate(withNull, r)
+      .select($"vec_id", $"embedding").collect()
+    assert(out.find(_.getLong(0) == 2L).exists(_.isNullAt(1)),
+      "null embedding must propagate as null, not NPE")
+    assert(out.find(_.getLong(0) == 1L).exists(!_.isNullAt(1)))
+    val short = Seq((1L, Seq(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.rotate(short, r).collect()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("rotate: vector dim")),
+      s"short vector must fail with the dimension message, got: ${msgs(e).take(3)}")
+  }
+
   test("hyperplane buckets mix dimensions: better spread than leading-dim signs") {
     val planes = Similarity.hyperplanes(6, 64)
     assert(planes.length == 6 && planes(0).length == 64)
