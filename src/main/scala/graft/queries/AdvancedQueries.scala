@@ -481,14 +481,17 @@ object AdvancedQueries {
       Seq(sum(col("l_quantity").cast("decimal(24,6)")).as("pq"),
         sum(dec2(col("l_extendedprice")).cast("decimal(24,6)")).as("pp"),
         count(lit(1)).as("pc")),
-      Seq(sum(col("pq")).cast("double").as("sum_qty"),
-        sum(col("pp")).cast("double").as("sum_price"),
+      // dsplit, not a naive decimal→double cast: at 60M rows the
+      // unscaled 6-decimal price sum passes 2^53 and the two engines'
+      // single-cast roundings diverge by 1 ulp (found AT sf10, round 9)
+      Seq(dsplit(sum(col("pq"))).as("sum_qty"),
+        dsplit(sum(col("pp"))).as("sum_price"),
         sum(col("pc")).as("n_items")))
 
   val saltedFlagAggSql: String =
     s"""SELECT l_returnflag,
-       |       CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty,
-       |       CAST(SUM(CAST(${dec2Sql("l_extendedprice")} AS DECIMAL(24,6))) AS DOUBLE) AS sum_price,
+       |       ${dsumSql("l_quantity")} AS sum_qty,
+       |       ${dsumSql(dec2Sql("l_extendedprice"))} AS sum_price,
        |       COUNT(*) AS n_items
        |FROM lineitem GROUP BY 1""".stripMargin
 

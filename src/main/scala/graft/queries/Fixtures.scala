@@ -49,17 +49,25 @@ object Fixtures {
     * magnitude a 100 TB aggregate lives at. NOT CAST(S AS BIGINT) for
     * the split: Spark truncates that cast while DuckDB rounds it —
     * FLOOR agrees in both. */
-  def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val s = sum(c.cast("decimal(24,6)"))
+  def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    dsplit(sum(c.cast("decimal(24,6)")))
+
+  /** The split conversion applied to an already-DECIMAL expression —
+    * for staged sums (e.g. the salted two-phase aggregation) whose
+    * final SUM runs over decimal partials rather than a raw column.
+    * Same bit-determinism argument as [[dsum]]. */
+  def dsplit(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val ip = floor(s).cast("long")
     ip.cast("double") + (s - ip).cast("double")
   }
 
   /** SQL twin of [[dsum]] — the identical split conversion. */
-  def dsumSql(expr: String): String = {
-    val s = s"SUM(CAST($expr AS DECIMAL(24,6)))"
+  def dsumSql(expr: String): String =
+    dsplitSql(s"SUM(CAST($expr AS DECIMAL(24,6)))")
+
+  /** SQL twin of [[dsplit]]. */
+  def dsplitSql(s: String): String =
     s"(CAST(CAST(FLOOR($s) AS BIGINT) AS DOUBLE) + CAST($s - CAST(FLOOR($s) AS BIGINT) AS DOUBLE))"
-  }
 
   /** Cast a 2-decimal source column to exact decimal. */
   def dec2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -661,12 +661,14 @@ object MiscQueries {
       .agg(count(lit(1)).as("n"), dsum(col("price")).as("sum_price"))
   }
 
+  // dsumSql, not a naive CAST(SUM(...) AS DOUBLE): the Spark side
+  // already dsums, and at 60M rows the naive oracle cast diverges by
+  // 1 ulp once the unscaled sum passes 2^53 (found AT sf10, round 9)
   val partitionOverwriteSql: String =
     s"""SELECT l_returnflag, COUNT(*) AS n,
-       |       CAST(SUM(CAST(CASE WHEN l_returnflag = 'R'
+       |       ${dsumSql(s"""CASE WHEN l_returnflag = 'R'
        |                          THEN 2 * ${dec2Sql("l_extendedprice")}
-       |                          ELSE ${dec2Sql("l_extendedprice")} END
-       |                     AS DECIMAL(24,6))) AS DOUBLE) AS sum_price
+       |                          ELSE ${dec2Sql("l_extendedprice")} END""")} AS sum_price
        |FROM lineitem GROUP BY 1""".stripMargin
 
   /** Exact ROC-AUC by tie-aware rank statistics (Mann-Whitney U) — the

@@ -252,17 +252,28 @@ object RelationalQueries {
         (col("close_c").cast("double") / 100).as("close"))
   }
 
+  // windowed first/last, NOT MIN/MAX(struct_pack(...)): DuckDB's grouped
+  // struct min/max materialized ~98 GB for 1M rows / 956k groups at the
+  // sf10 probe (ignores memory_limit) and OOM-killed the compare; the
+  // row_number form computes the same open/close (event_id is unique,
+  // so (ts, event_id) lexicographic min/max == the struct ordering)
   val ohlcSql: String =
     s"""WITH $eventsCte,
        |c AS (SELECT user_id, date_trunc('hour', ts) AS bar, ts, event_id,
        |             CAST(${dec2Sql("value")} * 100 AS BIGINT) AS c
-       |      FROM evts)
+       |      FROM evts),
+       |r AS (SELECT user_id, bar, c,
+       |             ROW_NUMBER() OVER (PARTITION BY user_id, bar
+       |                                ORDER BY ts, event_id) AS rn_a,
+       |             ROW_NUMBER() OVER (PARTITION BY user_id, bar
+       |                                ORDER BY ts DESC, event_id DESC) AS rn_z
+       |      FROM c)
        |SELECT user_id, CAST(epoch(bar) AS BIGINT) AS bar_sec, COUNT(*) AS n,
-       |       CAST(MIN(struct_pack(ts := ts, event_id := event_id, c := c)).c AS DOUBLE) / 100 AS "open",
+       |       CAST(MIN(CASE WHEN rn_a = 1 THEN c END) AS DOUBLE) / 100 AS "open",
        |       CAST(MAX(c) AS DOUBLE) / 100 AS high,
        |       CAST(MIN(c) AS DOUBLE) / 100 AS low,
-       |       CAST(MAX(struct_pack(ts := ts, event_id := event_id, c := c)).c AS DOUBLE) / 100 AS "close"
-       |FROM c GROUP BY 1, 2""".stripMargin
+       |       CAST(MIN(CASE WHEN rn_z = 1 THEN c END) AS DOUBLE) / 100 AS "close"
+       |FROM r GROUP BY 1, 2""".stripMargin
 
   val latestPerKey: Q = (s, dir) => {
     val w = Window.partitionBy(col("user_id"))

@@ -46,6 +46,13 @@ def main():
                 print(line)
 
     con = duckdb.connect()
+    import os
+    thr = os.environ.get("GRAFT_DUCKDB_THREADS")
+    if thr:
+        con.execute(f"SET threads TO {int(thr)}")
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if Path(p).exists():
@@ -53,28 +60,38 @@ def main():
 
     oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
     results = {}
+
+    # stream each verdict as it is computed (flushed): a crash/OOM mid-
+    # compare then shows the culprit and keeps the partial results —
+    # the round-9 sf10 campaign lost a 40-minute all-at-end run to a
+    # SIGKILL with an empty log
+    def record(name, v):
+        results[name] = v
+        print(f"{'PASS' if str(v).startswith('OK') else 'FAIL':4} {name}: {v}",
+              flush=True)
+
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
         rp = f"{out_dir}/{name}"
         if not Path(rp).exists():
-            results[name] = "SPARK-FAILED"; continue
+            record(name, "SPARK-FAILED"); continue
         smoke = driver_reader_smoke(rp)
         if smoke is not None:
-            results[name] = smoke; continue
+            record(name, smoke); continue
         try:
             got_t = con.execute(
                 f"SELECT * FROM read_parquet('{rp}/*.parquet')").fetch_arrow_table()
             want_t = con.execute(sql).fetch_arrow_table()
         except Exception as e:
-            results[name] = f"ORACLE-ERROR: {e}"; continue
+            record(name, f"ORACLE-ERROR: {e}"); continue
         dt = compare_types(got_t, want_t)
         if dt is not None:
             sj = Path(f"{rp}/_schema.json")
             if sj.exists():
                 dt += f" | catalyst={sj.read_text()}"
-            results[name] = dt; continue
-        results[name] = compare(got_t.to_pandas(), want_t.to_pandas())
+            record(name, dt); continue
+        record(name, compare(got_t.to_pandas(), want_t.to_pandas()))
 
     # queries without oracle: row-count > 0 check only
     for d in sorted(Path(out_dir).iterdir()):
@@ -82,13 +99,11 @@ def main():
             try:
                 n = con.execute(
                     f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
-                results[d.name] = "OK(rows-only)" if n > 0 else "EMPTY"
+                record(d.name, "OK(rows-only)" if n > 0 else "EMPTY")
             except Exception as e:
-                results[d.name] = f"READ-ERROR: {e}"
+                record(d.name, f"READ-ERROR: {e}")
 
     ok = sum(1 for v in results.values() if str(v).startswith("OK"))
-    for name, v in sorted(results.items()):
-        print(f"{'PASS' if str(v).startswith('OK') else 'FAIL':4} {name}: {v}")
     print(f"\n{ok}/{len(results)} pass")
     sys.exit(0 if ok == len(results) else 1)
 
