@@ -595,17 +595,58 @@ object TextQueries {
     TextOps.connectedComponents(minhashLshStaged(s, dir).select(col("a"), col("b")))
       .select(col("node").as("doc_id"), col("cluster"))
 
+  /** Unrolled min-label-propagation connected components over a
+    * symmetric edge CTE `sym(x, y)` — the EXACT oracle twin of the
+    * Spark star-contraction, replacing the transitive-closure
+    * recursive CTE whose cost is O(Σ |component|²) rows (36 CPU-min at
+    * the sf10 probe; 44 GB of spill for the corpus-prep variant) with
+    * O(rounds · |E|). Each round: one propagation
+    * (l'(x) = min(l(x), min_{(x,y)∈sym} l(y))) plus one pointer jump
+    * (l''(x) = min(l'(x), l'(l'(x)))), so a component of diameter up
+    * to ~2^rounds converges. Correctness is the fixpoint argument:
+    * labels start ≥ the component min, never go below it, the min
+    * node keeps itself, and a propagation fixpoint of a symmetric
+    * edge set is constant per component — the guard CTE errors LOUDLY
+    * if one more propagation round would still change a label, so an
+    * under-provisioned unroll can never silently mismatch. Produces
+    * `cc(doc_id, cluster)` — identical values to the closure form. */
+  private def ccUnrolledCtes(rounds: Int): String = {
+    // every CTE here is referenced 2-3 times by the next round;
+    // without MATERIALIZED, inlining doubles the tree per round
+    // (2^rounds copies of the base scan — "Too many open files")
+    val steps = (0 until rounds).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT s.x, LEAST(MIN(a.lbl), MIN(b.lbl)) AS lbl
+         |  FROM sym s JOIN l$k a ON a.x = s.x JOIN l$k b ON b.x = s.y
+         |  GROUP BY s.x),
+         |l${k + 1} AS MATERIALIZED (
+         |  SELECT p.x, LEAST(p.lbl, COALESCE(j.lbl, p.lbl)) AS lbl
+         |  FROM p$k p LEFT JOIN p$k j ON j.x = p.lbl)""".stripMargin
+    }.mkString(",\n")
+    s"""l0 AS MATERIALIZED (SELECT x, LEAST(x, MIN(y)) AS lbl FROM sym GROUP BY x),
+       |$steps,
+       |chg AS MATERIALIZED (
+       |  SELECT COUNT(*) AS d FROM (
+       |    SELECT s.x, LEAST(MIN(a.lbl), MIN(b.lbl)) AS nl
+       |    FROM sym s JOIN l$rounds a ON a.x = s.x JOIN l$rounds b ON b.x = s.y
+       |    GROUP BY s.x) t
+       |  JOIN l$rounds f ON f.x = t.x WHERE t.nl <> f.lbl),
+       |cc AS (
+       |  SELECT x AS doc_id,
+       |         CASE WHEN (SELECT d FROM chg) = 0 THEN lbl
+       |              ELSE CAST(error('CC propagation not converged: raise rounds') AS BIGINT)
+       |         END AS cluster
+       |  FROM l$rounds)""".stripMargin
+  }
+  private val CcRounds = 6
+
   val dedupClustersSql: String =
-    s"""WITH RECURSIVE $docsCte,
+    s"""WITH $docsCte,
        |$sigsCte,
        |$lshPairsCte,
-       |sym AS (SELECT a AS x, b AS y FROM lsh UNION SELECT b, a FROM lsh),
-       |r(x, y) AS (
-       |  SELECT x, y FROM sym
-       |  UNION
-       |  SELECT r.x, s.y FROM r JOIN sym s ON r.y = s.x)
-       |SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster
-       |FROM r GROUP BY x""".stripMargin
+       |sym AS MATERIALIZED (SELECT a AS x, b AS y FROM lsh UNION SELECT b, a FROM lsh),
+       |${ccUnrolledCtes(CcRounds)}
+       |SELECT doc_id, cluster FROM cc""".stripMargin
 
   /** Dedup survivorship — the final stage of the dedup pipeline: one
     * KEEPER document per near-dup cluster, chosen by a quality policy
@@ -651,17 +692,13 @@ object TextQueries {
   }
 
   val dedupKeeperSql: String =
-    s"""WITH RECURSIVE $docsCte,
+    s"""WITH $docsCte,
        |$sigsCte,
        |$lshPairsCte,
-       |sym AS (SELECT a AS x, b AS y FROM lsh UNION SELECT b, a FROM lsh),
-       |r(x, y) AS (
-       |  SELECT x, y FROM sym
-       |  UNION
-       |  SELECT r.x, s.y FROM r JOIN sym s ON r.y = s.x),
-       |comp AS (SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster FROM r GROUP BY x),
+       |sym AS MATERIALIZED (SELECT a AS x, b AS y FROM lsh UNION SELECT b, a FROM lsh),
+       |${ccUnrolledCtes(CcRounds)},
        |lab AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster, d.n_chars
-       |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+       |        FROM documents d LEFT JOIN cc c ON d.doc_id = c.doc_id)
        |SELECT doc_id, cluster,
        |       ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) = 1 AS kept
        |FROM lab""".stripMargin
@@ -1367,7 +1404,7 @@ object TextQueries {
     val langs = TextOps.langProfiles.map(_._1)
     val best = s"GREATEST(${langs.map("s_" + _).mkString(", ")})"
     val cases = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString("\n       |       ")
-    s"""WITH RECURSIVE $docsCte,
+    s"""WITH $docsCte,
        |sc AS (SELECT doc_id, toks, $scores FROM docs),
        |lp AS (SELECT doc_id, CASE WHEN $best <= 0 THEN 'und'
        |       $cases
@@ -1405,12 +1442,8 @@ object TextQueries {
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM b1 x JOIN b1 y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-       |sym AS (SELECT a AS x, b AS y FROM cand UNION SELECT b, a FROM cand),
-       |r(x, y) AS (
-       |  SELECT x, y FROM sym
-       |  UNION
-       |  SELECT r.x, s.y FROM r JOIN sym s ON r.y = s.x),
-       |cc AS (SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster FROM r GROUP BY x),
+       |sym AS MATERIALIZED (SELECT a AS x, b AS y FROM cand UNION SELECT b, a FROM cand),
+       |${ccUnrolledCtes(CcRounds)},
        |s2 AS (SELECT doc_id FROM ek
        |       WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE cluster <> doc_id)),
        |hold AS (SELECT DISTINCT band, key FROM bands WHERE doc_id % 50 = 0),
