@@ -13,7 +13,7 @@ Usage: python3 tools/local_verify.py [sfDir] [outDir] [--skip-run] [query...]
    after pandas coercion. `--selftest` proves the dtype gate has teeth
    (an uncast SUM(1) oracle must FAIL here).
 """
-import json, math, subprocess, sys
+import json, math, os, subprocess, sys
 from pathlib import Path
 
 import duckdb
@@ -37,7 +37,8 @@ def main():
         names = " ".join(sorted(only))
         r = subprocess.run(
             ["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir} {names}'.rstrip()],
-            cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+            cwd="/root/repo", capture_output=True, text=True,
+            timeout=int(os.environ.get("GRAFT_VERIFY_TIMEOUT", "1800")))
         if "[success]" not in r.stdout:
             print(r.stdout[-4000:]); print(r.stderr[-4000:])
             sys.exit("Verify run failed")
@@ -46,7 +47,6 @@ def main():
                 print(line)
 
     con = duckdb.connect()
-    import os
     thr = os.environ.get("GRAFT_DUCKDB_THREADS")
     if thr:
         con.execute(f"SET threads TO {int(thr)}")
@@ -82,7 +82,13 @@ def main():
         try:
             got_t = con.execute(
                 f"SELECT * FROM read_parquet('{rp}/*.parquet')").fetch_arrow_table()
-            want_t = con.execute(sql).fetch_arrow_table()
+            want_t = run_oracle(sf_dir, sql)
+        except TimeoutError as e:
+            # Quadratic-oracle class (e.g. r_dbscan's 1.5M^2 brute-force
+            # pairing at sf10): the SPARK side completed; only the DuckDB
+            # replay is infeasible. Distinct verdict so scale campaigns
+            # can report "oracle-infeasible" instead of hanging forever.
+            record(name, f"ORACLE-TIMEOUT: {e}"); continue
         except Exception as e:
             record(name, f"ORACLE-ERROR: {e}"); continue
         dt = compare_types(got_t, want_t)
@@ -106,6 +112,48 @@ def main():
     ok = sum(1 for v in results.values() if str(v).startswith("OK"))
     print(f"\n{ok}/{len(results)} pass")
     sys.exit(0 if ok == len(results) else 1)
+
+
+def run_oracle(sf_dir, sql):
+    """Run one oracle on a FRESH connection with an optional wall-clock
+    cap (GRAFT_ORACLE_TIMEOUT seconds): a watchdog thread calls
+    con.interrupt() so a single quadratic oracle cannot stall a whole
+    scale campaign. The fresh connection is isolation, learned at the
+    sf10 campaign: an interrupted/OOM'd heavy oracle leaves buffer
+    reservations accounted against the shared connection's memory_limit,
+    after which even 8 KB allocations fail for every later oracle."""
+    con = duckdb.connect()
+    thr = os.environ.get("GRAFT_DUCKDB_THREADS")
+    if thr:
+        con.execute(f"SET threads TO {int(thr)}")
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    cap = os.environ.get("GRAFT_ORACLE_TIMEOUT")
+    try:
+        if not cap:
+            return con.execute(sql).fetch_arrow_table()
+        import threading
+        done = threading.Event()
+        def watchdog():
+            if not done.wait(float(cap)):
+                con.interrupt()
+        wt = threading.Thread(target=watchdog, daemon=True)
+        wt.start()
+        try:
+            return con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            if not done.is_set() and ("INTERRUPT" in str(e).upper()):
+                raise TimeoutError(f"oracle exceeded {cap}s") from e
+            raise
+        finally:
+            done.set()
+    finally:
+        con.close()
 
 
 def driver_reader_smoke(rp):
