@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import Fixtures._
@@ -494,10 +494,14 @@ object RelationalQueries {
   /** RFM segmentation — recency/frequency/monetary quartiles per
     * customer, the warehouse segmentation classic: exact R (days since
     * last order vs the global max date), F (order count), M (decimal
-    * spend); quartiles via ntile(4) with the customer key completing
-    * each sort (total order → both engines bucket identically, same
-    * n/k+remainder ntile rule). The ranking runs on the AGGREGATED
-    * per-customer set, one row per customer. */
+    * spend); the customer key completes each sort (total order → both
+    * engines bucket identically, same n/k+remainder ntile rule). The
+    * per-customer table is unbounded (one row per customer — 10^8+ at
+    * warehouse scale), so a bare `ntile(4).over(Window.orderBy(...))`
+    * would funnel it through ONE task three times; instead each
+    * quartile rides [[graft.ops.Ranking.withGlobalRanks]] — the
+    * range-partitioned two-phase rank (one range shuffle + two local
+    * passes per sort key, no single-partition stage). */
   val rfm: Q = (s, dir) => {
     val o = table(s, dir, "orders")
     val per = o.groupBy(col("o_custkey"))
@@ -507,10 +511,17 @@ object RelationalQueries {
     val base = per.crossJoin(mx)
       .select(col("o_custkey"), datediff(col("gmax"), col("last_d")).as("r"),
         col("f"), col("m"))
-    base
-      .withColumn("r_q", ntile(4).over(Window.orderBy(col("r"), col("o_custkey"))))
-      .withColumn("f_q", ntile(4).over(Window.orderBy(col("f").desc, col("o_custkey"))))
-      .withColumn("m_q", ntile(4).over(Window.orderBy(col("m").desc, col("o_custkey"))))
+    def quart(df: DataFrame, sort: Seq[Column],
+              keys: Seq[String], as: String) =
+      graft.ops.Ranking.withGlobalRanks(df, sort, keys,
+          neighborCol = "o_custkey", ntileN = 4)
+        .withColumnRenamed("ntile", as)
+        .drop("rnk", "drnk", "prev_nb", "next_nb")
+    val ranked = quart(quart(quart(base,
+        Seq(col("r"), col("o_custkey")), Seq("r", "o_custkey"), "r_q"),
+        Seq(col("f").desc, col("o_custkey")), Seq("f", "o_custkey"), "f_q"),
+        Seq(col("m").desc, col("o_custkey")), Seq("m", "o_custkey"), "m_q")
+    ranked
       .select(col("o_custkey"), col("r"), col("f"), col("m").cast("double").as("m"),
         col("r_q"), col("f_q"), col("m_q"),
         (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("segment"))

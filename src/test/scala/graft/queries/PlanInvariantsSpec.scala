@@ -214,6 +214,43 @@ class PlanInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_rfm ranks through the two-phase range shape — no Window node at all") {
+    // Round-10 fix: three global NTILEs over the unbounded per-customer
+    // table moved from single-partition Window.orderBy to chained
+    // Ranking.withGlobalRanks passes. Pin it: the plan must contain no
+    // Window operator (the quartiles are computed map-side after a
+    // range shuffle), so the single-partition sort can never creep back.
+    assert(!plans("q_rfm").contains("Window"),
+      "q_rfm regressed to a Window plan (single-partition global sort at scale)")
+  }
+
+  test("single-partition Sort+Window appears only in gates with a bounded-domain contraction") {
+    // These gates window AFTER a distinct-value or group contraction
+    // whose output cardinality is bounded by the value domain (calendar
+    // buckets, distinct scores/cents, ntile rows, explicit caps), not
+    // by the data size — audited individually (see each gate's
+    // scaladoc / the round-9 judge adjudication). Any NEW gate that
+    // plans this shape must either justify a bounded domain and join
+    // this list, or use Ranking.withGlobalRanks / withGlobalRunningSum.
+    val boundedDomain = Set(
+      "a_changepoint", "a_seasonal_decomp", // calendar-bucket keys (<= days/months)
+      "a_skyline", // distinct (x,y) pareto front
+      "m_auc", "m_pr_curve", // distinct score values (integer-ish domain)
+      "a_ks_test", // distinct cents
+      "m_lift_curve", // 10 ntile rows
+      "a_gini", // custkey < 1000 pushed cap
+      "a_contribution", "a_hist_quantile", "t_token_budget", // bounded group/bin tables
+      "m_perm_importance", // fixed feature set x bounded score domain
+      "t_next_token", "t_psi" // bounded n-gram / bin domains
+    )
+    val offenders = plans.collect {
+      case (name, p) if !boundedDomain(name) &&
+        p.contains("Exchange SinglePartition") && p.contains("Window") => name
+    }
+    assert(offenders.isEmpty,
+      s"unadjudicated single-partition Sort+Window in: ${offenders.mkString(", ")}")
+  }
+
   test("every gate's whole-stage codegen COMPILES (no silent interpreted fallback)") {
     // Round-7 lesson: a >64 KB generated method (e.g. a literal-heavy
     // dxd rotation projection or a 10 KB inline portable-ln tree) makes

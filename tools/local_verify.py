@@ -50,13 +50,13 @@ def main():
     thr = os.environ.get("GRAFT_DUCKDB_THREADS")
     if thr:
         con.execute(f"SET threads TO {int(thr)}")
-    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    mem = split_mem_limit()
     if mem:
         con.execute(f"SET memory_limit='{mem}'")
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if Path(p).exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    # No base-table views here: oracles run on their own fresh connection
+    # (run_oracle) with their own views — this connection only reads the
+    # Spark result parquets, so registering the views twice was dead
+    # weight after the fresh-connection isolation change.
 
     oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
     results = {}
@@ -126,21 +126,31 @@ def run_oracle(sf_dir, sql):
     thr = os.environ.get("GRAFT_DUCKDB_THREADS")
     if thr:
         con.execute(f"SET threads TO {int(thr)}")
-    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    mem = split_mem_limit()
     if mem:
         con.execute(f"SET memory_limit='{mem}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    # parse the cap HERE, in the main thread: a malformed value must fail
+    # loudly, not raise inside the daemon watchdog and silently disable
+    # the timeout the operator believes is in force
     cap = os.environ.get("GRAFT_ORACLE_TIMEOUT")
+    capf = float(cap) if cap else None
+    wt = None
+    done = None
     try:
-        if not cap:
+        if capf is None:
             return con.execute(sql).fetch_arrow_table()
         import threading
         done = threading.Event()
         def watchdog():
-            if not done.wait(float(cap)):
+            if not done.wait(capf) and not done.is_set():
+                # done can be set between wait() returning and here (query
+                # finished exactly at the cap); interrupt() on a live
+                # connection is safe, but never race a close — main joins
+                # us (below) before con.close()
                 con.interrupt()
         wt = threading.Thread(target=watchdog, daemon=True)
         wt.start()
@@ -153,7 +163,32 @@ def run_oracle(sf_dir, sql):
         finally:
             done.set()
     finally:
+        if wt is not None:
+            wt.join(timeout=2.0)
         con.close()
+
+
+def split_mem_limit():
+    """GRAFT_DUCKDB_MEM bounds TOTAL DuckDB memory for this process, but
+    two connections can be live at once (the shared result-reader + the
+    per-oracle fresh connection), each enforcing its own limit — so give
+    each HALF the configured budget to keep the process peak at the
+    configured value (the round-9 OOM/SIGKILL defense, kept honest)."""
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if not mem:
+        return None
+    m = mem.strip().lower()
+    for suffix, mult in (("gib", 1024**3), ("gb", 10**9), ("g", 10**9),
+                         ("mib", 1024**2), ("mb", 10**6), ("m", 10**6)):
+        if m.endswith(suffix):
+            try:
+                val = float(m[: -len(suffix)])
+            except ValueError:
+                break
+            return f"{int(val * mult / 2 / 10**6)}MB"
+    # unrecognized unit: pass through unchanged (better a 2x-risk limit
+    # than silently no limit)
+    return mem
 
 
 def driver_reader_smoke(rp):
