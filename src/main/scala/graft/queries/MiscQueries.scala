@@ -719,6 +719,49 @@ object MiscQueries {
       |       CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
       |FROM u""".stripMargin
 
+  /** Exact ROC-AUC over a CONTINUOUS score — the realistic regime where
+    * m_auc's "distinct scores are few" contraction does NOT hold: the
+    * first embedding component is unique per row, so the grouped score
+    * table is row-sized and a single-partition prefix-sum window over
+    * it would be exactly the q_rfm scale killer. The prefix sum of
+    * negatives-below instead rides
+    * [[graft.ops.Ranking.withGlobalRunningSum]] (range shuffle + two
+    * local passes, no single-partition stage) — the shape that survives
+    * 10^8 unique model scores. Same tie-aware Mann-Whitney identity and
+    * exact long arithmetic as m_auc; one final IEEE division. */
+  val aucContinuous: Q = (s, dir) => {
+    val g = table(s, dir, "embeddings")
+      .select(element_at(col("embedding"), 1).as("score"),
+        when(col("label") >= 5, 1L).otherwise(0L).as("y"))
+      .groupBy(col("score"))
+      .agg(sum(col("y")).as("p"), sum(lit(1L) - col("y")).as("n"))
+    val r = graft.ops.Ranking.withGlobalRunningSum(g, Seq(col("score")), "n")
+    r.agg(sum(col("p") * (lit(2) * (col("rsum") - col("n")) + col("n"))).as("u2"),
+        sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("u2").cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+  }
+
+  val aucContinuousSql: String =
+    """WITH g AS (
+      |  SELECT embedding[1] AS score,
+      |         SUM(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS p,
+      |         SUM(CASE WHEN label >= 5 THEN 0 ELSE 1 END) AS n
+      |  FROM embeddings GROUP BY 1),
+      |c AS (
+      |  SELECT p, n,
+      |         COALESCE(SUM(n) OVER (ORDER BY score
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nlt
+      |  FROM g),
+      |u AS (SELECT CAST(SUM(p * (2 * nlt + n)) AS BIGINT) AS u2,
+      |             CAST(SUM(p) AS BIGINT) AS n_pos,
+      |             CAST(SUM(n) AS BIGINT) AS n_neg
+      |      FROM c)
+      |SELECT n_pos, n_neg,
+      |       CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+      |FROM u""".stripMargin
+
   /** Precision-recall curve over every distinct score threshold — the
     * threshold-sweep view of the same score/label pair m_auc collapses
     * to one number (predict positive where score ≥ t). Like the AUC,
@@ -995,6 +1038,7 @@ object MiscQueries {
     "m_reg_metrics" -> (regMetrics, Some(regMetricsSql)),
     "m_chi2" -> (chi2, Some(chi2Sql)),
     "m_auc" -> (auc, Some(aucSql)),
+    "m_auc_continuous" -> (aucContinuous, Some(aucContinuousSql)),
     "m_pr_curve" -> (prCurve, Some(prCurveSql)),
     "m_calibration" -> (calibration, Some(calibrationSql)),
     "c_orc_roundtrip" -> (orcRoundtrip, Some(orcRoundtripSql)),
