@@ -22,6 +22,9 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def main():
+    if "--oracle-exec" in sys.argv:
+        i = sys.argv.index("--oracle-exec")
+        oracle_exec(*sys.argv[i + 1:i + 4]); return
     if "--selftest" in sys.argv:
         selftest(); return
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -115,13 +118,50 @@ def main():
 
 
 def run_oracle(sf_dir, sql):
-    """Run one oracle on a FRESH connection with an optional wall-clock
-    cap (GRAFT_ORACLE_TIMEOUT seconds): a watchdog thread calls
-    con.interrupt() so a single quadratic oracle cannot stall a whole
-    scale campaign. The fresh connection is isolation, learned at the
-    sf10 campaign: an interrupted/OOM'd heavy oracle leaves buffer
-    reservations accounted against the shared connection's memory_limit,
-    after which even 8 KB allocations fail for every later oracle."""
+    """Run one oracle in its OWN SUBPROCESS (--oracle-exec below), with an
+    optional wall-clock cap (GRAFT_ORACLE_TIMEOUT seconds) enforced by
+    killing the whole child.
+
+    Subprocess isolation replaced the earlier watchdog-thread +
+    con.interrupt() design after the round-10 sf10 campaign: an
+    interrupted 30 GB oracle frees its DuckDB instance, but glibc never
+    returns the fragmented arenas to the OS, so after a few interrupted
+    heavies the PARENT's RSS is pinned tens of GB high and every later
+    oracle — and even the parent's own result-parquet reads — dies on
+    malloc (the campaign recorded 53 cascade failures from 4 timeouts).
+    A killed child gives all memory back to the OS unconditionally, and
+    the timeout is a clean SIGKILL instead of an interrupt/close race.
+    The result crosses back as Arrow IPC (feather), which is lossless
+    for the type-strict compare (HUGEINT stays decimal128)."""
+    import tempfile
+    cap = os.environ.get("GRAFT_ORACLE_TIMEOUT")
+    # parse the cap HERE: a malformed value must fail loudly, not default
+    # to no-timeout while the operator believes a cap is in force
+    capf = float(cap) if cap else None
+    with tempfile.TemporaryDirectory() as td:
+        sqlp = Path(td) / "oracle.sql"
+        outp = Path(td) / "result.arrow"
+        sqlp.write_text(sql)
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--oracle-exec",
+             sf_dir, str(sqlp), str(outp)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        try:
+            _, err = proc.communicate(timeout=capf)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.communicate()
+            raise TimeoutError(f"oracle exceeded {cap}s")
+        if proc.returncode != 0:
+            tail = (err or "").strip().splitlines()
+            raise RuntimeError("; ".join(tail[-3:]) if tail
+                               else f"oracle subprocess rc={proc.returncode}")
+        import pyarrow.feather as feather
+        return feather.read_table(str(outp))
+
+
+def oracle_exec(sf_dir, sql_path, out_path):
+    """Child side of run_oracle: one oracle, one process, then exit."""
     con = duckdb.connect()
     thr = os.environ.get("GRAFT_DUCKDB_THREADS")
     if thr:
@@ -133,39 +173,9 @@ def run_oracle(sf_dir, sql):
         p = f"{sf_dir}/{t}.parquet"
         if Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    # parse the cap HERE, in the main thread: a malformed value must fail
-    # loudly, not raise inside the daemon watchdog and silently disable
-    # the timeout the operator believes is in force
-    cap = os.environ.get("GRAFT_ORACLE_TIMEOUT")
-    capf = float(cap) if cap else None
-    wt = None
-    done = None
-    try:
-        if capf is None:
-            return con.execute(sql).fetch_arrow_table()
-        import threading
-        done = threading.Event()
-        def watchdog():
-            if not done.wait(capf) and not done.is_set():
-                # done can be set between wait() returning and here (query
-                # finished exactly at the cap); interrupt() on a live
-                # connection is safe, but never race a close — main joins
-                # us (below) before con.close()
-                con.interrupt()
-        wt = threading.Thread(target=watchdog, daemon=True)
-        wt.start()
-        try:
-            return con.execute(sql).fetch_arrow_table()
-        except Exception as e:
-            if not done.is_set() and ("INTERRUPT" in str(e).upper()):
-                raise TimeoutError(f"oracle exceeded {cap}s") from e
-            raise
-        finally:
-            done.set()
-    finally:
-        if wt is not None:
-            wt.join(timeout=2.0)
-        con.close()
+    tbl = con.execute(Path(sql_path).read_text()).fetch_arrow_table()
+    import pyarrow.feather as feather
+    feather.write_feather(tbl, out_path, compression="uncompressed")
 
 
 def split_mem_limit():
