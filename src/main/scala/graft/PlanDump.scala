@@ -41,10 +41,21 @@ object PlanDump {
       .filter { case (n, _) => only.isEmpty || only(n) }
       .foreach { case (name, fn) =>
       try {
-        val df = fn(spark, sfDir)
+        // capture the pre-materialization plans of the eager two-phase
+        // gates (graft.ops.Ranking records its INPUT plan per call):
+        // their final snapshot is a Scan ExistingRDD stub, so without
+        // these the upstream aggregation shape would be invisible to
+        // the cross-round plan diff
+        val buf = scala.collection.mutable.Buffer.empty[(String, String)]
+        graft.ops.Ranking.captureTo.set(buf)
+        val df = try fn(spark, sfDir) finally graft.ops.Ranking.captureTo.remove()
         val txt = normalize(df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
         java.nio.file.Files.write(outDir.resolve(s"$name.txt"), txt.getBytes("UTF-8"))
+        buf.toSeq.zipWithIndex.foreach { case ((stage, p), i) =>
+          java.nio.file.Files.write(outDir.resolve(s"${name}__pre${i + 1}_$stage.txt"),
+            normalize(p).getBytes("UTF-8"))
+        }
       } catch {
         case e: Throwable => System.err.println(s"[plandump] $name failed: ${e.getMessage}")
       }

@@ -27,6 +27,25 @@ import org.apache.spark.sql.types._
   */
 object Ranking {
 
+  /** Pre-materialization plan capture. These primitives materialize
+    * through `createDataFrame`, so a gate's final plan snapshot is a
+    * 2-node `Scan ExistingRDD` stub — a Window reintroduced UPSTREAM
+    * of the ranks (in the caller's aggregation feeding this operator)
+    * would be invisible to both `plans/` and the no-Window asserts.
+    * PlanDump / PlanInvariantsSpec set this thread-local buffer before
+    * building a gate; every primitive then records its INPUT's
+    * physical plan at the exact seam `createDataFrame` hides. Nil cost
+    * when unset (one ThreadLocal read per gate build). */
+  private[graft] val captureTo =
+    new ThreadLocal[scala.collection.mutable.Buffer[(String, String)]]
+
+  private def capture(stage: String, df: DataFrame): Unit = {
+    val buf = captureTo.get()
+    if (buf != null)
+      buf += stage -> df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+  }
+
   private case class Summary(pid: Int, nRows: Long, nGroups: Long, trailTies: Long,
                              firstKey: Seq[Any], lastKey: Seq[Any],
                              firstVal: Any, lastVal: Any)
@@ -36,6 +55,7 @@ object Ranking {
     * that define rank ties (the ORDER BY expressions by name). */
   def withGlobalRanks(df: DataFrame, sortExprs: Seq[Column], keyCols: Seq[String],
                       neighborCol: String, ntileN: Int): DataFrame = {
+    capture("withGlobalRanks", df)
     val spark = df.sparkSession
     // both passes call .rdd on the SAME Dataset (lazy val) -> the second
     // job reuses the first's shuffle map output; no cache needed
@@ -160,6 +180,7 @@ object Ranking {
     * partitioner-dependent. Cost: one range shuffle + two local
     * passes; no task ever holds more than one partition. */
   def withGlobalRunningSum(df: DataFrame, sortExprs: Seq[Column], valueCol: String): DataFrame = {
+    capture("withGlobalRunningSum", df)
     val spark = df.sparkSession
     val parted = df.repartitionByRange(sortExprs: _*).sortWithinPartitions(sortExprs: _*)
     val schema = df.schema
@@ -182,6 +203,54 @@ object Ranking {
     spark.createDataFrame(rows, outSchema)
   }
 
+  /** [[withGlobalRunningSum]] over SEVERAL LONG columns at once — one
+    * range shuffle, one summary pass, one map pass, however many
+    * prefix sums ride it (the PR-curve shape needs TP and FP together;
+    * two separate calls would pay the shuffle twice). Adds one
+    * `rsum_<col>` column per input. Also returns the GRAND TOTAL of
+    * each column: the driver already holds the per-partition sums for
+    * the prefix bases, so totals (e.g. the recall denominator) are
+    * free — no extra pass over the ranked output. */
+  def withGlobalRunningSums(df: DataFrame, sortExprs: Seq[Column],
+                            valueCols: Seq[String]): (DataFrame, Seq[Long]) = {
+    capture("withGlobalRunningSums", df)
+    val spark = df.sparkSession
+    val parted = df.repartitionByRange(sortExprs: _*).sortWithinPartitions(sortExprs: _*)
+    val schema = df.schema
+    val vIdx = valueCols.map(schema.fieldIndex).toArray
+    vIdx.foreach(i => require(schema(i).dataType == LongType,
+      s"${schema(i).name} must be LONG"))
+    val m = vIdx.length
+    val sums = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val s = new Array[Long](m)
+      while (it.hasNext) {
+        val r = it.next()
+        var j = 0; while (j < m) { s(j) += r.getLong(vIdx(j)); j += 1 }
+      }
+      Iterator.single(pid -> s)
+    }.collect().sortBy(_._1)
+    val totals = (0 until m).map(j => sums.map(_._2(j)).sum)
+    val bases: Map[Int, Array[Long]] = {
+      var acc = new Array[Long](m)
+      sums.map { case (pid, s) =>
+        val b = acc.clone()
+        acc = acc.zip(s).map { case (x, y) => x + y }
+        pid -> b
+      }.toMap
+    }
+    val basesB = spark.sparkContext.broadcast(bases)
+    val outSchema = StructType(schema.fields ++
+      valueCols.map(c => StructField(s"rsum_$c", LongType, nullable = false)))
+    val rows = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val acc = basesB.value.getOrElse(pid, new Array[Long](m)).clone()
+      it.map { r =>
+        var j = 0; while (j < m) { acc(j) += r.getLong(vIdx(j)); j += 1 }
+        Row.fromSeq(r.toSeq ++ acc.toSeq)
+      }
+    }
+    (spark.createDataFrame(rows, outSchema), totals)
+  }
+
   /** Exact k-th smallest VALUES of a numeric column by two-phase
     * range-partition selection — the scale path for exact quantiles
     * over continuous keys, where the binned-CDF trick (a_quartiles)
@@ -196,6 +265,7 @@ object Ranking {
     * shuffle + two local passes; driver sees P longs. */
   def kthValues(df: DataFrame, valueCol: Column, ks: Seq[Long]): Seq[Double] = {
     require(ks.nonEmpty && ks.forall(_ >= 1))
+    capture("kthValues", df)
     val parted = df.select(valueCol.cast("double").as("v"))
       .where(col("v").isNotNull)
       .repartitionByRange(col("v")).sortWithinPartitions(col("v"))

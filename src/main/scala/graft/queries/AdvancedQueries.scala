@@ -2691,21 +2691,33 @@ object AdvancedQueries {
   val hits: Q = (s, dir) => {
     val SFP = 1048576L // 2^20 fixed-point scale
     val InitFP = 1099511627776L // 2^40: h0 init (see scaladoc)
-    val e = table(s, dir, "orders")
+    // The distinct edge set is checkpointed TWICE, pre-shuffled into the
+    // two layouts the power iterations join on: the sf100 probe showed
+    // each round re-shuffling the full 600M-pair relation both ways (4
+    // full-edge exchanges for 2 iterations) because the single
+    // checkpoint's partitioning matched neither join key. With eByC
+    // hash-partitioned on c and eByS on sup (LogicalRDD preserves the
+    // partitioning through the checkpoint), EnsureRequirements only
+    // shuffles the per-node RANK tables each round — customer/supplier
+    // sized, not edge sized. Cost: one extra edge shuffle + copy up
+    // front; the t_kcore survivor-set pattern applied to both join keys.
+    val e0 = table(s, dir, "orders")
       .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
-      .distinct().localCheckpoint(false)
-    val nC = broadcast(e.select(col("c")).distinct().agg(count(lit(1)).as("n_c")))
-    var h = e.select(col("c")).distinct().crossJoin(nC)
+      .distinct()
+    val eByC = e0.repartition(col("c")).localCheckpoint(false)
+    val eByS = eByC.repartition(col("sup")).localCheckpoint(false)
+    val nC = broadcast(eByC.select(col("c")).distinct().agg(count(lit(1)).as("n_c")))
+    var h = eByC.select(col("c")).distinct().crossJoin(nC)
       .select(col("c"), expr(s"$InitFP div n_c").as("h"))
     var a: DataFrame = null
     for (k <- 1 to 2) {
-      val araw = e.join(h, Seq("c")).groupBy(col("sup"))
+      val araw = eByC.join(h, Seq("c")).groupBy(col("sup"))
         .agg(sum(col("h")).as("ar"))
       val anorm = broadcast(araw.agg(sum(col("ar")).as("na")))
       a = araw.crossJoin(anorm)
         .select(col("sup"), expr(s"(ar * $SFP) div na").as("a"))
-      val hraw = e.join(a, Seq("sup")).groupBy(col("c"))
+      val hraw = eByS.join(a, Seq("sup")).groupBy(col("c"))
         .agg(sum(col("a")).as("hr"))
       val hnorm = broadcast(hraw.agg(sum(col("hr")).as("nh")))
       h = hraw.crossJoin(hnorm)

@@ -805,6 +805,50 @@ object MiscQueries {
       |       CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) AS recall
       |FROM c""".stripMargin
 
+  /** Precision-recall curve over a CONTINUOUS score — m_pr_curve's
+    * scale twin, completing the continuous-score eval family
+    * m_auc_continuous opened: the first embedding component is unique
+    * per row, so the distinct-score table is row-sized and the
+    * descending TP/FP prefix sums would otherwise plan as exactly the
+    * single-partition Sort+Window q_rfm was cured of. Both prefix sums
+    * ride ONE [[graft.ops.Ranking.withGlobalRunningSums]] pass (one
+    * descending range shuffle carries TP and FP together), and the
+    * recall denominator comes from the primitive's driver-side
+    * partition totals — no second pass, no global window anywhere.
+    * Counts are exact longs; precision/recall are one IEEE division
+    * each, bit-identical in any engine. */
+  val prContinuous: Q = (s, dir) => {
+    val g = table(s, dir, "embeddings")
+      .select(element_at(col("embedding"), 1).as("score"),
+        when(col("label") >= 5, 1L).otherwise(0L).as("y"))
+      .groupBy(col("score"))
+      .agg(sum(col("y")).as("p"), sum(lit(1L) - col("y")).as("n"))
+    val (r, totals) = graft.ops.Ranking.withGlobalRunningSums(
+      g, Seq(col("score").desc), Seq("p", "n"))
+    val nPos = totals.head
+    r.select(col("score"), col("rsum_p").as("tp"), col("rsum_n").as("fp"),
+      (col("rsum_p").cast("double") /
+        (col("rsum_p") + col("rsum_n")).cast("double")).as("precision"),
+      (col("rsum_p").cast("double") / lit(nPos).cast("double")).as("recall"))
+  }
+
+  val prContinuousSql: String =
+    """WITH g AS (
+      |  SELECT embedding[1] AS score,
+      |         SUM(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS p,
+      |         SUM(CASE WHEN label >= 5 THEN 0 ELSE 1 END) AS n
+      |  FROM embeddings GROUP BY 1),
+      |c AS (
+      |  SELECT score,
+      |         SUM(p) OVER w AS tp, SUM(n) OVER w AS fp,
+      |         SUM(p) OVER () AS n_pos
+      |  FROM g
+      |  WINDOW w AS (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT score, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      |       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+      |       CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) AS recall
+      |FROM c""".stripMargin
+
   /** Calibration (reliability) bins — does the score's magnitude track
     * the empirical positive rate? Ten fixed-width bins on the score,
     * per-bin count, mean score and observed positive fraction. Pure
@@ -1040,6 +1084,7 @@ object MiscQueries {
     "m_auc" -> (auc, Some(aucSql)),
     "m_auc_continuous" -> (aucContinuous, Some(aucContinuousSql)),
     "m_pr_curve" -> (prCurve, Some(prCurveSql)),
+    "m_pr_continuous" -> (prContinuous, Some(prContinuousSql)),
     "m_calibration" -> (calibration, Some(calibrationSql)),
     "c_orc_roundtrip" -> (orcRoundtrip, Some(orcRoundtripSql)),
     "c_zstd_roundtrip" -> (zstdRoundtrip, Some(zstdRoundtripSql)),

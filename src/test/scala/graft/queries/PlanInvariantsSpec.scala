@@ -15,6 +15,14 @@ class PlanInvariantsSpec extends AnyFunSuite {
   private lazy val plans: Map[String, String] =
     planObjs.map { case (k, p) => k -> p.toString }
 
+  /** Pre-materialization plans captured by graft.ops.Ranking during the
+    * builder calls: the eager two-phase gates materialize through
+    * createDataFrame, so their FINAL plan is a Scan ExistingRDD stub —
+    * these are the upstream plans that stub hides (What's-wrong #2 of
+    * the round-10 audit). Keyed by gate, valued (stage, plan). */
+  private val subPlans =
+    scala.collection.mutable.Map.empty[String, Seq[(String, String)]]
+
   private lazy val planObjs: Map[String, org.apache.spark.sql.execution.SparkPlan] = {
     // Earlier suites in the shared JVM cache DataFrames over the same
     // parquet paths (SimilaritySpec/SamplingSpec cache embeddings);
@@ -42,13 +50,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
         // JVM-wide clear (the pre-round-7 behavior) rather than fail
         cm.clearCache()
         Registry.suites.map { case (name, (fn, _)) =>
-          name -> fn(spark, sf).queryExecution.executedPlan
+          name -> buildWithCapture(name, fn).queryExecution.executedPlan
         }
       case Some(f) =>
         val snapshot = f.get(cm).asInstanceOf[scala.collection.immutable.IndexedSeq[AnyRef]]
         f.set(cm, scala.collection.immutable.IndexedSeq.empty)
         try Registry.suites.map { case (name, (fn, _)) =>
-          name -> fn(spark, sf).queryExecution.executedPlan
+          name -> buildWithCapture(name, fn).queryExecution.executedPlan
         } finally {
           // several gates execute real jobs while "planning" (bounded
           // collects, tmp-catalog writes); anything they cached during
@@ -56,6 +64,19 @@ class PlanInvariantsSpec extends AnyFunSuite {
           val duringPass = f.get(cm).asInstanceOf[scala.collection.immutable.IndexedSeq[AnyRef]]
           f.set(cm, snapshot ++ duringPass)
         }
+    }
+  }
+
+  private def buildWithCapture(
+      name: String,
+      fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val buf = scala.collection.mutable.Buffer.empty[(String, String)]
+    graft.ops.Ranking.captureTo.set(buf)
+    try fn(spark, sf)
+    finally {
+      graft.ops.Ranking.captureTo.remove()
+      if (buf.nonEmpty) subPlans(name) = buf.toSeq
     }
   }
 
@@ -222,6 +243,42 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // range shuffle), so the single-partition sort can never creep back.
     assert(!plans("q_rfm").contains("Window"),
       "q_rfm regressed to a Window plan (single-partition global sort at scale)")
+  }
+
+  // Every gate that rides a graft.ops.Ranking primitive materializes
+  // through createDataFrame, so its FINAL plan is a Scan ExistingRDD
+  // stub — a Window reintroduced UPSTREAM of the ranks (in the
+  // aggregation feeding the primitive) would be invisible to both the
+  // plans/ snapshot and the final-plan asserts above. Ranking captures
+  // each primitive's INPUT plan at the materialization seam; these two
+  // tests close that hole for the whole family at once (round-10
+  // what's-wrong #2 + the m_auc_continuous ADVICE pin).
+  private val windowFreeUpstream = Set(
+    "q_rfm", "m_auc_continuous", "m_pr_continuous", "a_ranking_windows",
+    "a_exact_median", "a_mann_whitney", "a_spearman", "a_runs_test",
+    "m_lift_curve")
+
+  test("every two-phase rank/running-sum gate captured its pre-materialization plans") {
+    plans // force the planning pass (populates subPlans via buildWithCapture)
+    val expected = windowFreeUpstream + "q_peak_concurrency"
+    val missing = expected.filterNot(g => subPlans.get(g).exists(_.nonEmpty))
+    assert(missing.isEmpty,
+      s"no Ranking capture for: ${missing.mkString(", ")} — did the gate stop using the two-phase primitive?")
+  }
+
+  test("no Window hides upstream of the two-phase ranks (pre-materialization plans)") {
+    plans // force the planning pass
+    for ((gate, caps) <- subPlans; ((stage, p), i) <- caps.zipWithIndex) {
+      if (windowFreeUpstream(gate))
+        assert(!p.contains("Window"),
+          s"$gate sub-plan #$i ($stage) contains a Window upstream of the ranks")
+      else
+        // gates with legitimate PARTITIONED windows upstream (e.g.
+        // q_peak_concurrency's per-user session islands) must still
+        // never feed the primitive from a single-partition sort-window
+        assert(!(p.contains("Exchange SinglePartition") && p.contains("Window")),
+          s"$gate sub-plan #$i ($stage) plans a single-partition Window upstream of the ranks")
+    }
   }
 
   test("single-partition Sort+Window appears only in gates with a bounded-domain contraction") {

@@ -132,13 +132,27 @@ def run_oracle(sf_dir, sql):
     A killed child gives all memory back to the OS unconditionally, and
     the timeout is a clean SIGKILL instead of an interrupt/close race.
     The result crosses back as Arrow IPC (feather), which is lossless
-    for the type-strict compare (HUGEINT stays decimal128)."""
+    for the type-strict compare (HUGEINT stays decimal128).
+
+    GRAFT_ORACLE_TIMEOUT is a whole-child wall-clock cap: it covers
+    interpreter startup, the duckdb import and the feather write, not
+    just query execution — a fixed 10 s grace is added on top of the
+    configured value so a query finishing just under the cap is never
+    misclassified by serialization overhead. The IPC file lands under
+    GRAFT_ORACLE_TMP when set (campaign runs on tmpfs-backed /tmp
+    should point it at real disk next to the result dir: a large
+    uncompressed result would otherwise consume RAM outside the
+    GRAFT_DUCKDB_MEM budget); lz4 compression shrinks the footprint
+    either way."""
     import tempfile
     cap = os.environ.get("GRAFT_ORACLE_TIMEOUT")
     # parse the cap HERE: a malformed value must fail loudly, not default
     # to no-timeout while the operator believes a cap is in force
     capf = float(cap) if cap else None
-    with tempfile.TemporaryDirectory() as td:
+    tmp_base = os.environ.get("GRAFT_ORACLE_TMP")
+    if tmp_base:
+        Path(tmp_base).mkdir(parents=True, exist_ok=True)
+    with tempfile.TemporaryDirectory(dir=tmp_base) as td:
         sqlp = Path(td) / "oracle.sql"
         outp = Path(td) / "result.arrow"
         sqlp.write_text(sql)
@@ -147,7 +161,7 @@ def run_oracle(sf_dir, sql):
              sf_dir, str(sqlp), str(outp)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         try:
-            _, err = proc.communicate(timeout=capf)
+            _, err = proc.communicate(timeout=capf + 10 if capf else None)
         except subprocess.TimeoutExpired:
             proc.kill()
             proc.communicate()
@@ -175,7 +189,10 @@ def oracle_exec(sf_dir, sql_path, out_path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     tbl = con.execute(Path(sql_path).read_text()).fetch_arrow_table()
     import pyarrow.feather as feather
-    feather.write_feather(tbl, out_path, compression="uncompressed")
+    # lz4 keeps a large result's on-disk (and, on tmpfs, in-RAM)
+    # footprint bounded; feather decompression is lossless for the
+    # type-strict compare
+    feather.write_feather(tbl, out_path, compression="lz4")
 
 
 def split_mem_limit():
