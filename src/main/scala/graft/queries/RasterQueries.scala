@@ -959,18 +959,14 @@ object RasterQueries {
       .where(col("v").cast("long") % 3 === 0)
       .select((col("tile_col") * TS + col("px")).cast("long").as("gx"),
         (col("tile_row") * TS + col("py")).cast("long").as("gy"))
-      .withColumn("id", col("gx") * W + col("gy"))
-    def shifted(dx: Int, dy: Int) = m.select(
-      (col("gx") + dx).as("gx"), (col("gy") + dy).as("gy"), col("id").as("b"))
-    val edges = m.join(shifted(1, 0), Seq("gx", "gy")).select(col("id").as("a"), col("b"))
-      .unionByName(m.join(shifted(0, 1), Seq("gx", "gy")).select(col("id").as("a"), col("b")))
-    val cc = graft.text.TextOps.connectedComponents(edges)
-    m.join(cc, m("id") === cc("node"), "left")
+    // shared with the append-only IVM twin (RegionIncrement.appendTiles,
+    // maintained front proven append==rebuild in IncrementalRegionFrontSpec)
+    graft.ops.RegionIncrement.labelCells(m, W)
       .select(expr(s"gx div $TS").cast("int").as("tile_col"),
         expr(s"gy div $TS").cast("int").as("tile_row"),
         (col("gx") % TS).cast("int").as("px"),
         (col("gy") % TS).cast("int").as("py"),
-        coalesce(col("cluster"), col("id")).as("label"))
+        col("label"))
   }
 
   /** MATERIALIZED region-label front: regionLabel's output written
