@@ -349,7 +349,23 @@ object TextQueries {
     * inherently quadratic in the OUTPUT — 90k of 125k pairs pass τ —
     * while the 16k-shingle universe yields the true near-dups only).
     * ceil(τ·len) at τ=0.5 is the integer (len+1) div 2, so both
-    * engines cut identical prefixes. */
+    * engines cut identical prefixes.
+    *
+    * EXACT-DUPLICATE COLLAPSE (the All-Pairs paper's own preprocessing
+    * step, and the move that makes this survive a duplicated corpus):
+    * docs with IDENTICAL shingle sets are grouped (groupBy on the
+    * sorted hash array — exact, no fingerprint collisions) and only
+    * one REPRESENTATIVE per distinct set enters the prefix join. On a
+    * corpus where every doc has d duplicates, every shingle's prefix
+    * occurrence count carries a ×d factor and the candidate equi-join
+    * fans out ×d² per key — the sf10 replica (d≈100) turned that into
+    * a disk-filling 10⁴× shuffle. Collapsed, candidate volume depends
+    * only on DISTINCT sets; the true pairs are reconstructed by
+    * expanding rep-pairs across group members (cross of member lists,
+    * |output|-bounded) plus the intra-group pairs, which are J = 1.0
+    * by construction. Rep-side df is computed over reps — the prefix
+    * theorem holds for ANY shared total order, and dup-free df is the
+    * more discriminative one. */
   val prefixJoin: Q = (s, dir) => {
     // five consumers (df census, sizes, prefix, verify a/b) — compute
     // the md5 shingle hashing once, not per branch
@@ -357,11 +373,21 @@ object TextQueries {
       .select(col("doc_id"), explode(array_distinct(TextOps.shingles3(col("toks")))).as("shs"))
       .select(col("doc_id"), TextOps.h60(col("shs")).as("sh"))
       .localCheckpoint(false)
-    val dfc = sh.groupBy(col("sh")).agg(count(lit(1)).as("dfc"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    // collapse identical sets: (rep = min doc_id, members, len) per set
+    val groups = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("sh"))).as("set"))
+      .groupBy(col("set"))
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+      .select(col("rep"), col("members"), size(col("set")).cast("long").as("len"))
+      .localCheckpoint(false)
+    val mem = groups.select(col("rep"), explode(col("members")).as("doc"))
+    val repSh = sh.join(groups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint(false)
+    val dfc = repSh.groupBy(col("sh")).agg(count(lit(1)).as("dfc"))
+    val sizes = groups.select(col("rep").as("doc_id"), col("len"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("dfc"), col("sh"))
-    val prefix = sh.join(dfc, Seq("sh")).join(sizes, Seq("doc_id"))
+    val prefix = repSh.join(dfc, Seq("sh")).join(sizes, Seq("doc_id"))
       .withColumn("rn", row_number().over(wDoc))
       .where(col("rn") <= col("len") - expr("(len + 1) div 2") + 1)
       .select(col("sh"), col("doc_id"), col("len"))
@@ -371,16 +397,35 @@ object TextQueries {
         lit(2) * col("lb") >= col("la") && lit(2) * col("la") >= col("lb"))
       .select(col("a"), col("b")).distinct()
     val shared = cand
-      .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .join(repSh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
+      .join(repSh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    shared
+    val repPairs = shared
       .join(sizes.select(col("doc_id").as("a"), col("len").as("na")), Seq("a"))
       .join(sizes.select(col("doc_id").as("b"), col("len").as("nb")), Seq("b"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
       .where(col("jaccard") >= 0.5)
-      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"), col("jaccard"))
+    // expand rep-pairs across group members; (a,b,na,nb) swap together
+    // so a < b holds and na stays doc a's length
+    val inter = repPairs
+      .join(mem.select(col("rep").as("a"), col("doc").as("da")), Seq("a"))
+      .join(mem.select(col("rep").as("b"), col("doc").as("db")), Seq("b"))
+      .select(
+        least(col("da"), col("db")).as("a"), greatest(col("da"), col("db")).as("b"),
+        col("inter"),
+        when(col("da") < col("db"), col("na")).otherwise(col("nb")).as("na"),
+        when(col("da") < col("db"), col("nb")).otherwise(col("na")).as("nb"),
+        col("jaccard"))
+    // intra-group pairs: identical sets, J = 1.0, inter = len
+    val intraMem = groups.where(size(col("members")) > 1)
+      .select(col("rep"), col("len"), explode(col("members")).as("doc"))
+    val intra = intraMem.select(col("rep"), col("len"), col("doc").as("a"))
+      .join(intraMem.select(col("rep"), col("doc").as("b")), Seq("rep"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("len").as("inter"),
+        col("len").as("na"), col("len").as("nb"), lit(1.0).as("jaccard"))
+    inter.unionByName(intra)
   }
 
   val prefixJoinSql: String =
