@@ -166,16 +166,32 @@ def run_oracle(sf_dir, sql):
             proc.kill()
             proc.communicate()
             raise TimeoutError(f"oracle exceeded {cap}s")
+        import pyarrow.feather as feather
         if proc.returncode != 0:
+            # the child renames the result into place only after a
+            # COMPLETE write, so a readable out_path means the query and
+            # serialization finished and only teardown crashed (observed:
+            # a thread-create EAGAIN abort in DuckDB's exit path under a
+            # loaded box) — the result is trustworthy, use it
+            if outp.exists():
+                try:
+                    return feather.read_table(str(outp))
+                except Exception:
+                    pass
             tail = (err or "").strip().splitlines()
             raise RuntimeError("; ".join(tail[-3:]) if tail
                                else f"oracle subprocess rc={proc.returncode}")
-        import pyarrow.feather as feather
         return feather.read_table(str(outp))
 
 
 def oracle_exec(sf_dir, sql_path, out_path):
     """Child side of run_oracle: one oracle, one process, then exit."""
+    # preload pyarrow BEFORE the query runs: fetch_arrow_table imports it
+    # lazily, and a memory-heavy oracle can leave so little headroom that
+    # mapping pyarrow's .so fails ("failed to map segment") — observed
+    # deterministically on t_rake at sf10, where the import error then
+    # masqueraded as an oracle failure
+    import pyarrow.feather as feather  # noqa: F401
     con = duckdb.connect()
     thr = os.environ.get("GRAFT_DUCKDB_THREADS")
     if thr:
@@ -188,11 +204,14 @@ def oracle_exec(sf_dir, sql_path, out_path):
         if Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     tbl = con.execute(Path(sql_path).read_text()).fetch_arrow_table()
-    import pyarrow.feather as feather
     # lz4 keeps a large result's on-disk (and, on tmpfs, in-RAM)
     # footprint bounded; feather decompression is lossless for the
-    # type-strict compare
-    feather.write_feather(tbl, out_path, compression="lz4")
+    # type-strict compare. Write-then-rename: the parent treats the
+    # final path's existence as proof of a complete result, so a crash
+    # mid-write (or in DuckDB's teardown after) can never surface a
+    # truncated file under the final name.
+    feather.write_feather(tbl, str(out_path) + ".part", compression="lz4")
+    os.rename(str(out_path) + ".part", out_path)
 
 
 def split_mem_limit():
