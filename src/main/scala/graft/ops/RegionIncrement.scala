@@ -47,8 +47,14 @@ object RegionIncrement {
     * (no neighborhood explode); labels come from the shared
     * pointer-jumping CC primitive (TextOps.connectedComponents). */
   def labelCells(cells: DataFrame, gridWidth: Long): DataFrame = {
+    // r11: the cell table is consumed 4+ times (both shifted self-joins,
+    // the CC stage's two passes, the final label join); un-checkpointed,
+    // each consumer re-executed the full pixelize lineage. One eager
+    // materialization of the operator's working set (the mask cells)
+    // turns every consumer into a cached-block scan (guide §5).
     val m = cells.select(col("gx"), col("gy"))
       .withColumn("id", col("gx") * gridWidth + col("gy"))
+      .localCheckpoint(true)
     def shifted(dx: Int, dy: Int) = m.select(
       (col("gx") + dx).as("gx"), (col("gy") + dy).as("gy"), col("id").as("b"))
     val edges = m.join(shifted(1, 0), Seq("gx", "gy")).select(col("id").as("a"), col("b"))

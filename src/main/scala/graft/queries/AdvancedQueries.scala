@@ -2691,38 +2691,40 @@ object AdvancedQueries {
   val hits: Q = (s, dir) => {
     val SFP = 1048576L // 2^20 fixed-point scale
     val InitFP = 1099511627776L // 2^40: h0 init (see scaladoc)
-    // The distinct edge set is checkpointed TWICE, pre-shuffled into the
-    // two layouts the power iterations join on: the sf100 probe showed
-    // each round re-shuffling the full 600M-pair relation both ways (4
-    // full-edge exchanges for 2 iterations) because the single
-    // checkpoint's partitioning matched neither join key. With eByC
-    // hash-partitioned on c and eByS on sup (LogicalRDD preserves the
-    // partitioning through the checkpoint), EnsureRequirements only
-    // shuffles the per-node RANK tables each round — customer/supplier
-    // sized, not edge sized. Cost: one extra edge shuffle + copy up
-    // front; the t_kcore survivor-set pattern applied to both join keys.
-    val e0 = table(s, dir, "orders")
+    // r11 REWRITE, measured against the round-10 two-layout design (see
+    // OPTIMIZATION_r11.md): the old shape checkpointed the distinct edge
+    // set LAZILY into two pre-shuffled layouts on the theory that
+    // LogicalRDD preserves partitioning. Under AQE it does not — the
+    // plan snapshot showed every ExistingRDD consumer re-Exchanged — so
+    // the second layout was a pure extra full-edge shuffle + block copy;
+    // worse, the lazy checkpoints plus un-checkpointed per-round rank
+    // tables let each round's join+agg subtree inline 2-4x into the
+    // final plan (profile: the orders⨝lineitem scan chain executed 9x
+    // per run). New shape (guide §2.4, §5): ONE eager checkpoint of the
+    // deduped edge set (dropDuplicates rides the join's exchange output
+    // — no dedicated distinct shuffle), and each round's edge-sized
+    // join+agg output (araw/hraw, node-sized) is eagerly checkpointed,
+    // so every edge-sized join executes exactly once per round and the
+    // normalization scalars re-read node-sized cached blocks.
+    val e = table(s, dir, "orders")
       .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
-      .distinct()
-    val eByC = e0.repartition(col("c")).localCheckpoint(false)
-    val eByS = eByC.repartition(col("sup")).localCheckpoint(false)
-    val nC = broadcast(eByC.select(col("c")).distinct().agg(count(lit(1)).as("n_c")))
-    var h = eByC.select(col("c")).distinct().crossJoin(nC)
+      .dropDuplicates("c", "sup").localCheckpoint(true)
+    val nC = broadcast(e.select(col("c")).distinct().agg(count(lit(1)).as("n_c")))
+    var h = e.select(col("c")).distinct().crossJoin(nC)
       .select(col("c"), expr(s"$InitFP div n_c").as("h"))
     var a: DataFrame = null
     for (k <- 1 to 2) {
-      val araw = eByC.join(h, Seq("c")).groupBy(col("sup"))
-        .agg(sum(col("h")).as("ar"))
+      val araw = e.join(h, Seq("c")).groupBy(col("sup"))
+        .agg(sum(col("h")).as("ar")).localCheckpoint(true)
       val anorm = broadcast(araw.agg(sum(col("ar")).as("na")))
       a = araw.crossJoin(anorm)
         .select(col("sup"), expr(s"(ar * $SFP) div na").as("a"))
-      val hraw = eByS.join(a, Seq("sup")).groupBy(col("c"))
-        .agg(sum(col("a")).as("hr"))
+      val hraw = e.join(a, Seq("sup")).groupBy(col("c"))
+        .agg(sum(col("a")).as("hr")).localCheckpoint(true)
       val hnorm = broadcast(hraw.agg(sum(col("hr")).as("nh")))
       h = hraw.crossJoin(hnorm)
         .select(col("c"), expr(s"(hr * $SFP) div nh").as("h"))
-      if (k < 2) h = h.localCheckpoint(false)
     }
     a.select(lit("auth").as("role"), col("sup").cast("long").as("id"),
         (col("a").cast("double") / SFP.toDouble).as("score"))

@@ -1368,9 +1368,15 @@ object RasterQueries {
   private def dbscanCoreLab(s: SparkSession, dir: String): DataFrame = {
     val pos = dbscanPts(s, dir).groupBy(col("px"), col("py"))
       .agg(count(lit(1)).as("cnt"), min(col("pid")).as("posid"))
-    val pairs = dbscanPosPairs(pos)
+    // r11: the eps-disk pair table is the expensive stage and is
+    // consumed 4x (neighbor census, the edge build, the CC stage's two
+    // passes); eagerly materialize it once — it is position-bounded
+    // (|positions| x |eps-disk| rows at ANY data scale, the
+    // coincident-point contraction's invariant), so the checkpoint is
+    // small forever. Same for the core-position set (3 consumers).
+    val pairs = dbscanPosPairs(pos).localCheckpoint(true)
     val nn = pairs.groupBy(col("qid")).agg((sum(col("ccnt")) - 1).as("nn"))
-    val corePos = nn.where(col("nn") >= 3).select(col("qid"))
+    val corePos = nn.where(col("nn") >= 3).select(col("qid")).localCheckpoint(true)
     val edges = pairs.select(col("qid").as("a"), col("cid").as("b"))
       .where(col("a") < col("b"))
       .join(corePos.select(col("qid").as("a")), Seq("a"))

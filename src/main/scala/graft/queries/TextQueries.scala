@@ -33,6 +33,10 @@ object TextQueries {
       |  list_filter(string_split(text, ' '), t -> t <> '') AS toks
       |FROM documents)""".stripMargin
 
+  // tableFanned: the tokenize/shingle/hash kernels downstream of this
+  // reader are the text family's hot path; a single-split documents
+  // file would serialize them all (see Fixtures.tableFanned — no-op at
+  // real scale).
   private def docs(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents").select(col("doc_id"), col("text"),
       TextOps.tokens(col("text")).as("toks"))
@@ -372,17 +376,17 @@ object TextQueries {
     val sh = docs(s, dir)
       .select(col("doc_id"), explode(array_distinct(TextOps.shingles3(col("toks")))).as("shs"))
       .select(col("doc_id"), TextOps.h60(col("shs")).as("sh"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // collapse identical sets: (rep = min doc_id, members, len) per set
     val groups = sh.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("sh"))).as("set"))
       .groupBy(col("set"))
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
       .select(col("rep"), col("members"), size(col("set")).cast("long").as("len"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val mem = groups.select(col("rep"), explode(col("members")).as("doc"))
     val repSh = sh.join(groups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val dfc = repSh.groupBy(col("sh")).agg(count(lit(1)).as("dfc"))
     val sizes = groups.select(col("rep").as("doc_id"), col("len"))
     val wDoc = org.apache.spark.sql.expressions.Window

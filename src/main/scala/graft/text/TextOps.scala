@@ -381,10 +381,35 @@ object TextOps {
     * ESTIMATE's bit-length per round until BigInt stats arithmetic
     * dominated the driver — see the Materialize scaladoc.
     * Deterministic: the component label IS the minimum node id.
-    * Returns (node, cluster), one row per input-edge endpoint. */
+    * Returns (node, cluster), one row per input-edge endpoint.
+    *
+    * SCALE-ADAPTIVE EXECUTION (r11, guide §1.2/§5): the normalized
+    * distinct edge set is materialized (and counted — one job over
+    * cached blocks) before the loop either way. When the count is at or
+    * under `spark.graft.cc.localEdgeLimit` (default 2^22 edges = 64 MB
+    * of key pairs, well under any sane spark.driver.maxResultSize), the
+    * star loop collapses to a single driver-side union-find: the
+    * distributed loop's cost at that size is pure orchestration — the
+    * sf0.1 profile showed 70-130 serialized 1-2-task jobs of 30-400 ms
+    * each per CC gate, against milliseconds of actual union-find work —
+    * while past the limit (the sf10/sf100 dedup graphs, ~replica² edge
+    * growth) the loop runs exactly as before. This is the same
+    * adapt-from-actual-size contract AQE applies to join strategies,
+    * applied to the iteration driver; the label VALUES are identical
+    * by construction (min node id per component both ways). */
   def connectedComponents(edges: org.apache.spark.sql.DataFrame,
                           maxIter: Int = 25): org.apache.spark.sql.DataFrame = {
     import graft.ops.Materialize.checkpointFresh
+    // pre-materialization capture (the Ranking seam): CC executes
+    // eagerly, so a consumer gate's final plan is a stub — record the
+    // INPUT edge plan for PlanDump/PlanInvariantsSpec (front scans,
+    // join shapes) exactly like the two-phase rank builders do.
+    {
+      val cbuf = graft.ops.Ranking.captureTo.get()
+      if (cbuf != null)
+        cbuf += "cc_edges" -> edges.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+    }
     val nodes = edges.select(col("a").as("node"))
       .unionByName(edges.select(col("b").as("node"))).distinct()
     // one phase: hang the selected neighbors of each center u under
@@ -410,6 +435,71 @@ object TextOps {
     var (e, prevRdds) = checkpointFresh(
       edges.select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
         .where(col("a") =!= col("b")).distinct())
+
+    val spark = edges.sparkSession
+    val localLimit = spark.conf
+      .get("spark.graft.cc.localEdgeLimit", (1L << 22).toString).toLong
+    val bothLong = e.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (bothLong && e.count() <= localLimit) {
+      // driver union-find (path halving) over the cached edge blocks.
+      // The node universe comes from the ORIGINAL edge endpoints (like
+      // the distributed path's left join): a node appearing only in
+      // self-loops is absent from the normalized set but still owes an
+      // output row labeled by itself.
+      val rows = e.collect()
+      val nodeRows = nodes.collect()
+      prevRdds.foreach(_.unpersist(blocking = false))
+      val idx = new scala.collection.mutable.LongMap[Int](rows.length * 2)
+      val ids = new scala.collection.mutable.ArrayBuffer[Long](rows.length)
+      val parent = new scala.collection.mutable.ArrayBuffer[Int](rows.length)
+      def nodeIdx(x: Long): Int = {
+        val existing = idx.getOrElse(x, -1)
+        if (existing >= 0) existing
+        else { val i = ids.length; idx(x) = i; ids += x; parent += i; i }
+      }
+      def find(x0: Int): Int = {
+        var x = x0
+        while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+        x
+      }
+      var r = 0
+      while (r < rows.length) {
+        val row = rows(r)
+        val ra = find(nodeIdx(row.getLong(0)))
+        val rb = find(nodeIdx(row.getLong(1)))
+        if (ra != rb) parent(rb) = ra
+        r += 1
+      }
+      // label of a component = min node id over its members
+      val minOf = new Array[Long](ids.length)
+      java.util.Arrays.fill(minOf, Long.MaxValue)
+      var i = 0
+      while (i < ids.length) {
+        val root = find(i)
+        if (ids(i) < minOf(root)) minOf(root) = ids(i)
+        i += 1
+      }
+      val out = new Array[org.apache.spark.sql.Row](nodeRows.length)
+      i = 0
+      while (i < nodeRows.length) {
+        val n = nodeRows(i).getLong(0)
+        val j = idx.getOrElse(n, -1)
+        // j < 0: self-loop-only node, labels itself
+        out(i) = org.apache.spark.sql.Row(n, if (j < 0) n else minOf(find(j)))
+        i += 1
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      val slices = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+        out.length / 65536 + 1))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq, slices), schema)
+    }
+
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {

@@ -178,12 +178,22 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // graft_sigfront parquet scan) and contain zero in-plan MinHash
     // derivation. t_minhash_sig / t_minhash_lsh stay fully in-plan —
     // they are the gates that oracle the derivation itself.
-    val staged = Seq("t_corpus_prep", "t_dedup_clusters", "t_dedup_keeper",
-      "t_triangles", "t_label_prop", "t_lsh_verify",
+    val staged = Seq("t_corpus_prep", "t_triangles", "t_label_prop", "t_lsh_verify",
       "t_lsh_recall")
     for (name <- staged)
       assert(plans(name).contains("graft_sigfront"),
         s"$name must consume the materialized signature front")
+    // CC-consumer dedup gates: at sf0.001 the scale-adaptive CC runs
+    // eagerly (local union-find), so the final plan is a Scan
+    // ExistingRDD stub and the front scan lives in the captured
+    // pre-materialization plan (the cc_edges capture) instead.
+    for (name <- Seq("t_dedup_clusters", "t_dedup_keeper")) {
+      val all = plans(name) +
+        subPlans.getOrElse(name, Nil).map(_._2).mkString("\n")
+      assert(all.contains("graft_sigfront"),
+        s"$name must consume the materialized signature front " +
+          "(final plan or captured cc_edges pre-plan)")
+    }
     // t_kcore / t_pagerank / t_bfs_dist consume the front too, but their iteration
     // loops localCheckpoint the edge list so the final plan is a
     // checkpoint scan — the front scan is inside the checkpointed
