@@ -282,11 +282,24 @@ class LayerStore(spark: SparkSession, val root: String,
     }
   }
 
-  private[catalog] def writeTo(tiles: DataFrame, path: String): Unit =
+  // r11 (guide §6): RANGE-partition on the space-filling key instead of
+  // hash-partitioning on the tile key. Hash placement scattered every
+  // zorder range across all files, so file-level min/max stats never
+  // pruned anything (only row groups within a file were clustered);
+  // range placement makes each FILE a contiguous zorder slice — bbox
+  // and point reads now skip whole files, and the shuffle cost is the
+  // same one exchange.
+  private[catalog] def writeTo(tiles: DataFrame, path: String): Unit = {
+    val zk = zorder(col("tile_col").cast("int"), col("tile_row").cast("int"))
+    // explicit partition count (the session's shuffle parallelism, not a
+    // constant): a bare repartitionByRange is AQE-coalescible, and a
+    // coalesce to 1 serializes the whole write behind a single task
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     tiles
-      .repartition(col("tile_col"), col("tile_row"))
-      .sortWithinPartitions(zorder(col("tile_col").cast("int"), col("tile_row").cast("int")))
+      .repartitionByRange(n, zk)
+      .sortWithinPartitions(zk)
       .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 
   /** Compute + persist the sidecar from the just-written parquet (reading
     * back prunes to exactly the needed columns; the input lineage might
@@ -381,10 +394,20 @@ class LayerStore(spark: SparkSession, val root: String,
                      crs: String = "EPSG:4326", binWidth: Double = 1.0,
                      withAttributes: Boolean = true): Unit = withLayerLock(name, zoom) {
     writeVersion(name, zoom) { path =>
+      // r11 (guide §6): range placement on (time, hilbert) instead of a
+      // hash on (time, tile key). The hash spread every time value over
+      // every task, so the dynamic partitionBy opened one tiny file per
+      // (task x month) — O(partitions x months) files; a range keeps
+      // each task on a contiguous (time, hilbert) slice, so a month's
+      // dir holds a few hilbert-contiguous files (file-level pruning
+      // for the bbox, bounded file count), and a huge month still
+      // spreads over many tasks by hilbert range.
+      val hk = graft.functions.HilbertKey.hilbert(
+        col("tile_col").cast("int"), col("tile_row").cast("int"))
+      val n = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
       tiles
-        .repartition(col("time"), col("tile_col"), col("tile_row"))
-        .sortWithinPartitions(col("time"),
-          graft.functions.HilbertKey.hilbert(col("tile_col").cast("int"), col("tile_row").cast("int")))
+        .repartitionByRange(n, col("time"), hk)
+        .sortWithinPartitions(col("time"), hk)
         .write.mode(SaveMode.Overwrite).partitionBy("time")
         .parquet(path)
       if (withAttributes) writeAttrs(path, tileSize, crs, binWidth)

@@ -170,15 +170,54 @@ object Similarity {
       .sortBy(_.getLong(0))
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1).map(_.toDouble)) }
-    val cdf = vectors.sparkSession.createDataFrame(cb.toIndexedSeq)
-      .toDF("cluster", "centroid")
-    val assigned = vectors.join(broadcast(cdf), lit(true))
-      .withColumn("cdist", -cosine(col("embedding"), col("centroid")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cdist"), col("cluster"))))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cluster"))
-    assigned.write.mode("overwrite").partitionBy("cluster")
+    // r11 (guide §2.3/§2.4): the assignment used to broadcast-join every
+    // vector against all nlist centroids (x nlist row blowup), shuffle
+    // by vec_id and Window-argmin — at any corpus size that is nlist
+    // extra copies of the corpus through an exchange for a per-row
+    // reduction. The argmin is now ONE fused JVM kernel pass over the
+    // broadcast centroid matrix: zero shuffle, zero row blowup, same
+    // flops. Value-identical to ORDER BY (-cos) ASC, cluster ASC LIMIT 1:
+    // the kernel folds dot/na/nb left-to-right exactly like
+    // CosineSimilarity, iterates clusters in ascending id keeping strict
+    // minima (ties -> lowest cluster), and treats NaN distance as
+    // sorting last (all-NaN -> cluster 0), which is Spark's double
+    // ordering in the replaced Window.
+    val centsBc = vectors.sparkSession.sparkContext.broadcast(
+      cb.map(_._2.toArray))
+    val assignKernel = udf((emb: Seq[Float]) => {
+      val cents = centsBc.value
+      var best = 0
+      var bestD = Double.NaN
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        val n = math.min(emb.length, cent.length)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < n) {
+          val x = emb(i).toDouble; val y = cent(i)
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        var j = n
+        while (j < emb.length) { val x = emb(j).toDouble; na += x * x; j += 1 }
+        var k2 = n
+        while (k2 < cent.length) { val y = cent(k2); nb += y * y; k2 += 1 }
+        val d = -(dot / (math.sqrt(na) * math.sqrt(nb)))
+        if (c == 0) bestD = d
+        else if (d < bestD || (bestD.isNaN && !d.isNaN)) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    })
+    val assigned = vectors
+      .select(col("vec_id"), col("embedding"),
+        assignKernel(col("embedding")).as("cluster"))
+    // guide §6: cluster-align the write so each task owns whole
+    // partition dirs (one file per cluster instead of one writer task
+    // fanning out nlist dynamic partitions serially). Explicit partition
+    // count so AQE cannot coalesce the layout away.
+    assigned.repartition(nlist, col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/assignments")
     val json = cb
       .map { case (i, c) => s"""{"cluster":$i,"centroid":[${c.mkString(",")}]}""" }
