@@ -27,6 +27,40 @@ object Fixtures {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  private val fileBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Scale-adaptive scan fan-out (optimization guide §2.5, input skew):
+    * a table that arrives as a SINGLE input split — one small file, or
+    * one unsplittable row group — serializes every downstream per-row
+    * kernel (tokenize/shingle/hash) onto one task regardless of cluster
+    * size. When the file is below one split
+    * (`spark.sql.files.maxPartitionBytes`), fan it out by HASH on the
+    * given unique key to the default parallelism: hash placement is
+    * deterministic under retries (unlike round-robin, it needs no
+    * sort-before-repartition pass over the payload — measured: the
+    * round-robin form's local sort of the text column cost more than
+    * the fan-out won). At real scale the condition never fires (a big
+    * table is many splits already) and the reader is exactly `table()`
+    * — no extra exchange. */
+  def tableFanned(s: SparkSession, dir: String, name: String,
+                  key: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val df = s.read.parquet(path)
+    val bytes = fileBytesCache.computeIfAbsent(path, p => {
+      try {
+        val fs = new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+      } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+    })
+    val split = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      s.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    if (bytes < split)
+      df.repartition(s.sparkContext.defaultParallelism, col(key))
+    else df
+  }
+
   /** Exact decimal-summed double: deterministic across engines AT ANY
     * MAGNITUDE the engine will see.
     * IMPORTANT: feed it decimal-arithmetic expressions built from

@@ -38,7 +38,7 @@ object TextQueries {
   // file would serialize them all (see Fixtures.tableFanned — no-op at
   // real scale).
   private def docs(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "documents").select(col("doc_id"), col("text"),
+    tableFanned(s, dir, "documents", "doc_id").select(col("doc_id"), col("text"),
       TextOps.tokens(col("text")).as("toks"))
 
   private val h60TokSql = TextOps.h60Sql("t.tok")

@@ -118,10 +118,21 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"non-Cross BNLJ in: ${offenders.mkString(", ")}")
   }
 
+  /** Shuffle count EXCLUDING the deliberate single-split scan fan-out
+    * (Fixtures.tableFanned): that exchange is REPARTITION_BY_NUM,
+    * fires only when the input file is below one scan split (never at
+    * real scale), and is the one repartition these invariants allow.
+    * ENSURE_REQUIREMENTS creep — the regression class these tests
+    * exist for — still counts. */
+  private def ensureExchanges(name: String): Int =
+    plans(name).linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange") &&
+        !l.contains("REPARTITION_BY_NUM"))
+
   test("declared zero-Exchange queries stay zero-Exchange") {
     for (name <- Seq("t_quality_filter", "s_quantize_err", "t_redact", "s_random_proj",
       "r_poly_measures")) {
-      val n = "(?<!Broadcast)Exchange".r.findAllIn(plans(name)).size
+      val n = ensureExchanges(name)
       assert(n == 0, s"$name grew $n Exchange nodes")
     }
   }
@@ -143,7 +154,7 @@ class PlanInvariantsSpec extends AnyFunSuite {
   }
 
   test("the inverted index keeps its single term-keyed shuffle") {
-    val n = "(?<!Broadcast)Exchange".r.findAllIn(plans("t_inverted_index")).size
+    val n = ensureExchanges("t_inverted_index")
     assert(n == 1, s"t_inverted_index has $n shuffle Exchanges (window and agg must share one)")
   }
 
