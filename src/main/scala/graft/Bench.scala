@@ -29,12 +29,13 @@ object Bench {
     val headline =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // The single ~10 KB headline line has exceeded the driver's tail
-    // capture every round ("parsed": null in BENCH_r01..r08). Keep the
-    // contract line, but ALSO:
-    // (a) chunk the per-query map into <=2 KB lines (tail-safe), each a
-    //     self-contained JSON object tagged with its chunk index;
-    // (b) persist the full headline as bench_latest.json in the repo,
-    //     so per-round history stops depending on tail truncation.
+    // capture every round ("parsed": null in BENCH_r01..r11 — the
+    // driver keeps only ~3 KB of stdout tail, which ended mid-chunk).
+    // r12 fix (measurement-contract repair, no timing change): the
+    // full headline still prints FIRST (the contract line) and chunks
+    // still follow, but the LAST stdout line is now a SHORT (<1 KB)
+    // self-contained summary — total, sf, cpus, query count — that a
+    // tail capture of any length >=1 line can parse.
     println(headline)
     val chunks = results.foldLeft(List(List.empty[(String, Double)])) {
       case (acc @ cur :: rest, kv) =>
@@ -50,5 +51,8 @@ object Bench {
       java.nio.file.Paths.get("/root/repo/bench_latest.json"), headline + "\n")
     catch { case _: Throwable => () }
     spark.stop()
+    // LAST line on purpose: spark.stop() above flushes its own log
+    // noise to stderr before this prints, and nothing else follows.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${results.length}}""")
   }
 }

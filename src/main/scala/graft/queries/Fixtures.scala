@@ -27,39 +27,21 @@ object Fixtures {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  private val fileBytesCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-
-  /** Scale-adaptive scan fan-out (optimization guide §2.5, input skew):
-    * a table that arrives as a SINGLE input split — one small file, or
-    * one unsplittable row group — serializes every downstream per-row
-    * kernel (tokenize/shingle/hash) onto one task regardless of cluster
-    * size. When the file is below one split
-    * (`spark.sql.files.maxPartitionBytes`), fan it out by HASH on the
-    * given unique key to the default parallelism: hash placement is
-    * deterministic under retries (unlike round-robin, it needs no
-    * sort-before-repartition pass over the payload — measured: the
-    * round-robin form's local sort of the text column cost more than
-    * the fan-out won). At real scale the condition never fires (a big
-    * table is many splits already) and the reader is exactly `table()`
-    * — no extra exchange. */
+  /** r12: formerly a single-split scan fan-out
+    * (`repartition(defaultParallelism, key)` when the file fit one scan
+    * split). The driver's cold local[32] bench measured it REGRESSIVE —
+    * 45/53 tail-visible queries >10% slower (geomean 0.42x), suite wall
+    * 294s -> 479s, with NEGATIVE 8->32-core scaling confined to the
+    * fanned text/similarity families: the explicit exchange multiplied per-stage
+    * task count by 32 on sub-second queries and was re-paid on every
+    * materialization of the subtree (the warm per-query minima that
+    * justified it hid the cold scheduler/JIT cost). Reader is now
+    * exactly [[table]]; the `key` parameter is kept so the ~50 call
+    * sites document which column a future fan-out would have to hash
+    * on, should a measured case ever justify one. */
   def tableFanned(s: SparkSession, dir: String, name: String,
-                  key: String): DataFrame = {
-    val path = s"$dir/$name.parquet"
-    val df = s.read.parquet(path)
-    val bytes = fileBytesCache.computeIfAbsent(path, p => {
-      try {
-        val fs = new org.apache.hadoop.fs.Path(p)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
-      } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
-    })
-    val split = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      s.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-    if (bytes < split)
-      df.repartition(s.sparkContext.defaultParallelism, col(key))
-    else df
-  }
+                  key: String): DataFrame =
+    table(s, dir, name)
 
   /** Exact decimal-summed double: deterministic across engines AT ANY
     * MAGNITUDE the engine will see.

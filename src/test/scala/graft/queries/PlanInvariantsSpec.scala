@@ -118,16 +118,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"non-Cross BNLJ in: ${offenders.mkString(", ")}")
   }
 
-  /** Shuffle count EXCLUDING the deliberate single-split scan fan-out
-    * (Fixtures.tableFanned): that exchange is REPARTITION_BY_NUM,
-    * fires only when the input file is below one scan split (never at
-    * real scale), and is the one repartition these invariants allow.
-    * ENSURE_REQUIREMENTS creep — the regression class these tests
-    * exist for — still counts. */
+  /** Shuffle count. r12: the REPARTITION_BY_NUM exemption (added for
+    * the r11 scan fan-out, which the driver's cold bench measured
+    * regressive and r12 removed) is gone — ANY explicit repartition
+    * creeping into a declared zero/one-Exchange gate now fails here. */
   private def ensureExchanges(name: String): Int =
     plans(name).linesIterator.count(l =>
-      l.contains("Exchange") && !l.contains("BroadcastExchange") &&
-        !l.contains("REPARTITION_BY_NUM"))
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
 
   test("declared zero-Exchange queries stay zero-Exchange") {
     for (name <- Seq("t_quality_filter", "s_quantize_err", "t_redact", "s_random_proj",
