@@ -295,10 +295,17 @@ class LayerStore(spark: SparkSession, val root: String,
     // constant): a bare repartitionByRange is AQE-coalescible, and a
     // coalesce to 1 serializes the whole write behind a single task
     val n = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    tiles
+    // r12: repartitionByRange needs a RangePartitioner SAMPLING pass,
+    // which would execute the (arbitrarily expensive) input lineage a
+    // second time per write — eager-checkpoint the input so the sample
+    // job and the write job both read cached blocks, and free the
+    // blocks once the write has materialized them into parquet.
+    val (t, tRdds) = graft.ops.Materialize.checkpointFresh(tiles)
+    try t
       .repartitionByRange(n, zk)
       .sortWithinPartitions(zk)
       .write.mode(SaveMode.Overwrite).parquet(path)
+    finally tRdds.foreach(_.unpersist(blocking = false))
   }
 
   /** Compute + persist the sidecar from the just-written parquet (reading
@@ -405,11 +412,14 @@ class LayerStore(spark: SparkSession, val root: String,
       val hk = graft.functions.HilbertKey.hilbert(
         col("tile_col").cast("int"), col("tile_row").cast("int"))
       val n = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-      tiles
+      // r12: checkpoint before the range sampling pass — see writeTo
+      val (t, tRdds) = graft.ops.Materialize.checkpointFresh(tiles)
+      try t
         .repartitionByRange(n, col("time"), hk)
         .sortWithinPartitions(col("time"), hk)
         .write.mode(SaveMode.Overwrite).partitionBy("time")
         .parquet(path)
+      finally tRdds.foreach(_.unpersist(blocking = false))
       if (withAttributes) writeAttrs(path, tileSize, crs, binWidth)
     }
   }

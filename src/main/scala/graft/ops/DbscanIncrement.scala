@@ -103,17 +103,21 @@ object DbscanIncrement {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
 
-    val delta = batch.groupBy(col("px"), col("py"))
-      .agg(count(lit(1)).as("cnt_d"), min(col("pid")).as("minpid"))
-      .localCheckpoint(true)
+    // r12 unpersist discipline: every eager checkpoint in this method
+    // is fully consumed by the front writes below — capture the backing
+    // RDDs and free them before returning instead of pinning storage
+    // for the session lifetime.
+    import graft.ops.Materialize.checkpointFresh
+    val (delta, deltaRdds) = checkpointFresh(batch.groupBy(col("px"), col("py"))
+      .agg(count(lit(1)).as("cnt_d"), min(col("pid")).as("minpid")))
 
     // 1. position front: counts grow, posid keeps its first-batch min
     val positions = readFront(spark, st.positionsRoot, posSchema)
-    val mergedPos = positions.join(delta, Seq("px", "py"), "full_outer")
-      .select(col("px"), col("py"),
-        (coalesce(col("cnt"), lit(0L)) + coalesce(col("cnt_d"), lit(0L))).as("cnt"),
-        coalesce(col("posid"), col("minpid")).as("posid"))
-      .localCheckpoint(true)
+    val (mergedPos, mergedRdds) = checkpointFresh(
+      positions.join(delta, Seq("px", "py"), "full_outer")
+        .select(col("px"), col("py"),
+          (coalesce(col("cnt"), lit(0L)) + coalesce(col("cnt_d"), lit(0L))).as("cnt"),
+          coalesce(col("posid"), col("minpid")).as("posid")))
     writeFront(mergedPos, st.positionsRoot)
 
     // 2. nn deltas, only inside the disks the batch touched: candidate
@@ -145,16 +149,15 @@ object DbscanIncrement {
       .where(inDisk("qx", "qy", "px", "py", eps2))
       .groupBy(col("qid")).agg((sum(col("cnt")) - 1).as("nn"))
       .select(col("qid").as("posid"), col("nn"))
-    val nnNext = nnExisting.unionByName(nnNew).localCheckpoint(true)
+    val (nnNext, nnRdds) = checkpointFresh(nnExisting.unionByName(nnNew))
     writeFront(nnNext, st.nnRoot)
 
     // 3. coreness transitions (monotone: only off→on)
     val coreLab = readFront(spark, st.coreLabRoot, labSchema)
-    val newlyCore = nnNext.where(col("nn") >= minNn)
+    val (newlyCore, newlyRdds) = checkpointFresh(nnNext.where(col("nn") >= minNn)
       .join(coreLab.select(col("posid")), Seq("posid"), "left_anti")
       .join(mergedPos, Seq("posid"))
-      .select(col("posid"), col("px"), col("py"))
-      .localCheckpoint(true)
+      .select(col("posid"), col("px"), col("py")))
 
     // 4. new edges: newly-core ↔ any core within eps. Old cores enter
     // contracted to their cluster label; newly-core partners as
@@ -185,6 +188,8 @@ object DbscanIncrement {
       .select(col("posid"), coalesce(col("new_cluster"), col("cluster")).as("cluster"))
       .unionByName(newLab)
     writeFront(updated, st.coreLabRoot)
+    (deltaRdds ++ mergedRdds ++ nnRdds ++ newlyRdds)
+      .foreach(_.unpersist(blocking = false))
   }
 
   /** The maintained core assignment at POINT granularity: join the

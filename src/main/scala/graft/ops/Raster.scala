@@ -244,11 +244,102 @@ object Raster {
     * bit-length multiply per round — see the Materialize scaladoc)
     * with superseded checkpoint blocks freed explicitly. */
   def flowAccumulation(flow: DataFrame, maxIter: Int = 64): DataFrame = {
-    import graft.ops.Materialize.checkpointFresh
+    import graft.ops.Materialize.{checkpointFresh, collectLongs}
+    val spark = flow.sparkSession
+    // r12 (guide §1.2/§2, the connectedComponents treatment extended):
+    // the leaf-peeling loop ran ~5 serialized 1-2-task jobs per round x
+    // rounds = longest flow path (Prof: 93 jobs at sf0.1) — pure
+    // orchestration at raster sizes below the gate. Under
+    // `spark.graft.iter.localEdgeLimit` the SAME round-based peeling
+    // (identical maxIter bail semantics: a cell's acc on bail = 1 +
+    // deliveries received so far) runs driver-side over primitive
+    // arrays; above the gate the distributed loop is unchanged.
+    val localLimit = spark.conf
+      .get("spark.graft.iter.localEdgeLimit", (1L << 21).toString).toLong
+    val coordsLong = Seq("gx", "gy").forall(c =>
+      flow.schema(c).dataType == org.apache.spark.sql.types.LongType)
+    val (flowCk, flowRdds) = checkpointFresh(
+      flow.select(col("gx"), col("gy"), col("dir").cast("long").as("dir")))
+    if (coordsLong && flowCk.count() <= localLimit) {
+      val chunks = collectLongs(flowCk, 3)
+      flowRdds.foreach(_.unpersist(blocking = false))
+      val n = chunks.iterator.map(_.length / 3).sum
+      val gxA = new Array[Long](n); val gyA = new Array[Long](n)
+      val dirA = new Array[Int](n)
+      val idx = new scala.collection.mutable.HashMap[(Long, Long), Int]()
+      var i = 0
+      chunks.foreach { arr =>
+        var r = 0
+        while (r < arr.length) {
+          gxA(i) = arr(r); gyA(i) = arr(r + 1); dirA(i) = arr(r + 2).toInt
+          idx((gxA(i), gyA(i))) = i
+          i += 1; r += 3
+        }
+      }
+      // parent edge per cell (D8: at most one), only if the parent cell
+      // is in the emitted region (the distributed left_semi)
+      val parentA = Array.fill(n)(-1)
+      val pending = new Array[Int](n) // children not yet delivered
+      i = 0
+      while (i < n) {
+        val d = dirA(i)
+        if (d >= 0) {
+          val px = gxA(i) + (if (d == 0 || d == 1 || d == 7) 1L else if (d >= 3 && d <= 5) -1L else 0L)
+          val py = gyA(i) + (if (d >= 1 && d <= 3) 1L else if (d >= 5 && d <= 7) -1L else 0L)
+          idx.get((px, py)).foreach { p => parentA(i) = p; pending(p) += 1 }
+        }
+        i += 1
+      }
+      // round-based peeling, wave k == the distributed loop's round k:
+      // a frontier cell finalizes (done) and delivers its acc to its
+      // parent; a parent whose LAST child just delivered joins the next
+      // wave. On a maxIter bail, undone cells keep acc = 1 + deliveries
+      // received so far — exactly the distributed partial-union output.
+      val acc = Array.fill(n)(1L)
+      val done = new Array[Boolean](n)
+      var frontier = new scala.collection.mutable.ArrayBuffer[Int]()
+      i = 0
+      while (i < n) { if (pending(i) == 0) frontier += i; i += 1 }
+      var it = 0
+      while (frontier.nonEmpty && it < maxIter) {
+        val next = new scala.collection.mutable.ArrayBuffer[Int]()
+        frontier.foreach { c =>
+          done(c) = true
+          val p = parentA(c)
+          if (p >= 0) {
+            acc(p) += acc(c)
+            pending(p) -= 1
+            if (pending(p) == 0) next += p
+          }
+        }
+        frontier = next
+        it += 1
+      }
+      i = 0
+      var undelivered = 0
+      while (i < n) { if (!done(i) && parentA(i) >= 0) undelivered += 1; i += 1 }
+      if (undelivered > 0)
+        org.slf4j.LoggerFactory.getLogger("graft.ops.Raster").warn(
+          s"flowAccumulation exited at maxIter=$maxIter with $undelivered edges undelivered — " +
+            "accumulations downstream of them are partial; raise maxIter")
+      val out = new Array[org.apache.spark.sql.Row](n)
+      i = 0
+      while (i < n) { out(i) = org.apache.spark.sql.Row(gxA(i), gyA(i), acc(i)); i += 1 }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("gx",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("gy",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("acc",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      return spark.createDataFrame(spark.sparkContext.parallelize(
+        out.toIndexedSeq, math.max(1, math.min(spark.sparkContext.defaultParallelism,
+          n / 65536 + 1))), schema)
+    }
     val dx = when(col("dir").isin(0, 1, 7), 1).when(col("dir").isin(3, 4, 5), -1).otherwise(0)
     val dy = when(col("dir").isin(1, 2, 3), 1).when(col("dir").isin(5, 6, 7), -1).otherwise(0)
-    val nodes = flow.select(col("gx"), col("gy"))
-    val edges = flow.where(col("dir") >= 0)
+    val nodes = flowCk.select(col("gx"), col("gy"))
+    val edges = flowCk.where(col("dir") >= 0)
       .select(col("gx").as("cgx"), col("gy").as("cgy"),
         (col("gx") + dx).as("pgx"), (col("gy") + dy).as("pgy"))
       .join(nodes.select(col("gx").as("pgx"), col("gy").as("pgy")), Seq("pgx", "pgy"), "left_semi")
@@ -306,11 +397,69 @@ object Raster {
     * D8 descends strictly, so the forest is acyclic and the fixed
     * point is stable. Plan discipline: checkpointFresh per round. */
   def basinLabel(flow: DataFrame, rounds: Int = 6): DataFrame = {
-    import graft.ops.Materialize.checkpointFresh
+    import graft.ops.Materialize.{checkpointFresh, collectLongs}
+    val spark = flow.sparkSession
+    // r12 scale-adaptive local path (same gate family as
+    // flowAccumulation): after k doubling rounds the distributed
+    // pointer table holds each cell's ancestor at exactly min(2^k,
+    // distance-to-root) steps — the local path walks each cell's
+    // parent chain for at most 2^rounds steps, stopping at the root,
+    // which is the identical function of the input.
+    val localLimit = spark.conf
+      .get("spark.graft.iter.localEdgeLimit", (1L << 21).toString).toLong
+    val coordsLong = Seq("gx", "gy").forall(c =>
+      flow.schema(c).dataType == org.apache.spark.sql.types.LongType)
+    val (flowCk, flowRdds) = checkpointFresh(
+      flow.select(col("gx"), col("gy"), col("dir").cast("long").as("dir")))
+    if (coordsLong && flowCk.count() <= localLimit) {
+      val chunks = collectLongs(flowCk, 3)
+      flowRdds.foreach(_.unpersist(blocking = false))
+      val n = chunks.iterator.map(_.length / 3).sum
+      val gxA = new Array[Long](n); val gyA = new Array[Long](n)
+      val dirA = new Array[Int](n)
+      val idx = new scala.collection.mutable.HashMap[(Long, Long), Int]()
+      var i = 0
+      chunks.foreach { arr =>
+        var r = 0
+        while (r < arr.length) {
+          gxA(i) = arr(r); gyA(i) = arr(r + 1); dirA(i) = arr(r + 2).toInt
+          idx((gxA(i), gyA(i))) = i
+          i += 1; r += 3
+        }
+      }
+      val parentA = Array.tabulate(n) { c =>
+        val d = dirA(c)
+        if (d < 0) c
+        else {
+          val px = gxA(c) + (if (d == 0 || d == 1 || d == 7) 1L else if (d >= 3 && d <= 5) -1L else 0L)
+          val py = gyA(c) + (if (d >= 1 && d <= 3) 1L else if (d >= 5 && d <= 7) -1L else 0L)
+          idx.getOrElse((px, py), c) // off-layer parent: own root
+        }
+      }
+      val maxSteps = 1L << rounds
+      val out = new Array[org.apache.spark.sql.Row](n)
+      i = 0
+      while (i < n) {
+        var c = i
+        var s = 0L
+        while (s < maxSteps && parentA(c) != c) { c = parentA(c); s += 1 }
+        out(i) = org.apache.spark.sql.Row(gxA(i), gyA(i), gxA(c), gyA(c))
+        i += 1
+      }
+      val lt = org.apache.spark.sql.types.LongType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("gx", lt, nullable = true),
+        org.apache.spark.sql.types.StructField("gy", lt, nullable = true),
+        org.apache.spark.sql.types.StructField("bx", lt, nullable = true),
+        org.apache.spark.sql.types.StructField("by", lt, nullable = true)))
+      return spark.createDataFrame(spark.sparkContext.parallelize(
+        out.toIndexedSeq, math.max(1, math.min(spark.sparkContext.defaultParallelism,
+          n / 65536 + 1))), schema)
+    }
     val dx = when(col("dir").isin(0, 1, 7), 1).when(col("dir").isin(3, 4, 5), -1).otherwise(0)
     val dy = when(col("dir").isin(1, 2, 3), 1).when(col("dir").isin(5, 6, 7), -1).otherwise(0)
-    val nodes = flow.select(col("gx"), col("gy"))
-    val parent = flow.where(col("dir") >= 0)
+    val nodes = flowCk.select(col("gx"), col("gy"))
+    val parent = flowCk.where(col("dir") >= 0)
       .select(col("gx"), col("gy"), (col("gx") + dx).as("px"), (col("gy") + dy).as("py"))
       .join(nodes.select(col("gx").as("px"), col("gy").as("py")), Seq("px", "py"), "left_semi")
     var (p, prevRdds) = checkpointFresh(
@@ -318,6 +467,7 @@ object Raster {
         .select(col("gx"), col("gy"),
           coalesce(col("px"), col("gx")).as("px"),
           coalesce(col("py"), col("gy")).as("py")))
+    flowRdds.foreach(_.unpersist(blocking = false)) // p supersedes the input
     for (_ <- 1 to rounds) {
       val (np, npRdds) = checkpointFresh(
         p.join(

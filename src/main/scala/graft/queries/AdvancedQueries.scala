@@ -2706,25 +2706,41 @@ object AdvancedQueries {
     // join+agg output (araw/hraw, node-sized) is eagerly checkpointed,
     // so every edge-sized join executes exactly once per round and the
     // normalization scalars re-read node-sized cached blocks.
-    val e = table(s, dir, "orders")
+    // r12 unpersist discipline (VERDICT what's-wrong #3): every eager
+    // checkpoint is captured via checkpointFresh and freed the moment
+    // its last eager consumer has materialized — the edge set after the
+    // final edge-sized join, each round's araw/hraw after the next
+    // round's checkpoint. Only the LAST round's two node-sized rank
+    // tables stay referenced by the returned (lazy) plan; those blocks
+    // are released by the ContextCleaner when the caller drops the
+    // frame. In a 296-query bench session this stops the edge-sized
+    // MEMORY_AND_DISK blocks from pinning storage for the session
+    // lifetime (PersistedBlocksSpec asserts the bound).
+    import graft.ops.Materialize.checkpointFresh
+    val (e, eRdds) = checkpointFresh(table(s, dir, "orders")
       .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
-      .dropDuplicates("c", "sup").localCheckpoint(true)
+      .dropDuplicates("c", "sup"))
     val nC = broadcast(e.select(col("c")).distinct().agg(count(lit(1)).as("n_c")))
     var h = e.select(col("c")).distinct().crossJoin(nC)
       .select(col("c"), expr(s"$InitFP div n_c").as("h"))
     var a: DataFrame = null
+    var prevRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     for (k <- 1 to 2) {
-      val araw = e.join(h, Seq("c")).groupBy(col("sup"))
-        .agg(sum(col("h")).as("ar")).localCheckpoint(true)
+      val (araw, arawRdds) = checkpointFresh(e.join(h, Seq("c")).groupBy(col("sup"))
+        .agg(sum(col("h")).as("ar")))
+      // the k-1 round's araw/hraw blocks fed the araw job above — free
+      prevRdds.foreach(_.unpersist(blocking = false))
       val anorm = broadcast(araw.agg(sum(col("ar")).as("na")))
       a = araw.crossJoin(anorm)
         .select(col("sup"), expr(s"(ar * $SFP) div na").as("a"))
-      val hraw = e.join(a, Seq("sup")).groupBy(col("c"))
-        .agg(sum(col("a")).as("hr")).localCheckpoint(true)
+      val (hraw, hrawRdds) = checkpointFresh(e.join(a, Seq("sup")).groupBy(col("c"))
+        .agg(sum(col("a")).as("hr")))
       val hnorm = broadcast(hraw.agg(sum(col("hr")).as("nh")))
       h = hraw.crossJoin(hnorm)
         .select(col("c"), expr(s"(hr * $SFP) div nh").as("h"))
+      prevRdds = arawRdds ++ hrawRdds
+      if (k == 2) eRdds.foreach(_.unpersist(blocking = false)) // last edge join done
     }
     a.select(lit("auth").as("role"), col("sup").cast("long").as("id"),
         (col("a").cast("double") / SFP.toDouble).as("score"))

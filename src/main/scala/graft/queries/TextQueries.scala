@@ -371,22 +371,35 @@ object TextQueries {
     * theorem holds for ANY shared total order, and dup-free df is the
     * more discriminative one. */
   val prefixJoin: Q = (s, dir) => {
+    import graft.ops.Materialize.checkpointFresh
     // five consumers (df census, sizes, prefix, verify a/b) — compute
-    // the md5 shingle hashing once, not per branch
-    val sh = docs(s, dir)
+    // the md5 shingle hashing once, not per branch; blocks freed as
+    // soon as the two derived tables below are materialized (r12
+    // unpersist discipline)
+    val (sh, shRdds) = checkpointFresh(docs(s, dir)
       .select(col("doc_id"), explode(array_distinct(TextOps.shingles3(col("toks")))).as("shs"))
-      .select(col("doc_id"), TextOps.h60(col("shs")).as("sh"))
-      .localCheckpoint(true)
-    // collapse identical sets: (rep = min doc_id, members, len) per set
-    val groups = sh.groupBy(col("doc_id"))
+      .select(col("doc_id"), TextOps.h60(col("shs")).as("sh")))
+    // collapse identical sets: (rep = min doc_id, members, len) per
+    // set. r12 (VERDICT #4, guide §2.3): group on a FIXED-WIDTH md5 of
+    // the sorted set, not the raw array — the old groupBy(set) shipped
+    // and compared every doc's full shingle array through the
+    // collapse exchange; the hash key is 32 chars regardless of set
+    // size (md5 over the canonical comma-joined decimal form, so equal
+    // sets — and only equal sets, modulo 2^-128 collisions — share a
+    // key).
+    val perDoc = sh.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("sh"))).as("set"))
-      .groupBy(col("set"))
-      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
-      .select(col("rep"), col("members"), size(col("set")).cast("long").as("len"))
-      .localCheckpoint(true)
+      .select(col("doc_id"),
+        md5(concat_ws(",", col("set").cast("array<string>")).cast("binary")).as("sk"),
+        size(col("set")).cast("long").as("len"))
+    val (groups, _) = checkpointFresh(perDoc.groupBy(col("sk"))
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"),
+        max(col("len")).as("len"))
+      .select(col("rep"), col("members"), col("len")))
     val mem = groups.select(col("rep"), explode(col("members")).as("doc"))
-    val repSh = sh.join(groups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
+    val (repSh, _) = checkpointFresh(
+      sh.join(groups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi"))
+    shRdds.foreach(_.unpersist(blocking = false))
     val dfc = repSh.groupBy(col("sh")).agg(count(lit(1)).as("dfc"))
     val sizes = groups.select(col("rep").as("doc_id"), col("len"))
     val wDoc = org.apache.spark.sql.expressions.Window
@@ -1418,10 +1431,21 @@ object TextQueries {
     * nothing doc x doc; one CC loop over 8-byte ids. */
   val corpusPrep: Q = (s, dir) => {
     val kept = qualityFilter(s, dir).where(col("keep")).select(col("doc_id"))
-    val s1 = table(s, dir, "documents").join(kept, Seq("doc_id"))
-      .groupBy(md5(col("text").cast("binary")).as("ch"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
+    // r12 (VERDICT #6, guide §5): s1 — the quality+exact-dedup survivor
+    // id set — is consumed by THREE subtrees (the band pairing, the
+    // decontamination join, the final survivor join), and its lineage
+    // holds the expensive part (a full tokenize pass for the quality
+    // verdicts plus an md5 over every doc body). Un-materialized, the
+    // documents scan + kernels executed once inside the eager CC build
+    // and twice more in the final plan. One eager checkpoint of the
+    // doc_id-only frame (8 bytes/row at any corpus size) makes every
+    // consumer a cached-block scan; the final plan scans
+    // documents.parquet exactly once (the lang/n_tokens projection).
+    val (s1, _) = graft.ops.Materialize.checkpointFresh(
+      table(s, dir, "documents").join(kept, Seq("doc_id"))
+        .groupBy(md5(col("text").cast("binary")).as("ch"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")))
     // band keys come off the MATERIALIZED signature front (sigFront):
     // the plan's four band consumers (pairing a/b, holdout, decontam)
     // read the persisted table — zero in-plan MinHash derivation, the
@@ -2224,32 +2248,98 @@ object TextQueries {
     * the output in both engines. */
   private val BfsMaxHops = 6
 
+  /** r12 (guide §1.2/§2, the connectedComponents treatment extended):
+    * the BFS loop is pure orchestration at small graph sizes — each
+    * hop was 2 eager checkpoints + a count over 1-2-task jobs. Under
+    * `spark.graft.iter.localEdgeLimit` (default 2^21 edges, primitive
+    * collect — same heap contract as the CC gate) the loop runs as a
+    * driver-side BFS over flat long arrays; above it, the distributed
+    * frontier loop is unchanged. Hop values are identical by
+    * construction (min-hop BFS both ways, same seed rule, same cap);
+    * IterativeLocalPathsSpec pins both paths bit-for-bit. */
   val bfsDist: Q = (s, dir) => {
-    import graft.ops.Materialize.checkpointFresh
+    import graft.ops.Materialize.{checkpointFresh, collectLongs}
     val e = minhashLshStaged(s, dir).select(col("a"), col("b"))
-    // the edge list is re-read every round: lazy-checkpoint it once
-    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(false)
-    val seeds = sym.select(col("a").as("v")).distinct()
-      .where(col("v") % 5 === 0).withColumn("d", lit(0))
-    var (dist, distRdds) = checkpointFresh(seeds)
-    var (frontier, frontRdds) = checkpointFresh(dist)
-    var hop = 1
-    var frontierSize = frontier.count()
-    while (hop <= BfsMaxHops && frontierSize > 0) {
-      val cand = frontier.join(sym.select(col("a").as("v"), col("b")), Seq("v"))
-        .select(col("b").as("v")).distinct()
-        .join(dist, Seq("v"), "left_anti")
-        .withColumn("d", lit(hop))
-      val (nf, nfRdds) = checkpointFresh(cand)
-      val (nd, ndRdds) = checkpointFresh(dist.unionByName(nf))
-      frontierSize = nf.count()
-      (distRdds ++ frontRdds).foreach(_.unpersist(blocking = false))
-      distRdds = ndRdds; frontRdds = nfRdds
-      dist = nd; frontier = nf
-      hop += 1
+    val (eCk, eRdds) = checkpointFresh(e)
+    val localLimit = s.conf
+      .get("spark.graft.iter.localEdgeLimit", (1L << 21).toString).toLong
+    val bothLong = eCk.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (bothLong && eCk.count() <= localLimit) {
+      val chunks = collectLongs(eCk, 2)
+      eRdds.foreach(_.unpersist(blocking = false))
+      // index the node universe; adjacency over both directions
+      val idx = new scala.collection.mutable.LongMap[Int]()
+      val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+      def nodeIdx(x: Long): Int = {
+        val ex = idx.getOrElse(x, -1)
+        if (ex >= 0) ex else { val i = ids.length; idx(x) = i; ids += x; i }
+      }
+      val adj = new scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Int]]()
+      def edge(u: Int, v: Int): Unit = {
+        while (adj.length <= math.max(u, v)) adj += new scala.collection.mutable.ArrayBuffer[Int]()
+        adj(u) += v; adj(v) += u
+      }
+      chunks.foreach { arr =>
+        var r = 0
+        while (r < arr.length) { edge(nodeIdx(arr(r)), nodeIdx(arr(r + 1))); r += 2 }
+      }
+      val distA = Array.fill(ids.length)(-1)
+      var frontier = new scala.collection.mutable.ArrayBuffer[Int]()
+      var i = 0
+      while (i < ids.length) {
+        if (ids(i) % 5 == 0) { distA(i) = 0; frontier += i }
+        i += 1
+      }
+      var hop = 1
+      while (hop <= BfsMaxHops && frontier.nonEmpty) {
+        val next = new scala.collection.mutable.ArrayBuffer[Int]()
+        frontier.foreach { u =>
+          if (u < adj.length) adj(u).foreach { v =>
+            if (distA(v) < 0) { distA(v) = hop; next += v }
+          }
+        }
+        frontier = next; hop += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      i = 0
+      while (i < ids.length) {
+        if (distA(i) >= 0) out += org.apache.spark.sql.Row(ids(i), distA(i))
+        i += 1
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("dist",
+          org.apache.spark.sql.types.IntegerType, nullable = true)))
+      s.createDataFrame(s.sparkContext.parallelize(out.toIndexedSeq,
+        math.max(1, math.min(s.sparkContext.defaultParallelism,
+          out.length / 65536 + 1))), schema)
+    } else {
+      // the edge list is re-read every round: the eager checkpoint
+      // above serves every hop
+      val sym = eCk.unionByName(eCk.select(col("b").as("a"), col("a").as("b")))
+      val seeds = sym.select(col("a").as("v")).distinct()
+        .where(col("v") % 5 === 0).withColumn("d", lit(0))
+      var (dist, distRdds) = checkpointFresh(seeds)
+      var (frontier, frontRdds) = checkpointFresh(dist)
+      var hop = 1
+      var frontierSize = frontier.count()
+      while (hop <= BfsMaxHops && frontierSize > 0) {
+        val cand = frontier.join(sym.select(col("a").as("v"), col("b")), Seq("v"))
+          .select(col("b").as("v")).distinct()
+          .join(dist, Seq("v"), "left_anti")
+          .withColumn("d", lit(hop))
+        val (nf, nfRdds) = checkpointFresh(cand)
+        val (nd, ndRdds) = checkpointFresh(dist.unionByName(nf))
+        frontierSize = nf.count()
+        (distRdds ++ frontRdds).foreach(_.unpersist(blocking = false))
+        distRdds = ndRdds; frontRdds = nfRdds
+        dist = nd; frontier = nf
+        hop += 1
+      }
+      dist.select(col("v").as("doc_id"), col("d").cast("int").as("dist"))
     }
-    dist.select(col("v").as("doc_id"), col("d").cast("int").as("dist"))
   }
 
   val bfsDistSql: String =
@@ -2282,36 +2372,112 @@ object TextQueries {
     * to d < cap so the semantics stay aligned even at the boundary. */
   private val SsspCap = 100L
 
+  /** r12: same scale-adaptive split as [[bfsDist]]. The local form is
+    * multi-source Dijkstra with the identical d < SsspCap relaxation
+    * cap; with strictly positive integer weights every prefix of a
+    * below-cap path is itself below-cap, so capped Dijkstra and the
+    * capped frontier Bellman-Ford reach the identical fixed point
+    * (min path cost per reachable node, nodes at >= cap excluded). */
   val sssp: Q = (s, dir) => {
-    import graft.ops.Materialize.checkpointFresh
+    import graft.ops.Materialize.{checkpointFresh, collectLongs}
     val pw = shinglePairsFront(s, dir).select(col("a"), col("b"),
       (lit(11L) - expr("(10L * inter) div (na + nb - inter)")).as("w"))
-    val sym = pw.unionByName(pw.select(col("b").as("a"), col("a").as("b"), col("w")))
-      .localCheckpoint(false)
-    val seeds = sym.select(col("a").as("v")).distinct()
-      .where(col("v") % 7 === 0).withColumn("d", lit(0L))
-    var (dist, distRdds) = checkpointFresh(seeds)
-    var (front, frontRdds) = checkpointFresh(seeds)
-    var frontierSize = front.count()
-    while (frontierSize > 0) {
-      val relax = front.join(sym, col("v") === col("a"))
-        .select(col("b").as("v"), (col("d") + col("w")).as("nd"))
-        .where(col("nd") < SsspCap)
-        .groupBy(col("v")).agg(min(col("nd")).as("nd"))
-      val improved = relax
-        .join(dist.withColumnRenamed("d", "d0"), Seq("v"), "left")
-        .where(col("d0").isNull || col("nd") < col("d0"))
-        .select(col("v"), col("nd").as("d"))
-      val (nf, nfRdds) = checkpointFresh(improved)
-      val (nd, ndRdds) = checkpointFresh(
-        dist.unionByName(nf).groupBy(col("v")).agg(min(col("d")).as("d")))
-      frontierSize = nf.count()
-      (distRdds ++ frontRdds).foreach(_.unpersist(blocking = false))
-      distRdds = ndRdds; frontRdds = nfRdds
-      dist = nd; front = nf
+    val (pwCk, pwRdds) = checkpointFresh(pw)
+    val localLimit = s.conf
+      .get("spark.graft.iter.localEdgeLimit", (1L << 21).toString).toLong
+    val bothLong = pwCk.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (bothLong && pwCk.count() <= localLimit) {
+      val chunks = collectLongs(pwCk, 3)
+      pwRdds.foreach(_.unpersist(blocking = false))
+      val idx = new scala.collection.mutable.LongMap[Int]()
+      val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+      def nodeIdx(x: Long): Int = {
+        val ex = idx.getOrElse(x, -1)
+        if (ex >= 0) ex else { val i = ids.length; idx(x) = i; ids += x; i }
+      }
+      val adjN = new scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Int]]()
+      val adjW = new scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Long]]()
+      def grow(n: Int): Unit = while (adjN.length <= n) {
+        adjN += new scala.collection.mutable.ArrayBuffer[Int]()
+        adjW += new scala.collection.mutable.ArrayBuffer[Long]()
+      }
+      chunks.foreach { arr =>
+        var r = 0
+        while (r < arr.length) {
+          val u = nodeIdx(arr(r)); val v = nodeIdx(arr(r + 1)); val w = arr(r + 2)
+          grow(math.max(u, v))
+          adjN(u) += v; adjW(u) += w
+          adjN(v) += u; adjW(v) += w
+          r += 3
+        }
+      }
+      val distA = Array.fill(ids.length)(Long.MaxValue)
+      val pq = new java.util.PriorityQueue[(Long, Int)](11,
+        new java.util.Comparator[(Long, Int)] {
+          def compare(x: (Long, Int), y: (Long, Int)): Int =
+            java.lang.Long.compare(x._1, y._1)
+        })
+      var i = 0
+      while (i < ids.length) {
+        if (ids(i) % 7 == 0) { distA(i) = 0L; pq.add((0L, i)) }
+        i += 1
+      }
+      while (!pq.isEmpty) {
+        val (d, u) = pq.poll()
+        if (d == distA(u) && u < adjN.length) {
+          val ns = adjN(u); val ws = adjW(u)
+          var j = 0
+          while (j < ns.length) {
+            val nd = d + ws(j)
+            if (nd < SsspCap && nd < distA(ns(j))) {
+              distA(ns(j)) = nd; pq.add((nd, ns(j)))
+            }
+            j += 1
+          }
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      i = 0
+      while (i < ids.length) {
+        if (distA(i) < SsspCap) out += org.apache.spark.sql.Row(ids(i), distA(i).toInt)
+        i += 1
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("dist",
+          org.apache.spark.sql.types.IntegerType, nullable = true)))
+      s.createDataFrame(s.sparkContext.parallelize(out.toIndexedSeq,
+        math.max(1, math.min(s.sparkContext.defaultParallelism,
+          out.length / 65536 + 1))), schema)
+    } else {
+      val sym = pwCk.unionByName(pwCk.select(col("b").as("a"), col("a").as("b"), col("w")))
+      val seeds = sym.select(col("a").as("v")).distinct()
+        .where(col("v") % 7 === 0).withColumn("d", lit(0L))
+      var (dist, distRdds) = checkpointFresh(seeds)
+      var (front, frontRdds) = checkpointFresh(seeds)
+      var frontierSize = front.count()
+      while (frontierSize > 0) {
+        val relax = front.join(sym, col("v") === col("a"))
+          .select(col("b").as("v"), (col("d") + col("w")).as("nd"))
+          .where(col("nd") < SsspCap)
+          .groupBy(col("v")).agg(min(col("nd")).as("nd"))
+        val improved = relax
+          .join(dist.withColumnRenamed("d", "d0"), Seq("v"), "left")
+          .where(col("d0").isNull || col("nd") < col("d0"))
+          .select(col("v"), col("nd").as("d"))
+        val (nf, nfRdds) = checkpointFresh(improved)
+        val (nd, ndRdds) = checkpointFresh(
+          dist.unionByName(nf).groupBy(col("v")).agg(min(col("d")).as("d")))
+        frontierSize = nf.count()
+        (distRdds ++ frontRdds).foreach(_.unpersist(blocking = false))
+        distRdds = ndRdds; frontRdds = nfRdds
+        dist = nd; front = nf
+      }
+      dist.where(col("d") < SsspCap)
+        .select(col("v").as("doc_id"), col("d").cast("int").as("dist"))
     }
-    dist.where(col("d") < SsspCap)
-      .select(col("v").as("doc_id"), col("d").cast("int").as("dist"))
   }
 
   val ssspSql: String =

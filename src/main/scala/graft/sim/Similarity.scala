@@ -185,6 +185,12 @@ object Similarity {
     val centsBc = vectors.sparkSession.sparkContext.broadcast(
       cb.map(_._2.toArray))
     val assignKernel = udf((emb: Seq[Float]) => {
+      // r12 null guard (ADVICE): the replaced Window path was
+      // null-safe — CosineSimilarity yields null on null input and the
+      // nulls-first ascending argmin assigned cluster 0. Match that
+      // instead of NPE-ing a shared index builder on one bad row.
+      if (emb == null) 0
+      else {
       val cents = centsBc.value
       var best = 0
       var bestD = Double.NaN
@@ -208,15 +214,24 @@ object Similarity {
         c += 1
       }
       best
+      }
     })
     val assigned = vectors
       .select(col("vec_id"), col("embedding"),
         assignKernel(col("embedding")).as("cluster"))
     // guide §6: cluster-align the write so each task owns whole
-    // partition dirs (one file per cluster instead of one writer task
-    // fanning out nlist dynamic partitions serially). Explicit partition
-    // count so AQE cannot coalesce the layout away.
-    assigned.repartition(nlist, col("cluster"))
+    // partition dirs (never one writer task fanning out nlist dynamic
+    // partitions serially). Explicit partition count so AQE cannot
+    // coalesce the layout away. r12: cap the task count at the
+    // session's parallelism — nlist tasks on a session with fewer
+    // cores just pays nlist file commits in waves; hashing clusters
+    // onto min(nlist, defaultParallelism) tasks keeps whole-dir
+    // ownership (a task writes a few whole clusters sequentially) with
+    // one commit per core. On a real cluster defaultParallelism >>
+    // nlist and the layout is identical to before.
+    val writeTasks = math.min(nlist,
+      vectors.sparkSession.sparkContext.defaultParallelism)
+    assigned.repartition(writeTasks, col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/assignments")
     val json = cb

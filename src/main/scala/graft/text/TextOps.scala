@@ -383,11 +383,12 @@ object TextOps {
     * Deterministic: the component label IS the minimum node id.
     * Returns (node, cluster), one row per input-edge endpoint.
     *
-    * SCALE-ADAPTIVE EXECUTION (r11, guide §1.2/§5): the normalized
-    * distinct edge set is materialized (and counted — one job over
+    * SCALE-ADAPTIVE EXECUTION (r11, guide §1.2/§5; hardened r12): the
+    * normalized distinct edge set — self-loops kept, so it carries the
+    * whole node universe — is materialized (and counted, one job over
     * cached blocks) before the loop either way. When the count is at or
-    * under `spark.graft.cc.localEdgeLimit` (default 2^22 edges = 64 MB
-    * of key pairs, well under any sane spark.driver.maxResultSize), the
+    * under `spark.graft.cc.localEdgeLimit` (default 2^21; collected as
+    * primitive longs — see the heap math at the gate), the
     * star loop collapses to a single driver-side union-find: the
     * distributed loop's cost at that size is pure orchestration — the
     * sf0.1 profile showed 70-130 serialized 1-2-task jobs of 30-400 ms
@@ -410,8 +411,17 @@ object TextOps {
         cbuf += "cc_edges" -> edges.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
     }
-    val nodes = edges.select(col("a").as("node"))
-      .unionByName(edges.select(col("b").as("node"))).distinct()
+    // r12: normalize WITHOUT dropping self-loops first, so the node
+    // universe (incl. self-loop-only nodes, which owe an output row
+    // labeled by themselves) derives from the CHECKPOINTED set — the
+    // old shape re-executed the full input edge lineage a second time
+    // for `nodes` (once per local collect, and again in the final join
+    // of the distributed path).
+    val (e0, e0Rdds) = checkpointFresh(
+      edges.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct())
+    val nodes = e0.select(col("a").as("node"))
+      .unionByName(e0.select(col("b").as("node"))).distinct()
     // one phase: hang the selected neighbors of each center u under
     // m = min(neighborhood ∪ u). Every emitted edge is (m, v) with
     // m < v, so the (a < b) normalization is free.
@@ -432,27 +442,29 @@ object TextOps {
               .select(col("m").as("a"), col("u").as("b")))
       kept.distinct()
     }
-    var (e, prevRdds) = checkpointFresh(
-      edges.select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-        .where(col("a") =!= col("b")).distinct())
-
     val spark = edges.sparkSession
     val localLimit = spark.conf
-      .get("spark.graft.cc.localEdgeLimit", (1L << 22).toString).toLong
-    val bothLong = e.schema.fields.forall(
+      .get("spark.graft.cc.localEdgeLimit", (1L << 21).toString).toLong
+    val bothLong = e0.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (bothLong && e.count() <= localLimit) {
-      // driver union-find (path halving) over the cached edge blocks.
-      // The node universe comes from the ORIGINAL edge endpoints (like
-      // the distributed path's left join): a node appearing only in
-      // self-loops is absent from the normalized set but still owes an
-      // output row labeled by itself.
-      val rows = e.collect()
-      val nodeRows = nodes.collect()
-      prevRdds.foreach(_.unpersist(blocking = false))
-      val idx = new scala.collection.mutable.LongMap[Int](rows.length * 2)
-      val ids = new scala.collection.mutable.ArrayBuffer[Long](rows.length)
-      val parent = new scala.collection.mutable.ArrayBuffer[Int](rows.length)
+    // r12 (VERDICT #10 / ADVICE #1): the gate now counts the
+    // SELF-LOOP-INCLUSIVE normalized set, so the node universe is
+    // bounded by 2x the gated count — a self-loop-heavy input can no
+    // longer pass a small non-self edge count while collecting an
+    // unbounded node set. The collect is PRIMITIVE (flat long[] chunks,
+    // 16 bytes/edge), not boxed Rows (~10x that). Real heap math at
+    // the 2^21 default: 32 MB of edge longs + <=4.2M-entry LongMap
+    // (~100 MB backing) + ids/parent (~50 MB) + output Rows for <=4.2M
+    // nodes (~180 MB transient) — worst case under 400 MB against the
+    // 8 GB driver; the former 2^22-of-boxed-Rows default was ~1 GB+.
+    if (bothLong && e0.count() <= localLimit) {
+      // driver union-find (path halving) over the cached edge blocks
+      val chunks = graft.ops.Materialize.collectLongs(e0, 2)
+      e0Rdds.foreach(_.unpersist(blocking = false))
+      val nEst = chunks.iterator.map(_.length / 2).sum
+      val idx = new scala.collection.mutable.LongMap[Int](nEst * 2)
+      val ids = new scala.collection.mutable.ArrayBuffer[Long](nEst)
+      val parent = new scala.collection.mutable.ArrayBuffer[Int](nEst)
       def nodeIdx(x: Long): Int = {
         val existing = idx.getOrElse(x, -1)
         if (existing >= 0) existing
@@ -463,13 +475,17 @@ object TextOps {
         while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
         x
       }
-      var r = 0
-      while (r < rows.length) {
-        val row = rows(r)
-        val ra = find(nodeIdx(row.getLong(0)))
-        val rb = find(nodeIdx(row.getLong(1)))
-        if (ra != rb) parent(rb) = ra
-        r += 1
+      chunks.foreach { arr =>
+        var r = 0
+        while (r < arr.length) {
+          val ia = nodeIdx(arr(r)); val ib = nodeIdx(arr(r + 1))
+          // a self-loop row only registers its node in the universe
+          if (arr(r) != arr(r + 1)) {
+            val ra = find(ia); val rb = find(ib)
+            if (ra != rb) parent(rb) = ra
+          }
+          r += 2
+        }
       }
       // label of a component = min node id over its members
       val minOf = new Array[Long](ids.length)
@@ -480,13 +496,10 @@ object TextOps {
         if (ids(i) < minOf(root)) minOf(root) = ids(i)
         i += 1
       }
-      val out = new Array[org.apache.spark.sql.Row](nodeRows.length)
+      val out = new Array[org.apache.spark.sql.Row](ids.length)
       i = 0
-      while (i < nodeRows.length) {
-        val n = nodeRows(i).getLong(0)
-        val j = idx.getOrElse(n, -1)
-        // j < 0: self-loop-only node, labels itself
-        out(i) = org.apache.spark.sql.Row(n, if (j < 0) n else minOf(find(j)))
+      while (i < ids.length) {
+        out(i) = org.apache.spark.sql.Row(ids(i), minOf(find(i)))
         i += 1
       }
       val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -499,6 +512,9 @@ object TextOps {
       return spark.createDataFrame(
         spark.sparkContext.parallelize(out.toIndexedSeq, slices), schema)
     }
+
+    var e = e0.where(col("a") =!= col("b"))
+    var prevRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
 
     var changed = 1L
     var it = 0
