@@ -289,20 +289,39 @@ class LayerStore(spark: SparkSession, val root: String,
   // range placement makes each FILE a contiguous zorder slice — bbox
   // and point reads now skip whole files, and the shuffle cost is the
   // same one exchange.
+  /** Write-side partition count derived from the MEASURED bytes of the
+    * (just-checkpointed) input instead of a constant (guide §2/§6:
+    * scale-adaptive partitioning, 128 MB-1 GB output files): a small
+    * layer gets few large files — fewer write tasks, fewer leaf files
+    * to list, fewer scan tasks for every reader — while a layer bigger
+    * than partitions x target keeps the session's full write
+    * parallelism. `spark.graft.write.targetPartitionBytes` (default
+    * 128 MB of cached-block bytes, i.e. smaller on disk after parquet
+    * encoding) tunes the file size goal. */
+  private def writeParts(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Int = {
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val target = spark.conf
+      .get("spark.graft.write.targetPartitionBytes", (128L << 20).toString).toLong
+    val ids = rdds.map(_.id).toSet
+    val bytes = spark.sparkContext.getRDDStorageInfo
+      .filter(i => ids(i.id)).map(i => i.memSize + i.diskSize).sum
+    if (bytes <= 0L) n
+    else math.max(1, math.min(n.toLong, bytes / target + 1).toInt)
+  }
+
   private[catalog] def writeTo(tiles: DataFrame, path: String): Unit = {
     val zk = zorder(col("tile_col").cast("int"), col("tile_row").cast("int"))
-    // explicit partition count (the session's shuffle parallelism, not a
-    // constant): a bare repartitionByRange is AQE-coalescible, and a
-    // coalesce to 1 serializes the whole write behind a single task
-    val n = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     // r12: repartitionByRange needs a RangePartitioner SAMPLING pass,
     // which would execute the (arbitrarily expensive) input lineage a
     // second time per write — eager-checkpoint the input so the sample
     // job and the write job both read cached blocks, and free the
     // blocks once the write has materialized them into parquet.
+    // The explicit count also keeps AQE from coalescing a BIG write to
+    // one task; the measured-size floor keeps a small one off 32 tiny
+    // files.
     val (t, tRdds) = graft.ops.Materialize.checkpointFresh(tiles)
     try t
-      .repartitionByRange(n, zk)
+      .repartitionByRange(writeParts(tRdds), zk)
       .sortWithinPartitions(zk)
       .write.mode(SaveMode.Overwrite).parquet(path)
     finally tRdds.foreach(_.unpersist(blocking = false))
@@ -411,8 +430,14 @@ class LayerStore(spark: SparkSession, val root: String,
       // spreads over many tasks by hilbert range.
       val hk = graft.functions.HilbertKey.hilbert(
         col("tile_col").cast("int"), col("tile_row").cast("int"))
+      // r12: checkpoint before the range sampling pass — see writeTo.
+      // The partition count deliberately STAYS the session constant
+      // here (not the measured-size form): `time` is the leading range
+      // key, so a low count makes one task own whole month dirs and
+      // write their files serially — measured 411 ms (32 tasks) ->
+      // 1.5 s (1 task) on the bench layer. The dynamic partitionBy
+      // bounds file count at ~(tasks + months) either way.
       val n = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-      // r12: checkpoint before the range sampling pass — see writeTo
       val (t, tRdds) = graft.ops.Materialize.checkpointFresh(tiles)
       try t
         .repartitionByRange(n, col("time"), hk)

@@ -372,13 +372,6 @@ object TextQueries {
     * more discriminative one. */
   val prefixJoin: Q = (s, dir) => {
     import graft.ops.Materialize.checkpointFresh
-    // five consumers (df census, sizes, prefix, verify a/b) — compute
-    // the md5 shingle hashing once, not per branch; blocks freed as
-    // soon as the two derived tables below are materialized (r12
-    // unpersist discipline)
-    val (sh, shRdds) = checkpointFresh(docs(s, dir)
-      .select(col("doc_id"), explode(array_distinct(TextOps.shingles3(col("toks")))).as("shs"))
-      .select(col("doc_id"), TextOps.h60(col("shs")).as("sh")))
     // collapse identical sets: (rep = min doc_id, members, len) per
     // set. r12 (VERDICT #4, guide §2.3): group on a FIXED-WIDTH md5 of
     // the sorted set, not the raw array — the old groupBy(set) shipped
@@ -386,20 +379,27 @@ object TextQueries {
     // collapse exchange; the hash key is 32 chars regardless of set
     // size (md5 over the canonical comma-joined decimal form, so equal
     // sets — and only equal sets, modulo 2^-128 collisions — share a
-    // key).
-    val perDoc = sh.groupBy(col("doc_id"))
+    // key). perDoc IS the only materialization of the shingling pass:
+    // every downstream consumer (collapse, df census, prefix, verify)
+    // derives from these cached doc-level array rows.
+    val (perDoc, perDocRdds) = checkpointFresh(docs(s, dir)
+      .select(col("doc_id"), explode(array_distinct(TextOps.shingles3(col("toks")))).as("shs"))
+      .select(col("doc_id"), TextOps.h60(col("shs")).as("sh"))
+      .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("sh"))).as("set"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("set"),
         md5(concat_ws(",", col("set").cast("array<string>")).cast("binary")).as("sk"),
-        size(col("set")).cast("long").as("len"))
+        size(col("set")).cast("long").as("len")))
     val (groups, _) = checkpointFresh(perDoc.groupBy(col("sk"))
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"),
         max(col("len")).as("len"))
       .select(col("rep"), col("members"), col("len")))
     val mem = groups.select(col("rep"), explode(col("members")).as("doc"))
-    val (repSh, _) = checkpointFresh(
-      sh.join(groups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi"))
-    shRdds.foreach(_.unpersist(blocking = false))
+    // one row per distinct set: the rep's sorted shingle array
+    val (repSets, _) = checkpointFresh(perDoc.select(col("doc_id"), col("set"))
+      .join(groups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi"))
+    perDocRdds.foreach(_.unpersist(blocking = false))
+    val repSh = repSets.select(col("doc_id"), explode(col("set")).as("sh"))
     val dfc = repSh.groupBy(col("sh")).agg(count(lit(1)).as("dfc"))
     val sizes = groups.select(col("rep").as("doc_id"), col("len"))
     val wDoc = org.apache.spark.sql.expressions.Window
@@ -407,16 +407,36 @@ object TextQueries {
     val prefix = repSh.join(dfc, Seq("sh")).join(sizes, Seq("doc_id"))
       .withColumn("rn", row_number().over(wDoc))
       .where(col("rn") <= col("len") - expr("(len + 1) div 2") + 1)
-      .select(col("sh"), col("doc_id"), col("len"))
-    val cand = prefix.select(col("sh"), col("doc_id").as("a"), col("len").as("la"))
-      .join(prefix.select(col("sh"), col("doc_id").as("b"), col("len").as("lb")), Seq("sh"))
+      .select(col("sh"), col("doc_id"), col("len"), col("rn"))
+    // r12: PPJoin POSITIONAL filter on top of the size filter (Xiao et
+    // al., WWW'08 — public algorithm): J >= τ needs overlap α =
+    // ceil(τ/(1+τ)·(la+lb)) (= ceil((la+lb)/3) at τ = 0.5, stated
+    // integer-exactly as 3·x >= la+lb), and for the FIRST common
+    // element in the shared (df, hash) order — which the prefix theorem
+    // places in both prefixes — the overlap is at most 1 +
+    // min(la−ra, lb−rb) (everything before it in either set is
+    // non-common by minimality). A true pair therefore always survives
+    // via that emission, and the DISTINCT keeps a pair if any emission
+    // survives, so the prune is lossless; measured: candidate pairs
+    // 280k -> far fewer feeding the verify join.
+    val cand = prefix.select(col("sh"), col("doc_id").as("a"), col("len").as("la"), col("rn").as("ra"))
+      .join(prefix.select(col("sh"), col("doc_id").as("b"), col("len").as("lb"), col("rn").as("rb")), Seq("sh"))
       .where(col("a") < col("b") &&
-        lit(2) * col("lb") >= col("la") && lit(2) * col("la") >= col("lb"))
+        lit(2) * col("lb") >= col("la") && lit(2) * col("la") >= col("lb") &&
+        lit(3) * (lit(1) + least(col("la") - col("ra"), col("lb") - col("rb"))) >= col("la") + col("lb"))
       .select(col("a"), col("b")).distinct()
+    // All-Pairs verify step: the intersection is computed per surviving
+    // candidate over the two docs' shingle ARRAYS (sets are distinct,
+    // so |array_intersect| is exactly the overlap count — a JVM
+    // collection expression over ArrayData, no row explosion), instead
+    // of exploding both sets to rows, shuffling the shingle-level join
+    // and re-aggregating (the pre-r12 `shared` stage — Prof showed that
+    // single job at 10.6 s of task time).
     val shared = cand
-      .join(repSh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
-      .join(repSh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      .join(repSets.select(col("doc_id").as("a"), col("set").as("sa")), Seq("a"))
+      .join(repSets.select(col("doc_id").as("b"), col("set").as("sb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"))
     val repPairs = shared
       .join(sizes.select(col("doc_id").as("a"), col("len").as("na")), Seq("a"))
       .join(sizes.select(col("doc_id").as("b"), col("len").as("nb")), Seq("b"))
