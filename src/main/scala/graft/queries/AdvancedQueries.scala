@@ -2721,20 +2721,35 @@ object AdvancedQueries {
       .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
       .dropDuplicates("c", "sup"))
-    val nC = broadcast(e.select(col("c")).distinct().agg(count(lit(1)).as("n_c")))
-    var h = e.select(col("c")).distinct().crossJoin(nC)
-      .select(col("c"), expr(s"$InitFP div n_c").as("h"))
+    // r12 (guide §3.1, the CC adapt-from-actual-size contract): the
+    // rank tables are NODE-sized while e is EDGE-sized, and each of the
+    // four per-round joins used to hash-shuffle the full edge set by
+    // its key. The distinct-customer count is measured anyway (one job
+    // over cached e blocks, for h0); when it is at or under
+    // `spark.graft.hits.broadcastRankLimit` (default 2^22 — the
+    // supplier side is never larger than the customer side here), the
+    // rank side is broadcast-hinted and NO round shuffles the edge set
+    // at all (partial map-side aggregation leaves only the node-sized
+    // agg exchange). Past the gate (billions of customers at 100 TB)
+    // the shuffle plan is unchanged.
+    val nCVal = e.select(col("c")).distinct().count()
+    val rankBc = nCVal <= s.conf
+      .get("spark.graft.hits.broadcastRankLimit", (1L << 22).toString).toLong
+    def rank(df: DataFrame): DataFrame = if (rankBc) broadcast(df) else df
+    // n = 0: no rows exist for the literal to matter — avoid the /0
+    var h = e.select(col("c")).distinct()
+      .select(col("c"), lit(if (nCVal == 0) 0L else InitFP / nCVal).as("h"))
     var a: DataFrame = null
     var prevRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     for (k <- 1 to 2) {
-      val (araw, arawRdds) = checkpointFresh(e.join(h, Seq("c")).groupBy(col("sup"))
+      val (araw, arawRdds) = checkpointFresh(e.join(rank(h), Seq("c")).groupBy(col("sup"))
         .agg(sum(col("h")).as("ar")))
       // the k-1 round's araw/hraw blocks fed the araw job above — free
       prevRdds.foreach(_.unpersist(blocking = false))
       val anorm = broadcast(araw.agg(sum(col("ar")).as("na")))
       a = araw.crossJoin(anorm)
         .select(col("sup"), expr(s"(ar * $SFP) div na").as("a"))
-      val (hraw, hrawRdds) = checkpointFresh(e.join(a, Seq("sup")).groupBy(col("c"))
+      val (hraw, hrawRdds) = checkpointFresh(e.join(rank(a), Seq("sup")).groupBy(col("c"))
         .agg(sum(col("a")).as("hr")))
       val hnorm = broadcast(hraw.agg(sum(col("hr")).as("nh")))
       h = hraw.crossJoin(hnorm)
