@@ -1004,32 +1004,95 @@ object TextQueries {
     * (each round references the previous survivor set TWICE — once per
     * endpoint). Output: every graph node, whether it survives four
     * peels, and its degree within the surviving set. */
+  /** r12: same scale-adaptive split as [[bfsDist]] — the 4 fixed peel
+    * rounds each cost a join+agg+checkpoint of 1-2-task jobs at bench
+    * graph sizes. The local form replays the IDENTICAL 4 rounds
+    * (alive_i = nodes with >= KC sym-rows into alive_{i-1}) over the
+    * collected edge list; IterativeLocalPathsSpec pins both paths. */
   val kcore: Q = (s, dir) => {
+    import graft.ops.Materialize.{checkpointFresh, collectLongs}
     val KC = 3
     val e = minhashLshStaged(s, dir).select(col("a"), col("b"))
-    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(false)
-    val nodes = sym.select(col("a").as("v")).distinct()
-    var alive = nodes
-    for (_ <- 1 to 4) {
-      alive = sym
+    val (eCk, eRdds) = checkpointFresh(e)
+    val localLimit = s.conf
+      .get("spark.graft.iter.localEdgeLimit", (1L << 21).toString).toLong
+    val bothLong = eCk.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (bothLong && eCk.count() <= localLimit) {
+      val chunks = collectLongs(eCk, 2)
+      eRdds.foreach(_.unpersist(blocking = false))
+      val idx = new scala.collection.mutable.LongMap[Int]()
+      val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+      def nodeIdx(x: Long): Int = {
+        val ex = idx.getOrElse(x, -1)
+        if (ex >= 0) ex else { val i = ids.length; idx(x) = i; ids += x; i }
+      }
+      val adj = new scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Int]]()
+      def edge(u: Int, v: Int): Unit = {
+        while (adj.length <= math.max(u, v)) adj += new scala.collection.mutable.ArrayBuffer[Int]()
+        adj(u) += v; adj(v) += u
+      }
+      chunks.foreach { arr =>
+        var r = 0
+        while (r < arr.length) { edge(nodeIdx(arr(r)), nodeIdx(arr(r + 1))); r += 2 }
+      }
+      val n = ids.length
+      var alive = Array.fill(n)(true)
+      for (_ <- 1 to 4) {
+        val next = new Array[Boolean](n)
+        var v = 0
+        while (v < n) {
+          if (alive(v) && v < adj.length) {
+            var deg = 0
+            adj(v).foreach(u => if (alive(u)) deg += 1)
+            next(v) = deg >= KC
+          }
+          v += 1
+        }
+        alive = next
+      }
+      val out = new Array[org.apache.spark.sql.Row](n)
+      var v = 0
+      while (v < n) {
+        var deg = 0L
+        if (alive(v) && v < adj.length) adj(v).foreach(u => if (alive(u)) deg += 1)
+        out(v) = org.apache.spark.sql.Row(ids(v), if (alive(v)) 1 else 0, deg)
+        v += 1
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("in_core",
+          org.apache.spark.sql.types.IntegerType, nullable = true),
+        org.apache.spark.sql.types.StructField("core_deg",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      s.createDataFrame(s.sparkContext.parallelize(out.toIndexedSeq,
+        math.max(1, math.min(s.sparkContext.defaultParallelism,
+          out.length / 65536 + 1))), schema)
+    } else {
+      val sym = eCk.unionByName(eCk.select(col("b").as("a"), col("a").as("b")))
+      val nodes = sym.select(col("a").as("v")).distinct()
+      var alive = nodes
+      for (_ <- 1 to 4) {
+        alive = sym
+          .join(alive.select(col("v").as("a")), Seq("a"))
+          .join(alive.select(col("v").as("b")), Seq("b"))
+          .groupBy(col("a")).agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= KC).select(col("a").as("v"))
+          .localCheckpoint(false)
+      }
+      val coreDeg = sym
         .join(alive.select(col("v").as("a")), Seq("a"))
         .join(alive.select(col("v").as("b")), Seq("b"))
-        .groupBy(col("a")).agg(count(lit(1)).as("deg"))
-        .where(col("deg") >= KC).select(col("a").as("v"))
-        .localCheckpoint(false)
+        .groupBy(col("a")).agg(count(lit(1)).as("core_deg"))
+        .select(col("a").as("v"), col("core_deg"))
+      nodes
+        .join(alive.withColumn("inc", lit(1)), Seq("v"), "left")
+        .join(coreDeg, Seq("v"), "left")
+        .select(col("v").as("doc_id"),
+          coalesce(col("inc"), lit(0)).as("in_core"),
+          coalesce(col("core_deg"), lit(0L)).as("core_deg"))
     }
-    val coreDeg = sym
-      .join(alive.select(col("v").as("a")), Seq("a"))
-      .join(alive.select(col("v").as("b")), Seq("b"))
-      .groupBy(col("a")).agg(count(lit(1)).as("core_deg"))
-      .select(col("a").as("v"), col("core_deg"))
-    nodes
-      .join(alive.withColumn("inc", lit(1)), Seq("v"), "left")
-      .join(coreDeg, Seq("v"), "left")
-      .select(col("v").as("doc_id"),
-        coalesce(col("inc"), lit(0)).as("in_core"),
-        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
   }
 
   val kcoreSql: String = {

@@ -36,6 +36,12 @@ class IterativeLocalPathsSpec extends AnyFunSuite {
     assert(local == dist)
   }
 
+  test("t_kcore: local 4-round peel == distributed peel") {
+    val (local, dist) = runBoth("t_kcore")
+    assert(local.nonEmpty)
+    assert(local == dist)
+  }
+
   test("flowAccumulation: local peel == distributed peel on a real D8 field") {
     val (local, dist) = runBoth("r_flow_accum")
     assert(local.nonEmpty)

@@ -42,7 +42,7 @@ class PersistedBlocksSpec extends AnyFunSuite {
   }
 
   test("the local-path iterative gates leave zero persistent blocks") {
-    for (name <- Seq("t_sssp", "t_bfs_dist", "r_flow_accum", "r_basin_label"))
+    for (name <- Seq("t_sssp", "t_bfs_dist", "t_kcore", "r_flow_accum", "r_basin_label"))
       assert(residual(name) == 0, s"$name leaked persistent RDDs")
   }
 
