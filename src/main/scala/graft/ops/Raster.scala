@@ -258,8 +258,12 @@ object Raster {
       .get("spark.graft.iter.localEdgeLimit", (1L << 21).toString).toLong
     val coordsLong = Seq("gx", "gy").forall(c =>
       flow.schema(c).dataType == org.apache.spark.sql.types.LongType)
+    // a null dir behaves exactly like a pit on both paths: the
+    // distributed branch's `dir >= 0` predicate already rejects null,
+    // and the coalesce keeps the primitive collect NPE-free
     val (flowCk, flowRdds) = checkpointFresh(
-      flow.select(col("gx"), col("gy"), col("dir").cast("long").as("dir")))
+      flow.select(col("gx"), col("gy"),
+        coalesce(col("dir").cast("long"), lit(-1L)).as("dir")))
     if (coordsLong && flowCk.count() <= localLimit) {
       val chunks = collectLongs(flowCk, 3)
       flowRdds.foreach(_.unpersist(blocking = false))
@@ -345,6 +349,8 @@ object Raster {
       .join(nodes.select(col("gx").as("pgx"), col("gy").as("pgy")), Seq("pgx", "pgy"), "left_semi")
     var (partial, partialRdds) = checkpointFresh(nodes.withColumn("acc", lit(1L)))
     var (rem, remRdds) = checkpointFresh(edges)
+    // partial/rem supersede the input checkpoint — free it (r12 review)
+    flowRdds.foreach(_.unpersist(blocking = false))
     var prevRdds = partialRdds ++ remRdds
     var finals = List.empty[DataFrame]
     var remCount = rem.count()
@@ -409,8 +415,12 @@ object Raster {
       .get("spark.graft.iter.localEdgeLimit", (1L << 21).toString).toLong
     val coordsLong = Seq("gx", "gy").forall(c =>
       flow.schema(c).dataType == org.apache.spark.sql.types.LongType)
+    // a null dir behaves exactly like a pit on both paths: the
+    // distributed branch's `dir >= 0` predicate already rejects null,
+    // and the coalesce keeps the primitive collect NPE-free
     val (flowCk, flowRdds) = checkpointFresh(
-      flow.select(col("gx"), col("gy"), col("dir").cast("long").as("dir")))
+      flow.select(col("gx"), col("gy"),
+        coalesce(col("dir").cast("long"), lit(-1L)).as("dir")))
     if (coordsLong && flowCk.count() <= localLimit) {
       val chunks = collectLongs(flowCk, 3)
       flowRdds.foreach(_.unpersist(blocking = false))

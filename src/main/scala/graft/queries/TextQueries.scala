@@ -2421,6 +2421,9 @@ object TextQueries {
         dist = nd; frontier = nf
         hop += 1
       }
+      // the returned plan reads only the dist checkpoint — free the
+      // edge-set blocks, the largest frame in the query (r12 review)
+      eRdds.foreach(_.unpersist(blocking = false))
       dist.select(col("v").as("doc_id"), col("d").cast("int").as("dist"))
     }
   }
@@ -2558,6 +2561,8 @@ object TextQueries {
         distRdds = ndRdds; frontRdds = nfRdds
         dist = nd; front = nf
       }
+      // free the weighted edge set — the returned plan reads only dist
+      pwRdds.foreach(_.unpersist(blocking = false))
       dist.where(col("d") < SsspCap)
         .select(col("v").as("doc_id"), col("d").cast("int").as("dist"))
     }

@@ -17,10 +17,16 @@ class IterativeLocalPathsSpec extends AnyFunSuite {
 
   private def runBoth(name: String): (Set[Seq[Any]], Set[Seq[Any]]) = {
     val fn = graft.SparkEntry.queries(name)
-    def rows() = fn(spark, sf).collect().map(_.toSeq).toSet
+    // a CHILD session isolates the conf flip: suites share one
+    // SparkContext and may run in parallel, so mutating the shared
+    // session's conf would force OTHER suites' concurrently-running
+    // gates onto the distributed path mid-test (the AppsSpec
+    // job-group lesson applied to confs)
+    val s2 = spark.newSession()
+    def rows() = fn(s2, sf).collect().map(_.toSeq).toSet
     val local = rows() // default limit: small graphs take the local path
-    spark.conf.set("spark.graft.iter.localEdgeLimit", "0")
-    val dist = try rows() finally spark.conf.unset("spark.graft.iter.localEdgeLimit")
+    s2.conf.set("spark.graft.iter.localEdgeLimit", "0")
+    val dist = rows()
     (local, dist)
   }
 
@@ -64,14 +70,16 @@ class IterativeLocalPathsSpec extends AnyFunSuite {
     import spark.implicits._
     // a 7-cell drain chain: full accumulation needs 6 delivery rounds;
     // maxIter = 3 must leave identical partial sums on both paths
-    val chain = (0L until 7L).map(i => (i, 0L, if (i < 6) 0 else -1))
+    val s2 = spark.newSession() // conf isolation — see runBoth
+    val chain = s2.createDataFrame(
+      (0L until 7L).map(i => (i, 0L, if (i < 6) 0 else -1)))
       .toDF("gx", "gy", "dir")
     def run(): Map[(Long, Long), Long] =
       graft.ops.Raster.flowAccumulation(chain, maxIter = 3)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val local = run()
-    spark.conf.set("spark.graft.iter.localEdgeLimit", "0")
-    val dist = try run() finally spark.conf.unset("spark.graft.iter.localEdgeLimit")
+    s2.conf.set("spark.graft.iter.localEdgeLimit", "0")
+    val dist = run()
     assert(local == dist)
     // the full run (default maxIter) finishes the chain: sink holds 7
     def runFull(): Map[(Long, Long), Long] =
